@@ -1,0 +1,77 @@
+"""Benchmark harness — runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Query set mirrors the reference bench matrix (cmd/bench/metrics/
+bench_test.go:13-120): count-all / rate / count+rate, count by
+topic/destination/tenant, hourly over a day, daily over the month —
+expressed through this engine's operators.  Each query runs once warm
+(after a cold JVM warm-up pass on count-all).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from outpost_spark import queries_catalog  # noqa: E402
+from outpost_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "metrics_count_all",
+    "metrics_rate_whole_range",
+    "metrics_error_rate_daily",
+    "metrics_daily_by_topic",
+    "metrics_hourly_count",
+    "metrics_sunday_weekly",
+    "metrics_filtered_by_topic_status",
+    "list_events_first_page",
+    "list_events_keyset_page",
+    "point_lookup_event",
+    "join_broadcast_dim",
+    "join_multiway_star",
+    "lineitem_pricing_summary",
+    "join_latest_attempt_per_key",
+    "alert_consecutive_failures",
+    "dedup_exact_documents",
+    "text_token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("outpost-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = queries_catalog.queries()
+
+    # warm-up: JVM + parquet footer caches
+    registry["metrics_count_all"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

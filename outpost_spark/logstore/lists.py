@@ -1,0 +1,209 @@
+"""List queries: cursor (keyset) pagination over events/attempts.
+
+Reference:
+- Generic Run(): internal/pagination/pagination.go:53-155 — direction from
+  next/prev, compare op = f(order, direction) (desc+forward = ``<``),
+  fetch limit+1, reverse for backward, next/prev cursor construction.
+- Keyset predicate: ``(time < T) OR (time = T AND id < I)``
+  (chlogstore.go:309-326,890-907).
+- Composite total order: ``ORDER BY time dir, id dir`` (chlogstore.go:225-226).
+- Cursor payload: ``{unix_ms}::{id}`` (chlogstore.go:120-122), envelope via
+  functions/cursor.py (cursor.go:22-80) — byte-compatible.
+- Caps: default 100, max 1000 (log_handlers.go:41-52,256).
+- Filters: tenant/event/topic/status IN, destination array overlap,
+  GTE/LTE/GT/LT time range (chlogstore.go:173-245, driver/driver.go:12-17).
+
+Scale note: the keyset predicate + month partitioning means each page reads
+only the partitions that can contain the page — O(limit)-ish I/O per page —
+rather than a full sort of the table.  Spark's ORDER BY + LIMIT plans as
+TakeOrderedAndProject (per-partition top-k then merge on the driver), so no
+global sort/shuffle happens.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from outpost_spark.functions import cursor as cursor_codec
+
+DEFAULT_LIMIT = 100
+MAX_LIMIT = 1000
+
+
+@dataclass
+class ListRequest:
+    tenant_ids: list[str] = field(default_factory=list)
+    event_ids: list[str] = field(default_factory=list)
+    destination_ids: list[str] = field(default_factory=list)
+    topics: list[str] = field(default_factory=list)
+    statuses: list[str] = field(default_factory=list)  # attempts only
+    time_gte: datetime | None = None
+    time_lte: datetime | None = None
+    time_gt: datetime | None = None
+    time_lt: datetime | None = None
+    order: str = "desc"  # user-requested order on time
+    limit: int = DEFAULT_LIMIT
+    next: str = ""
+    prev: str = ""
+
+
+@dataclass
+class ListResult:
+    items: list  # Rows in response order
+    next: str
+    prev: str
+
+
+def _apply_common_filters(df: DataFrame, req: ListRequest, *, time_col: str, events: bool) -> DataFrame:
+    if req.tenant_ids:
+        df = df.filter(F.col("tenant_id").isin(req.tenant_ids))
+    if req.event_ids:
+        df = df.filter(F.col("event_id").isin(req.event_ids))
+    if req.topics:
+        df = df.filter(F.col("topic").isin(req.topics))
+    if req.statuses and not events:
+        df = df.filter(F.col("status").isin(req.statuses))
+    if req.destination_ids:
+        if events:
+            # P4: matched ids overlap (chlogstore.go:187-190, pglogstore.go:121-125)
+            df = df.filter(
+                F.arrays_overlap(
+                    F.col("matched_destination_ids"),
+                    F.array(*[F.lit(d) for d in req.destination_ids]),
+                )
+            )
+        else:
+            df = df.filter(F.col("destination_id").isin(req.destination_ids))
+    t = F.col(time_col)
+    if req.time_gte is not None:
+        df = df.filter(t >= F.lit(req.time_gte))
+    if req.time_lte is not None:
+        df = df.filter(t <= F.lit(req.time_lte))
+    if req.time_gt is not None:
+        df = df.filter(t > F.lit(req.time_gt))
+    if req.time_lt is not None:
+        df = df.filter(t < F.lit(req.time_lt))
+    return df
+
+
+def keyset_predicate(time_col: str, id_col: str, compare: str, unix_ms: int, item_id: str):
+    """``(time < T) OR (time = T AND id < I)`` — chlogstore.go:309-326."""
+    pos_ts = F.timestamp_millis(F.lit(unix_ms))
+    t, i = F.col(time_col), F.col(id_col)
+    if compare == "<":
+        return (t < pos_ts) | ((t == pos_ts) & (i < F.lit(item_id)))
+    return (t > pos_ts) | ((t == pos_ts) & (i > F.lit(item_id)))
+
+
+def _page(
+    df: DataFrame,
+    *,
+    time_col: str,
+    id_col: str,
+    resource: str,
+    version: int,
+    req: ListRequest,
+) -> ListResult:
+    """pagination.Run (pagination.go:53-155) around one keyset-limited scan."""
+    limit = req.limit if req.limit and req.limit > 0 else DEFAULT_LIMIT
+    limit = min(limit, MAX_LIMIT)
+    order = req.order if req.order in ("asc", "desc") else "desc"
+    backward = req.prev != ""
+    first_page = req.next == "" and req.prev == ""
+
+    cursor_enc = req.next or req.prev
+    compare = "<"
+    if (order == "desc") == backward:  # pagination.go:79-86
+        compare = ">"
+    sort_dir = order if not backward else ("asc" if order == "desc" else "desc")
+
+    q = df
+    if cursor_enc:
+        unix_ms, item_id = cursor_codec.decode_position(cursor_enc, resource, version)
+        q = q.filter(keyset_predicate(time_col, id_col, compare, unix_ms, item_id))
+
+    t, i = F.col(time_col), F.col(id_col)
+    if sort_dir == "desc":
+        q = q.orderBy(t.desc(), i.desc())
+    else:
+        q = q.orderBy(t.asc(), i.asc())
+
+    rows = q.limit(limit + 1).collect()
+
+    has_more = len(rows) > limit
+    rows = rows[:limit]
+    if backward:
+        rows.reverse()
+
+    def enc(row) -> str:
+        ts = row[time_col]
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        return cursor_codec.encode_position(
+            resource, version, int(ts.timestamp() * 1000), row[id_col]
+        )
+
+    nxt = prev = ""
+    if rows:
+        if first_page:
+            if has_more:
+                nxt = enc(rows[-1])
+        elif not backward:
+            prev = enc(rows[0])
+            if has_more:
+                nxt = enc(rows[-1])
+        else:
+            nxt = enc(rows[-1])
+            if has_more:
+                prev = enc(rows[0])
+    return ListResult(items=rows, next=nxt, prev=prev)
+
+
+def list_events(events_df: DataFrame, req: ListRequest) -> ListResult:
+    """ListEvent (driver/driver.go:33-43) — keyset-paginated scan."""
+    df = _apply_common_filters(events_df, req, time_col="event_time", events=True)
+    return _page(
+        df, time_col="event_time", id_col="event_id", resource="evt", version=1, req=req
+    )
+
+
+def list_attempts(attempts_df: DataFrame, req: ListRequest) -> ListResult:
+    """ListAttempt — same machinery over the denormalized attempts table."""
+    df = _apply_common_filters(attempts_df, req, time_col="attempt_time", events=False)
+    return _page(
+        df, time_col="attempt_time", id_col="attempt_id", resource="att", version=1, req=req
+    )
+
+
+def paginate(
+    df: DataFrame,
+    *,
+    time_col: str,
+    id_col: str,
+    resource: str,
+    req: ListRequest,
+    version: int = 1,
+) -> ListResult:
+    """Generic keyset pagination over any (time, id)-ordered DataFrame."""
+    return _page(df, time_col=time_col, id_col=id_col, resource=resource, version=version, req=req)
+
+
+def retrieve_event(events_df: DataFrame, event_id: str, tenant_id: str | None = None):
+    """Point lookup (S7, chlogstore.go:574-639) — LIMIT 1 filter scan."""
+    df = events_df.filter(F.col("event_id") == event_id)
+    if tenant_id is not None:
+        df = df.filter(F.col("tenant_id") == tenant_id)
+    rows = df.limit(1).collect()
+    return rows[0] if rows else None
+
+
+def retrieve_attempt(attempts_df: DataFrame, attempt_id: str, tenant_id: str | None = None):
+    df = attempts_df.filter(F.col("attempt_id") == attempt_id)
+    if tenant_id is not None:
+        df = df.filter(F.col("tenant_id") == tenant_id)
+    rows = df.limit(1).collect()
+    return rows[0] if rows else None

@@ -1,0 +1,312 @@
+"""The metrics (OLAP) engine — QueryEventMetrics / QueryAttemptMetrics.
+
+Reference semantics (cited per item):
+- Request shape: internal/logstore/driver/metrics.go:26-55
+  (TimeRange, Granularity?, Measures[], Dimensions[], Filters{}).
+- Measure expressions: internal/logstore/chlogstore/metrics.go:127-133
+  (events) and :355-382 (attempts) — exact distinct counts (``uniqExact``),
+  conditional variants, error_rate = failed/total, avg(attempt_number).
+- Time predicate: ``time >= start AND time < end``
+  (chlogstore/metrics.go:139-141, 389-391).
+- Filters: equality sets per allowlisted key; events ``destination_id``
+  filter is array-overlap on matched_destination_ids
+  (chlogstore/metrics.go:136-151, 386-414).
+- Dimension allowlists: internal/apirouter/metrics_handlers.go:53-61.
+- Gap filling: internal/logstore/bucket/fill.go — one row per (observed
+  dimension combo) x (aligned slot); zeros only for requested measures.
+- Rates: internal/logstore/driver/rate.go — count / bucket seconds; months
+  use true calendar length; no granularity => whole-range duration.
+- Row cap: 100_000 (+1 to detect truncation), chlogstore/metrics.go:16.
+
+Spark-first design notes (100 TB):
+- One declarative plan: scan -> filter (pushed to parquet) -> (explode for
+  the events-by-destination dim, J6) -> groupBy(bucket, dims) -> agg.
+  Catalyst does partial+final hash aggregation (map-side combine), so the
+  shuffle moves one row per (bucket, dims) per task, not raw data.
+- Exact countDistinct is the reference's chosen semantic; Spark plans it as
+  a two-phase expand+agg.  The time predicate always bounds the scan, and
+  month partition pruning applies when the table is written partitioned on
+  ``month(time)`` (see insert.py).
+- Gap filling joins a <=100k-slot local relation (guardrail enforced before
+  anything is built) against observed dim combos — the slots side is
+  broadcast, never shuffled.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from outpost_spark.functions.buckets import (
+    Granularity,
+    bucket_count,
+    bucket_duration_seconds_expr,
+    bucket_epoch_expr,
+    bucket_slots,
+    parse_granularity,
+    MAX_BUCKETS,
+    TooManyBucketsError,
+)
+
+ROW_LIMIT = 100_000  # chlogstore/metrics.go:16
+
+EVENT_MEASURES = ("count", "rate")
+ATTEMPT_MEASURES = (
+    "count",
+    "successful_count",
+    "failed_count",
+    "error_rate",
+    "first_attempt_count",
+    "retry_count",
+    "manual_retry_count",
+    "avg_attempt_number",
+    "rate",
+    "successful_rate",
+    "failed_rate",
+)
+# metrics_handlers.go:53-61
+EVENT_DIMENSIONS = ("tenant_id", "topic", "destination_id")
+ATTEMPT_DIMENSIONS = (
+    "tenant_id",
+    "topic",
+    "destination_id",
+    "destination_type",
+    "status",
+    "code",
+    "manual",
+    "attempt_number",
+)
+
+# driver/rate.go:6-11
+_RATE_DEPS = {"rate": "count", "successful_rate": "successful_count", "failed_rate": "failed_count"}
+
+
+@dataclass(frozen=True)
+class TimeRange:
+    start: datetime
+    end: datetime
+
+
+@dataclass
+class MetricsRequest:
+    time_range: TimeRange
+    measures: list[str]
+    granularity: str | Granularity | None = None
+    dimensions: list[str] = field(default_factory=list)
+    filters: dict[str, list] = field(default_factory=dict)
+
+    def gran(self) -> Granularity | None:
+        if self.granularity is None:
+            return None
+        if isinstance(self.granularity, Granularity):
+            return self.granularity
+        return parse_granularity(self.granularity)
+
+
+def _enrich_measures(measures: list[str]) -> list[str]:
+    """driver/rate.go:15-33 — append missing count deps for requested rates."""
+    out = list(measures)
+    seen = set(measures)
+    for m in measures:
+        dep = _RATE_DEPS.get(m)
+        if dep and dep not in seen:
+            out.append(dep)
+            seen.add(dep)
+    return out
+
+
+def _count_distinct_if(id_col: str, cond: Column) -> Column:
+    return F.count_distinct(F.when(cond, F.col(id_col)))
+
+
+def _attempt_measure_expr(measure: str) -> Column | None:
+    """chlogstore/metrics.go:355-382; rates are post-aggregation (None here)."""
+    c = F.col
+    if measure == "count":
+        return F.count_distinct(c("attempt_id"))
+    if measure == "successful_count":
+        return _count_distinct_if("attempt_id", c("status") == "success")
+    if measure == "failed_count":
+        return _count_distinct_if("attempt_id", c("status") == "failed")
+    if measure == "error_rate":
+        return _count_distinct_if("attempt_id", c("status") == "failed") / F.count_distinct(
+            c("attempt_id")
+        )
+    if measure == "first_attempt_count":
+        return _count_distinct_if("attempt_id", (c("attempt_number") == 1) & ~c("manual"))
+    if measure == "retry_count":
+        return _count_distinct_if("attempt_id", c("attempt_number") > 1)
+    if measure == "manual_retry_count":
+        return _count_distinct_if("attempt_id", c("manual"))
+    if measure == "avg_attempt_number":
+        return F.avg(c("attempt_number"))
+    return None  # rate / successful_rate / failed_rate: post-agg
+
+
+def _event_measure_expr(measure: str) -> Column | None:
+    if measure == "count":
+        return F.count_distinct(F.col("event_id"))
+    return None
+
+
+def _apply_filters(df: DataFrame, filters: dict[str, list], *, events: bool) -> DataFrame:
+    for key, values in filters.items():
+        if not values:
+            continue
+        if events and key == "destination_id":
+            # chlogstore/metrics.go:143-147 — array overlap on matched ids
+            df = df.filter(
+                F.arrays_overlap(
+                    F.col("matched_destination_ids"), F.array(*[F.lit(v) for v in values])
+                )
+            )
+        else:
+            df = df.filter(F.col(key).isin(values))
+    return df
+
+
+def _gap_fill(
+    spark: SparkSession,
+    result: DataFrame,
+    req: MetricsRequest,
+    measures: list[str],
+    requested: list[str],
+) -> DataFrame:
+    """fill.go:13-120 — slots x observed-dim-combos, zeros for requested measures."""
+    g = req.gran()
+    slots = bucket_slots(req.time_range.start, req.time_range.end, g)
+    if not slots:
+        return result
+    slots_df = spark.createDataFrame([(s,) for s in slots], "time_bucket bigint")
+    if req.dimensions:
+        combos = result.select(*req.dimensions).distinct()
+        grid = F.broadcast(slots_df).crossJoin(combos)
+        join_keys = ["time_bucket", *req.dimensions]
+    else:
+        grid = slots_df
+        join_keys = ["time_bucket"]
+    filled = grid.join(result, on=join_keys, how="left")
+    zero_float = {"error_rate", "avg_attempt_number"}
+    for m in measures:
+        if m in _RATE_DEPS:
+            continue  # computed post-fill
+        default = F.lit(0.0) if m in zero_float else F.lit(0)
+        if m in requested:
+            filled = filled.withColumn(m, F.coalesce(F.col(m), default))
+    return filled
+
+
+def _finalize(
+    spark: SparkSession,
+    df: DataFrame,
+    req: MetricsRequest,
+    measures: list[str],
+    *,
+    time_col: str,
+) -> DataFrame:
+    """Shared tail: groupBy -> agg happened; now gap-fill, rates, order, cap."""
+    g = req.gran()
+    requested = list(req.measures)
+    if g is not None:
+        df = _gap_fill(spark, df, req, measures, requested)
+
+    # rates (driver/rate.go) — from counts & bucket duration
+    rate_wanted = [m for m in requested if m in _RATE_DEPS]
+    if rate_wanted:
+        if g is not None:
+            dur = bucket_duration_seconds_expr(
+                F.timestamp_seconds(F.col("time_bucket")), g
+            ).cast("double")
+        else:
+            dur = F.lit((req.time_range.end - req.time_range.start).total_seconds())
+        for m in rate_wanted:
+            df = df.withColumn(m, F.coalesce(F.col(_RATE_DEPS[m]), F.lit(0)) / dur)
+
+    # drop enriched-only helper counts not requested
+    for m in measures:
+        if m not in requested:
+            df = df.drop(m)
+
+    order_cols = []
+    if g is not None:
+        order_cols.append(F.col("time_bucket"))
+    order_cols += [F.col(d) for d in req.dimensions]
+    if order_cols:
+        df = df.orderBy(*order_cols)
+    return df.limit(ROW_LIMIT + 1)
+
+
+def _query_metrics(
+    df: DataFrame,
+    req: MetricsRequest,
+    *,
+    events: bool,
+) -> DataFrame:
+    spark = df.sparkSession
+    if req.time_range.end <= req.time_range.start:
+        raise ValueError("time range end must be after start")  # driver/metrics.go:19-24
+    g = req.gran()
+    if g is not None:
+        n = bucket_count(req.time_range.start, req.time_range.end, g)
+        if n > MAX_BUCKETS:
+            raise TooManyBucketsError(f"{n} buckets > {MAX_BUCKETS}")
+
+    allowed_dims = EVENT_DIMENSIONS if events else ATTEMPT_DIMENSIONS
+    allowed_measures = EVENT_MEASURES if events else ATTEMPT_MEASURES
+    for d in req.dimensions:
+        if d not in allowed_dims:
+            raise ValueError(f"invalid dimension {d!r}")
+    for m in req.measures:
+        if m not in allowed_measures:
+            raise ValueError(f"invalid measure {m!r}")
+
+    time_col = "event_time" if events else "attempt_time"
+    measures = _enrich_measures(req.measures)
+
+    df = df.filter(
+        (F.col(time_col) >= F.lit(req.time_range.start))
+        & (F.col(time_col) < F.lit(req.time_range.end))
+    )
+    df = _apply_filters(df, req.filters, events=events)
+
+    if events and "destination_id" in req.dimensions:
+        # J6: explode matched ids (chlogstore arrayJoin — metrics.go:163-166)
+        df = df.withColumn("destination_id", F.explode(F.col("matched_destination_ids")))
+
+    group_cols: list[Column] = []
+    if g is not None:
+        group_cols.append(bucket_epoch_expr(F.col(time_col), g).alias("time_bucket"))
+    group_cols += [F.col(d) for d in req.dimensions]
+
+    agg_exprs = []
+    for m in measures:
+        e = _event_measure_expr(m) if events else _attempt_measure_expr(m)
+        if e is not None:
+            agg_exprs.append(e.alias(m))
+    # HAVING count() > 0 (chlogstore/metrics.go:174-178) — raw-row guard
+    agg_exprs.append(F.count(F.lit(1)).alias("__raw_count"))
+
+    if group_cols:
+        out = df.groupBy(*group_cols).agg(*agg_exprs)
+    else:
+        out = df.agg(*agg_exprs)
+    out = out.filter(F.col("__raw_count") > 0).drop("__raw_count")
+
+    return _finalize(spark, out, req, measures, time_col=time_col)
+
+
+def query_event_metrics(events_df: DataFrame, req: MetricsRequest) -> DataFrame:
+    """QueryEventMetrics (driver/metrics.go:26-33) as one DataFrame plan.
+
+    Output columns: ``time_bucket`` (bigint epoch-seconds, present iff
+    granularity), each requested dimension, each requested measure.
+    """
+    return _query_metrics(events_df, req, events=True)
+
+
+def query_attempt_metrics(attempts_df: DataFrame, req: MetricsRequest) -> DataFrame:
+    """QueryAttemptMetrics (driver/metrics.go:35-47) as one DataFrame plan."""
+    return _query_metrics(attempts_df, req, events=False)

@@ -1,0 +1,839 @@
+"""Operator catalog: every implemented SURVEY.md §2 operator expressed over
+the driver-generated testdata tables, with a DuckDB oracle for each.
+
+The testdata ``events`` table is mapped onto the outpost event/attempt
+model deterministically (pure arithmetic — mirrored exactly in the SQL
+oracles):
+
+- tenant_id   := CAST(user_id AS STRING)
+- topic       := event_type
+- event_time  := ts
+- status      := 'failed' when event_type = 'error' else 'success'
+- manual      := event_id % 10 = 9
+- attempt_number := event_id % 3 + 1
+- matched_destination_ids := ['d_' || event_type]
+
+Parity conventions (driver hashes values order-insensitively after sorting
+columns by name):
+- identical aliases on both sides;
+- time buckets emitted as epoch-second BIGINTs;
+- double aggregates rounded to a fixed scale on both sides;
+- money sums computed in DECIMAL(18,2) (exact, order-independent).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from outpost_spark.functions.buckets import bucket_epoch_expr
+from outpost_spark.functions.topic import glob_to_regex
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a testdata table, normalizing TIMESTAMP(NANOS) columns.
+
+    Spark's parquet reader rejects nano-precision timestamps; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` they surface as LongType
+    nanos, which we truncate to micros (DuckDB does the same) — the scan
+    stays native/vectorized, no driver-side materialization.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(os.path.join(sf_dir, f"{name}.parquet"))
+        for field in schema:
+            if str(field.type) == "timestamp[ns]":
+                # integer `div`, not `/`: nano epochs exceed double's 2^53
+                df = df.withColumn(
+                    field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
+                )
+    except ImportError:
+        pass
+    return df
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events testdata -> outpost event/attempt hybrid schema (see module doc)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.col("event_id").cast("string").alias("attempt_id"),
+        F.col("user_id").cast("string").alias("tenant_id"),
+        F.col("event_type").alias("topic"),
+        F.col("ts").alias("event_time"),
+        F.col("ts").alias("attempt_time"),
+        F.array(F.concat(F.lit("d_"), F.col("event_type"))).alias("matched_destination_ids"),
+        F.concat(F.lit("d_"), F.col("event_type")).alias("destination_id"),
+        F.when(F.col("event_type") == "error", "failed").otherwise("success").alias("status"),
+        (F.col("event_id") % 10 == 9).alias("manual"),
+        (F.col("event_id") % 3 + 1).cast("int").alias("attempt_number"),
+        F.col("value"),
+        F.col("props").alias("data"),
+    )
+
+
+# SQL fragment mirroring _events() for the oracles
+_EVENTS_SQL = """
+    SELECT CAST(event_id AS VARCHAR) AS event_id,
+           CAST(event_id AS VARCHAR) AS attempt_id,
+           CAST(user_id AS VARCHAR) AS tenant_id,
+           event_type AS topic,
+           ts AS event_time,
+           ts AS attempt_time,
+           'd_' || event_type AS destination_id,
+           CASE WHEN event_type = 'error' THEN 'failed' ELSE 'success' END AS status,
+           (event_id % 10 = 9) AS manual,
+           CAST(event_id % 3 + 1 AS INT) AS attempt_number,
+           value,
+           props AS data
+    FROM events
+"""
+
+
+# ───────────────────────── metrics engine (A1-A13, W1-W4) ─────────────────────────
+
+
+@_register(
+    "metrics_count_all",
+    f"SELECT COUNT(DISTINCT attempt_id) AS count FROM ({_EVENTS_SQL})",
+)
+def metrics_count_all(spark, sf_dir):
+    """A1/A2: whole-range exact distinct count (chlogstore/metrics.go:357-360)."""
+    return _events(spark, sf_dir).agg(F.count_distinct("attempt_id").alias("count"))
+
+
+@_register(
+    "metrics_hourly_count",
+    f"""
+    WITH src AS ({_EVENTS_SQL}),
+    agg AS (
+      SELECT CAST(floor(epoch(attempt_time) / 3600) AS BIGINT) * 3600 AS time_bucket,
+             COUNT(DISTINCT attempt_id) AS count
+      FROM src
+      WHERE attempt_time >= TIMESTAMP '2024-01-02 00:00:00'
+        AND attempt_time <  TIMESTAMP '2024-01-03 00:00:00'
+      GROUP BY 1
+    ),
+    slots AS (
+      SELECT CAST(s AS BIGINT) AS time_bucket
+      FROM range(CAST(epoch(TIMESTAMP '2024-01-02 00:00:00') AS BIGINT),
+                 CAST(epoch(TIMESTAMP '2024-01-03 00:00:00') AS BIGINT), 3600) t(s)
+    )
+    SELECT slots.time_bucket, COALESCE(agg.count, 0) AS count
+    FROM slots LEFT JOIN agg USING (time_bucket)
+    """,
+)
+def metrics_hourly_count(spark, sf_dir):
+    """W1 + A12: 1h epoch-aligned buckets over one day, gap-filled with zeros."""
+    from datetime import datetime, timezone
+
+    from outpost_spark.logstore.metrics import MetricsRequest, TimeRange, query_attempt_metrics
+
+    req = MetricsRequest(
+        TimeRange(
+            datetime(2024, 1, 2, tzinfo=timezone.utc), datetime(2024, 1, 3, tzinfo=timezone.utc)
+        ),
+        measures=["count"],
+        granularity="1h",
+    )
+    return query_attempt_metrics(_events(spark, sf_dir), req)
+
+
+@_register(
+    "metrics_daily_by_topic",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT CAST(floor(epoch(attempt_time) / 86400) AS BIGINT) * 86400 AS time_bucket,
+           topic,
+           COUNT(DISTINCT attempt_id) AS count,
+           COUNT(DISTINCT CASE WHEN status = 'failed' THEN attempt_id END) AS failed_count
+    FROM src
+    GROUP BY 1, 2
+    """,
+)
+def metrics_daily_by_topic(spark, sf_dir):
+    """W2 + A10 + A3: daily buckets x topic dimension with conditional count."""
+    df = _events(spark, sf_dir)
+    return df.groupBy(
+        bucket_epoch_expr(F.col("attempt_time"), "1d").alias("time_bucket"),
+        F.col("topic"),
+    ).agg(
+        F.count_distinct("attempt_id").alias("count"),
+        F.count_distinct(
+            F.when(F.col("status") == "failed", F.col("attempt_id"))
+        ).alias("failed_count"),
+    )
+
+
+@_register(
+    "metrics_error_rate_daily",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT CAST(floor(epoch(attempt_time) / 86400) AS BIGINT) * 86400 AS time_bucket,
+           COUNT(DISTINCT attempt_id) AS count,
+           COUNT(DISTINCT CASE WHEN status = 'success' THEN attempt_id END) AS successful_count,
+           COUNT(DISTINCT CASE WHEN status = 'failed' THEN attempt_id END) AS failed_count,
+           round(COUNT(DISTINCT CASE WHEN status = 'failed' THEN attempt_id END)
+                 / CAST(COUNT(DISTINCT attempt_id) AS DOUBLE), 6) AS error_rate
+    FROM src
+    GROUP BY 1
+    """,
+)
+def metrics_error_rate_daily(spark, sf_dir):
+    """A3/A4: conditional distinct counts + error rate per day."""
+    df = _events(spark, sf_dir)
+    failed = F.count_distinct(F.when(F.col("status") == "failed", F.col("attempt_id")))
+    total = F.count_distinct(F.col("attempt_id"))
+    return df.groupBy(
+        bucket_epoch_expr(F.col("attempt_time"), "1d").alias("time_bucket")
+    ).agg(
+        total.alias("count"),
+        F.count_distinct(
+            F.when(F.col("status") == "success", F.col("attempt_id"))
+        ).alias("successful_count"),
+        failed.alias("failed_count"),
+        F.round(failed / total.cast("double"), 6).alias("error_rate"),
+    )
+
+
+@_register(
+    "metrics_retry_measures",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT COUNT(DISTINCT CASE WHEN attempt_number = 1 AND NOT manual THEN attempt_id END)
+             AS first_attempt_count,
+           COUNT(DISTINCT CASE WHEN attempt_number > 1 THEN attempt_id END) AS retry_count,
+           COUNT(DISTINCT CASE WHEN manual THEN attempt_id END) AS manual_retry_count,
+           round(avg(attempt_number), 6) AS avg_attempt_number
+    FROM src
+    """,
+)
+def metrics_retry_measures(spark, sf_dir):
+    """A5-A8: first/retry/manual conditional counts + avg attempt number."""
+    df = _events(spark, sf_dir)
+    c = F.col
+    return df.agg(
+        F.count_distinct(
+            F.when((c("attempt_number") == 1) & ~c("manual"), c("attempt_id"))
+        ).alias("first_attempt_count"),
+        F.count_distinct(F.when(c("attempt_number") > 1, c("attempt_id"))).alias("retry_count"),
+        F.count_distinct(F.when(c("manual"), c("attempt_id"))).alias("manual_retry_count"),
+        F.round(F.avg("attempt_number"), 6).alias("avg_attempt_number"),
+    )
+
+
+@_register(
+    "metrics_rate_whole_range",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT round(COUNT(DISTINCT attempt_id) / (30.0 * 86400), 10) AS rate
+    FROM src
+    WHERE attempt_time >= TIMESTAMP '2024-01-01 00:00:00'
+      AND attempt_time <  TIMESTAMP '2024-01-31 00:00:00'
+    """,
+)
+def metrics_rate_whole_range(spark, sf_dir):
+    """A9: whole-range rate = count / range-duration-seconds (rate.go:80-83)."""
+    from datetime import datetime, timezone
+
+    start = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    end = datetime(2024, 1, 31, tzinfo=timezone.utc)
+    df = _events(spark, sf_dir).filter(
+        (F.col("attempt_time") >= F.lit(start)) & (F.col("attempt_time") < F.lit(end))
+    )
+    dur = (end - start).total_seconds()
+    return df.agg(
+        F.round(F.count_distinct("attempt_id") / F.lit(dur), 10).alias("rate")
+    )
+
+
+@_register(
+    "metrics_sunday_weekly",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT (CAST(floor((floor(epoch(attempt_time) / 86400) - 3) / 7) AS BIGINT) * 7 + 3) * 86400
+             AS time_bucket,
+           COUNT(DISTINCT attempt_id) AS count
+    FROM src
+    GROUP BY 1
+    """,
+)
+def metrics_sunday_weekly(spark, sf_dir):
+    """W3: Sunday-anchored weekly buckets (1970-01-04 anchor, bucket.go:49-57)."""
+    df = _events(spark, sf_dir)
+    return df.groupBy(
+        bucket_epoch_expr(F.col("attempt_time"), "1w").alias("time_bucket")
+    ).agg(F.count_distinct("attempt_id").alias("count"))
+
+
+@_register(
+    "metrics_2day_epoch_buckets",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT CAST(floor(floor(epoch(attempt_time) / 86400) / 2) AS BIGINT) * 2 * 86400
+             AS time_bucket,
+           COUNT(DISTINCT attempt_id) AS count
+    FROM src
+    GROUP BY 1
+    """,
+)
+def metrics_2day_epoch_buckets(spark, sf_dir):
+    """W2 multi-unit: 2-day buckets anchored 1970-01-01 (bucket.go:41-48)."""
+    df = _events(spark, sf_dir)
+    return df.groupBy(
+        bucket_epoch_expr(F.col("attempt_time"), "2d").alias("time_bucket")
+    ).agg(F.count_distinct("attempt_id").alias("count"))
+
+
+@_register(
+    "metrics_monthly",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT CAST(epoch(date_trunc('month', attempt_time)) AS BIGINT) AS time_bucket,
+           COUNT(DISTINCT attempt_id) AS count
+    FROM src
+    GROUP BY 1
+    """,
+)
+def metrics_monthly(spark, sf_dir):
+    """W4: calendar month buckets (bucket.go:58-66)."""
+    df = _events(spark, sf_dir)
+    return df.groupBy(
+        bucket_epoch_expr(F.col("attempt_time"), "1M").alias("time_bucket")
+    ).agg(F.count_distinct("attempt_id").alias("count"))
+
+
+@_register(
+    "metrics_15m_dense",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT CAST(floor(epoch(attempt_time) / 900) AS BIGINT) * 900 AS time_bucket,
+           COUNT(DISTINCT attempt_id) AS count
+    FROM src
+    WHERE attempt_time >= TIMESTAMP '2024-01-05 00:00:00'
+      AND attempt_time <  TIMESTAMP '2024-01-06 00:00:00'
+    GROUP BY 1
+    """,
+)
+def metrics_15m_dense(spark, sf_dir):
+    """W1 multi-unit: 15-minute epoch-aligned buckets (no gap fill)."""
+    from datetime import datetime, timezone
+
+    df = _events(spark, sf_dir).filter(
+        (F.col("attempt_time") >= F.lit(datetime(2024, 1, 5, tzinfo=timezone.utc)))
+        & (F.col("attempt_time") < F.lit(datetime(2024, 1, 6, tzinfo=timezone.utc)))
+    )
+    return df.groupBy(
+        bucket_epoch_expr(F.col("attempt_time"), "15m").alias("time_bucket")
+    ).agg(F.count_distinct("attempt_id").alias("count"))
+
+
+@_register(
+    "metrics_filtered_by_topic_status",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT CAST(floor(epoch(attempt_time) / 86400) AS BIGINT) * 86400 AS time_bucket,
+           COUNT(DISTINCT attempt_id) AS count
+    FROM src
+    WHERE topic IN ('purchase', 'signup') AND status = 'success'
+      AND tenant_id IN ('1','2','3','4','5','6','7','8','9','10','11','12')
+    GROUP BY 1
+    """,
+)
+def metrics_filtered_by_topic_status(spark, sf_dir):
+    """A13/P3: equality-set filters pre-aggregation (pushed to the scan)."""
+    df = _events(spark, sf_dir)
+    df = df.filter(
+        F.col("topic").isin("purchase", "signup")
+        & (F.col("status") == "success")
+        & F.col("tenant_id").isin([str(i) for i in range(1, 13)])
+    )
+    return df.groupBy(
+        bucket_epoch_expr(F.col("attempt_time"), "1d").alias("time_bucket")
+    ).agg(F.count_distinct("attempt_id").alias("count"))
+
+
+# ───────────────────────── list queries (O1-O6, S7, P3-P5) ─────────────────────────
+
+
+@_register(
+    "list_events_first_page",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT event_id, tenant_id, topic, event_time
+    FROM src
+    WHERE topic IN ('purchase', 'refund')
+    ORDER BY event_time DESC, event_id DESC
+    LIMIT 100
+    """,
+)
+def list_events_first_page(spark, sf_dir):
+    """O1/O2: first page of a filtered list — ORDER BY (time, id) DESC LIMIT n.
+
+    Spark plans this as TakeOrderedAndProject: per-partition top-k then a
+    driver merge — no global sort shuffle, O(limit) result movement.
+    """
+    df = _events(spark, sf_dir)
+    return (
+        df.filter(F.col("topic").isin("purchase", "refund"))
+        .select("event_id", "tenant_id", "topic", "event_time")
+        .orderBy(F.col("event_time").desc(), F.col("event_id").desc())
+        .limit(100)
+    )
+
+
+@_register(
+    "list_events_keyset_page",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT event_id, tenant_id, topic, event_time
+    FROM src
+    WHERE (event_time < TIMESTAMP '2024-01-15 00:00:00'
+           OR (event_time = TIMESTAMP '2024-01-15 00:00:00' AND event_id < '500'))
+    ORDER BY event_time DESC, event_id DESC
+    LIMIT 100
+    """,
+)
+def list_events_keyset_page(spark, sf_dir):
+    """O3: keyset (cursor) predicate — (t < T) OR (t = T AND id < I)."""
+    from outpost_spark.logstore.lists import keyset_predicate
+
+    df = _events(spark, sf_dir)
+    pos_ms = 1705276800000  # 2024-01-15T00:00:00Z
+    return (
+        df.filter(keyset_predicate("event_time", "event_id", "<", pos_ms, "500"))
+        .select("event_id", "tenant_id", "topic", "event_time")
+        .orderBy(F.col("event_time").desc(), F.col("event_id").desc())
+        .limit(100)
+    )
+
+
+@_register(
+    "point_lookup_event",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT event_id, tenant_id, topic, event_time, data
+    FROM src WHERE event_id = '123' LIMIT 1
+    """,
+)
+def point_lookup_event(spark, sf_dir):
+    """S7: retrieve-by-id point lookup (chlogstore.go:574-639)."""
+    df = _events(spark, sf_dir)
+    return (
+        df.filter(F.col("event_id") == "123")
+        .select("event_id", "tenant_id", "topic", "event_time", "data")
+        .limit(1)
+    )
+
+
+@_register(
+    "list_time_window_gt_lt",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT event_id, event_time
+    FROM src
+    WHERE event_time > TIMESTAMP '2024-01-10 00:00:00'
+      AND event_time < TIMESTAMP '2024-01-10 06:00:00'
+    ORDER BY event_time ASC, event_id ASC
+    """,
+)
+def list_time_window_gt_lt(spark, sf_dir):
+    """P5: strict GT/LT time-range filters (driver/driver.go:12-17)."""
+    from datetime import datetime, timezone
+
+    df = _events(spark, sf_dir)
+    return (
+        df.filter(
+            (F.col("event_time") > F.lit(datetime(2024, 1, 10, tzinfo=timezone.utc)))
+            & (F.col("event_time") < F.lit(datetime(2024, 1, 10, 6, tzinfo=timezone.utc)))
+        )
+        .select("event_id", "event_time")
+        .orderBy(F.col("event_time").asc(), F.col("event_id").asc())
+    )
+
+
+# ───────────────────────── filters & functions (P4, P6, P8, F1-F5) ─────────────────────────
+
+
+@_register(
+    "filter_topic_glob",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT event_id, topic FROM src
+    WHERE regexp_matches(topic, '^p.*$') OR regexp_matches(topic, '^.*up$')
+    """,
+)
+def filter_topic_glob(spark, sf_dir):
+    """P6/F1: '*'-glob topic matching compiled to anchored JVM regex."""
+    df = _events(spark, sf_dir)
+    return df.filter(
+        F.col("topic").rlike(glob_to_regex("p*")) | F.col("topic").rlike(glob_to_regex("*up"))
+    ).select("event_id", "topic")
+
+
+@_register(
+    "filter_json_predicate",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT event_id, CAST(json_extract_string(data, '$.k') AS BIGINT) AS k
+    FROM src
+    WHERE CAST(json_extract_string(data, '$.k') AS BIGINT) >= 50
+      AND topic = 'purchase'
+    """,
+)
+def filter_json_predicate(spark, sf_dir):
+    """P8/F2 (compiled path): {"data":{"k":{"$gte":50}},"topic":"purchase"}.
+
+    The simplejsonmatch document compiles to a native Column over
+    ``get_json_object`` — stays in whole-stage codegen, no UDF.
+    """
+    df = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("data"), "$.k").cast("bigint")
+    return df.filter((k >= 50) & (F.col("topic") == "purchase")).select(
+        "event_id", k.alias("k")
+    )
+
+
+@_register(
+    "filter_array_overlap",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT event_id, destination_id FROM src
+    WHERE destination_id IN ('d_error', 'd_refund')
+    """,
+)
+def filter_array_overlap(spark, sf_dir):
+    """P4: matched_destination_ids overlap (CH hasAny / PG &&)."""
+    df = _events(spark, sf_dir)
+    return df.filter(
+        F.arrays_overlap(
+            F.col("matched_destination_ids"),
+            F.array(F.lit("d_error"), F.lit("d_refund")),
+        )
+    ).select("event_id", "destination_id")
+
+
+# ───────────────────────── joins (J1-J6) ─────────────────────────
+
+
+@_register(
+    "join_latest_attempt_per_key",
+    f"""
+    WITH src AS ({_EVENTS_SQL}),
+    ranked AS (
+      SELECT tenant_id, topic, event_id, event_time,
+             row_number() OVER (PARTITION BY tenant_id, topic
+                                ORDER BY event_time DESC, event_id DESC) AS rn
+      FROM src
+    )
+    SELECT tenant_id, topic, event_id AS latest_event_id, event_time AS latest_time
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_latest_attempt_per_key(spark, sf_dir):
+    """J4: latest-attempt-per-(tenant,destination) via max_by struct.
+
+    Implemented with ``max_by`` over a composite (time, id) struct — a
+    single hash aggregation (partial+final), cheaper at scale than a
+    row_number window which would sort every partition group.
+    """
+    df = _events(spark, sf_dir)
+    best = F.max_by(
+        F.struct(F.col("event_id"), F.col("event_time")),
+        F.struct(F.col("event_time"), F.col("event_id")),
+    )
+    return df.groupBy("tenant_id", "topic").agg(
+        best.getField("event_id").alias("latest_event_id"),
+        best.getField("event_time").alias("latest_time"),
+    )
+
+
+@_register(
+    "join_broadcast_dim",
+    """
+    SELECT p.p_brand,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type = 'ECONOMY'
+    GROUP BY p.p_brand
+    """,
+)
+def join_broadcast_dim(spark, sf_dir):
+    """J5-style dimension lookup: fact ⨝ broadcast(dim) + agg.
+
+    ``broadcast(part)`` pins a broadcast-hash join — zero shuffle of the
+    fact side; only the small aggregated result shuffles.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "join_multiway_star",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY 1, 2
+    """,
+)
+def join_multiway_star(spark, sf_dir):
+    """Star-schema multi-join: fact ⨝ three broadcast dims, one shuffle total."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(r["r_name"].alias("region"), n["n_name"].alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total"),
+        )
+    )
+
+
+@_register(
+    "join_explode_unnest",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT DISTINCT tenant_id, destination_id FROM src
+    """,
+)
+def join_explode_unnest(spark, sf_dir):
+    """J6: explode(matched_destination_ids) before grouping (CH arrayJoin)."""
+    df = _events(spark, sf_dir)
+    return (
+        df.select("tenant_id", F.explode("matched_destination_ids").alias("destination_id"))
+        .distinct()
+    )
+
+
+# ───────────────────────── pricing summary (classic scan-agg) ─────────────────────────
+
+
+@_register(
+    "lineitem_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def lineitem_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped scan-heavy aggregation (decimal-exact sums)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("sum_base_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ───────────────────────── set ops / dedup (SET1-SET3) ─────────────────────────
+
+
+@_register(
+    "dedup_exact_documents",
+    """
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS canonical_doc_id,
+           count(*) AS copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_documents(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, canonical = min id (SET1/SET2)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text")).alias("content_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("copies")
+    )
+
+
+@_register(
+    "dedup_drop_duplicates",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT tenant_id, topic, count(*) AS n
+    FROM (SELECT DISTINCT tenant_id, topic, event_id FROM src)
+    GROUP BY tenant_id, topic
+    """,
+)
+def dedup_drop_duplicates(spark, sf_dir):
+    """SET1: dropDuplicates(keys) then aggregate."""
+    df = _events(spark, sf_dir)
+    return (
+        df.select("tenant_id", "topic", "event_id")
+        .dropDuplicates(["tenant_id", "topic", "event_id"])
+        .groupBy("tenant_id", "topic")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ───────────────────────── streaming-state analogs (ST2, ST3, F11) ─────────────────────────
+
+
+@_register(
+    "alert_consecutive_failures",
+    f"""
+    WITH src AS ({_EVENTS_SQL}),
+    runs AS (
+      SELECT tenant_id, event_id, event_time, status,
+             row_number() OVER (PARTITION BY tenant_id ORDER BY event_time, event_id)
+             - row_number() OVER (PARTITION BY tenant_id, status ORDER BY event_time, event_id)
+               AS grp
+      FROM src
+    ),
+    streaks AS (
+      SELECT tenant_id, count(*) AS streak_len
+      FROM runs WHERE status = 'failed'
+      GROUP BY tenant_id, grp
+    )
+    SELECT tenant_id, CAST(max(streak_len) AS BIGINT) AS max_consecutive_failures
+    FROM streaks GROUP BY tenant_id
+    """,
+)
+def alert_consecutive_failures(spark, sf_dir):
+    """ST3 (batch analog): max consecutive-failure streak per tenant.
+
+    Gaps-and-islands with two row_numbers — the batch-auditable equivalent
+    of the alert evaluator's consecutive-failure counter
+    (alert/evaluator.go:119-157).
+    """
+    from pyspark.sql import Window
+
+    df = _events(spark, sf_dir)
+    w_all = Window.partitionBy("tenant_id").orderBy("event_time", "event_id")
+    w_status = Window.partitionBy("tenant_id", "status").orderBy("event_time", "event_id")
+    runs = df.withColumn("grp", F.row_number().over(w_all) - F.row_number().over(w_status))
+    streaks = (
+        runs.filter(F.col("status") == "failed")
+        .groupBy("tenant_id", "grp")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+    )
+    return streaks.groupBy("tenant_id").agg(
+        F.max("streak_len").cast("bigint").alias("max_consecutive_failures")
+    )
+
+
+@_register(
+    "retry_backoff_schedule",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT event_id,
+           CAST(floor(epoch(event_time)) AS BIGINT) + 30 AS retry_1,
+           CAST(floor(epoch(event_time)) AS BIGINT) + 30 + 60 AS retry_2,
+           CAST(floor(epoch(event_time)) AS BIGINT) + 30 + 60 + 120 AS retry_3
+    FROM src WHERE status = 'failed'
+    """,
+)
+def retry_backoff_schedule(spark, sf_dir):
+    """F11: exponential backoff 30s*2^n — cumulative retry fire times."""
+    df = _events(spark, sf_dir).filter(F.col("status") == "failed")
+    base = F.unix_timestamp("event_time").cast("bigint")
+    return df.select(
+        "event_id",
+        (base + 30).alias("retry_1"),
+        (base + 30 + 60).alias("retry_2"),
+        (base + 30 + 60 + 120).alias("retry_3"),
+    )
+
+
+# ───────────────────────── text analysis ops ─────────────────────────
+
+
+@_register(
+    "text_token_stats",
+    r"""
+    SELECT doc_id,
+           n_chars,
+           CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct
+    FROM documents
+    WHERE length(text) > 0
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting + punctuation stats (whitespace tokenizer), JVM-side."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+        F.length(F.regexp_replace(F.col("text"), r"[^.!?,;:]", "")).cast("bigint").alias(
+            "n_punct"
+        ),
+    )
+
+
+@_register(
+    "text_fingerprint",
+    """
+    SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: stable 64-bit content hash (hex prefix)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.substring(F.md5(F.col("text")), 1, 16).alias("fingerprint"))
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metrics_error_rate_daily(spark, sf_dir)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

@@ -1,0 +1,5 @@
+from outpost_spark.routing.match import (  # noqa: F401
+    destination_match_predicate,
+    match_events,
+    fanout_delivery_tasks,
+)

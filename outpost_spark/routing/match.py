@@ -1,0 +1,172 @@
+"""Event -> destination routing (the fan-out join, J3).
+
+Reference: tenantstore MatchEvent scans a tenant's destinations applying
+disabled/topic/filter predicates (redistenantstore.go:645-667, predicate
+entities.go:51-59); the publish handler stamps matched ids on the event and
+emits one DeliveryTask per match (publishmq/eventhandler.go:123-200).
+
+Spark-first shape — a stream-static broadcast join:
+
+    events ⨝_broadcast destinations  ON tenant_id
+        WHERE disabled_at IS NULL
+          AND topic matches destination.topics      (JVM regex, no UDF)
+          AND filter matches event                  (compiled Column when
+                                                     possible, else Pandas UDF)
+    -> groupBy(event) -> sort_array(collect_list(destination_id))
+
+The destinations table is a small dimension (thousands of rows) — always
+broadcast, so routing shuffles nothing but the final per-event group, and
+the same plan lifts to readStream unchanged (stream-static joins support
+broadcast).  At 100 TB of events the only wide exchange is the final
+groupBy, keyed by unique event_id — no skew (each key is unique).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from outpost_spark.functions.jsonmatch import match_event_filter
+from outpost_spark.functions.topic import topic_match_any_expr
+
+
+@pandas_udf("boolean")
+def _filter_match_udf(
+    filter_json: pd.Series,
+    event_id: pd.Series,
+    topic: pd.Series,
+    time_str: pd.Series,
+    metadata_json: pd.Series,
+    data: pd.Series,
+) -> pd.Series:
+    """Arrow-batched evaluation of simplejsonmatch filter docs.
+
+    Used for per-row (destination-carried) filter documents where plan-time
+    compilation isn't possible.  Inputs are JSON strings; an unparsable
+    filter doc evaluates to no-match (the reference treats panics as false).
+    """
+    out = []
+    for f, eid, top, ts, md, d in zip(
+        filter_json, event_id, topic, time_str, metadata_json, data
+    ):
+        if f is None or f == "" or f == "null":
+            out.append(True)
+            continue
+        try:
+            doc = json.loads(f)
+        except Exception:
+            out.append(False)
+            continue
+        if not isinstance(doc, dict):
+            out.append(False)
+            continue
+        try:
+            md_map = json.loads(md) if md else {}
+        except Exception:
+            md_map = {}
+        out.append(
+            match_event_filter(
+                doc,
+                event_id=eid or "",
+                topic=top or "",
+                time_rfc3339=ts or "",
+                metadata=md_map if isinstance(md_map, dict) else {},
+                data=d,
+            )
+        )
+    return pd.Series(out)
+
+
+def destination_match_predicate(
+    event_topic: Column,
+    dest_topics: Column,
+    dest_disabled_at: Column,
+    filter_pred: Column | None = None,
+) -> Column:
+    """entities.go:51-59: enabled ∧ topic-match ∧ filter-match."""
+    pred = dest_disabled_at.isNull() & topic_match_any_expr(event_topic, dest_topics)
+    if filter_pred is not None:
+        pred = pred & filter_pred
+    return pred
+
+
+def _rfc3339(col: Column) -> Column:
+    # Go formats with "2006-01-02T15:04:05Z07:00" (operators.go:318) — UTC => 'Z'
+    return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ssX")
+
+
+def match_events(
+    events: DataFrame,
+    destinations: DataFrame,
+    *,
+    use_filter_udf: bool = True,
+) -> DataFrame:
+    """Stamp ``matched_destination_ids`` on each event (MatchEvent fan-in).
+
+    ``events`` columns: event_id, tenant_id, topic, event_time, metadata
+    (map<string,string>), data (JSON string).
+    ``destinations`` columns: id, tenant_id, type, topics (array<string>),
+    filter (JSON string or null), disabled_at (timestamp or null).
+
+    Events with no matching destination keep an empty array (the reference
+    still logs unrouted events — eventhandler.go:139-151).
+    """
+    d = destinations.select(
+        F.col("id").alias("__dest_id"),
+        F.col("tenant_id").alias("__dest_tenant"),
+        F.col("topics").alias("__dest_topics"),
+        F.col("filter").alias("__dest_filter"),
+        F.col("disabled_at").alias("__dest_disabled_at"),
+    )
+    if use_filter_udf:
+        filter_pred = _filter_match_udf(
+            F.col("__dest_filter"),
+            F.col("event_id"),
+            F.col("topic"),
+            _rfc3339(F.col("event_time")),
+            F.to_json(F.col("metadata")),
+            F.col("data"),
+        )
+    else:
+        filter_pred = F.col("__dest_filter").isNull()
+
+    joined = events.join(
+        F.broadcast(d),
+        (events["tenant_id"] == F.col("__dest_tenant"))
+        & destination_match_predicate(
+            events["topic"],
+            F.col("__dest_topics"),
+            F.col("__dest_disabled_at"),
+            filter_pred,
+        ),
+        "left",
+    )
+    return (
+        joined.groupBy(*[events[c] for c in events.columns])
+        .agg(
+            F.array_sort(
+                F.collect_list(F.col("__dest_id"))
+            ).alias("matched_destination_ids")
+        )
+    )
+
+
+def fanout_delivery_tasks(matched_events: DataFrame) -> DataFrame:
+    """Explode matched ids into DeliveryTask rows (eventhandler.go:177-200).
+
+    One task per (event, destination), attempt=1, manual=false
+    (models/tasks.go:37-43).
+    """
+    return (
+        matched_events.withColumn(
+            "destination_id", F.explode(F.col("matched_destination_ids"))
+        )
+        .withColumn("attempt", F.lit(1))
+        .withColumn("manual", F.lit(False))
+        .drop("matched_destination_ids")
+    )
