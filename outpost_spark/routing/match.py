@@ -35,8 +35,7 @@ from outpost_spark.functions.jsonmatch import match_event_filter
 from outpost_spark.functions.topic import topic_match_any_expr
 
 
-@pandas_udf("boolean")
-def _filter_match_udf(
+def _filter_match_fn(
     filter_json: pd.Series,
     event_id: pd.Series,
     topic: pd.Series,
@@ -82,6 +81,17 @@ def _filter_match_udf(
     return pd.Series(out)
 
 
+_filter_match_udf = None
+
+
+def _get_filter_match_udf():
+    """Create the Pandas UDF lazily (pandas_udf needs an active session)."""
+    global _filter_match_udf
+    if _filter_match_udf is None:
+        _filter_match_udf = pandas_udf(_filter_match_fn, "boolean")
+    return _filter_match_udf
+
+
 def destination_match_predicate(
     event_topic: Column,
     dest_topics: Column,
@@ -123,8 +133,21 @@ def match_events(
         F.col("filter").alias("__dest_filter"),
         F.col("disabled_at").alias("__dest_disabled_at"),
     )
+    # inner broadcast join on the cheap JVM predicates (tenant, enabled,
+    # topic glob) ...
+    pairs = events.join(
+        F.broadcast(d),
+        (events["tenant_id"] == F.col("__dest_tenant"))
+        & destination_match_predicate(
+            events["topic"], F.col("__dest_topics"), F.col("__dest_disabled_at")
+        ),
+        "inner",
+    )
+    # ... then the filter-language predicate as a post-join WHERE (Python
+    # UDFs are not allowed in outer-join conditions); rows with NULL/empty
+    # filter docs pass without invoking Python at all.
     if use_filter_udf:
-        filter_pred = _filter_match_udf(
+        udf_pred = _get_filter_match_udf()(
             F.col("__dest_filter"),
             F.col("event_id"),
             F.col("topic"),
@@ -132,27 +155,18 @@ def match_events(
             F.to_json(F.col("metadata")),
             F.col("data"),
         )
+        pairs = pairs.filter(F.col("__dest_filter").isNull() | udf_pred)
     else:
-        filter_pred = F.col("__dest_filter").isNull()
+        pairs = pairs.filter(F.col("__dest_filter").isNull())
 
-    joined = events.join(
-        F.broadcast(d),
-        (events["tenant_id"] == F.col("__dest_tenant"))
-        & destination_match_predicate(
-            events["topic"],
-            F.col("__dest_topics"),
-            F.col("__dest_disabled_at"),
-            filter_pred,
-        ),
-        "left",
+    matched = pairs.groupBy("event_id").agg(
+        F.array_sort(F.collect_list(F.col("__dest_id"))).alias("matched_destination_ids")
     )
-    return (
-        joined.groupBy(*[events[c] for c in events.columns])
-        .agg(
-            F.array_sort(
-                F.collect_list(F.col("__dest_id"))
-            ).alias("matched_destination_ids")
-        )
+    # left join back so zero-match events keep an empty array
+    # (the reference still logs unrouted events — eventhandler.go:139-151)
+    return events.join(matched, on="event_id", how="left").withColumn(
+        "matched_destination_ids",
+        F.coalesce(F.col("matched_destination_ids"), F.array().cast("array<string>")),
     )
 
 

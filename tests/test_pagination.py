@@ -1,0 +1,123 @@
+"""Keyset pagination conformance — port of the drivertest/pagination.go
+behaviors: forward/backward paging, id tiebreak on equal timestamps,
+cursor + GT/LT time-filter interaction, cursor validation."""
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from pyspark.sql import types as T
+
+from outpost_spark.functions import cursor as cursor_codec
+from outpost_spark.logstore.lists import ListRequest, list_events
+
+BASE = datetime(2000, 1, 10, 12, 0, 0, tzinfo=timezone.utc)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.StringType()),
+        T.StructField("tenant_id", T.StringType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+        T.StructField("matched_destination_ids", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    # 25 events one minute apart + 3 sharing one timestamp (tie on id)
+    rows = [
+        (f"ev_{i:03d}", "t1", "user.created", BASE + timedelta(minutes=i), ["d1"])
+        for i in range(25)
+    ]
+    tie_t = BASE + timedelta(minutes=30)
+    rows += [(f"tie_{c}", "t1", "user.created", tie_t, ["d1"]) for c in "abc"]
+    df = spark.createDataFrame(rows, SCHEMA)
+    df.cache().count()
+    return df
+
+
+def _ids(res):
+    return [r["event_id"] for r in res.items]
+
+
+def test_forward_paging_desc(events):
+    p1 = list_events(events, ListRequest(limit=10, order="desc"))
+    assert len(p1.items) == 10
+    assert p1.next != "" and p1.prev == ""
+    # desc: ties first (largest time), ids desc within tie
+    assert _ids(p1)[:3] == ["tie_c", "tie_b", "tie_a"]
+    assert _ids(p1)[3] == "ev_024"
+
+    p2 = list_events(events, ListRequest(limit=10, order="desc", next=p1.next))
+    assert len(p2.items) == 10
+    assert _ids(p2)[0] == "ev_017"
+    assert p2.prev != ""
+
+    p3 = list_events(events, ListRequest(limit=10, order="desc", next=p2.next))
+    assert len(p3.items) == 8  # 28 total
+    assert p3.next == ""
+
+
+def test_backward_paging_returns_previous_page(events):
+    p1 = list_events(events, ListRequest(limit=10, order="desc"))
+    p2 = list_events(events, ListRequest(limit=10, order="desc", next=p1.next))
+    back = list_events(events, ListRequest(limit=10, order="desc", prev=p2.prev))
+    assert _ids(back) == _ids(p1)
+
+
+def test_asc_order_flips_compare(events):
+    p1 = list_events(events, ListRequest(limit=5, order="asc"))
+    assert _ids(p1) == [f"ev_{i:03d}" for i in range(5)]
+    p2 = list_events(events, ListRequest(limit=5, order="asc", next=p1.next))
+    assert _ids(p2) == [f"ev_{i:03d}" for i in range(5, 10)]
+
+
+def test_tie_break_pagination_no_skip_no_dup(events):
+    # page size 2 straddles the 3-way timestamp tie
+    seen = []
+    req = ListRequest(limit=2, order="desc")
+    res = list_events(events, req)
+    seen += _ids(res)
+    while res.next:
+        res = list_events(events, ListRequest(limit=2, order="desc", next=res.next))
+        seen += _ids(res)
+    assert len(seen) == 28
+    assert len(set(seen)) == 28
+
+
+def test_cursor_respects_time_filter(events):
+    # drivertest/pagination.go:503 — cursor + time filter excludes out-of-window rows
+    gte = BASE + timedelta(minutes=5)
+    lte = BASE + timedelta(minutes=15)
+    res = list_events(events, ListRequest(limit=5, order="desc", time_gte=gte, time_lte=lte))
+    assert _ids(res) == [f"ev_{i:03d}" for i in (15, 14, 13, 12, 11)]
+    res2 = list_events(
+        events,
+        ListRequest(limit=5, order="desc", time_gte=gte, time_lte=lte, next=res.next),
+    )
+    assert _ids(res2) == [f"ev_{i:03d}" for i in (10, 9, 8, 7, 6)]
+
+
+def test_gt_lt_exclude_exact_timestamp(events):
+    # drivertest/pagination.go:570
+    res = list_events(
+        events,
+        ListRequest(
+            limit=100,
+            order="asc",
+            time_gt=BASE + timedelta(minutes=5),
+            time_lt=BASE + timedelta(minutes=8),
+        ),
+    )
+    assert _ids(res) == ["ev_006", "ev_007"]
+
+
+def test_invalid_cursor_rejected(events):
+    with pytest.raises(cursor_codec.InvalidCursorError):
+        list_events(events, ListRequest(limit=5, next="@@@"))
+
+
+def test_limit_caps(events):
+    res = list_events(events, ListRequest(limit=5000))
+    assert len(res.items) == 28  # capped at 1000, only 28 exist

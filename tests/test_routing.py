@@ -1,0 +1,136 @@
+"""Routing fan-out conformance — MatchEvent semantics from
+tenantstore/drivertest/match.go: topic matching, filter matching,
+disabled destinations, topic-before-filter precedence."""
+
+import json
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import types as T
+
+from outpost_spark.routing.match import fanout_delivery_tasks, match_events
+
+EV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.StringType()),
+        T.StructField("tenant_id", T.StringType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("data", T.StringType()),
+    ]
+)
+
+DEST_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("tenant_id", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("topics", T.ArrayType(T.StringType())),
+        T.StructField("filter", T.StringType()),
+        T.StructField("disabled_at", T.TimestampType()),
+    ]
+)
+
+T0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def _ev(eid, tenant, topic, data=None, metadata=None):
+    return (eid, tenant, topic, T0, metadata or {}, json.dumps(data or {}))
+
+
+def _dest(did, tenant, topics, filter_doc=None, disabled=False):
+    return (
+        did,
+        tenant,
+        "webhook",
+        topics,
+        json.dumps(filter_doc) if filter_doc is not None else None,
+        T0 if disabled else None,
+    )
+
+
+@pytest.fixture(scope="module")
+def dfs(spark):
+    events = spark.createDataFrame(
+        [
+            _ev("e1", "t1", "order.created", {"type": "premium", "amount": 120}),
+            _ev("e2", "t1", "order.updated", {"type": "basic"}),
+            _ev("e3", "t1", "user.created", {"nested": {"flag": True}}),
+            _ev("e4", "t2", "order.created", {"type": "premium"}),
+            _ev("e5", "t1", "billing.paid", {}),
+        ],
+        EV_SCHEMA,
+    )
+    dests = spark.createDataFrame(
+        [
+            _dest("all_topics", "t1", ["*"]),
+            _dest("orders_glob", "t1", ["order.*"]),
+            _dest("created_only", "t1", ["order.created", "user.created"]),
+            _dest("disabled_all", "t1", ["*"], disabled=True),
+            _dest("premium_filter", "t1", ["*"], {"data": {"type": "premium"}}),
+            _dest(
+                "topic_and_filter",
+                "t1",
+                ["order.updated"],
+                {"data": {"type": "premium"}},
+            ),
+            _dest("nested_filter", "t1", ["*"], {"data": {"nested": {"flag": True}}}),
+            _dest("tenant2_dest", "t2", ["*"]),
+        ],
+        DEST_SCHEMA,
+    )
+    return events, dests
+
+
+def _matches(spark_out):
+    return {
+        r["event_id"]: sorted(r["matched_destination_ids"] or [])
+        for r in spark_out.collect()
+    }
+
+
+def test_fanout_matrix(dfs):
+    events, dests = dfs
+    got = _matches(match_events(events, dests))
+    # e1 order.created premium: all_topics, orders_glob, created_only, premium_filter
+    assert got["e1"] == ["all_topics", "created_only", "orders_glob", "premium_filter"]
+    # e2 order.updated basic: filter on topic_and_filter fails (not premium)
+    assert got["e2"] == ["all_topics", "orders_glob"]
+    # e3 user.created nested: created_only + nested filter + all_topics
+    assert got["e3"] == ["all_topics", "created_only", "nested_filter"]
+    # e4 tenant isolation
+    assert got["e4"] == ["tenant2_dest"]
+    # e5 unmatched topic globs still hits '*' destinations
+    assert got["e5"] == ["all_topics"]
+
+
+def test_disabled_destination_never_matches(dfs):
+    events, dests = dfs
+    got = _matches(match_events(events, dests))
+    assert all("disabled_all" not in v for v in got.values())
+
+
+def test_fanout_delivery_tasks_explode(dfs):
+    events, dests = dfs
+    tasks = fanout_delivery_tasks(match_events(events, dests))
+    rows = tasks.select("event_id", "destination_id", "attempt", "manual").collect()
+    per_event = {}
+    for r in rows:
+        per_event.setdefault(r["event_id"], []).append(r["destination_id"])
+        assert r["attempt"] == 1 and r["manual"] is False
+    assert sorted(per_event["e1"]) == [
+        "all_topics",
+        "created_only",
+        "orders_glob",
+        "premium_filter",
+    ]
+    # e5 had one match; events with zero matches produce no tasks
+    assert "e4" in per_event
+
+
+def test_event_with_no_destinations_keeps_empty_array(spark, dfs):
+    events, dests = dfs
+    lonely = spark.createDataFrame([_ev("e9", "t9", "x.y", {})], EV_SCHEMA)
+    got = _matches(match_events(lonely, dests))
+    assert got["e9"] == []
