@@ -1,0 +1,101 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+fingerprinting.  All pure Column expressions (whole-stage codegen); the
+heuristics are deliberately engine-portable (ASCII classes, integer
+ratios) so every op has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from outpost_spark.ops.dedup import tokens_expr
+
+# Tiny function-word inventories; enough signal for coarse language ID
+# of whitespace-delimited Latin-script text (non-Latin scripts are decided
+# by script ratio before stopwords are consulted).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "las", "y", "de", "que", "es", "un", "para"],
+}
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document token/char/punct counts."""
+    t = F.col(text_col)
+    return df.select(
+        id_col,
+        F.length(t).cast("bigint").alias("n_chars"),
+        F.size(tokens_expr(t)).cast("bigint").alias("n_tokens"),
+        F.length(F.regexp_replace(t, r"[^.!?,;:]", "")).cast("bigint").alias("n_punct"),
+        F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("bigint").alias("n_digits"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality score in [0,1]: length band + punctuation balance
+    + digit scarcity + mean token length band.
+
+    The formula is integer/ratio arithmetic rounded to 6 decimals —
+    deterministic across engines and partitionings.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    toks = tokens_expr(t)
+    n_tokens = F.size(toks).cast("double")
+    n_punct = F.length(F.regexp_replace(t, r"[^.!?,;:]", "")).cast("double")
+    n_digits = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double")
+
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 20000), 1.0).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    punct_ok = F.when((punct_ratio > 0) & (punct_ratio < 0.1), 1.0).otherwise(0.0)
+    digit_ratio = F.when(n_chars > 0, n_digits / n_chars).otherwise(F.lit(0.0))
+    digit_ok = F.when(digit_ratio < 0.2, 1.0).otherwise(0.0)
+    mean_tok = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    tok_ok = F.when((mean_tok >= 3) & (mean_tok <= 12), 1.0).otherwise(0.0)
+
+    score = F.round((len_ok + punct_ok + digit_ok + tok_ok) / 4.0, 6)
+    return df.select(id_col, score.alias("quality_score"))
+
+
+def _stopword_hits(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.array_intersect(F.array_distinct(toks), arr)).cast("double")
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Coarse language ID: non-ASCII-dominant docs -> 'other'; else the
+    Latin language whose function words hit the most distinct tokens;
+    no hits at all -> 'und' (undetermined).
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    ascii_chars = F.length(F.regexp_replace(t, r"[^\x00-\x7F]", "")).cast("double")
+    ascii_ratio = F.when(n_chars > 0, ascii_chars / n_chars).otherwise(F.lit(0.0))
+    toks = tokens_expr(t)
+
+    hits = {lang: _stopword_hits(toks, words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    label = F.lit("und")
+    # fixed priority order resolves ties deterministically
+    for lang in ("es", "fr", "de", "en"):
+        label = F.when(hits[lang] == best, F.lit(lang)).otherwise(label)
+    label = F.when(best <= 0, F.lit("und")).otherwise(label)
+    label = F.when(ascii_ratio < 0.5, F.lit("other")).otherwise(label)
+    label = F.when(n_chars == 0, F.lit("und")).otherwise(label)  # empty doc
+    return df.select(id_col, label.alias("lang_pred"))
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit content fingerprint: normalized text -> md5 prefix.
+
+    Normalization: lowercase, collapse whitespace runs — robust to
+    formatting-only edits; the same formula runs in any md5-capable engine.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        id_col,
+        F.substring(F.md5(norm), 1, 16).alias("fingerprint"),
+    )

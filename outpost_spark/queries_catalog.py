@@ -827,6 +827,393 @@ def text_fingerprint(spark, sf_dir):
     return d.select("doc_id", F.substring(F.md5(F.col("text")), 1, 16).alias("fingerprint"))
 
 
+# ───────────────────── LLM-pipeline ops: dedup / similarity / text ─────────────────────
+
+_SIGS_SQL = """
+    sigs AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), j ->
+               coalesce(
+                 list_min(list_transform(shingles, s ->
+                   CAST(('0x' || substr(md5(j || '|' || s), 1, 8)) AS BIGINT))),
+                 4294967296)) AS minhash
+      FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(length(lower(text)) - 4, 0) + 1),
+                 i -> substr(lower(text), CAST(i AS INT), 5))) AS shingles
+        FROM documents)
+    )
+"""
+
+_GRAMS_SQL = """
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(length(lower(text)) - 4, 0) + 1),
+               i -> substr(lower(text), CAST(i AS INT), 5))) AS g
+      FROM documents)
+"""
+
+
+@_register(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH {_SIGS_SQL},
+    cands AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM sigs l JOIN sigs r ON l.doc_id < r.doc_id AND (
+           l.minhash[1:4]   = r.minhash[1:4]
+        OR l.minhash[5:8]   = r.minhash[5:8]
+        OR l.minhash[9:12]  = r.minhash[9:12]
+        OR l.minhash[13:16] = r.minhash[13:16])
+    ),
+    {_GRAMS_SQL}
+    SELECT id_a, id_b,
+           round(CASE WHEN len(list_distinct(list_concat(ga.g, gb.g))) > 0
+                 THEN len(list_intersect(ga.g, gb.g)) * 1.0
+                      / len(list_distinct(list_concat(ga.g, gb.g)))
+                 ELSE 0.0 END, 6) AS jaccard
+    FROM cands
+    JOIN grams ga ON ga.doc_id = cands.id_a
+    JOIN grams gb ON gb.doc_id = cands.id_b
+    WHERE CASE WHEN len(list_distinct(list_concat(ga.g, gb.g))) > 0
+          THEN len(list_intersect(ga.g, gb.g)) * 1.0
+               / len(list_distinct(list_concat(ga.g, gb.g)))
+          ELSE 0.0 END >= 0.7
+    """,
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash(16) + LSH(4x4 bands) near-dup pairs, exact-Jaccard verified.
+
+    The Spark plan shuffles only (band-slice, id) pairs; candidate pairs are
+    verified with exact 5-gram Jaccard before output (no false positives).
+    """
+    from outpost_spark.ops.dedup import minhash_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_dedup_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        rows_per_band=4,
+        shingle_len=5,
+        verify_ngram=5,
+        threshold=0.7,
+    )
+    return out
+
+
+@_register(
+    "dedup_simhash",
+    None,  # placeholder replaced below (SQL built programmatically)
+)
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprints over whitespace tokens (pure exprs)."""
+    from outpost_spark.ops.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "text", bits=32).select("doc_id", "simhash")
+
+
+_SIMHASH_BITS_SQL = " + ".join(
+    f"CASE WHEN coalesce(list_sum(list_transform(hashes, h -> ((h >> {b}) & 1) * 2 - 1)), 0) > 0 "
+    f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+    for b in range(32)
+)
+_REGISTRY["dedup_simhash"] = (
+    _REGISTRY["dedup_simhash"][0],
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(t, tok -> CAST(('0x' || substr(md5('0|' || tok), 1, 8)) AS BIGINT)) AS hashes
+      FROM toks
+    )
+    SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash FROM hashed
+    """,
+)
+
+
+@_register(
+    "dedup_ngram_jaccard_grouped",
+    """
+    WITH g AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(length(lower(text)) - 2, 0) + 1),
+               i -> substr(lower(text), CAST(i AS INT), 3))) AS grams
+      FROM documents
+    )
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+           round(CASE WHEN len(list_distinct(list_concat(l.grams, r.grams))) > 0
+                 THEN len(list_intersect(l.grams, r.grams)) * 1.0
+                      / len(list_distinct(list_concat(l.grams, r.grams)))
+                 ELSE 0.0 END, 6) AS jaccard
+    FROM g l JOIN g r ON l.lang = r.lang AND l.doc_id < r.doc_id
+    WHERE CASE WHEN len(list_distinct(list_concat(l.grams, r.grams))) > 0
+          THEN len(list_intersect(l.grams, r.grams)) * 1.0
+               / len(list_distinct(list_concat(l.grams, r.grams)))
+          ELSE 0.0 END >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_grouped(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs, blocked by language (bounded quadratic)."""
+    from outpost_spark.ops.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, group_col="lang"
+    )
+
+
+_COSINE_SQL = """
+      round(CASE WHEN sqrt(list_sum(list_transform(a, x -> x * x)))
+                   * sqrt(list_sum(list_transform(b, x -> x * x))) > 0
+            THEN list_sum(list_transform(range(1, 65), i -> a[i] * b[i]))
+                 / (sqrt(list_sum(list_transform(a, x -> x * x)))
+                    * sqrt(list_sum(list_transform(b, x -> x * x))))
+            ELSE 0.0 END, 6)
+"""
+
+
+@_register(
+    "embed_cosine_topk",
+    f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS b FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id, {_COSINE_SQL} AS score
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS a FROM embeddings), q
+    )
+    SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id ASC LIMIT 20
+    """,
+)
+def embed_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-k (baseline ANN path)."""
+    from outpost_spark.ops.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return cosine_topk(emb, "embedding", query, id_col="vec_id", k=20)
+
+
+_SIGNBUCKET_SQL = " + ".join(
+    f"CASE WHEN v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END" for i in range(8)
+)
+
+
+@_register(
+    "embed_ann_lsh_topk",
+    f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST({_SIGNBUCKET_SQL} AS INT) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT v AS b, bucket AS qbucket FROM b WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+           round(CASE WHEN sqrt(list_sum(list_transform(a, x -> x * x)))
+                        * sqrt(list_sum(list_transform(q.b, x -> x * x))) > 0
+                 THEN list_sum(list_transform(range(1, 65), i -> a[i] * q.b[i]))
+                      / (sqrt(list_sum(list_transform(a, x -> x * x)))
+                         * sqrt(list_sum(list_transform(q.b, x -> x * x))))
+                 ELSE 0.0 END, 6) AS score
+      FROM (SELECT vec_id, v AS a, bucket FROM b) s, q
+      WHERE s.bucket = q.qbucket
+    )
+    SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
+    """,
+)
+def embed_ann_lsh_topk(spark, sf_dir):
+    """ANN: sign-LSH bucket prefilter, exact cosine within the bucket."""
+    from outpost_spark.ops.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return cosine_topk_lsh(emb, "embedding", query, id_col="vec_id", k=10, bits=8)
+
+
+@_register(
+    "embed_near_dup_pairs",
+    f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST({_SIGNBUCKET_SQL} AS INT) AS bucket
+      FROM embeddings
+    )
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+           round(CASE WHEN sqrt(list_sum(list_transform(l.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(r.v, x -> x * x))) > 0
+                 THEN list_sum(list_transform(range(1, 65), i -> l.v[i] * r.v[i]))
+                      / (sqrt(list_sum(list_transform(l.v, x -> x * x)))
+                         * sqrt(list_sum(list_transform(r.v, x -> x * x))))
+                 ELSE 0.0 END, 6) AS cosine
+    FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    WHERE CASE WHEN sqrt(list_sum(list_transform(l.v, x -> x * x)))
+                 * sqrt(list_sum(list_transform(r.v, x -> x * x))) > 0
+          THEN list_sum(list_transform(range(1, 65), i -> l.v[i] * r.v[i]))
+               / (sqrt(list_sum(list_transform(l.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(r.v, x -> x * x))))
+          ELSE 0.0 END >= 0.9
+    """,
+)
+def embed_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via sign-bucket blocking + verify."""
+    from outpost_spark.ops.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, "embedding", id_col="vec_id", threshold=0.9, bits=8
+    )
+
+
+@_register(
+    "text_quality_score",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS DOUBLE) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digits
+      FROM documents
+    )
+    SELECT doc_id,
+           round((
+             CASE WHEN n_chars >= 50 AND n_chars <= 20000 THEN 1.0 ELSE 0.0 END +
+             CASE WHEN n_chars > 0 AND n_punct / n_chars > 0 AND n_punct / n_chars < 0.1
+                  THEN 1.0 ELSE 0.0 END +
+             CASE WHEN (CASE WHEN n_chars > 0 THEN n_digits / n_chars ELSE 0.0 END) < 0.2
+                  THEN 1.0 ELSE 0.0 END +
+             CASE WHEN n_tokens > 0 AND n_chars / n_tokens >= 3 AND n_chars / n_tokens <= 12
+                  THEN 1.0 ELSE 0.0 END
+           ) / 4.0, 6) AS quality_score
+    FROM s
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Heuristic document quality score (length/punct/digit/token bands)."""
+    from outpost_spark.ops.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_score(docs, "text", "doc_id")
+
+
+def _lang_hits_sql(words: list[str]) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return f"CAST(len(list_intersect(list_distinct(toks), [{arr}])) AS DOUBLE)"
+
+
+@_register(
+    "text_language_id",
+    None,  # built programmatically below
+)
+def text_language_id(spark, sf_dir):
+    """Coarse language ID: script ratio + function-word hits."""
+    from outpost_spark.ops.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs, "text", "doc_id")
+
+
+def _build_langid_sql() -> str:
+    from outpost_spark.ops.text import STOPWORDS
+
+    hit_cols = ",\n             ".join(
+        f"{_lang_hits_sql(w)} AS hits_{lang}" for lang, w in STOPWORDS.items()
+    )
+    best = "greatest(hits_en, hits_de, hits_fr, hits_es)"
+    label = "'und'"
+    for lang in ("es", "fr", "de", "en"):
+        label = f"CASE WHEN hits_{lang} = {best} THEN '{lang}' ELSE {label} END"
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS DOUBLE) AS ascii_chars,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, n_chars, ascii_chars,
+             {hit_cols}
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN n_chars = 0 THEN 'und'
+                WHEN (CASE WHEN n_chars > 0 THEN ascii_chars / n_chars ELSE 0.0 END) < 0.5
+                THEN 'other'
+                WHEN {best} <= 0 THEN 'und'
+                ELSE {label} END AS lang_pred
+    FROM h
+    """
+
+
+_REGISTRY["text_language_id"] = (_REGISTRY["text_language_id"][0], _build_langid_sql())
+
+
+@_register(
+    "text_normalized_fingerprint",
+    r"""
+    SELECT doc_id,
+           substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16)
+             AS fingerprint
+    FROM documents
+    """,
+)
+def text_normalized_fingerprint(spark, sf_dir):
+    """Whitespace/case-normalized content fingerprint."""
+    from outpost_spark.ops.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs, "text", "doc_id")
+
+
+@_register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS id,
+           'text' AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum,
+           round(CAST(('0x' || substr(md5(text), 1, 8))  AS BIGINT) / 4294967296.0, 9) AS f0,
+           round(CAST(('0x' || substr(md5(text), 9, 8))  AS BIGINT) / 4294967296.0, 9) AS f1,
+           round(CAST(('0x' || substr(md5(text), 17, 8)) AS BIGINT) / 4294967296.0, 9) AS f2,
+           round(CAST(('0x' || substr(md5(text), 25, 8)) AS BIGINT) / 4294967296.0, 9) AS f3
+    FROM documents
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary column -> Arrow mapInPandas featurizer.
+
+    Drives the REAL binary/mapInPandas path (deterministic md5 fake
+    decoder — see ops/multimodal.py for the codec stubs); the oracle
+    recomputes the same features in SQL.
+    """
+    from outpost_spark.ops.multimodal import documents_as_multimodal, extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = extract_features(documents_as_multimodal(docs))
+    return feats.select(
+        "id",
+        "modality",
+        "n_bytes",
+        "checksum",
+        *[
+            F.round(F.element_at("feat", i + 1), 9).alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics_error_rate_daily(spark, sf_dir)
 
