@@ -110,21 +110,22 @@ def _rfc3339(col: Column) -> Column:
     return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ssX")
 
 
-def match_events(
+def match_pairs(
     events: DataFrame,
     destinations: DataFrame,
     *,
     use_filter_udf: bool = True,
 ) -> DataFrame:
-    """Stamp ``matched_destination_ids`` on each event (MatchEvent fan-in).
+    """(event x matched destination) pairs — the streaming-safe core join.
 
     ``events`` columns: event_id, tenant_id, topic, event_time, metadata
     (map<string,string>), data (JSON string).
     ``destinations`` columns: id, tenant_id, type, topics (array<string>),
     filter (JSON string or null), disabled_at (timestamp or null).
 
-    Events with no matching destination keep an empty array (the reference
-    still logs unrouted events — eventhandler.go:139-151).
+    Works identically on batch and streaming event DataFrames (stream-static
+    broadcast join + filter; no aggregation).  Output: every event column
+    plus ``destination_id``.
     """
     d = destinations.select(
         F.col("id").alias("__dest_id"),
@@ -159,11 +160,27 @@ def match_events(
     else:
         pairs = pairs.filter(F.col("__dest_filter").isNull())
 
+    return pairs.select(*[events[c] for c in events.columns], F.col("__dest_id").alias("destination_id"))
+
+
+def match_events(
+    events: DataFrame,
+    destinations: DataFrame,
+    *,
+    use_filter_udf: bool = True,
+) -> DataFrame:
+    """Stamp ``matched_destination_ids`` on each event (MatchEvent fan-in).
+
+    Batch shape: pair join -> groupBy(event) -> sorted id array, left-joined
+    back so zero-match events keep an empty array (the reference still logs
+    unrouted events — eventhandler.go:139-151).
+    """
+    pairs = match_pairs(events, destinations, use_filter_udf=use_filter_udf)
     matched = pairs.groupBy("event_id").agg(
-        F.array_sort(F.collect_list(F.col("__dest_id"))).alias("matched_destination_ids")
+        F.array_sort(F.collect_list(F.col("destination_id"))).alias(
+            "matched_destination_ids"
+        )
     )
-    # left join back so zero-match events keep an empty array
-    # (the reference still logs unrouted events — eventhandler.go:139-151)
     return events.join(matched, on="event_id", how="left").withColumn(
         "matched_destination_ids",
         F.coalesce(F.col("matched_destination_ids"), F.array().cast("array<string>")),

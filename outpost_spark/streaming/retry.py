@@ -1,0 +1,301 @@
+"""Retry timer queue (ST2) as a stateful streaming operator.
+
+Reference semantics (internal/scheduler/scheduler.go:144-290, forked-rsmq
+delayed queue; internal/deliverymq/retry.go:25-138,
+messagehandler.go:199-272):
+- one pending retry per RetryID = (event_id, destination_id)
+  (tasks.go:70-72);
+- scheduling is an **upsert**: re-scheduling replaces both timing and
+  payload (a manual retry overrides a pending automatic one);
+- a successful delivery cancels the pending retry;
+- retry n fires after ``backoff.duration(attempt_number - 1)``;
+- attempts beyond retry_max_limit schedule nothing (exhausted —
+  messagehandler.go:354-364);
+- messages re-delivered more than max_receive_count times go to a DLQ
+  instead of firing again (scheduler.go:196-203).
+
+Layers:
+- :class:`RetryScheduler` — pure-Python core with a virtual clock: the
+  executable spec for upsert/cancel/fire/DLQ semantics.
+- :func:`retry_processor_factory` — StatefulProcessor keyed by
+  (event_id, destination_id) using **registered processing-time timers**:
+  timer re-registration implements the upsert; state deletion implements
+  cancel.  RetryTask rows are emitted when timers expire, to be re-joined
+  with the log store (J4 latest-attempt lookup) and fed back to delivery.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+from outpost_spark.functions.backoff import DEFAULT_RETRY_MAX_LIMIT, ExponentialBackoff
+
+RETRY_OUTPUT_SCHEMA = (
+    "event_id string, destination_id string, tenant_id string, "
+    "attempt_number int, fire_at double, dlq boolean"
+)
+
+
+@dataclass
+class RetryScheduler:
+    """Pure timer-queue semantics with a virtual clock (unit-testable)."""
+
+    backoff: ExponentialBackoff = field(default_factory=ExponentialBackoff)
+    retry_max_limit: int = DEFAULT_RETRY_MAX_LIMIT
+    max_receive_count: int = 5
+
+    def __post_init__(self):
+        # retry_id -> {fire_at, tenant_id, attempt_number, receive_count}
+        self.pending: dict[tuple[str, str], dict] = {}
+        self.dlq: list[dict] = []
+
+    @staticmethod
+    def retry_id(event_id: str, destination_id: str) -> tuple[str, str]:
+        return (event_id, destination_id)
+
+    def on_attempt(
+        self,
+        *,
+        event_id: str,
+        destination_id: str,
+        tenant_id: str,
+        attempt_number: int,
+        success: bool,
+        eligible_for_retry: bool,
+        now: float,
+        manual: bool = False,
+    ) -> None:
+        """Delivery outcome -> schedule/cancel (messagehandler.go:199-272).
+
+        Failure schedules retry attempt_number+1 at
+        now + backoff(attempt_number - 1); the write is an upsert — any
+        pending entry for the same (event, destination) is replaced
+        (manual retries override pending automatic ones).  Success cancels.
+        """
+        rid = self.retry_id(event_id, destination_id)
+        if success:
+            self.pending.pop(rid, None)  # cancel-on-success (:237-271)
+            return
+        if not eligible_for_retry:
+            return
+        if attempt_number > self.retry_max_limit:
+            self.pending.pop(rid, None)  # exhausted — nothing further
+            return
+        delay = self.backoff.duration(max(attempt_number - 1, 0))
+        self.pending[rid] = {
+            "tenant_id": tenant_id,
+            "attempt_number": attempt_number + 1,
+            "fire_at": now + delay,
+            "receive_count": self.pending.get(rid, {}).get("receive_count", 0),
+        }
+
+    def fire_due(self, now: float) -> list[dict]:
+        """Pop and return every retry task whose timer has expired.
+
+        Each fire counts as a receive; a message received more than
+        ``max_receive_count`` times is diverted to the DLQ
+        (scheduler.go:196-203) and flagged ``dlq=True``.
+        """
+        fired = []
+        for rid in sorted(k for k, v in self.pending.items() if v["fire_at"] <= now):
+            entry = self.pending.pop(rid)
+            rc = entry["receive_count"] + 1
+            task = {
+                "event_id": rid[0],
+                "destination_id": rid[1],
+                "tenant_id": entry["tenant_id"],
+                "attempt_number": entry["attempt_number"],
+                "fire_at": entry["fire_at"],
+                "receive_count": rc,
+                "dlq": rc > self.max_receive_count,
+            }
+            if task["dlq"]:
+                self.dlq.append(task)
+            fired.append(task)
+        return fired
+
+    def requeue(self, task: dict, now: float) -> None:
+        """Processing failed after a fire: the message returns to the queue
+        keeping its receive count (so repeated failures hit the DLQ cap)."""
+        rid = self.retry_id(task["event_id"], task["destination_id"])
+        self.pending[rid] = {
+            "tenant_id": task["tenant_id"],
+            "attempt_number": task["attempt_number"],
+            "fire_at": now,
+            "receive_count": task["receive_count"],
+        }
+
+
+def retry_processor_factory(
+    backoff: ExponentialBackoff | None = None,
+    retry_max_limit: int = DEFAULT_RETRY_MAX_LIMIT,
+):
+    """StatefulProcessor: attempt outcomes in, RetryTask rows out on timer.
+
+    Keyed by (event_id, destination_id).  Upsert = ``deleteTimer`` +
+    ``registerTimer`` + state overwrite; cancel = ``clear`` + deleteTimer.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    bo = backoff or ExponentialBackoff()
+
+    state_schema = StructType(
+        [
+            StructField("tenant_id", StringType(), True),
+            StructField("attempt_number", IntegerType(), True),
+            StructField("fire_at", DoubleType(), True),
+        ]
+    )
+
+    class RetryProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.state = handle.getValueState("pending_retry", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator["pd.DataFrame"]:
+            now_ms = timerValues.getCurrentProcessingTimeInMs()
+            # Within a micro-batch, apply outcomes in attempt order — the
+            # latest attempt governs the retry state regardless of the
+            # post-shuffle row order inside the group.
+            collected = [r for pdf in rows for r in pdf.itertuples(index=False)]
+            collected.sort(key=lambda r: int(r.attempt_number))
+            for r in collected:
+                success = r.status == "success"
+                if self.state.exists():
+                    old = self.state.get()
+                    if old is not None:
+                        for t in self.handle.listTimers():
+                            self.handle.deleteTimer(t)
+                if success or not bool(r.eligible_for_retry):
+                    self.state.clear()
+                    continue
+                n = int(r.attempt_number)
+                if n > retry_max_limit:
+                    self.state.clear()
+                    continue
+                delay_ms = int(bo.duration(max(n - 1, 0)) * 1000)
+                fire_at = now_ms + delay_ms
+                self.state.update((str(r.tenant_id), n + 1, float(fire_at)))
+                self.handle.registerTimer(fire_at)
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator["pd.DataFrame"]:
+            if not self.state.exists():
+                return iter(())
+            tenant_id, attempt_number, fire_at = self.state.get()
+            self.state.clear()
+            return iter(
+                [
+                    pd.DataFrame(
+                        [
+                            {
+                                "event_id": key[0],
+                                "destination_id": key[1],
+                                "tenant_id": tenant_id,
+                                "attempt_number": int(attempt_number),
+                                "fire_at": float(fire_at),
+                                "dlq": False,
+                            }
+                        ]
+                    )
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RetryProcessor
+
+
+def attach_retry_stream(
+    attempts_stream,
+    backoff: ExponentialBackoff | None = None,
+    retry_max_limit: int = DEFAULT_RETRY_MAX_LIMIT,
+    *,
+    impl: str = "auto",
+):
+    """attempt outcomes -> RetryTask stream via processing-time timers.
+
+    ``impl='tws'`` = transformWithStateInPandas registered timers;
+    ``impl='apws'`` = applyInPandasWithState with ProcessingTimeTimeout
+    (timeout fires the pending retry).  Same upsert/cancel semantics.
+    """
+    if impl == "auto":
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+
+            impl = "tws"
+        except Exception:
+            impl = "apws"
+    if impl == "tws":
+        processor_cls = retry_processor_factory(backoff, retry_max_limit)
+        return attempts_stream.groupBy("event_id", "destination_id").transformWithStateInPandas(
+            statefulProcessor=processor_cls(),
+            outputStructType=RETRY_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="ProcessingTime",
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    bo = backoff or ExponentialBackoff()
+    state_schema = "tenant_id string, attempt_number int, fire_at double"
+
+    def func(key, pdfs, state: GroupState):
+        event_id, destination_id = key
+        if state.hasTimedOut:
+            # pending retry fires: emit the task, clear state (ST2 fire path)
+            tenant_id, attempt_number, fire_at = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "event_id": event_id,
+                        "destination_id": destination_id,
+                        "tenant_id": tenant_id,
+                        "attempt_number": int(attempt_number),
+                        "fire_at": float(fire_at),
+                        "dlq": False,
+                    }
+                ]
+            )
+            return
+        now_ms = state.getCurrentProcessingTimeMs()
+        pending = None
+        # apply outcomes in attempt order — the latest attempt governs the
+        # retry state regardless of post-shuffle row order inside the group
+        collected = [r for pdf in pdfs for r in pdf.itertuples(index=False)]
+        collected.sort(key=lambda r: int(r.attempt_number))
+        for r in collected:
+            if r.status == "success" or not bool(r.eligible_for_retry):
+                pending = None  # cancel-on-success
+                continue
+            n = int(r.attempt_number)
+            if n > retry_max_limit:
+                pending = None  # exhausted
+                continue
+            delay_ms = int(bo.duration(max(n - 1, 0)) * 1000)
+            # upsert: latest outcome replaces any pending schedule
+            pending = (str(r.tenant_id), n + 1, float(now_ms + delay_ms))
+        if pending is None:
+            if state.exists:
+                state.remove()
+        else:
+            state.update(pending)
+            # ProcessingTimeTimeout takes a duration-from-now; re-setting it
+            # on every upsert IS the timer re-registration semantics
+            state.setTimeoutDuration(max(int(pending[2]) - now_ms, 1))
+
+    return attempts_stream.groupBy("event_id", "destination_id").applyInPandasWithState(
+        func, RETRY_OUTPUT_SCHEMA, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
+    )

@@ -1,0 +1,264 @@
+"""End-to-end Structured Streaming tests: file source -> routing ->
+delivery-task stream; LogEntry stream -> foreachBatch log sink ->
+queryable tables; transformWithStateInPandas alert stream."""
+
+import json
+import os
+import shutil
+import tempfile
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from outpost_spark.logstore.metrics import MetricsRequest, TimeRange, query_attempt_metrics
+from outpost_spark.streaming.pipeline import route_stream, write_log_stream
+
+EV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.StringType()),
+        T.StructField("tenant_id", T.StringType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("data", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="outpost_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_route_stream_file_source_to_tasks(spark, tmpdir):
+    src = os.path.join(tmpdir, "in")
+    os.makedirs(src)
+    rows = [
+        {"event_id": "e1", "tenant_id": "t1", "topic": "order.created",
+         "event_time": "2024-01-01T00:00:00.000Z", "metadata": {}, "data": json.dumps({"type": "premium"})},
+        {"event_id": "e2", "tenant_id": "t1", "topic": "other.topic",
+         "event_time": "2024-01-01T00:00:01.000Z", "metadata": {}, "data": "{}"},
+    ]
+    with open(os.path.join(src, "batch1.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    dests = spark.createDataFrame(
+        [
+            ("d_orders", "t1", "webhook", ["order.*"], None, None),
+            ("d_premium", "t1", "webhook", ["*"], json.dumps({"data": {"type": "premium"}}), None),
+        ],
+        "id string, tenant_id string, type string, topics array<string>, filter string, disabled_at timestamp",
+    )
+
+    stream = (
+        spark.readStream.schema(EV_SCHEMA).json(src)
+    )
+    tasks = route_stream(stream, dests)
+    q = (
+        tasks.writeStream.format("memory")
+        .queryName("route_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["event_id"], r["destination_id"], r["attempt"])
+            for r in spark.sql("SELECT * FROM route_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {("e1", "d_orders", 1), ("e1", "d_premium", 1)}
+
+
+def test_log_sink_foreachbatch_to_queryable_tables(spark, tmpdir):
+    src = os.path.join(tmpdir, "entries")
+    os.makedirs(src)
+    base = datetime(2024, 1, 15, 12, tzinfo=timezone.utc)
+    entries = []
+    for i in range(10):
+        entries.append(
+            {
+                "attempt_id": f"a{i}",
+                "event_id": f"e{i % 5}",  # 5 events, 2 attempts each
+                "tenant_id": "t1",
+                "destination_id": "d1",
+                "destination_type": "webhook",
+                "topic": "user.created",
+                "eligible_for_retry": True,
+                "event_time": base.isoformat(),
+                "metadata": {},
+                "data": "{}",
+                "status": "success" if i % 2 == 0 else "failed",
+                "attempt_time": base.isoformat(),
+                "code": "200",
+                "response_data": "{}",
+                "manual": False,
+                "attempt_number": 1 if i < 5 else 2,
+            }
+        )
+    entries.append(dict(entries[0]))  # replay duplicate attempt
+    with open(os.path.join(src, "b.json"), "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+
+    from outpost_spark.schemas import ATTEMPT_SCHEMA
+
+    stream = spark.readStream.schema(ATTEMPT_SCHEMA).json(src)
+    ev_path = os.path.join(tmpdir, "events_tbl")
+    at_path = os.path.join(tmpdir, "attempts_tbl")
+    q = write_log_stream(stream, ev_path, at_path, os.path.join(tmpdir, "ckpt2"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    events = spark.read.parquet(ev_path)
+    attempts = spark.read.parquet(at_path)
+    assert events.count() == 5  # one per event, dupes collapsed
+    assert attempts.count() == 10  # replayed attempt deduped in-batch
+
+    # the written tables answer metrics queries (whole pipeline round-trip)
+    out = query_attempt_metrics(
+        attempts,
+        MetricsRequest(
+            TimeRange(datetime(2024, 1, 1, tzinfo=timezone.utc), datetime(2024, 2, 1, tzinfo=timezone.utc)),
+            measures=["count", "failed_count", "retry_count"],
+        ),
+    ).collect()
+    assert out[0]["count"] == 10
+    assert out[0]["failed_count"] == 5
+    assert out[0]["retry_count"] == 5
+    # month partition directory exists (partition pruning at scale)
+    assert any(p.startswith("month=202401") for p in os.listdir(at_path) if not p.startswith("_"))
+
+
+ATTEMPT_STREAM_SCHEMA = (
+    "tenant_id string, destination_id string, attempt_id string, "
+    "status string, attempt_number int, eligible_for_retry boolean, event_id string"
+)
+
+
+def _write_attempt_batch(src, rows, name):
+    with open(os.path.join(src, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_alert_stream_stateful(spark, tmpdir):
+    from outpost_spark.streaming.alerts import AlertStateMachine, attach_alert_stream
+
+    src = os.path.join(tmpdir, "attempts_in")
+    os.makedirs(src)
+    rows = [
+        {"tenant_id": "t1", "destination_id": "d1", "attempt_id": f"a{i}",
+         "status": "failed", "attempt_number": 1, "eligible_for_retry": True,
+         "event_id": f"e{i}"}
+        for i in range(4)
+    ]
+    _write_attempt_batch(src, rows, "b1.json")
+    stream = spark.readStream.schema(ATTEMPT_STREAM_SCHEMA).json(src)
+    machine = AlertStateMachine(auto_disable_failure_count=4, thresholds=[50, 100])
+    alerts = attach_alert_stream(stream, machine)
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("alerts_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch: success resets, then more failures re-alert at 50%
+        rows2 = [
+            {"tenant_id": "t1", "destination_id": "d1", "attempt_id": "b0",
+             "status": "success", "attempt_number": 1, "eligible_for_retry": True,
+             "event_id": "e9"},
+        ] + [
+            {"tenant_id": "t1", "destination_id": "d1", "attempt_id": f"b{i}",
+             "status": "failed", "attempt_number": 1, "eligible_for_retry": True,
+             "event_id": f"e1{i}"}
+            for i in range(1, 3)
+        ]
+        _write_attempt_batch(src, rows2, "b2.json")
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT signal, failures, level, attempt_id FROM alerts_out ORDER BY attempt_id"
+        ).collect()
+    finally:
+        q.stop()
+    assert [(r["signal"], r["failures"], r["level"]) for r in got] == [
+        ("alert.destination.consecutive_failure", 2, 50),   # a1 crosses 50%
+        ("alert.destination.disabled", 4, 100),             # a3 crosses 100%
+        ("alert.destination.consecutive_failure", 2, 50),   # b2: reset then 2 fails
+    ]
+
+
+def test_retry_stream_timer_fires(spark, tmpdir):
+    # NOTE: once a processing-time timeout is registered, the query keeps
+    # triggering "cleaning up state" micro-batches until it fires, so
+    # processAllAvailable() would block — poll the memory sink instead.
+    import time
+
+    from outpost_spark.functions.backoff import ExponentialBackoff
+    from outpost_spark.streaming.retry import attach_retry_stream
+
+    src = os.path.join(tmpdir, "retry_in")
+    os.makedirs(src)
+    _write_attempt_batch(
+        src,
+        [
+            {"tenant_id": "t1", "destination_id": "d1", "attempt_id": "a1",
+             "status": "failed", "attempt_number": 1, "eligible_for_retry": True,
+             "event_id": "e1"},
+            {"tenant_id": "t1", "destination_id": "d2", "attempt_id": "a2",
+             "status": "failed", "attempt_number": 1, "eligible_for_retry": True,
+             "event_id": "e1"},
+        ],
+        "b1.json",
+    )
+    # cancel d2's pending retry with a success well before the 8s timer
+    _write_attempt_batch(
+        src,
+        [{"tenant_id": "t1", "destination_id": "d2", "attempt_id": "a3",
+          "status": "success", "attempt_number": 2, "eligible_for_retry": True,
+          "event_id": "e1"}],
+        "b2.json",
+    )
+    stream = spark.readStream.schema(ATTEMPT_STREAM_SCHEMA).json(src)
+    tasks = attach_retry_stream(stream, ExponentialBackoff(interval=8.0), retry_max_limit=5)
+    q = (
+        tasks.writeStream.format("memory")
+        .queryName("retry_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt4"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        got = []
+        while time.time() < deadline:
+            got = spark.sql(
+                "SELECT event_id, destination_id, attempt_number FROM retry_out"
+            ).collect()
+            if got:
+                break
+            if q.exception():
+                raise AssertionError(q.exception())
+            time.sleep(1.0)
+        # give a canceled d2 timer a chance to (wrongly) fire too
+        time.sleep(3.0)
+        got = spark.sql(
+            "SELECT event_id, destination_id, attempt_number FROM retry_out"
+        ).collect()
+    finally:
+        q.stop()
+    fired = {(r["event_id"], r["destination_id"], r["attempt_number"]) for r in got}
+    assert ("e1", "d1", 2) in fired      # failed -> retry attempt 2 fired
+    assert not any(d == "d2" for _, d, _n in fired)  # canceled by success
