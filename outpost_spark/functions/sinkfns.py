@@ -1,0 +1,251 @@
+"""Sink-side scalar functions: webhook signatures (F10), partition-key
+extraction (F6), ID generation (F8).
+
+References:
+- Signatures: destwebhook/signature.go + destwebhook.go:26-29 —
+  HMAC-{sha256,sha1,md5} over a templated content string (default
+  ``{{.Body}}``), hex or base64 encoded, header template
+  ``v0={{.Signatures | join ","}}``.
+- Partition keys: destregistry/partitionkey/partitionkey.go:11-40 —
+  JMESPath over the payload, fallback key on empty/nil, ``%g`` number and
+  ``true/false`` bool stringification.
+- IDs: idgen/idgen.go — uuid4 / uuid7-style / nanoid-style with per-entity
+  prefixes.
+
+These run per-row at the sink boundary; the hot-path implementations are
+Arrow-batched pandas UDF wrappers (``*_udf``) so the Python cost is
+amortized per batch, never per row via the slow pickled-row path.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import hmac as hmac_mod
+import re
+import uuid
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import Column
+
+_ALGOS = {
+    "hmac-sha256": hashlib.sha256,
+    "hmac-sha1": hashlib.sha1,
+    "hmac-md5": hashlib.md5,
+}
+
+
+# ───────────────────────── F10: webhook signatures ─────────────────────────
+
+
+def render_signature_template(
+    template: str,
+    *,
+    body: str,
+    event_id: str = "",
+    topic: str = "",
+    timestamp: datetime | None = None,
+    signatures: list[str] | None = None,
+) -> str:
+    """Evaluate the (Go-text/template-style) signature templates.
+
+    Supports the placeholder set the reference's default and documented
+    templates use: ``{{.Body}}``, ``{{.EventID}}``, ``{{.Topic}}``,
+    ``{{.Timestamp.Unix}}``, ``{{.Timestamp.UnixMilli}}`` and
+    ``{{.Signatures | join ","}}``.
+    """
+    ts = timestamp or datetime.now(timezone.utc)
+    sigs = signatures or []
+    replacements = {
+        "{{.Body}}": body,
+        "{{.EventID}}": event_id,
+        "{{.Topic}}": topic,
+        "{{.Timestamp.Unix}}": str(int(ts.timestamp())),
+        "{{.Timestamp.UnixMilli}}": str(int(ts.timestamp() * 1000)),
+    }
+    out = template
+    for k, v in replacements.items():
+        out = out.replace(k, v)
+    out = re.sub(
+        r"\{\{\.Signatures \| join \"([^\"]*)\"\}\}",
+        lambda m: m.group(1).join(sigs),
+        out,
+    )
+    return out
+
+
+def sign(
+    key: str,
+    content: str,
+    *,
+    algorithm: str = "hmac-sha256",
+    encoding: str = "hex",
+) -> str:
+    """HMAC sign ``content`` (signature.go:120-140; default hmac-sha256/hex)."""
+    digestmod = _ALGOS.get(algorithm, hashlib.sha256)
+    mac = hmac_mod.new(key.encode(), content.encode(), digestmod).digest()
+    if encoding == "base64":
+        return base64.b64encode(mac).decode()
+    return mac.hex()
+
+
+def verify(
+    key: str,
+    content: str,
+    signature: str,
+    *,
+    algorithm: str = "hmac-sha256",
+    encoding: str = "hex",
+) -> bool:
+    return hmac_mod.compare_digest(
+        sign(key, content, algorithm=algorithm, encoding=encoding), signature
+    )
+
+
+def signature_header(
+    *,
+    body: str,
+    keys: list[str],
+    event_id: str = "",
+    topic: str = "",
+    timestamp: datetime | None = None,
+    content_template: str = "{{.Body}}",
+    header_template: str = 'v0={{.Signatures | join ","}}',
+    algorithm: str = "hmac-sha256",
+    encoding: str = "hex",
+) -> str:
+    """Full header build: content template → one signature per active
+    secret (rotation keeps old secrets valid) → header template."""
+    content = render_signature_template(
+        content_template, body=body, event_id=event_id, topic=topic, timestamp=timestamp
+    )
+    sigs = [sign(k, content, algorithm=algorithm, encoding=encoding) for k in keys]
+    return render_signature_template(
+        header_template,
+        body=body,
+        event_id=event_id,
+        topic=topic,
+        timestamp=timestamp,
+        signatures=sigs,
+    )
+
+
+def signature_udf(
+    key: str,
+    *,
+    content_template: str = "{{.Body}}",
+    algorithm: str = "hmac-sha256",
+    encoding: str = "hex",
+):
+    """Arrow-batched pandas UDF: (body, event_id, topic, unix_ts) → signature."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _sig(body: pd.Series, event_id: pd.Series, topic: pd.Series, ts: pd.Series) -> pd.Series:
+        out = []
+        for b, e, t, u in zip(body, event_id, topic, ts):
+            content = render_signature_template(
+                content_template,
+                body=b or "",
+                event_id=e or "",
+                topic=t or "",
+                timestamp=datetime.fromtimestamp(float(u or 0), tz=timezone.utc),
+            )
+            out.append(sign(key, content, algorithm=algorithm, encoding=encoding))
+        return pd.Series(out)
+
+    return _sig
+
+
+# ───────────────────────── F6: partition-key extraction ─────────────────────────
+
+
+def _jmespath_lite(expr: str, payload):
+    """Dot/index path subset of JMESPath (``a.b[0].c``) — the shape the
+    reference's partition-key templates use in practice."""
+    cur = payload
+    for part in expr.split("."):
+        m = re.fullmatch(r"([A-Za-z_][A-Za-z0-9_]*)((\[\d+\])*)", part)
+        if not m or cur is None:
+            return None
+        cur = cur.get(m.group(1)) if isinstance(cur, dict) else None
+        for idx in re.findall(r"\[(\d+)\]", m.group(2)):
+            i = int(idx)
+            cur = cur[i] if isinstance(cur, list) and i < len(cur) else None
+    return cur
+
+
+def evaluate_partition_key(template: str, payload, fallback_key: str) -> str:
+    """partitionkey.go:11-40 — JMESPath lookup with fallback + Go-style
+    stringification (%g floats, true/false bools)."""
+    if not template:
+        return fallback_key
+    try:
+        import jmespath  # optional — not in the base image
+
+        result = jmespath.search(template, payload)
+    except ImportError:
+        result = _jmespath_lite(template, payload)
+    if result is None:
+        return fallback_key
+    if isinstance(result, str):
+        return result if result else fallback_key
+    if isinstance(result, bool):
+        return "true" if result else "false"
+    if isinstance(result, float):
+        return f"{result:g}"
+    if isinstance(result, int):
+        return str(result)
+    return str(result)
+
+
+def partition_key_udf(template: str, fallback_col: str = "event_id"):
+    """Arrow-batched UDF: (data_json, fallback) → partition key string."""
+    import json
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _pk(data: pd.Series, fallback: pd.Series) -> pd.Series:
+        out = []
+        for d, fb in zip(data, fallback):
+            try:
+                payload = json.loads(d) if d else {}
+            except ValueError:
+                payload = {}
+            out.append(evaluate_partition_key(template, payload, fb or ""))
+        return pd.Series(out)
+
+    return _pk
+
+
+# ───────────────────────── F8: ID generation ─────────────────────────
+
+_NANO_ALPHABET = "_-0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def generate_id(prefix: str = "", id_type: str = "uuidv4") -> str:
+    """idgen.go: uuid4 (default), time-ordered uuid7-style, or nanoid-style."""
+    if id_type == "uuidv7":
+        # RFC 9562 v7: 48-bit unix-ms + random, time-ordered
+        now_ms = int(datetime.now(timezone.utc).timestamp() * 1000)
+        rand = uuid.uuid4().bytes
+        b = now_ms.to_bytes(6, "big") + rand[6:]
+        b = bytes([b[0], b[1], b[2], b[3], b[4], b[5], (b[6] & 0x0F) | 0x70, b[7], (b[8] & 0x3F) | 0x80]) + b[9:]
+        base = str(uuid.UUID(bytes=b))
+    elif id_type == "nanoid":
+        import secrets
+
+        base = "".join(secrets.choice(_NANO_ALPHABET) for _ in range(21))
+    else:
+        base = str(uuid.uuid4())
+    return prefix + base if prefix else base
+
+
+def id_expr(prefix: str = "") -> Column:
+    """Native (JVM) id generation: prefixed uuid() — the hot-path variant."""
+    from pyspark.sql import functions as F
+
+    e = F.expr("uuid()")
+    return F.concat(F.lit(prefix), e) if prefix else e

@@ -1214,6 +1214,109 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+# ───────────────── tenant/destination store (S8, P10, P2/J2, S1) ─────────────────
+
+_DESTS_SQL = """
+    dests AS (
+      SELECT DISTINCT tenant_id,
+             'd_' || topic AS id,
+             CASE WHEN topic = 'error' THEN 'sqs' ELSE 'webhook' END AS type,
+             topic AS only_topic
+      FROM src
+    )
+"""
+
+
+def _dests_dim(spark, sf_dir):
+    """Synthetic destinations dimension derived from events (deterministic)."""
+    src = _events(spark, sf_dir)
+    return (
+        src.select(
+            "tenant_id",
+            F.concat(F.lit("d_"), F.col("topic")).alias("id"),
+            F.when(F.col("topic") == "error", "sqs").otherwise("webhook").alias("type"),
+            F.array(F.col("topic")).alias("topics"),
+        )
+        .distinct()
+    )
+
+
+@_register(
+    "store_list_destinations",
+    f"""
+    WITH src AS ({_EVENTS_SQL}),
+    {_DESTS_SQL}
+    SELECT id, tenant_id, type FROM dests
+    WHERE type IN ('webhook') AND only_topic = 'purchase'
+    """,
+)
+def store_list_destinations(spark, sf_dir):
+    """S8: ListDestination filter scan — Type[] OR + Topics[] AND semantics
+    (tenantstore/driver/driver.go:64-70) over a broadcastable dimension."""
+    from outpost_spark.tenantstore import ListDestinationRequest, list_destinations
+
+    dests = _dests_dim(spark, sf_dir)
+    out = list_destinations(
+        dests, ListDestinationRequest(types=["webhook"], topics=["purchase"])
+    )
+    return out.select("id", "tenant_id", "type")
+
+
+@_register(
+    "store_obfuscate_credentials",
+    """
+    SELECT s_suppkey,
+           CASE WHEN length(s_name) < 10 THEN repeat('*', length(s_name))
+                ELSE substr(s_name, 1, 4) || repeat('*', length(s_name) - 4)
+           END AS masked
+    FROM supplier
+    """,
+)
+def store_obfuscate_credentials(spark, sf_dir):
+    """P10: credential display masking (<10 chars → all '*', else keep 4 —
+    destregistry/baseprovider.go:14-21) as a native Column expression."""
+    from outpost_spark.tenantstore import obfuscate_value_expr
+
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey", obfuscate_value_expr(F.col("s_name")).alias("masked")
+    )
+
+
+@_register(
+    "publish_validation",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT event_id,
+           (tenant_id IS NOT NULL AND
+            (data IS NULL OR (json_valid(data) AND json_type(data::JSON) = 'OBJECT')))
+             AS valid
+    FROM src
+    """,
+)
+def publish_validation(spark, sf_dir):
+    """S1: publish ingest validation — data must be a JSON object
+    (publish_handlers.go:43-53); expressed as a codegen-friendly predicate."""
+    df = _events(spark, sf_dir)
+    data = F.col("data")
+    is_object = data.isNull() | (
+        F.from_json(data, "__probe string").isNotNull() & data.rlike(r"^\s*\{")
+    )
+    return df.select(
+        "event_id", (F.col("tenant_id").isNotNull() & is_object).alias("valid")
+    )
+
+
+@_register("attempt_record_include", None)  # struct output — rows-only check
+def attempt_record_include(spark, sf_dir):
+    """J2/P2: AttemptRecord{attempt, event} struct packing with include[]
+    expansions (driver/driver.go:82-85) — no runtime join, single-row shape."""
+    from outpost_spark.tenantstore import attempt_record
+
+    df = _events(spark, sf_dir).withColumn("destination_type", F.lit("webhook"))
+    return attempt_record(df, include=("event", "event.data"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics_error_rate_daily(spark, sf_dir)
 

@@ -1,0 +1,228 @@
+"""Tests: retention/compaction maintenance (ST6), queue sources (S1/S2),
+sink-side scalar functions (F6/F8/F10)."""
+
+import json
+import os
+import shutil
+import tempfile
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from outpost_spark.functions.sinkfns import (
+    evaluate_partition_key,
+    generate_id,
+    render_signature_template,
+    sign,
+    signature_header,
+    signature_udf,
+    verify,
+)
+from outpost_spark.logstore.retention import apply_retention, compact_partition
+from outpost_spark.sources import event_stream, parse_queue_url, validate_publish
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="outpost_maint_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+# ── ST6: retention ──
+
+
+def _write_months(spark, path):
+    rows = []
+    for m, n in (("202311", 3), ("202312", 4), ("202401", 5)):
+        t0 = datetime(int(m[:4]), int(m[4:]), 10, tzinfo=timezone.utc)
+        rows += [(f"{m}-{i}", t0.replace(day=10 + i)) for i in range(n)]
+    df = spark.createDataFrame(rows, "id string, time timestamp")
+    df.withColumn("month", F.date_format("time", "yyyyMM")).write.partitionBy(
+        "month"
+    ).mode("overwrite").parquet(path)
+
+
+def test_retention_drops_old_months_and_trims_cutoff(spark, tmpdir):
+    path = os.path.join(tmpdir, "tbl")
+    _write_months(spark, path)
+    # now = 2024-01-20; ttl 25 days → cutoff 2023-12-26: Nov dropped whole,
+    # Dec rewritten (all Dec rows are 10th-13th < 26th → removed), Jan kept
+    rep = apply_retention(
+        spark,
+        path,
+        time_col="time",
+        ttl_days=25,
+        now=datetime(2024, 1, 20, tzinfo=timezone.utc),
+    )
+    assert rep.dropped_partitions == ["month=202311"]
+    assert rep.rewritten_partition == "month=202312"
+    assert rep.rows_deleted == 3 + 4
+    left = spark.read.option("basePath", path).parquet(path)
+    assert left.count() == 5
+    assert sorted(d for d in os.listdir(path) if d.startswith("month=")) == [
+        "month=202312", "month=202401"
+    ]  # cutoff month dir remains (empty rewrite), newer month intact
+
+
+def test_retention_noop_when_everything_recent(spark, tmpdir):
+    path = os.path.join(tmpdir, "tbl2")
+    _write_months(spark, path)
+    rep = apply_retention(
+        spark,
+        path,
+        time_col="time",
+        ttl_days=3650,
+        now=datetime(2024, 1, 20, tzinfo=timezone.utc),
+    )
+    assert rep.dropped_partitions == [] and rep.rows_deleted == 0
+    assert spark.read.option("basePath", path).parquet(path).count() == 12
+
+
+def test_compact_partition_reduces_files(spark, tmpdir):
+    path = os.path.join(tmpdir, "tbl3")
+    df = spark.createDataFrame(
+        [(str(i), datetime(2024, 1, 10, tzinfo=timezone.utc)) for i in range(100)],
+        "id string, time timestamp",
+    )
+    df.repartition(8).withColumn("month", F.lit("202401")).write.partitionBy(
+        "month"
+    ).mode("overwrite").parquet(path)
+    n_before = compact_partition(spark, path, "202401", target_files=1)
+    assert n_before == 8
+    part = os.path.join(path, "month=202401")
+    files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert spark.read.parquet(part).count() == 100
+
+
+# ── S1/S2: queue URL parsing + file-backed event stream ──
+
+
+def test_parse_queue_url_kafka_and_file():
+    fmt, opts = parse_queue_url(
+        "kafka://b1:9092,b2:9092/events?startingOffsets=latest"
+    )
+    assert fmt == "kafka"
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "events"
+    assert opts["startingOffsets"] == "latest"
+    fmt, opts = parse_queue_url("file:///tmp/q?maxFilesPerTrigger=5")
+    assert fmt == "file" and opts == {"path": "/tmp/q", "maxFilesPerTrigger": "5"}
+    with pytest.raises(ValueError):
+        parse_queue_url("sqs://queue-url")
+
+
+def test_event_stream_decodes_and_defaults(spark, tmpdir):
+    src = os.path.join(tmpdir, "q")
+    os.makedirs(src)
+    msgs = [
+        {"id": "e1", "tenant_id": "t1", "topic": "user.created",
+         "time": "2024-01-01T00:00:00Z", "data": '{"k":1}'},
+        {"tenant_id": "t2", "topic": "user.deleted"},  # id/time defaulted
+    ]
+    with open(os.path.join(src, "m.json"), "w") as f:
+        for m in msgs:
+            f.write(json.dumps(m) + "\n")
+    stream = event_stream(spark, f"file://{src}")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("src_out")
+        .option("checkpointLocation", os.path.join(tmpdir, "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r["tenant_id"]: r for r in spark.sql("select * from src_out").collect()}
+    finally:
+        q.stop()
+    assert rows["t1"]["event_id"] == "e1"
+    assert rows["t1"]["event_time"] == datetime(2024, 1, 1)
+    assert rows["t2"]["event_id"]  # uuid defaulted
+    assert rows["t2"]["eligible_for_retry"] is True
+    assert rows["t2"]["event_time"] is not None
+
+
+def test_validate_publish_splits(spark):
+    df = spark.createDataFrame(
+        [
+            ("e1", "t1", "user.created", '{"ok":1}'),
+            ("e2", "t1", "user.created", "[1,2]"),      # not an object
+            ("e3", "t1", "user.created", "not-json"),   # invalid
+            ("e4", None, "user.created", "{}"),         # no tenant
+            ("e5", "t1", "bad.topic", "{}"),            # unknown topic
+            ("e6", "t1", "user.deleted", None),         # null data ok
+        ],
+        "event_id string, tenant_id string, topic string, data string",
+    )
+    valid, rejected = validate_publish(
+        df, valid_topics=["user.created", "user.deleted"]
+    )
+    assert sorted(r["event_id"] for r in valid.collect()) == ["e1", "e6"]
+    assert sorted(r["event_id"] for r in rejected.collect()) == ["e2", "e3", "e4", "e5"]
+
+
+# ── F10: signatures ──
+
+
+def test_sign_hex_and_base64_roundtrip():
+    sig = sign("test-secret", '1234567890.{"hello":"world"}')
+    assert len(sig) == 64 and verify("test-secret", '1234567890.{"hello":"world"}', sig)
+    sig64 = sign("k", "body", encoding="base64")
+    assert verify("k", "body", sig64, encoding="base64")
+    assert not verify("other", "body", sig64, encoding="base64")
+    # algorithm selection changes the digest
+    assert sign("k", "c", algorithm="hmac-sha1") != sign("k", "c")
+
+
+def test_signature_templates():
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    content = render_signature_template(
+        "{{.Timestamp.Unix}}.{{.Body}}", body='{"a":1}', timestamp=ts
+    )
+    assert content == '1704067200.{"a":1}'
+    header = signature_header(
+        body="b", keys=["k1", "k2"], timestamp=ts,
+        content_template="{{.Timestamp.Unix}}.{{.Body}}",
+    )
+    s1 = sign("k1", "1704067200.b")
+    s2 = sign("k2", "1704067200.b")
+    assert header == f"v0={s1},{s2}"  # rotation: one sig per active secret
+
+
+def test_signature_udf_batch(spark):
+    df = spark.createDataFrame(
+        [("e1", "user.created", '{"p":1}', 1704067200.0)],
+        "event_id string, topic string, body string, ts double",
+    )
+    udf = signature_udf("secret", content_template="{{.Timestamp.Unix}}.{{.Body}}")
+    got = df.select(
+        udf(F.col("body"), F.col("event_id"), F.col("topic"), F.col("ts")).alias("sig")
+    ).collect()[0]["sig"]
+    assert got == sign("secret", '1704067200.{"p":1}')
+
+
+# ── F6: partition keys ──
+
+
+def test_partition_key_evaluate_semantics():
+    payload = {"user": {"id": "u42", "score": 1.5, "vip": True}, "n": 3}
+    assert evaluate_partition_key("user.id", payload, "fb") == "u42"
+    assert evaluate_partition_key("", payload, "fb") == "fb"
+    assert evaluate_partition_key("missing.path", payload, "fb") == "fb"
+    assert evaluate_partition_key("user.score", payload, "fb") == "1.5"
+    assert evaluate_partition_key("user.vip", payload, "fb") == "true"
+    assert evaluate_partition_key("n", payload, "fb") == "3"
+
+
+# ── F8: id generation ──
+
+
+def test_generate_id_shapes():
+    assert generate_id("evt_").startswith("evt_")
+    u7a, u7b = generate_id(id_type="uuidv7"), generate_id(id_type="uuidv7")
+    assert u7a[14] == "7" and u7b[14] == "7"
+    assert u7a != u7b
+    nano = generate_id(id_type="nanoid")
+    assert len(nano) == 21
