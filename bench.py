@@ -38,8 +38,13 @@ BENCH_QUERIES = [
     "lineitem_pricing_summary",
     "join_latest_attempt_per_key",
     "alert_consecutive_failures",
+    "store_list_destinations",
+    "publish_validation",
     "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs",
+    "embed_cosine_topk",
     "text_token_stats",
+    "text_quality_score",
 ]
 
 

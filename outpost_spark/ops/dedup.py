@@ -1,18 +1,27 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-All hashing is engine-portable and deterministic: ``h_j(s) = int(md5(j||'|'||s)[:8], 16)``
-— reproducible in any engine with md5 (the DuckDB oracles use the identical
-formula), stable across runs/partitions, no RNG.
+All hashing is engine-portable and deterministic — reproducible in any
+engine with md5 (the DuckDB oracles use identical formulas), stable across
+runs/partitions, no RNG.  MinHash uses ONE base md5 per shingle,
+``h(s) = int(md5('h|'||s)[:8], 16)``, then derives the k signature lanes
+with universal-hash mixing ``h_j = (h * (2j+1) + 1000003·j) mod
+4294967291`` — pure integer arithmetic, so the expensive digest runs once
+per shingle instead of once per (lane × shingle).
 
 Scale design (100 TB):
 - Signatures are computed scan-side with pure Column expressions
   (transform/aggregate over shingle arrays) — whole-stage codegen, no
-  Python, no shuffle.
+  Python, no shuffle.  The base-hash array is produced in its own
+  projection; Catalyst keeps it materialized per-row (CollapseProject
+  refuses to duplicate non-cheap expressions referenced k times), so the
+  md5 pass is not re-inlined into every lane.
 - LSH banding turns the quadratic all-pairs problem into an equi-join on
   (band, bucket): only documents sharing a band bucket meet in the shuffle.
-  Bucket skew (giant near-dup clusters) is handled by AQE skew-join
-  splitting; pair explosion within a bucket is bounded by verifying with
-  exact Jaccard immediately after the join and by distinct-ing pairs.
+  Band keys are emitted with one ``explode`` pass over the signature —
+  not one plan-copy per band.  Bucket skew (giant near-dup clusters) is
+  handled by AQE skew-join splitting; pair explosion within a bucket is
+  bounded by verifying with exact Jaccard immediately after the join and
+  by distinct-ing pairs.
 - ``exact_dedup`` is a hash aggregation on a digest, not on the full text:
   group keys are 32-byte md5 values, so the shuffle moves digests + ids,
   never document bodies.
@@ -24,11 +33,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _hash_expr(s: Column, seed: int) -> Column:
+def _hash_expr(s: Column, seed: int | str) -> Column:
     """Portable 32-bit hash: int(md5(seed || '|' || s)[:8], 16)."""
     return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}|"), s)), 1, 8), 16, 10).cast(
         "long"
     )
+
+
+def _parallelize_narrow_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a low-parallelism input before CPU-heavy
+    per-row work (shingling/hashing are interpreted HOFs — the cost is
+    compute, not I/O).
+
+    A small input (one parquet file → one split → one task) would pin the
+    whole signature computation to a single core.  At 100 TB the scan
+    already has thousands of splits and this is a no-op — the guard only
+    fires when the input's parallelism is below the cluster's.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -55,6 +81,10 @@ def shingle_set(text: Column, k: int = 5) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+_MINHASH_PRIME = 4294967291  # largest 32-bit prime
+_MINHASH_MIX_B = 1000003
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str,
@@ -63,23 +93,34 @@ def minhash_signature(
     shingle_len: int = 5,
     out_col: str = "minhash",
 ) -> DataFrame:
-    """MinHash signature: per hash j, min over shingles of h_j(shingle).
+    """MinHash signature: lane j = min over shingles of the j-th universal
+    mix of the base hash (module docstring).  One md5 per shingle total.
 
     Documents shorter than ``shingle_len`` get an empty-shingle sentinel
-    signature (all 2^32) so they never collide with real content.
+    signature (all 2^32 ≥ the mixing prime) so they never collide with
+    real content.
     """
     sh = shingle_set(F.col(text_col), shingle_len)
+    # own projection: referenced num_hashes times below — CollapseProject
+    # leaves it materialized instead of re-inlining the md5 pass per lane
+    hashed = df.withColumn("__basehash", F.transform(sh, lambda s: _hash_expr(s, "h")))
 
     def _min_hash(j: int):
         # closure factory: a default-arg lambda would be parsed as the
         # binary (element, index) HOF form and silently corrupt the seed
+        a, b = 2 * j + 1, _MINHASH_MIX_B * j
         return F.coalesce(
-            F.array_min(F.transform(sh, lambda s: _hash_expr(s, j))),
+            F.array_min(
+                F.transform(
+                    F.col("__basehash"),
+                    lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_PRIME),
+                )
+            ),
             F.lit(1 << 32).cast("long"),
         )
 
     sig = F.array(*[_min_hash(j) for j in range(num_hashes)])
-    return df.withColumn(out_col, sig)
+    return hashed.withColumn(out_col, sig).drop("__basehash")
 
 
 def lsh_candidate_pairs(
@@ -95,21 +136,26 @@ def lsh_candidate_pairs(
     Output: (id_a, id_b) with id_a < id_b, distinct.  The band/bucket
     equi-join is the only shuffle; each side carries (bucket_key, id).
     """
-    slices = []
-    for b in range(bands):
-        lo = b * rows_per_band + 1  # slice() is 1-indexed
-        band_key = F.concat_ws(
-            ":",
-            F.lit(str(b)),
-            F.concat_ws("_", F.slice(F.col(sig_col), lo, rows_per_band)),
-        )
-        slices.append(
-            sigs.select(F.col(id_col).alias("__id"), band_key.alias("__bucket"))
-        )
-    buckets = slices[0]
-    for s in slices[1:]:
-        buckets = buckets.unionAll(s)
-    left = buckets.alias("l")
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                # slice() is 1-indexed
+                F.concat_ws("_", F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)),
+            )
+            for b in range(bands)
+        ]
+    )
+    # one explode pass emits every band key — the signature plan is not
+    # copied once per band as a union would do
+    buckets = sigs.select(
+        F.col(id_col).alias("__id"), F.explode(band_keys).alias("__bucket")
+    )
+    # shuffle-hash (not broadcast) self-join: both sides shuffle on
+    # __bucket with IDENTICAL child plans, so ReusedExchange computes the
+    # signature pipeline once; a broadcast build would recompute it
+    left = buckets.alias("l").hint("shuffle_hash")
     right = buckets.alias("r")
     return (
         left.join(
@@ -153,8 +199,9 @@ def minhash_dedup_pairs(
     pair set against the shingle arrays, so false LSH positives never reach
     the output.
     """
+    df = _parallelize_narrow_input(df.select(id_col, text_col))
     sigs = minhash_signature(
-        df.select(id_col, text_col), text_col, num_hashes=num_hashes, shingle_len=shingle_len
+        df, text_col, num_hashes=num_hashes, shingle_len=shingle_len
     )
     cands = lsh_candidate_pairs(
         sigs, id_col, bands=bands, rows_per_band=rows_per_band
@@ -221,6 +268,7 @@ def ngram_jaccard_pairs(
     bucket) bounds the blow-up; for unbounded corpora use
     :func:`minhash_dedup_pairs` instead.
     """
+    df = _parallelize_narrow_input(df)
     g = df.select(
         F.col(id_col).alias("__id"),
         ngram_set(F.col(text_col), n).alias("__grams"),

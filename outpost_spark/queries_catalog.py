@@ -44,13 +44,27 @@ def _register(name: str, oracle: str | None):
     return deco
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ns_window: dict[str, tuple] | None = None,
+) -> DataFrame:
     """Read a testdata table, normalizing TIMESTAMP(NANOS) columns.
 
     Spark's parquet reader rejects nano-precision timestamps; with
     ``spark.sql.legacy.parquet.nanosAsLong`` they surface as LongType
     nanos, which we truncate to micros (DuckDB does the same) — the scan
     stays native/vectorized, no driver-side materialization.
+
+    ``ns_window``: optional {col: (start_dt|None, end_dt|None)} range
+    filters applied to the RAW nano long *before* the micros conversion.
+    A filter on the converted column (``timestamp_micros(ts div 1000) >=
+    X``) cannot be pushed into the parquet scan, so every row group would
+    be read; filtering the raw long keeps the predicate in ``PushedFilters``
+    where min/max row-group stats (and, on a partitioned table, partition
+    pruning) skip the irrelevant data — the difference between O(window)
+    and O(table) I/O at 100 TB.  Bounds are half-open [start, end).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -60,6 +74,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         schema = pq.read_schema(os.path.join(sf_dir, f"{name}.parquet"))
         for field in schema:
             if str(field.type) == "timestamp[ns]":
+                if ns_window and field.name in ns_window:
+                    start, end = ns_window[field.name]
+                    if start is not None:
+                        df = df.filter(
+                            F.col(field.name) >= int(start.timestamp() * 1_000_000_000)
+                        )
+                    if end is not None:
+                        df = df.filter(
+                            F.col(field.name) < int(end.timestamp() * 1_000_000_000)
+                        )
                 # integer `div`, not `/`: nano epochs exceed double's 2^53
                 df = df.withColumn(
                     field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
@@ -69,9 +93,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events testdata -> outpost event/attempt hybrid schema (see module doc)."""
-    e = _t(spark, sf_dir, "events")
+def _events(spark: SparkSession, sf_dir: str, window: tuple | None = None) -> DataFrame:
+    """events testdata -> outpost event/attempt hybrid schema (see module doc).
+
+    ``window=(start, end)`` pushes the time range onto the raw nano column
+    so the parquet scan skips row groups outside it (see ``_t``).
+    """
+    e = _t(spark, sf_dir, "events", ns_window={"ts": window} if window else None)
     return e.select(
         F.col("event_id").cast("string").alias("event_id"),
         F.col("event_id").cast("string").alias("attempt_id"),
@@ -146,14 +174,10 @@ def metrics_hourly_count(spark, sf_dir):
 
     from outpost_spark.logstore.metrics import MetricsRequest, TimeRange, query_attempt_metrics
 
-    req = MetricsRequest(
-        TimeRange(
-            datetime(2024, 1, 2, tzinfo=timezone.utc), datetime(2024, 1, 3, tzinfo=timezone.utc)
-        ),
-        measures=["count"],
-        granularity="1h",
-    )
-    return query_attempt_metrics(_events(spark, sf_dir), req)
+    start = datetime(2024, 1, 2, tzinfo=timezone.utc)
+    end = datetime(2024, 1, 3, tzinfo=timezone.utc)
+    req = MetricsRequest(TimeRange(start, end), measures=["count"], granularity="1h")
+    return query_attempt_metrics(_events(spark, sf_dir, window=(start, end)), req)
 
 
 @_register(
@@ -255,9 +279,7 @@ def metrics_rate_whole_range(spark, sf_dir):
 
     start = datetime(2024, 1, 1, tzinfo=timezone.utc)
     end = datetime(2024, 1, 31, tzinfo=timezone.utc)
-    df = _events(spark, sf_dir).filter(
-        (F.col("attempt_time") >= F.lit(start)) & (F.col("attempt_time") < F.lit(end))
-    )
+    df = _events(spark, sf_dir, window=(start, end))
     dur = (end - start).total_seconds()
     return df.agg(
         F.round(F.count_distinct("attempt_id") / F.lit(dur), 10).alias("rate")
@@ -336,9 +358,10 @@ def metrics_15m_dense(spark, sf_dir):
     """W1 multi-unit: 15-minute epoch-aligned buckets (no gap fill)."""
     from datetime import datetime, timezone
 
-    df = _events(spark, sf_dir).filter(
-        (F.col("attempt_time") >= F.lit(datetime(2024, 1, 5, tzinfo=timezone.utc)))
-        & (F.col("attempt_time") < F.lit(datetime(2024, 1, 6, tzinfo=timezone.utc)))
+    df = _events(
+        spark, sf_dir,
+        window=(datetime(2024, 1, 5, tzinfo=timezone.utc),
+                datetime(2024, 1, 6, tzinfo=timezone.utc)),
     )
     return df.groupBy(
         bucket_epoch_expr(F.col("attempt_time"), "15m").alias("time_bucket")
@@ -458,7 +481,11 @@ def list_time_window_gt_lt(spark, sf_dir):
     """P5: strict GT/LT time-range filters (driver/driver.go:12-17)."""
     from datetime import datetime, timezone
 
-    df = _events(spark, sf_dir)
+    df = _events(
+        spark, sf_dir,
+        window=(datetime(2024, 1, 10, tzinfo=timezone.utc),
+                datetime(2024, 1, 10, 6, tzinfo=timezone.utc)),
+    )
     return (
         df.filter(
             (F.col("event_time") > F.lit(datetime(2024, 1, 10, tzinfo=timezone.utc)))
@@ -834,15 +861,19 @@ _SIGS_SQL = """
       SELECT doc_id,
              list_transform(range(0, 16), j ->
                coalesce(
-                 list_min(list_transform(shingles, s ->
-                   CAST(('0x' || substr(md5(j || '|' || s), 1, 8)) AS BIGINT))),
+                 list_min(list_transform(basehash, h ->
+                   (h * (2 * j + 1) + 1000003 * j) % 4294967291)),
                  4294967296)) AS minhash
       FROM (
         SELECT doc_id,
-               list_distinct(list_transform(
-                 range(1, greatest(length(lower(text)) - 4, 0) + 1),
-                 i -> substr(lower(text), CAST(i AS INT), 5))) AS shingles
-        FROM documents)
+               list_transform(shingles, s ->
+                 CAST(('0x' || substr(md5('h|' || s), 1, 8)) AS BIGINT)) AS basehash
+        FROM (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(length(lower(text)) - 4, 0) + 1),
+                   i -> substr(lower(text), CAST(i AS INT), 5))) AS shingles
+          FROM documents))
     )
 """
 
