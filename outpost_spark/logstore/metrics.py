@@ -310,3 +310,61 @@ def query_event_metrics(events_df: DataFrame, req: MetricsRequest) -> DataFrame:
 def query_attempt_metrics(attempts_df: DataFrame, req: MetricsRequest) -> DataFrame:
     """QueryAttemptMetrics (driver/metrics.go:35-47) as one DataFrame plan."""
     return _query_metrics(attempts_df, req, events=False)
+
+
+@dataclass
+class MetricsResponse:
+    """API response shape (metrics_handlers.go:315-419).
+
+    ``data``: one dict per point — {time_bucket?, dimensions{}, metrics{}};
+    ``truncated``: the plan fetched ROW_LIMIT+1 rows, got more than the cap.
+    """
+
+    data: list[dict]
+    granularity: str | None
+    row_count: int
+    row_limit: int
+    truncated: bool
+    query_time_ms: int
+
+
+def run_metrics(
+    df: DataFrame, req: MetricsRequest, *, events: bool
+) -> MetricsResponse:
+    """Execute a metrics query and shape the response with metadata.
+
+    Rows beyond ROW_LIMIT are dropped and flagged (chlogstore/
+    metrics.go:565-568); each point splits into dimensions vs metrics maps.
+    """
+    import time as _time
+
+    t0 = _time.perf_counter()
+    rows = _query_metrics(df, req, events=events).collect()
+    elapsed_ms = int((_time.perf_counter() - t0) * 1000)
+    truncated = len(rows) > ROW_LIMIT
+    rows = rows[:ROW_LIMIT]
+    points = []
+    for r in rows:
+        d = r.asDict()
+        point: dict = {}
+        if "time_bucket" in d:
+            point["time_bucket"] = d.pop("time_bucket")
+        point["dimensions"] = {k: d.pop(k) for k in req.dimensions}
+        point["metrics"] = {m: d.get(m) for m in req.measures}
+        points.append(point)
+    return MetricsResponse(
+        data=points,
+        granularity=req.granularity,
+        row_count=len(points),
+        row_limit=ROW_LIMIT,
+        truncated=truncated,
+        query_time_ms=elapsed_ms,
+    )
+
+
+def run_event_metrics(events_df: DataFrame, req: MetricsRequest) -> MetricsResponse:
+    return run_metrics(events_df, req, events=True)
+
+
+def run_attempt_metrics(attempts_df: DataFrame, req: MetricsRequest) -> MetricsResponse:
+    return run_metrics(attempts_df, req, events=False)

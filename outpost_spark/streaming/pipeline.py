@@ -37,6 +37,32 @@ def route_stream(events_stream: DataFrame, destinations: DataFrame) -> DataFrame
     return pairs.withColumn("attempt", F.lit(1)).withColumn("manual", F.lit(False))
 
 
+def make_log_sink(events_path: str, attempts_path: str, commits_path: str):
+    """Build the idempotent foreachBatch sink function (exactly-once).
+
+    foreachBatch gives at-least-once: after a crash between the parquet
+    append and the offset commit, the same batch_id is replayed and a
+    plain append would duplicate it.  The sink writes a marker file per
+    committed batch_id (the parquet append itself is the transaction
+    payload, the marker is the commit record — same idea as Delta's
+    txn-version dedup for idempotent writes); a replayed batch_id is
+    skipped entirely.  Markers are tiny and pruned with the checkpoint.
+    """
+    import os
+
+    os.makedirs(commits_path, exist_ok=True)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(commits_path, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return  # replay of an already-committed micro-batch (ST1)
+        insert_many(batch_df, events_path, attempts_path)
+        with open(marker, "w") as f:
+            f.write("committed")
+
+    return _sink
+
+
 def write_log_stream(
     entries_stream: DataFrame,
     events_path: str,
@@ -48,13 +74,15 @@ def write_log_stream(
     """LogEntry stream -> the two month-partitioned tables via foreachBatch.
 
     Returns the StreamingQuery.  Each micro-batch runs the S5 InsertMany
-    semantics (dedupe by attempt_id, event rows for attempt_number <= 1).
+    semantics (dedupe by attempt_id, event rows for attempt_number <= 1)
+    through the idempotent sink (replayed batch ids are no-ops).
     """
+    import os
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        insert_many(batch_df, events_path, attempts_path)
-
-    writer = entries_stream.writeStream.foreachBatch(_sink).option(
+    sink = make_log_sink(
+        events_path, attempts_path, os.path.join(checkpoint_path, "_committed")
+    )
+    writer = entries_stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_path
     )
     if trigger_seconds:
