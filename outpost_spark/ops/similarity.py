@@ -102,6 +102,15 @@ def cosine_topk_lsh(
     )
 
 
+def bucket_partition_hint(
+    df: DataFrame, vec_col: str, *, bits: int = 8, out_col: str = "bucket"
+) -> DataFrame:
+    """Write-layout helper: stamp the sign-LSH bucket as a column so the
+    table can be written ``partitionBy(out_col)`` — ANN queries then prune
+    the scan to the query's partition instead of reading every vector."""
+    return df.withColumn(out_col, sign_lsh_bucket(F.col(vec_col), bits))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,

@@ -108,6 +108,38 @@ def event_stream(spark: SparkSession, url: str) -> DataFrame:
     )
 
 
+def write_task_stream(
+    df: DataFrame, url: str, checkpoint_path: str, *, trigger_seconds: int | None = None
+):
+    """DeliveryTask/operator-event stream -> queue sink (S6, partial scope).
+
+    Rows are serialized to one JSON message each (the mqs codec shape,
+    models/tasks.go:45-57).  ``kafka://`` writes to the URL's topic;
+    ``file://`` appends JSON files (testing/replay).  Returns the
+    StreamingQuery.  Per BASELINE.json the other nine provider sinks are
+    out of primary scope — they would be additional ``format(...)``
+    connectors behind this same URL surface.
+    """
+    fmt, opts = parse_queue_url(url)
+    body = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    if fmt == "kafka":
+        topic = opts.pop("subscribe")
+        writer = (
+            body.writeStream.format("kafka")
+            .options(**opts)
+            .option("topic", topic)
+        )
+    else:
+        path = opts.pop("path")
+        writer = body.writeStream.format("json").option("path", path)
+        for k, v in opts.items():
+            writer = writer.option(k, v)
+    writer = writer.option("checkpointLocation", checkpoint_path)
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def validate_publish(
     events: DataFrame, *, valid_topics: list[str] | None = None
 ) -> tuple[DataFrame, DataFrame]:

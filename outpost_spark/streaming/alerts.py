@@ -40,17 +40,34 @@ ALERT_OUTPUT_SCHEMA = (
 
 @dataclass
 class AlertStateMachine:
-    """Pure consecutive-failure evaluator (mirrors Evaluator.Evaluate)."""
+    """Pure consecutive-failure evaluator (mirrors Evaluator.Evaluate).
+
+    ``exhausted_window_seconds`` is the ST4 suppression window: at most one
+    exhausted-retries alert per destination within the window, regardless
+    of which events exhaust; 0 means alert on every exhaustion
+    (services/builder.go:378-388).
+    """
 
     auto_disable_failure_count: int = 20
     thresholds: list[int] = field(default_factory=lambda: list(DEFAULT_THRESHOLDS))
     retry_max_limit: int = 10
     consecutive_failure_enabled: bool = True
     exhausted_retries_enabled: bool = True
+    exhausted_window_seconds: float = 0.0
 
     def __post_init__(self):
         self.pairs = threshold_failure_counts(
             self.thresholds, self.auto_disable_failure_count
+        )
+
+    def exhausted_suppressed(
+        self, now: float, last_exhausted_at: float | None
+    ) -> bool:
+        """Inside the per-destination suppression window?"""
+        return (
+            self.exhausted_window_seconds > 0
+            and last_exhausted_at is not None
+            and (now - last_exhausted_at) < self.exhausted_window_seconds
         )
 
     def evaluate(
@@ -61,11 +78,15 @@ class AlertStateMachine:
         success: bool,
         attempt_number: int = 1,
         eligible_for_retry: bool = True,
+        now: float = 0.0,
+        last_exhausted_at: float | None = None,
     ) -> tuple[set[str], list[dict]]:
         """One attempt outcome -> (new seen-id set, emitted signals).
 
         The seen-id set IS the consecutive-failure count (its cardinality),
-        exactly like the reference's Redis SET.
+        exactly like the reference's Redis SET.  The caller tracks
+        ``last_exhausted_at`` per key and refreshes it whenever an
+        ``alert.attempt.exhausted_retries`` signal is emitted.
         """
         signals: list[dict] = []
         if success:
@@ -97,6 +118,7 @@ class AlertStateMachine:
             and self.retry_max_limit > 0
             and eligible_for_retry
             and attempt_number > self.retry_max_limit
+            and not self.exhausted_suppressed(now, last_exhausted_at)
         ):
             signals.append(
                 {
@@ -116,11 +138,18 @@ def alert_processor_factory(machine: AlertStateMachine):
     Input rows (grouped by tenant_id, destination_id): attempt_id, status,
     attempt_number, eligible_for_retry.  Output: ALERT_OUTPUT_SCHEMA rows.
     """
+    import time as _time
+
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
-    from pyspark.sql.types import StructType, StructField, StringType
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
-    state_schema = StructType([StructField("ids", StringType(), True)])
+    state_schema = StructType(
+        [
+            StructField("ids", StringType(), True),
+            StructField("last_exhausted", DoubleType(), True),
+        ]
+    )
 
     class AlertProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -129,10 +158,12 @@ def alert_processor_factory(machine: AlertStateMachine):
         def handleInputRows(self, key, rows, timerValues) -> Iterator["pd.DataFrame"]:
             tenant_id, destination_id = key[0], key[1]
             seen: set[str] = set()
+            last_exhausted = None
             if self.state.exists():
-                stored = self.state.get()[0]
+                stored, last_exhausted = self.state.get()
                 if stored:
                     seen = set(stored.split("\x00"))
+            now = _time.time()
             out = []
             for pdf in rows:
                 # arrival order within a batch is preserved per key
@@ -143,8 +174,12 @@ def alert_processor_factory(machine: AlertStateMachine):
                         success=(r.status == "success"),
                         attempt_number=int(r.attempt_number),
                         eligible_for_retry=bool(r.eligible_for_retry),
+                        now=now,
+                        last_exhausted_at=last_exhausted,
                     )
                     for s in signals:
+                        if s["signal"] == "alert.attempt.exhausted_retries":
+                            last_exhausted = now  # refresh suppression window
                         out.append(
                             {
                                 "tenant_id": tenant_id,
@@ -152,7 +187,7 @@ def alert_processor_factory(machine: AlertStateMachine):
                                 **s,
                             }
                         )
-            self.state.update(("\x00".join(sorted(seen)),))
+            self.state.update(("\x00".join(sorted(seen)), last_exhausted))
             if out:
                 yield pd.DataFrame(out)
 
@@ -192,20 +227,23 @@ def attach_alert_stream(attempts_stream, machine: AlertStateMachine, *, impl: st
             timeMode="None",
         )
 
+    import time as _time
+
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-    from pyspark.sql.types import StructType
 
     out_schema = ALERT_OUTPUT_SCHEMA
-    state_schema = "ids string"
+    state_schema = "ids string, last_exhausted double"
 
     def func(key, pdfs, state: GroupState):
         tenant_id, destination_id = key
         seen: set[str] = set()
+        last_exhausted = None
         if state.exists:
-            (stored,) = state.get
+            stored, last_exhausted = state.get
             if stored:
                 seen = set(stored.split("\x00"))
+        now = _time.time()
         out = []
         for pdf in pdfs:
             for r in pdf.itertuples(index=False):
@@ -215,12 +253,16 @@ def attach_alert_stream(attempts_stream, machine: AlertStateMachine, *, impl: st
                     success=(r.status == "success"),
                     attempt_number=int(r.attempt_number),
                     eligible_for_retry=bool(r.eligible_for_retry),
+                    now=now,
+                    last_exhausted_at=last_exhausted,
                 )
                 for s in signals:
+                    if s["signal"] == "alert.attempt.exhausted_retries":
+                        last_exhausted = now  # refresh suppression window
                     out.append(
                         {"tenant_id": tenant_id, "destination_id": destination_id, **s}
                     )
-        state.update(("\x00".join(sorted(seen)),))
+        state.update(("\x00".join(sorted(seen)), last_exhausted))
         if out:
             yield pd.DataFrame(out)
 

@@ -144,6 +144,33 @@ def test_event_stream_decodes_and_defaults(spark, tmpdir):
     assert rows["t2"]["event_time"] is not None
 
 
+def test_write_task_stream_file_sink_roundtrip(spark, tmpdir):
+    from outpost_spark.sources import write_task_stream
+
+    src = os.path.join(tmpdir, "tin")
+    os.makedirs(src)
+    with open(os.path.join(src, "t.json"), "w") as f:
+        f.write(json.dumps({"event_id": "e1", "destination_id": "d1", "attempt": 1}) + "\n")
+    stream = spark.readStream.schema(
+        "event_id string, destination_id string, attempt int"
+    ).json(src)
+    out = os.path.join(tmpdir, "tout")
+    q = write_task_stream(stream, f"file://{out}", os.path.join(tmpdir, "tck"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [
+        json.loads(line)
+        for fn in os.listdir(out)
+        if fn.endswith(".json") or fn.endswith(".txt")
+        for line in open(os.path.join(out, fn))
+    ]
+    # each row is one JSON message carrying the task fields
+    payloads = [json.loads(r["value"]) for r in rows]
+    assert {"event_id": "e1", "destination_id": "d1", "attempt": 1} in payloads
+
+
 def test_validate_publish_splits(spark):
     df = spark.createDataFrame(
         [

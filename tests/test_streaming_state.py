@@ -107,6 +107,30 @@ def test_exhausted_retries_signal():
     assert not any(s["signal"] == "alert.attempt.exhausted_retries" for s in sigs)
 
 
+def test_exhausted_retries_suppression_window():
+    # ST4: at most one exhausted alert per destination per window; the
+    # window refreshes on emission; 0 = alert on every exhaustion
+    # (services/builder.go:378-388, logmq/batchprocessor.go:86-93)
+    m = AlertStateMachine(retry_max_limit=10, exhausted_window_seconds=60.0)
+
+    def exhausted(now, last):
+        _, sigs = m.evaluate(
+            set(), attempt_id=f"a{now}", success=False, attempt_number=11,
+            eligible_for_retry=True, now=now, last_exhausted_at=last,
+        )
+        return any(s["signal"] == "alert.attempt.exhausted_retries" for s in sigs)
+
+    assert exhausted(100.0, None)          # first exhaustion emits
+    assert not exhausted(130.0, 100.0)     # inside the window: suppressed
+    assert exhausted(161.0, 100.0)         # window elapsed: emits again
+    m0 = AlertStateMachine(retry_max_limit=10)  # window 0 = no suppression
+    _, sigs = m0.evaluate(
+        set(), attempt_id="x", success=False, attempt_number=11,
+        eligible_for_retry=True, now=130.0, last_exhausted_at=100.0,
+    )
+    assert any(s["signal"] == "alert.attempt.exhausted_retries" for s in sigs)
+
+
 # ── ST2: retry timer queue (scheduler.go, deliverymq/retry.go) ───────────
 
 
