@@ -160,7 +160,11 @@ def match_pairs(
     else:
         pairs = pairs.filter(F.col("__dest_filter").isNull())
 
-    return pairs.select(*[events[c] for c in events.columns], F.col("__dest_id").alias("destination_id"))
+    # an event's own destination_id is ignored by the matcher (MatchEvent
+    # matches by topic/filter only — drivertest/match.go:47-91); the output
+    # column is the MATCHED destination
+    carried = [c for c in events.columns if c != "destination_id"]
+    return pairs.select(*[events[c] for c in carried], F.col("__dest_id").alias("destination_id"))
 
 
 def match_events(
@@ -185,6 +189,54 @@ def match_events(
         "matched_destination_ids",
         F.coalesce(F.col("matched_destination_ids"), F.array().cast("array<string>")),
     )
+
+
+def match_events_with_explicit(
+    events: DataFrame,
+    destinations: DataFrame,
+    *,
+    use_filter_udf: bool = True,
+) -> DataFrame:
+    """MatchEvent with the explicit-destination fast path.
+
+    An event published with a ``destination_id`` is point-checked against
+    only that destination (enabled ∧ topic ∧ filter —
+    eventhandler.go:123-137, matchSpecificDestination :204-224); a missing
+    or non-matching explicit destination yields an empty match.  Events
+    without one go through the normal scan of the tenant's destinations.
+    Both branches are the same broadcast pair join; the explicit branch
+    adds the id-equality predicate so at most one pair survives.
+    """
+    if "destination_id" not in events.columns:
+        return match_events(events, destinations, use_filter_udf=use_filter_udf)
+
+    has_explicit = F.col("destination_id").isNotNull() & (F.col("destination_id") != "")
+    explicit = events.filter(has_explicit)
+    implicit = events.filter(~has_explicit | F.col("destination_id").isNull()).drop(
+        "destination_id"
+    )
+
+    implicit_matched = match_events(implicit, destinations, use_filter_udf=use_filter_udf)
+
+    pairs = match_pairs(
+        explicit.withColumnRenamed("destination_id", "__explicit_id"),
+        destinations,
+        use_filter_udf=use_filter_udf,
+    ).filter(F.col("destination_id") == F.col("__explicit_id"))
+    explicit_ids = pairs.groupBy("event_id").agg(
+        F.array_sort(F.collect_list("destination_id")).alias("matched_destination_ids")
+    )
+    explicit_matched = (
+        explicit.drop("destination_id")
+        .join(explicit_ids, on="event_id", how="left")
+        .withColumn(
+            "matched_destination_ids",
+            F.coalesce(
+                F.col("matched_destination_ids"), F.array().cast("array<string>")
+            ),
+        )
+    )
+    return implicit_matched.unionByName(explicit_matched)
 
 
 def fanout_delivery_tasks(matched_events: DataFrame) -> DataFrame:

@@ -134,3 +134,90 @@ def test_event_with_no_destinations_keeps_empty_array(spark, dfs):
     lonely = spark.createDataFrame([_ev("e9", "t9", "x.y", {})], EV_SCHEMA)
     got = _matches(match_events(lonely, dests))
     assert got["e9"] == []
+
+
+def test_wildcard_topic_families(spark):
+    """match.go MatchByWildcardTopic: prefix/suffix/middle wildcard patterns
+    are separator-agnostic; unrelated topics never overmatch."""
+    events = spark.createDataFrame(
+        [
+            _ev("w1", "t9", "user.created"),
+            _ev("w2", "t9", "order.payment.completed"),
+            _ev("w3", "t9", "order.payment.failed"),
+        ],
+        EV_SCHEMA,
+    )
+    dests = spark.createDataFrame(
+        [
+            _dest("dest_user_family", "t9", ["user.*"]),
+            _dest("dest_created_family", "t9", ["*.created"]),
+            _dest("dest_order_completed_family", "t9", ["order.*.completed"]),
+            _dest("dest_exact", "t9", ["user.created"]),
+        ],
+        DEST_SCHEMA,
+    )
+    got = _matches(match_events(events, dests))
+    assert got["w1"] == ["dest_created_family", "dest_exact", "dest_user_family"]
+    assert got["w2"] == ["dest_order_completed_family"]
+    assert got["w3"] == []
+
+
+def test_match_ignores_event_destination_id(spark):
+    """match.go: MatchEvent matches by topic/filter only — an explicit (even
+    non-existent or topic-mismatched) event.destination_id is ignored by the
+    matcher; the explicit-destination path is a separate point check."""
+    events = spark.createDataFrame(
+        [
+            ("d1", "t9", "user.created", T0, {}, "{}"),
+            ("d2", "t9", "user.created", T0, {}, "{}"),
+        ],
+        "event_id string, tenant_id string, topic string, event_time timestamp, "
+        "metadata map<string,string>, data string",
+    ).withColumn("destination_id", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("not-found"))
+    dests = spark.createDataFrame(
+        [
+            _dest("a", "t9", ["user.created"]),
+            _dest("b", "t9", ["user.*"]),
+        ],
+        DEST_SCHEMA,
+    )
+    got = _matches(match_events(events, dests))
+    assert got["d1"] == ["a", "b"]
+    assert got["d2"] == ["a", "b"]
+
+
+def test_explicit_destination_point_check(spark):
+    """eventhandler.go:204-224: an explicit destination_id is point-checked
+    against that destination only; missing / topic-mismatched / disabled
+    explicit destinations yield an empty match; events without an explicit
+    id fan out normally."""
+    from pyspark.sql import functions as F
+
+    from outpost_spark.routing.match import match_events_with_explicit
+
+    base = spark.createDataFrame(
+        [
+            ("x1", "t9", "user.created", T0, {}, "{}", "a"),         # matches a only
+            ("x2", "t9", "user.created", T0, {}, "{}", "missing"),   # no such dest
+            ("x3", "t9", "user.created", T0, {}, "{}", "c"),         # topic mismatch
+            ("x4", "t9", "user.created", T0, {}, "{}", None),        # normal fanout
+            ("x5", "t9", "user.created", T0, {}, "{}", "dis"),       # disabled
+        ],
+        "event_id string, tenant_id string, topic string, event_time timestamp, "
+        "metadata map<string,string>, data string, destination_id string",
+    )
+    dests = spark.createDataFrame(
+        [
+            _dest("a", "t9", ["user.created"]),
+            _dest("b", "t9", ["user.*"]),
+            _dest("c", "t9", ["order.created"]),
+            _dest("dis", "t9", ["*"], disabled=True),
+        ],
+        DEST_SCHEMA,
+    )
+    got = _matches(match_events_with_explicit(base, dests))
+    assert got["x1"] == ["a"]
+    assert got["x2"] == []
+    assert got["x3"] == []
+    assert got["x4"] == ["a", "b"]
+    assert got["x5"] == []
