@@ -110,11 +110,62 @@ def _rfc3339(col: Column) -> Column:
     return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ssX")
 
 
+def _compiled_filter_predicate(destinations: DataFrame):
+    """Plan-time compilation of the distinct filter docs (P8 fast path).
+
+    The destinations dimension is small by design (it broadcasts into the
+    routing join), so collecting its distinct filter documents at plan time
+    is cheap.  Each compilable doc becomes a native Column predicate in a
+    CASE chain keyed on the filter text — evaluation stays inside
+    whole-stage codegen; only rows whose doc is outside the compilable
+    subset fall back to the pandas-UDF interpreter.  Returns (chain,
+    any_uncompilable).
+    """
+    import json as _json
+
+    from outpost_spark.functions.jsonmatch_compiler import (
+        UncompilableFilter,
+        compile_filter,
+    )
+
+    docs = [
+        r["filter"]
+        for r in destinations.select("filter").distinct().collect()
+        if r["filter"]
+    ]
+    chain = F.when(F.col("__dest_filter").isNull(), F.lit(True))
+    any_uncompilable = False
+    for fstr in docs:
+        try:
+            doc = _json.loads(fstr)
+            if not isinstance(doc, dict):
+                raise ValueError
+        except (ValueError, TypeError):
+            # invalid filter docs never match (match.go:10-16)
+            chain = chain.when(F.col("__dest_filter") == fstr, F.lit(False))
+            continue
+        try:
+            pred = compile_filter(
+                doc,
+                data_col=F.col("data"),
+                topic_col=F.col("topic"),
+                id_col=F.col("event_id"),
+                time_col=_rfc3339(F.col("event_time")),
+                metadata_col=F.col("metadata"),
+            )
+        except UncompilableFilter:
+            any_uncompilable = True
+            continue
+        chain = chain.when(F.col("__dest_filter") == fstr, pred)
+    return chain, any_uncompilable
+
+
 def match_pairs(
     events: DataFrame,
     destinations: DataFrame,
     *,
     use_filter_udf: bool = True,
+    filter_mode: str = "udf",
 ) -> DataFrame:
     """(event x matched destination) pairs — the streaming-safe core join.
 
@@ -126,6 +177,13 @@ def match_pairs(
     Works identically on batch and streaming event DataFrames (stream-static
     broadcast join + filter; no aggregation).  Output: every event column
     plus ``destination_id``.
+
+    ``filter_mode="compiled"`` compiles the distinct filter docs to native
+    Column predicates at plan time (UDF only for uncompilable docs) — the
+    scale path: no Python in the hot loop for the common filter shapes.
+    ``"udf"`` (default) interprets every doc in the pandas UDF — always
+    available, including when the destinations side cannot be collected at
+    plan time.
     """
     d = destinations.select(
         F.col("id").alias("__dest_id"),
@@ -147,7 +205,8 @@ def match_pairs(
     # ... then the filter-language predicate as a post-join WHERE (Python
     # UDFs are not allowed in outer-join conditions); rows with NULL/empty
     # filter docs pass without invoking Python at all.
-    if use_filter_udf:
+    udf_pred = None
+    if use_filter_udf or filter_mode == "compiled":
         udf_pred = _get_filter_match_udf()(
             F.col("__dest_filter"),
             F.col("event_id"),
@@ -156,6 +215,11 @@ def match_pairs(
             F.to_json(F.col("metadata")),
             F.col("data"),
         )
+    if filter_mode == "compiled":
+        chain, any_uncompilable = _compiled_filter_predicate(destinations)
+        fallback = udf_pred if any_uncompilable else F.lit(False)
+        pairs = pairs.filter(chain.otherwise(fallback))
+    elif use_filter_udf:
         pairs = pairs.filter(F.col("__dest_filter").isNull() | udf_pred)
     else:
         pairs = pairs.filter(F.col("__dest_filter").isNull())
@@ -172,6 +236,7 @@ def match_events(
     destinations: DataFrame,
     *,
     use_filter_udf: bool = True,
+    filter_mode: str = "udf",
 ) -> DataFrame:
     """Stamp ``matched_destination_ids`` on each event (MatchEvent fan-in).
 
@@ -179,7 +244,9 @@ def match_events(
     back so zero-match events keep an empty array (the reference still logs
     unrouted events — eventhandler.go:139-151).
     """
-    pairs = match_pairs(events, destinations, use_filter_udf=use_filter_udf)
+    pairs = match_pairs(
+        events, destinations, use_filter_udf=use_filter_udf, filter_mode=filter_mode
+    )
     matched = pairs.groupBy("event_id").agg(
         F.array_sort(F.collect_list(F.col("destination_id"))).alias(
             "matched_destination_ids"

@@ -1,0 +1,131 @@
+"""The compiled-Column filter path must agree with the interpreter on every
+corpus case it claims to compile — same 241-case corpus, evaluated through
+Spark, diffed against the pure-Python `match` (the executable spec)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from outpost_spark.functions.jsonmatch import match, match_event_filter
+from outpost_spark.functions.jsonmatch_compiler import (
+    UncompilableFilter,
+    compile_filter,
+    compile_value_filter,
+)
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures_jsonmatch.json")
+with open(FIXTURE) as f:
+    CORPUS = json.load(f)
+
+ALL_CASES = CORPUS["main"] + CORPUS["not"]
+
+
+def test_corpus_compiled_path_agrees_with_interpreter(spark):
+    cases = []
+    for i, c in enumerate(ALL_CASES):
+        if not isinstance(c["input"], dict):
+            continue  # envelope inputs are always objects
+        cases.append((i, c))
+
+    compiled: dict[int, object] = {}
+    data_col = F.col("data")
+    for i, c in cases:
+        try:
+            compiled[i] = compile_value_filter(data_col, c["schema"])
+        except UncompilableFilter:
+            pass
+
+    assert compiled, "compiler should handle a nontrivial corpus subset"
+    coverage = len(compiled) / len(cases)
+    # the compiler must cover a meaningful share of real filter shapes
+    assert coverage >= 0.4, f"compile coverage too low: {coverage:.0%}"
+
+    df = spark.createDataFrame(
+        [(i, json.dumps(c["input"])) for i, c in cases if i in compiled],
+        "id int, data string",
+    )
+    out = df.select(
+        "id", *[pred.alias(f"p{i}") for i, pred in compiled.items()]
+    ).collect()
+    mismatches = []
+    by_id = {r["id"]: r for r in out}
+    for i, c in cases:
+        if i not in compiled:
+            continue
+        got = bool(by_id[i][f"p{i}"])
+        want = match(c["input"], c["schema"])
+        if got is not want:
+            mismatches.append(
+                (i, c["input"], c["schema"], f"compiled={got} spec={want}")
+            )
+    assert not mismatches, f"{len(mismatches)} divergences, e.g. {mismatches[:3]}"
+
+
+def test_envelope_compiled_filters(spark):
+    rows = [
+        ("e1", "user.created", "2024-01-01T00:00:00Z", {"source": "api"},
+         '{"amount": 120, "type": "premium", "tags": ["a", "b"], "n": {"f": true}}'),
+        ("e2", "user.deleted", "2024-02-01T00:00:00Z", {"source": "web"},
+         '{"amount": "120", "type": "basic"}'),
+        ("e3", "order.created", "2024-03-01T00:00:00Z", {},
+         "not json"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id string, topic string, time string, metadata map<string,string>, data string",
+    )
+    docs = [
+        {"topic": "user.created"},
+        {"topic": {"$startsWith": "user."}},
+        {"data": {"amount": {"$gte": 100}}},       # strict: "120" is not a number
+        {"data": {"amount": "120"}},               # strict: 120 is not a string
+        {"data": {"type": "premium", "amount": 120}},
+        {"data": {"tags": "a"}},                   # any-element match
+        {"data": {"n": {"f": True}}},              # nested path
+        {"metadata": {"source": "api"}},
+        {"time": {"$startsWith": "2024-0"}},
+        {"$or": [{"topic": "order.created"}, {"data": {"type": "premium"}}]},
+        {"$not": {"topic": "user.deleted"}},
+        {"data": {"missing": {"$exist": False}}},
+        {"data": {"amount": {"$exist": True}}},
+    ]
+    preds = [
+        compile_filter(
+            doc,
+            data_col=F.col("data"),
+            topic_col=F.col("topic"),
+            id_col=F.col("id"),
+            time_col=F.col("time"),
+            metadata_col=F.col("metadata"),
+        ).alias(f"d{j}")
+        for j, doc in enumerate(docs)
+    ]
+    got = {r["id"]: r for r in df.select("id", *preds).collect()}
+    for j, doc in enumerate(docs):
+        for rid, topic, time_s, md, data in rows:
+            want = match_event_filter(
+                doc, event_id=rid, topic=topic, time_rfc3339=time_s,
+                metadata=md, data=data,
+            )
+            assert bool(got[rid][f"d{j}"]) is want, (
+                f"doc {doc} on {rid}: compiled={bool(got[rid][f'd{j}'])} spec={want}"
+            )
+
+
+def test_uncompilable_constructs_raise(spark):
+    for doc in [
+        {"data": {"x": {"$not": {"$eq": 1}}}},   # value-level $not
+        {"data": {"x": [1, 2]}},                 # schema arrays (contains-all)
+        {"weird_key": 1},                        # unknown envelope key
+    ]:
+        with pytest.raises(UncompilableFilter):
+            compile_filter(
+                doc,
+                data_col=F.col("data"),
+                topic_col=F.col("topic"),
+                id_col=F.col("id"),
+                time_col=F.col("time"),
+                metadata_col=F.col("metadata"),
+            )

@@ -221,3 +221,13 @@ def test_explicit_destination_point_check(spark):
     assert got["x3"] == []
     assert got["x4"] == ["a", "b"]
     assert got["x5"] == []
+
+
+def test_compiled_filter_mode_matches_udf_mode(dfs):
+    """P8 fast path: plan-time-compiled filter predicates produce exactly
+    the same routing decisions as the UDF interpreter on the full fixture
+    matrix (premium filter, nested filter, topic+filter combos)."""
+    events, dests = dfs
+    via_udf = _matches(match_events(events, dests))
+    via_compiled = _matches(match_events(events, dests, filter_mode="compiled"))
+    assert via_compiled == via_udf
