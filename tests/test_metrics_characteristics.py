@@ -1,0 +1,83 @@
+"""Behavioral characteristics of the metrics engine — ports of
+metrics_characteristics.go: truncation flag, calendar-aware monthly rates,
+gap fill over an empty range, double-run determinism."""
+
+from datetime import datetime, timezone
+
+import pytest
+
+import outpost_spark.logstore.metrics as M
+from outpost_spark.fixtures import DS_END, DS_START, TENANT_1, golden_dataframes
+from outpost_spark.logstore.metrics import (
+    MetricsRequest,
+    TimeRange,
+    query_attempt_metrics,
+    run_attempt_metrics,
+)
+
+FULL = TimeRange(DS_START, DS_END)
+T1 = {"tenant_id": [TENANT_1]}
+
+
+@pytest.fixture(scope="module")
+def golden(spark):
+    events, attempts = golden_dataframes(spark)
+    attempts.cache().count()
+    return events, attempts
+
+
+def test_truncation_flag_set_beyond_row_cap(golden, monkeypatch):
+    _, attempts = golden
+    monkeypatch.setattr(M, "ROW_LIMIT", 3)
+    resp = run_attempt_metrics(
+        attempts,
+        MetricsRequest(FULL, measures=["count"], granularity="1d", filters=T1),
+    )
+    assert resp.truncated is True
+    assert resp.row_count == 3 and len(resp.data) == 3
+    assert resp.row_limit == 3
+
+
+def test_monthly_rate_uses_calendar_month_seconds(golden):
+    # Jan 2000 has 31 days -> 2678400 s; rate = count / 2678400 per bucket
+    _, attempts = golden
+    out = query_attempt_metrics(
+        attempts,
+        MetricsRequest(FULL, measures=["count", "rate"], granularity="1M", filters=T1),
+    ).collect()
+    jan = [r for r in out if r["count"] > 0]
+    assert len(jan) == 1
+    assert jan[0]["rate"] == pytest.approx(jan[0]["count"] / 2678400.0)
+
+
+def test_gap_fill_empty_range_emits_all_zero_slots(golden):
+    # a day with no data at 1h granularity -> exactly 24 zero rows
+    _, attempts = golden
+    empty_day = TimeRange(
+        datetime(2000, 3, 10, tzinfo=timezone.utc),
+        datetime(2000, 3, 11, tzinfo=timezone.utc),
+    )
+    out = query_attempt_metrics(
+        attempts,
+        MetricsRequest(empty_day, measures=["count"], granularity="1h", filters=T1),
+    ).collect()
+    assert len(out) == 24
+    assert all(r["count"] == 0 for r in out)
+    # slots are contiguous hour starts
+    buckets = [r["time_bucket"] for r in out]
+    assert buckets == sorted(buckets)
+    assert buckets[1] - buckets[0] == 3600
+
+
+def test_double_run_is_deterministic(golden):
+    _, attempts = golden
+    req = MetricsRequest(
+        FULL,
+        measures=["count", "error_rate"],
+        dimensions=["status"],
+        granularity="1d",
+        filters=T1,
+    )
+    a = [r.asDict() for r in query_attempt_metrics(attempts, req).collect()]
+    b = [r.asDict() for r in query_attempt_metrics(attempts, req).collect()]
+    assert a == b
