@@ -92,11 +92,23 @@ class TimeRange:
 
 @dataclass
 class MetricsRequest:
+    """MetricsRequest (driver/metrics.go:49-55).
+
+    ``assume_deduped``: the reference keeps exact ``uniqExact`` counts
+    because ReplacingMergeTree may hold not-yet-collapsed duplicate rows.
+    When the table is written through the exactly-once sink (per-batch
+    commit markers + in-batch dedup — no duplicate rows can exist), the
+    distinct counts degenerate to plain conditional counts, removing one
+    full shuffle of the id column from every metrics query.  Defaults to
+    False (byte-equal reference semantics).
+    """
+
     time_range: TimeRange
     measures: list[str]
     granularity: str | Granularity | None = None
     dimensions: list[str] = field(default_factory=list)
     filters: dict[str, list] = field(default_factory=dict)
+    assume_deduped: bool = False
 
     def gran(self) -> Granularity | None:
         if self.granularity is None:
@@ -118,37 +130,45 @@ def _enrich_measures(measures: list[str]) -> list[str]:
     return out
 
 
-def _count_distinct_if(id_col: str, cond: Column) -> Column:
+def _count_distinct_if(id_col: str, cond: Column, deduped: bool) -> Column:
+    if deduped:
+        return F.count(F.when(cond, F.lit(1)))
     return F.count_distinct(F.when(cond, F.col(id_col)))
 
 
-def _attempt_measure_expr(measure: str) -> Column | None:
+def _count_distinct(id_col: str, deduped: bool) -> Column:
+    return F.count(F.lit(1)) if deduped else F.count_distinct(F.col(id_col))
+
+
+def _attempt_measure_expr(measure: str, deduped: bool = False) -> Column | None:
     """chlogstore/metrics.go:355-382; rates are post-aggregation (None here)."""
     c = F.col
     if measure == "count":
-        return F.count_distinct(c("attempt_id"))
+        return _count_distinct("attempt_id", deduped)
     if measure == "successful_count":
-        return _count_distinct_if("attempt_id", c("status") == "success")
+        return _count_distinct_if("attempt_id", c("status") == "success", deduped)
     if measure == "failed_count":
-        return _count_distinct_if("attempt_id", c("status") == "failed")
+        return _count_distinct_if("attempt_id", c("status") == "failed", deduped)
     if measure == "error_rate":
-        return _count_distinct_if("attempt_id", c("status") == "failed") / F.count_distinct(
-            c("attempt_id")
-        )
+        return _count_distinct_if(
+            "attempt_id", c("status") == "failed", deduped
+        ) / _count_distinct("attempt_id", deduped)
     if measure == "first_attempt_count":
-        return _count_distinct_if("attempt_id", (c("attempt_number") == 1) & ~c("manual"))
+        return _count_distinct_if(
+            "attempt_id", (c("attempt_number") == 1) & ~c("manual"), deduped
+        )
     if measure == "retry_count":
-        return _count_distinct_if("attempt_id", c("attempt_number") > 1)
+        return _count_distinct_if("attempt_id", c("attempt_number") > 1, deduped)
     if measure == "manual_retry_count":
-        return _count_distinct_if("attempt_id", c("manual"))
+        return _count_distinct_if("attempt_id", c("manual"), deduped)
     if measure == "avg_attempt_number":
         return F.avg(c("attempt_number"))
     return None  # rate / successful_rate / failed_rate: post-agg
 
 
-def _event_measure_expr(measure: str) -> Column | None:
+def _event_measure_expr(measure: str, deduped: bool = False) -> Column | None:
     if measure == "count":
-        return F.count_distinct(F.col("event_id"))
+        return _count_distinct("event_id", deduped)
     return None
 
 
@@ -283,7 +303,11 @@ def _query_metrics(
 
     agg_exprs = []
     for m in measures:
-        e = _event_measure_expr(m) if events else _attempt_measure_expr(m)
+        e = (
+            _event_measure_expr(m, req.assume_deduped)
+            if events
+            else _attempt_measure_expr(m, req.assume_deduped)
+        )
         if e is not None:
             agg_exprs.append(e.alias(m))
     # HAVING count() > 0 (chlogstore/metrics.go:174-178) — raw-row guard

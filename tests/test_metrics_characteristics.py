@@ -81,3 +81,26 @@ def test_double_run_is_deterministic(golden):
     a = [r.asDict() for r in query_attempt_metrics(attempts, req).collect()]
     b = [r.asDict() for r in query_attempt_metrics(attempts, req).collect()]
     assert a == b
+
+
+def test_assume_deduped_matches_exact_on_clean_store(golden):
+    # the golden store has no duplicate ids — the deduped fast path must
+    # produce identical numbers to the exact-distinct reference semantics
+    from dataclasses import replace
+
+    _, attempts = golden
+    req = MetricsRequest(
+        FULL,
+        measures=["count", "failed_count", "error_rate", "retry_count"],
+        dimensions=["status"],
+        granularity="1d",
+        filters=T1,
+    )
+    exact = [r.asDict() for r in query_attempt_metrics(attempts, req).collect()]
+    fast = [
+        r.asDict()
+        for r in query_attempt_metrics(
+            attempts, replace(req, assume_deduped=True)
+        ).collect()
+    ]
+    assert fast == exact
