@@ -596,7 +596,7 @@ def join_latest_attempt_per_key(spark, sf_dir):
     "join_broadcast_dim",
     """
     SELECT p.p_brand,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_type = 'ECONOMY'
@@ -608,6 +608,12 @@ def join_broadcast_dim(spark, sf_dir):
 
     ``broadcast(part)`` pins a broadcast-hash join — zero shuffle of the
     fact side; only the small aggregated result shuffles.
+
+    Money sums run in DECIMAL(18,2) (exact, order-independent) and are
+    emitted as DOUBLE: float(exact decimal) is bit-identical in Spark and
+    DuckDB, and the collected Python type is a plain float under every
+    fetch path (collect vs pandas), which keeps the driver's value-hash
+    representation-stable.
     """
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
@@ -616,7 +622,7 @@ def join_broadcast_dim(spark, sf_dir):
         .groupBy("p_brand")
         .agg(
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -628,7 +634,7 @@ def join_broadcast_dim(spark, sf_dir):
     """
     SELECT r.r_name AS region, n.n_name AS nation,
            count(*) AS n_orders,
-           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -638,7 +644,11 @@ def join_broadcast_dim(spark, sf_dir):
     """,
 )
 def join_multiway_star(spark, sf_dir):
-    """Star-schema multi-join: fact ⨝ three broadcast dims, one shuffle total."""
+    """Star-schema multi-join: fact ⨝ three broadcast dims, one shuffle total.
+
+    ``total`` is an exact DECIMAL(18,2) sum emitted as DOUBLE — see
+    ``join_broadcast_dim`` for the representation-stability rationale.
+    """
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -651,7 +661,7 @@ def join_multiway_star(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total"),
         )
     )
@@ -680,9 +690,9 @@ def join_explode_unnest(spark, sf_dir):
     "lineitem_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -690,16 +700,25 @@ def join_explode_unnest(spark, sf_dir):
     """,
 )
 def lineitem_pricing_summary(spark, sf_dir):
-    """TPC-H Q1-shaped scan-heavy aggregation (decimal-exact sums)."""
+    """TPC-H Q1-shaped scan-heavy aggregation.
+
+    Every float output is derived from an exact DECIMAL sum, so the result
+    is independent of partition layout / summation order: a plain
+    ``avg(double)`` accumulates ULP noise that varies with parallelism and
+    can flip a rounded digit between runs, which broke the round-1 driver
+    hash.  ``avg_disc`` = float(exact decimal sum) / count — one IEEE
+    division of identical operands on both engines.
+    """
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("sum_base_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        (F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)))
+        .alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -1346,6 +1365,47 @@ def attempt_record_include(spark, sf_dir):
 
     df = _events(spark, sf_dir).withColumn("destination_type", F.lit("webhook"))
     return attempt_record(df, include=("event", "event.data"))
+
+
+@_register(
+    "attempt_record_flat",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT attempt_id, event_id, tenant_id, destination_id,
+           'webhook' AS destination_type, status, attempt_number, manual,
+           attempt_time,
+           event_id AS ev_id, tenant_id AS ev_tenant_id,
+           destination_id AS ev_destination_id, topic AS ev_topic,
+           event_time AS ev_time, data AS ev_data
+    FROM src
+    """,
+)
+def attempt_record_flat(spark, sf_dir):
+    """J2/P2 oracle twin of ``attempt_record_include``: builds the same
+    AttemptRecord via ``attempt_record`` then flattens the nested event
+    struct into ``ev_*`` scalar columns so DuckDB can hash it — proving the
+    struct packing is value-correct, not just shape-correct."""
+    from outpost_spark.tenantstore import attempt_record
+
+    df = _events(spark, sf_dir).withColumn("destination_type", F.lit("webhook"))
+    rec = attempt_record(df, include=("event", "event.data"))
+    return rec.select(
+        "attempt_id",
+        "event_id",
+        "tenant_id",
+        "destination_id",
+        "destination_type",
+        "status",
+        "attempt_number",
+        "manual",
+        "attempt_time",
+        F.col("event.event_id").alias("ev_id"),
+        F.col("event.tenant_id").alias("ev_tenant_id"),
+        F.col("event.destination_id").alias("ev_destination_id"),
+        F.col("event.topic").alias("ev_topic"),
+        F.col("event.time").alias("ev_time"),
+        F.col("event.data").alias("ev_data"),
+    )
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
