@@ -127,13 +127,24 @@ def _variant_in(raw: Column, str_val: Column, arr: Column, c: Any) -> Column:
     raise UncompilableFilter(f"$in constant {c!r} not compilable")
 
 
-def _pred_on_variant(x: Column, schema: Any) -> Column:
+# Max nested-array depth unrolled into the compiled expression.  The
+# reference's recursivelyMatchValue (match.go:115-185) recurses to any
+# data-driven depth; a static Column expression must pick a bound.  Arrays
+# nested deeper than this match nothing on the compiled path — real filter
+# payloads nest 1-2 levels, and the 241-case corpus never exceeds 2.
+_MAX_ARRAY_DEPTH = 4
+
+
+def _pred_on_variant(x: Column, schema: Any, depth: int = _MAX_ARRAY_DEPTH) -> Column:
     """Predicate matching one VARIANT value against a schema node.
 
     ``x`` may be a root path extraction or an array element — all paths
     below are relative to it, which is what makes the language's
     any-element recursion (array of objects vs object schema,
-    match.go:143-175) expressible with ``F.exists``.
+    match.go:143-175) expressible with ``F.exists``.  Array elements
+    recurse through ``_pred_on_variant`` itself (bounded by ``depth``) so
+    nested arrays match any-element at every level, mirroring
+    recursivelyMatchValue.
     """
     raw = F.to_json(x)
     str_val = F.try_variant_get(x, "$", "string")
@@ -142,8 +153,10 @@ def _pred_on_variant(x: Column, schema: Any) -> Column:
     if schema is None or isinstance(schema, (str, bool, int, float)):
         # primitive schema: scalar equality, any-element over arrays
         scalar = F.coalesce(_scalar_eq(raw, schema), _false())
+        if depth <= 0:
+            return F.when(arr.isNotNull(), _false()).otherwise(scalar)
         any_el = F.exists(
-            arr, lambda e: F.coalesce(_scalar_eq(F.to_json(e), schema), _false())
+            arr, lambda e: F.coalesce(_pred_on_variant(e, schema, depth - 1), _false())
         )
         return F.when(arr.isNotNull(), any_el).otherwise(scalar)
 
@@ -155,7 +168,7 @@ def _pred_on_variant(x: Column, schema: Any) -> Column:
                 raise UncompilableFilter("$or must hold a list")
             pred = _false()
             for s in subs:
-                pred = pred | _pred_on_variant(x, s)
+                pred = pred | _pred_on_variant(x, s, depth)
             return pred
         if any(k in ("$not", "$and") for k in schema):
             raise UncompilableFilter("value-level $not/$and fall back to UDF")
@@ -192,8 +205,12 @@ def _pred_on_variant(x: Column, schema: Any) -> Column:
             return pred if pred is not None else F.lit(True)
 
         direct = object_pred(x)
+        if depth <= 0:
+            return F.when(arr.isNotNull(), _false()).otherwise(direct)
+        # elements recurse through _pred_on_variant: an element that is
+        # itself an array re-enters the any-element path one level deeper
         any_el = F.exists(
-            arr, lambda e: F.coalesce(object_pred(e), _false())
+            arr, lambda e: F.coalesce(_pred_on_variant(e, schema, depth - 1), _false())
         )
         return F.when(arr.isNotNull(), any_el).otherwise(direct)
 

@@ -165,7 +165,7 @@ def match_pairs(
     destinations: DataFrame,
     *,
     use_filter_udf: bool = True,
-    filter_mode: str = "udf",
+    filter_mode: str = "compiled",
 ) -> DataFrame:
     """(event x matched destination) pairs — the streaming-safe core join.
 
@@ -178,12 +178,12 @@ def match_pairs(
     broadcast join + filter; no aggregation).  Output: every event column
     plus ``destination_id``.
 
-    ``filter_mode="compiled"`` compiles the distinct filter docs to native
-    Column predicates at plan time (UDF only for uncompilable docs) — the
-    scale path: no Python in the hot loop for the common filter shapes.
-    ``"udf"`` (default) interprets every doc in the pandas UDF — always
-    available, including when the destinations side cannot be collected at
-    plan time.
+    ``filter_mode="compiled"`` (default) compiles the distinct filter docs
+    to native Column predicates at plan time (UDF only for uncompilable
+    docs) — the scale path: no Python in the hot loop for the common filter
+    shapes.  ``"udf"`` interprets every doc in the pandas UDF — the
+    fallback for when the destinations side cannot be collected at plan
+    time (e.g. a streaming destinations frame).
     """
     d = destinations.select(
         F.col("id").alias("__dest_id"),
@@ -236,7 +236,7 @@ def match_events(
     destinations: DataFrame,
     *,
     use_filter_udf: bool = True,
-    filter_mode: str = "udf",
+    filter_mode: str = "compiled",
 ) -> DataFrame:
     """Stamp ``matched_destination_ids`` on each event (MatchEvent fan-in).
 
@@ -263,6 +263,7 @@ def match_events_with_explicit(
     destinations: DataFrame,
     *,
     use_filter_udf: bool = True,
+    filter_mode: str = "compiled",
 ) -> DataFrame:
     """MatchEvent with the explicit-destination fast path.
 
@@ -275,7 +276,9 @@ def match_events_with_explicit(
     adds the id-equality predicate so at most one pair survives.
     """
     if "destination_id" not in events.columns:
-        return match_events(events, destinations, use_filter_udf=use_filter_udf)
+        return match_events(
+            events, destinations, use_filter_udf=use_filter_udf, filter_mode=filter_mode
+        )
 
     has_explicit = F.col("destination_id").isNotNull() & (F.col("destination_id") != "")
     explicit = events.filter(has_explicit)
@@ -283,12 +286,15 @@ def match_events_with_explicit(
         "destination_id"
     )
 
-    implicit_matched = match_events(implicit, destinations, use_filter_udf=use_filter_udf)
+    implicit_matched = match_events(
+        implicit, destinations, use_filter_udf=use_filter_udf, filter_mode=filter_mode
+    )
 
     pairs = match_pairs(
         explicit.withColumnRenamed("destination_id", "__explicit_id"),
         destinations,
         use_filter_udf=use_filter_udf,
+        filter_mode=filter_mode,
     ).filter(F.col("destination_id") == F.col("__explicit_id"))
     explicit_ids = pairs.groupBy("event_id").agg(
         F.array_sort(F.collect_list("destination_id")).alias("matched_destination_ids")

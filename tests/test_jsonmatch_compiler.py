@@ -129,3 +129,32 @@ def test_uncompilable_constructs_raise(spark):
                 time_col=F.col("time"),
                 metadata_col=F.col("metadata"),
             )
+
+
+def test_nested_array_recursion(spark):
+    """recursivelyMatchValue (match.go:115-185) matches any element at any
+    nesting depth; the compiled path must agree with the interpreter on
+    arrays-of-arrays and arrays-of-objects-holding-arrays."""
+    cases = [
+        ({"a": [[1], 2]}, {"a": 1}),                   # array-of-array, scalar hit deep
+        ({"a": [[1], 2]}, {"a": 2}),                   # scalar hit shallow
+        ({"a": [[1], 2]}, {"a": 3}),                   # no hit
+        ({"a": [[[5]]]}, {"a": 5}),                    # three levels
+        ({"a": [[{"b": 1}]]}, {"a": {"b": 1}}),        # object inside nested array
+        ({"a": [{"b": [1, 2]}]}, {"a": {"b": 2}}),     # array under object under array
+        ({"a": [["x"], ["y"]]}, {"a": "y"}),           # strings
+        ({"a": []}, {"a": 1}),                         # empty array
+        ({"a": [[]]}, {"a": 1}),                       # nested empty
+    ]
+    compiled = [
+        compile_value_filter(F.col("data"), schema).alias(f"p{i}")
+        for i, (_, schema) in enumerate(cases)
+    ]
+    rows = [(i, json.dumps(inp)) for i, (inp, _) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "id int, data string")
+    got = {r["id"]: r for r in df.select("id", *compiled).collect()}
+    for i, (inp, schema) in enumerate(cases):
+        want = match(inp, schema)
+        assert bool(got[i][f"p{i}"]) is want, (
+            f"case {inp} vs {schema}: compiled={bool(got[i][f'p{i}'])} spec={want}"
+        )

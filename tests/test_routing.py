@@ -228,6 +228,45 @@ def test_compiled_filter_mode_matches_udf_mode(dfs):
     the same routing decisions as the UDF interpreter on the full fixture
     matrix (premium filter, nested filter, topic+filter combos)."""
     events, dests = dfs
-    via_udf = _matches(match_events(events, dests))
+    via_udf = _matches(match_events(events, dests, filter_mode="udf"))
     via_compiled = _matches(match_events(events, dests, filter_mode="compiled"))
     assert via_compiled == via_udf
+
+
+def test_compiled_mode_plan_has_no_python(dfs):
+    """The default (compiled) routing path must keep filter evaluation
+    JVM-side: when every filter doc compiles, the physical plan contains no
+    Python evaluation node at all."""
+    from outpost_spark.routing.match import match_pairs
+
+    events, dests = dfs
+    plan = match_pairs(events, dests)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF", "FlatMapsInPandas"):
+        assert marker not in plan, f"Python node {marker} in compiled routing plan"
+
+
+def test_compiled_mode_nested_array_payloads(spark):
+    """Events whose payloads hold nested arrays must route identically on
+    the compiled and UDF paths (recursivelyMatchValue, match.go:115-185) —
+    the round-1 compiled path silently dropped these."""
+    events = spark.createDataFrame(
+        [
+            _ev("n1", "t9", "a.b", {"a": [[1], 2]}),
+            _ev("n2", "t9", "a.b", {"a": [3]}),
+            _ev("n3", "t9", "a.b", {"a": [[{"k": "v"}]]}),
+        ],
+        EV_SCHEMA,
+    )
+    dests = spark.createDataFrame(
+        [
+            _dest("want_one", "t9", ["*"], {"data": {"a": 1}}),
+            _dest("want_obj", "t9", ["*"], {"data": {"a": {"k": "v"}}}),
+        ],
+        DEST_SCHEMA,
+    )
+    got = _matches(match_events(events, dests, filter_mode="compiled"))
+    via_udf = _matches(match_events(events, dests, filter_mode="udf"))
+    assert got == via_udf
+    assert got["n1"] == ["want_one"]
+    assert got["n2"] == []
+    assert got["n3"] == ["want_obj"]
