@@ -52,6 +52,24 @@ from outpost_spark.functions.buckets import (
 )
 
 ROW_LIMIT = 100_000  # chlogstore/metrics.go:16
+# " SETTINGS max_execution_time = 30, max_rows_to_group_by = 5000000,
+#   group_by_overflow_mode = 'throw'" (chlogstore/metrics.go:13)
+MAX_GROUPS = 5_000_000
+QUERY_TIMEOUT_S = 30.0
+
+
+class ResourceLimitError(Exception):
+    """driver.ErrResourceLimit — the API layer maps this to HTTP 400
+    (wrapCHMetricsError, chlogstore/metrics.go:591-599)."""
+
+
+class MetricsTimeoutError(ResourceLimitError):
+    """Query exceeded the execution-time budget (TIMEOUT_EXCEEDED analog)."""
+
+
+class GroupLimitExceededError(ResourceLimitError):
+    """Aggregation produced more than MAX_GROUPS groups (TOO_MANY_ROWS /
+    max_rows_to_group_by analog)."""
 
 EVENT_MEASURES = ("count", "rate")
 ATTEMPT_MEASURES = (
@@ -259,13 +277,17 @@ def _finalize(
     return df.limit(ROW_LIMIT + 1)
 
 
-def _query_metrics(
+def _aggregate(
     df: DataFrame,
     req: MetricsRequest,
     *,
     events: bool,
-) -> DataFrame:
-    spark = df.sparkSession
+) -> tuple[DataFrame, list[str], str]:
+    """Validate the request and build the scan->filter->groupBy->agg plan.
+
+    Returns (aggregated frame before gap-fill/rates/order/limit, enriched
+    measure list, time column name).
+    """
     if req.time_range.end <= req.time_range.start:
         raise ValueError("time range end must be after start")  # driver/metrics.go:19-24
     g = req.gran()
@@ -318,8 +340,17 @@ def _query_metrics(
     else:
         out = df.agg(*agg_exprs)
     out = out.filter(F.col("__raw_count") > 0).drop("__raw_count")
+    return out, measures, time_col
 
-    return _finalize(spark, out, req, measures, time_col=time_col)
+
+def _query_metrics(
+    df: DataFrame,
+    req: MetricsRequest,
+    *,
+    events: bool,
+) -> DataFrame:
+    out, measures, time_col = _aggregate(df, req, events=events)
+    return _finalize(df.sparkSession, out, req, measures, time_col=time_col)
 
 
 def query_event_metrics(events_df: DataFrame, req: MetricsRequest) -> DataFrame:
@@ -353,17 +384,84 @@ class MetricsResponse:
 
 
 def run_metrics(
-    df: DataFrame, req: MetricsRequest, *, events: bool
+    df: DataFrame,
+    req: MetricsRequest,
+    *,
+    events: bool,
+    timeout_s: float | None = QUERY_TIMEOUT_S,
+    max_groups: int | None = MAX_GROUPS,
 ) -> MetricsResponse:
     """Execute a metrics query and shape the response with metadata.
 
     Rows beyond ROW_LIMIT are dropped and flagged (chlogstore/
     metrics.go:565-568); each point splits into dimensions vs metrics maps.
-    """
-    import time as _time
 
+    Resource guardrails mirror the reference's ClickHouse settings
+    (chlogstore/metrics.go:13-25):
+
+    - ``timeout_s`` (max_execution_time): the query runs inside a Spark job
+      group; a watchdog cancels the group at the deadline and the call
+      raises :class:`MetricsTimeoutError` (→ HTTP 400 at the API layer).
+    - ``max_groups`` (max_rows_to_group_by + group_by_overflow_mode=throw):
+      for dimensioned queries, the aggregated frame is persisted and
+      counted with an early-stop ``limit(max_groups+1)`` before
+      finalization; exceeding it raises :class:`GroupLimitExceededError`.
+      Persisting means the guard, the gap-fill's two references, and the
+      final collect all share ONE aggregation pass.
+
+    Pass ``None`` for either to disable that guard.
+    """
+    import threading as _threading
+    import time as _time
+    import uuid as _uuid
+
+    spark = df.sparkSession
+    sc = spark.sparkContext
     t0 = _time.perf_counter()
-    rows = _query_metrics(df, req, events=events).collect()
+
+    agg, measures, time_col = _aggregate(df, req, events=events)
+    guard_groups = max_groups is not None and bool(req.dimensions)
+    if guard_groups:
+        agg = agg.persist()
+
+    group = f"metrics-{_uuid.uuid4().hex[:12]}"
+    timed_out = _threading.Event()
+
+    def _cancel():
+        timed_out.set()
+        try:
+            sc.cancelJobGroup(group)
+        except Exception:
+            pass
+
+    timer = _threading.Timer(timeout_s, _cancel) if timeout_s is not None else None
+    sc.setJobGroup(group, "metrics query", interruptOnCancel=True)
+    try:
+        if timer is not None:
+            timer.start()
+        try:
+            if guard_groups:
+                n_groups = agg.limit(max_groups + 1).count()
+                if n_groups > max_groups:
+                    raise GroupLimitExceededError(
+                        f"metrics aggregation exceeded {max_groups} groups"
+                    )
+            out = _finalize(spark, agg, req, measures, time_col=time_col)
+            rows = out.collect()
+        except (MetricsTimeoutError, GroupLimitExceededError):
+            raise
+        except Exception as e:
+            if timed_out.is_set():
+                raise MetricsTimeoutError(
+                    f"metrics query exceeded {timeout_s}s"
+                ) from e
+            raise
+    finally:
+        if timer is not None:
+            timer.cancel()
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        if guard_groups:
+            agg.unpersist()
     elapsed_ms = int((_time.perf_counter() - t0) * 1000)
     truncated = len(rows) > ROW_LIMIT
     rows = rows[:ROW_LIMIT]
@@ -386,9 +484,9 @@ def run_metrics(
     )
 
 
-def run_event_metrics(events_df: DataFrame, req: MetricsRequest) -> MetricsResponse:
-    return run_metrics(events_df, req, events=True)
+def run_event_metrics(events_df: DataFrame, req: MetricsRequest, **kw) -> MetricsResponse:
+    return run_metrics(events_df, req, events=True, **kw)
 
 
-def run_attempt_metrics(attempts_df: DataFrame, req: MetricsRequest) -> MetricsResponse:
-    return run_metrics(attempts_df, req, events=False)
+def run_attempt_metrics(attempts_df: DataFrame, req: MetricsRequest, **kw) -> MetricsResponse:
+    return run_metrics(attempts_df, req, events=False, **kw)

@@ -104,3 +104,68 @@ def test_assume_deduped_matches_exact_on_clean_store(golden):
         ).collect()
     ]
     assert fast == exact
+
+
+def test_group_limit_guard_throws_400_analog(golden):
+    """max_rows_to_group_by + group_by_overflow_mode='throw'
+    (chlogstore/metrics.go:13): a dimension combo producing more groups
+    than the cap raises GroupLimitExceededError (the HTTP-400 path)."""
+    _, attempts = golden
+    req = MetricsRequest(
+        FULL,
+        measures=["count"],
+        granularity="1d",
+        dimensions=["tenant_id", "topic"],
+    )
+    with pytest.raises(M.GroupLimitExceededError):
+        run_attempt_metrics(attempts, req, max_groups=2)
+
+
+def test_group_limit_guard_passes_under_cap(golden):
+    _, attempts = golden
+    req = MetricsRequest(
+        FULL, measures=["count"], granularity="1d", dimensions=["tenant_id"],
+        filters=T1,
+    )
+    resp = run_attempt_metrics(attempts, req, max_groups=M.MAX_GROUPS)
+    assert resp.row_count > 0
+
+
+def test_group_limit_guard_skipped_without_dimensions(golden):
+    """Without dimensions, groups == buckets <= MAX_BUCKETS — no guard job."""
+    _, attempts = golden
+    req = MetricsRequest(FULL, measures=["count"], granularity="1d", filters=T1)
+    resp = run_attempt_metrics(attempts, req, max_groups=1)  # would trip if checked
+    assert resp.row_count > 0
+
+
+def test_query_timeout_cancels_job_group(golden):
+    """max_execution_time=30 analog: the watchdog cancels the Spark job
+    group at the deadline and the call surfaces MetricsTimeoutError."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    _, attempts = golden
+    # a pandas UDF that sleeps makes the collect outlast any tiny deadline
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def slow_id(s: pd.Series) -> pd.Series:
+        _time.sleep(5)
+        return s
+
+    slowed = attempts.withColumn("attempt_id", slow_id(F.col("attempt_id")))
+    req = MetricsRequest(FULL, measures=["count"], granularity="1d", filters=T1)
+    t0 = _time.perf_counter()
+    with pytest.raises(M.MetricsTimeoutError):
+        run_attempt_metrics(slowed, req, timeout_s=1.0)
+    assert _time.perf_counter() - t0 < 30, "cancellation should not wait out the query"
+
+
+def test_timeout_disabled_runs_to_completion(golden):
+    _, attempts = golden
+    req = MetricsRequest(FULL, measures=["count"], granularity="1d", filters=T1)
+    resp = run_attempt_metrics(attempts, req, timeout_s=None)
+    assert resp.row_count > 0
