@@ -90,13 +90,51 @@ def _apply_common_filters(df: DataFrame, req: ListRequest, *, time_col: str, eve
     return df
 
 
+def _ms_trunc(time_col: str):
+    """Millisecond-truncated view of a timestamp column.
+
+    The reference stores DateTime64(3) (chlogstore schema) so its ms
+    cursors compare exactly; parquet keeps microseconds, so a boundary row
+    with a sub-ms component would evade a full-precision keyset predicate
+    built from the ms-truncated cursor and repeat on the next page.  All
+    keyset comparisons and page ordering therefore run at ms precision.
+    """
+    return F.expr(f"timestamp_millis(unix_micros({time_col}) div 1000)")
+
+
 def keyset_predicate(time_col: str, id_col: str, compare: str, unix_ms: int, item_id: str):
-    """``(time < T) OR (time = T AND id < I)`` — chlogstore.go:309-326."""
+    """``(time < T) OR (time = T AND id < I)`` — chlogstore.go:309-326.
+
+    Comparisons run on the ms-truncated time (see :func:`_ms_trunc`).  A
+    redundant bound on the RAW column is AND-ed in so the predicate still
+    reaches the parquet scan (`PushedFilters`) — expressions on a column
+    don't push down, a plain column-vs-literal bound does, and
+    ``trunc(t) < T  ⇔  t < T+1ms`` / ``trunc(t) > T  ⇒  t > T`` make the
+    bounds exact supersets.
+    """
     pos_ts = F.timestamp_millis(F.lit(unix_ms))
     t, i = F.col(time_col), F.col(id_col)
+    tm = _ms_trunc(time_col)
     if compare == "<":
-        return (t < pos_ts) | ((t == pos_ts) & (i < F.lit(item_id)))
-    return (t > pos_ts) | ((t == pos_ts) & (i > F.lit(item_id)))
+        pushdown_bound = t < F.timestamp_millis(F.lit(unix_ms + 1))
+        return pushdown_bound & ((tm < pos_ts) | ((tm == pos_ts) & (i < F.lit(item_id))))
+    pushdown_bound = t >= pos_ts
+    return pushdown_bound & ((tm > pos_ts) | ((tm == pos_ts) & (i > F.lit(item_id))))
+
+
+# fetchAndDedup's fetch-round cap (chlogstore.go:50) — duplicates are rare
+# after the write-path dedup; this bounds pathological duplication.
+MAX_DEDUP_ITERATIONS = 10
+
+
+def _row_unix_ms(row, time_col: str) -> int:
+    """Exact integer unix-ms of a Row timestamp (no float round-trip)."""
+    import calendar
+
+    ts = row[time_col]
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(timezone.utc)
+    return calendar.timegm(ts.timetuple()) * 1000 + ts.microsecond // 1000
 
 
 def _page(
@@ -108,7 +146,16 @@ def _page(
     version: int,
     req: ListRequest,
 ) -> ListResult:
-    """pagination.Run (pagination.go:53-155) around one keyset-limited scan."""
+    """pagination.Run (pagination.go:53-155) around keyset-limited scans.
+
+    Mirrors fetchAndDedup (chlogstore.go:57-112): the store is append-only
+    with an at-least-once replay window, so duplicate ids can surface in a
+    page.  Rows are deduped by ``id_col`` keeping the first in sort order;
+    if duplicates shrink a page below the limit, the cursor advances past
+    the last RAW scanned row and fetches again (bounded rounds) — no
+    GROUP BY / window over the whole table, each round stays a
+    TakeOrderedAndProject of limit+1 rows.
+    """
     limit = req.limit if req.limit and req.limit > 0 else DEFAULT_LIMIT
     limit = min(limit, MAX_LIMIT)
     order = req.order if req.order in ("asc", "desc") else "desc"
@@ -121,30 +168,43 @@ def _page(
         compare = ">"
     sort_dir = order if not backward else ("asc" if order == "desc" else "desc")
 
-    q = df
+    # sort on the ms-truncated time so page order and the ms-precision
+    # cursor comparator agree (reference order is on DateTime64(3))
+    tm = _ms_trunc(time_col)
+    i = F.col(id_col)
+    sort_cols = [tm.desc(), i.desc()] if sort_dir == "desc" else [tm.asc(), i.asc()]
+
+    def fetch(pos: tuple[int, str] | None) -> list:
+        q = df
+        if pos is not None:
+            q = q.filter(keyset_predicate(time_col, id_col, compare, pos[0], pos[1]))
+        return q.orderBy(*sort_cols).limit(limit + 1).collect()
+
+    pos = None
     if cursor_enc:
-        unix_ms, item_id = cursor_codec.decode_position(cursor_enc, resource, version)
-        q = q.filter(keyset_predicate(time_col, id_col, compare, unix_ms, item_id))
+        pos = cursor_codec.decode_position(cursor_enc, resource, version)
 
-    t, i = F.col(time_col), F.col(id_col)
-    if sort_dir == "desc":
-        q = q.orderBy(t.desc(), i.desc())
-    else:
-        q = q.orderBy(t.asc(), i.asc())
+    seen: set = set()
+    uniq: list = []
+    for _ in range(MAX_DEDUP_ITERATIONS):
+        scanned = fetch(pos)
+        for r in scanned:
+            rid = r[id_col]
+            if rid not in seen:
+                seen.add(rid)
+                uniq.append(r)
+        if len(scanned) < limit + 1 or len(uniq) > limit:
+            break
+        pos = (_row_unix_ms(scanned[-1], time_col), scanned[-1][id_col])
 
-    rows = q.limit(limit + 1).collect()
-
-    has_more = len(rows) > limit
-    rows = rows[:limit]
+    has_more = len(uniq) > limit
+    rows = uniq[:limit]
     if backward:
         rows.reverse()
 
     def enc(row) -> str:
-        ts = row[time_col]
-        if ts.tzinfo is None:
-            ts = ts.replace(tzinfo=timezone.utc)
         return cursor_codec.encode_position(
-            resource, version, int(ts.timestamp() * 1000), row[id_col]
+            resource, version, _row_unix_ms(row, time_col), row[id_col]
         )
 
     nxt = prev = ""

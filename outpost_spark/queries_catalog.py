@@ -428,22 +428,24 @@ def list_events_first_page(spark, sf_dir):
     WITH src AS ({_EVENTS_SQL})
     SELECT event_id, tenant_id, topic, event_time
     FROM src
-    WHERE (event_time < TIMESTAMP '2024-01-15 00:00:00'
-           OR (event_time = TIMESTAMP '2024-01-15 00:00:00' AND event_id < '500'))
-    ORDER BY event_time DESC, event_id DESC
+    WHERE (date_trunc('ms', event_time) < TIMESTAMP '2024-01-15 00:00:00'
+           OR (date_trunc('ms', event_time) = TIMESTAMP '2024-01-15 00:00:00'
+               AND event_id < '500'))
+    ORDER BY date_trunc('ms', event_time) DESC, event_id DESC
     LIMIT 100
     """,
 )
 def list_events_keyset_page(spark, sf_dir):
-    """O3: keyset (cursor) predicate — (t < T) OR (t = T AND id < I)."""
-    from outpost_spark.logstore.lists import keyset_predicate
+    """O3: keyset (cursor) predicate — (t < T) OR (t = T AND id < I), at
+    ms precision to mirror the reference's DateTime64(3) storage."""
+    from outpost_spark.logstore.lists import _ms_trunc, keyset_predicate
 
     df = _events(spark, sf_dir)
     pos_ms = 1705276800000  # 2024-01-15T00:00:00Z
     return (
         df.filter(keyset_predicate("event_time", "event_id", "<", pos_ms, "500"))
         .select("event_id", "tenant_id", "topic", "event_time")
-        .orderBy(F.col("event_time").desc(), F.col("event_id").desc())
+        .orderBy(_ms_trunc("event_time").desc(), F.col("event_id").desc())
         .limit(100)
     )
 

@@ -121,3 +121,51 @@ def test_invalid_cursor_rejected(events):
 def test_limit_caps(events):
     res = list_events(events, ListRequest(limit=5000))
     assert len(res.items) == 28  # capped at 1000, only 28 exist
+
+
+def test_duplicate_rows_hidden_and_page_stays_full(spark):
+    """fetchAndDedup (chlogstore.go:57-112): duplicate ids from the
+    at-least-once replay window must not surface in pages or consume limit
+    slots — the page refetches until full."""
+    rows = []
+    for i in range(12):
+        t = BASE + timedelta(minutes=i)
+        rows.append((f"ev_{i:03d}", "t1", "user.created", t, ["d1"]))
+        if i % 2 == 0:  # half the rows are duplicated (replayed batch)
+            rows.append((f"ev_{i:03d}", "t1", "user.created", t, ["d1"]))
+    df = spark.createDataFrame(rows, SCHEMA)
+
+    walked = []
+    res = list_events(df, ListRequest(order="desc", limit=4))
+    walked += _ids(res)
+    while res.next:
+        res = list_events(df, ListRequest(order="desc", limit=4, next=res.next))
+        walked += _ids(res)
+    assert walked == [f"ev_{i:03d}" for i in range(11, -1, -1)]
+    assert len(walked) == len(set(walked))
+
+
+def test_sub_ms_timestamp_not_repeated_across_pages(spark):
+    """Cursors carry unix-ms (DateTime64(3) mirror); rows with sub-ms
+    components must not reappear on the next page (round-1 bug: the
+    full-precision keyset predicate failed to exclude them)."""
+    t0 = BASE + timedelta(seconds=5)
+    rows = [
+        # same millisecond, different microseconds — ids break the tie
+        ("sub_a", "t1", "user.created", t0.replace(microsecond=123_400), ["d1"]),
+        ("sub_b", "t1", "user.created", t0.replace(microsecond=123_900), ["d1"]),
+        ("sub_c", "t1", "user.created", t0.replace(microsecond=124_500), ["d1"]),
+        ("old_1", "t1", "user.created", t0 - timedelta(seconds=1), ["d1"]),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+
+    walked = []
+    res = list_events(df, ListRequest(order="desc", limit=1))
+    walked += _ids(res)
+    for _ in range(10):
+        if not res.next:
+            break
+        res = list_events(df, ListRequest(order="desc", limit=1, next=res.next))
+        walked += _ids(res)
+    assert sorted(walked) == ["old_1", "sub_a", "sub_b", "sub_c"]
+    assert len(walked) == len(set(walked)), f"repeated rows: {walked}"
