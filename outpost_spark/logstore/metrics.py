@@ -114,11 +114,15 @@ class MetricsRequest:
 
     ``assume_deduped``: the reference keeps exact ``uniqExact`` counts
     because ReplacingMergeTree may hold not-yet-collapsed duplicate rows.
-    When the table is written through the exactly-once sink (per-batch
-    commit markers + in-batch dedup — no duplicate rows can exist), the
-    distinct counts degenerate to plain conditional counts, removing one
-    full shuffle of the id column from every metrics query.  Defaults to
-    False (byte-equal reference semantics).
+    When the table is written through the commit-marker sink (per-batch
+    markers + in-batch dedup), distinct counts degenerate to plain
+    conditional counts, removing one full shuffle of the id column from
+    every metrics query.  Caveat: a crash between a batch's append and
+    its marker write replays the batch and duplicates its rows (see
+    streaming/pipeline.make_log_sink), so this fast path can overcount
+    until a dedup compaction runs — opt in only when that window is
+    acceptable or compaction is scheduled.  Defaults to False (byte-equal
+    reference semantics, duplicate-safe).
     """
 
     time_range: TimeRange

@@ -48,6 +48,45 @@ def _month_partitions(table_path: str) -> list[str]:
     )
 
 
+def _recover_partials(table_path: str) -> None:
+    """Crash recovery for partition rewrites (run before any maintenance).
+
+    Rewrites stage into ``_tmp_*`` and swap via ``_trash_*`` (both
+    underscore-prefixed so Spark's file listing and ``_month_partitions``
+    ignore them).  After a crash: a leftover ``_trash_<part>`` whose
+    partition dir is missing is restored (the swap died mid-way — the old
+    data is the durable truth); any other leftover staging dir is deleted
+    (the rewrite will simply be redone).
+    """
+    if not os.path.isdir(table_path):
+        return
+    for d in os.listdir(table_path):
+        full = os.path.join(table_path, d)
+        if d.startswith("_trash_"):
+            part = d[len("_trash_"):]
+            dest = os.path.join(table_path, part)
+            if not os.path.exists(dest):
+                os.rename(full, dest)
+            else:
+                shutil.rmtree(full)
+        elif d.startswith("_tmp_"):
+            shutil.rmtree(full)
+
+
+def _swap_partition(table_path: str, part: str, tmp_path: str) -> None:
+    """Replace partition ``part`` with the staged rewrite at ``tmp_path``.
+
+    Two atomic renames; every intermediate state is recoverable by
+    :func:`_recover_partials` and never double-exposes data (the staging
+    names are invisible to partition discovery).
+    """
+    part_path = os.path.join(table_path, part)
+    trash = os.path.join(table_path, f"_trash_{part}")
+    os.rename(part_path, trash)
+    os.rename(tmp_path, part_path)
+    shutil.rmtree(trash)
+
+
 def apply_retention(
     spark: SparkSession,
     table_path: str,
@@ -68,6 +107,7 @@ def apply_retention(
     cutoff = now - timedelta(days=ttl_days)
     cutoff_month = cutoff.strftime("%Y%m")
 
+    _recover_partials(table_path)
     dropped: list[str] = []
     rewritten: str | None = None
     rows_deleted = 0
@@ -86,10 +126,9 @@ def apply_retention(
             kept = df.filter(F.col(time_col) >= F.lit(cutoff))
             kept_count = kept.count()
             if kept_count < total:
-                tmp = part_path + "._retention_tmp"
+                tmp = os.path.join(table_path, f"_tmp_retention_{part}")
                 kept.write.mode("overwrite").parquet(tmp)
-                shutil.rmtree(part_path)
-                os.rename(tmp, part_path)
+                _swap_partition(table_path, part, tmp)
                 rewritten = part
                 rows_deleted += total - kept_count
     return RetentionReport(dropped, rewritten, rows_deleted)
@@ -104,7 +143,9 @@ def compact_partition(
     append a file per trigger per task; compaction keeps the file count
     (and thus scan/task overhead) bounded.
     """
-    part_path = os.path.join(table_path, f"month={month}")
+    _recover_partials(table_path)
+    part = f"month={month}"
+    part_path = os.path.join(table_path, part)
     if not os.path.isdir(part_path):
         return 0
     n_files = sum(
@@ -115,8 +156,7 @@ def compact_partition(
     if n_files <= target_files:
         return 0
     df = spark.read.parquet(part_path)
-    tmp = part_path + "._compact_tmp"
+    tmp = os.path.join(table_path, f"_tmp_compact_{part}")
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(part_path)
-    os.rename(tmp, part_path)
+    _swap_partition(table_path, part, tmp)
     return n_files

@@ -10,9 +10,11 @@ Mirrors §3.2 of the survey (publish -> fan-out -> delivery -> log):
   batcher (logmq/batchprocessor.go:96-130); ``dropDuplicates`` inside the
   insert gives idempotent replays (ST1's Redis gate becomes checkpoint +
   write-side dedup).
-- Exactly-once story at scale: checkpointed offsets + deterministic
-  batch dedup by attempt_id; the parquet/Delta append is the only side
-  effect.
+- Delivery story at scale: checkpointed offsets + per-batch commit
+  markers + deterministic batch dedup by attempt_id give effective
+  exactly-once for clean replays; a crash between append and marker can
+  still duplicate one batch (see make_log_sink), which read-side dedup
+  hides — the same eventual-dedup contract as the reference.
 """
 
 from __future__ import annotations
@@ -38,27 +40,42 @@ def route_stream(events_stream: DataFrame, destinations: DataFrame) -> DataFrame
 
 
 def make_log_sink(events_path: str, attempts_path: str, commits_path: str):
-    """Build the idempotent foreachBatch sink function (exactly-once).
+    """Build the idempotent-replay foreachBatch sink function.
 
     foreachBatch gives at-least-once: after a crash between the parquet
     append and the offset commit, the same batch_id is replayed and a
     plain append would duplicate it.  The sink writes a marker file per
-    committed batch_id (the parquet append itself is the transaction
-    payload, the marker is the commit record — same idea as Delta's
-    txn-version dedup for idempotent writes); a replayed batch_id is
-    skipped entirely.  Markers are tiny and pruned with the checkpoint.
-    """
-    import os
+    committed batch_id; a replayed batch_id whose marker exists is skipped.
 
-    os.makedirs(commits_path, exist_ok=True)
+    Durability contract (honest version): the marker is written AFTER the
+    append and the two are not atomic on plain parquet — a crash inside
+    that window replays the batch and duplicates its rows.  This matches
+    the reference's architecture, which also tolerates duplicate rows
+    (ReplacingMergeTree + fetchAndDedup read-side dedup,
+    chlogstore.go:57-112); the list path's read-side dedup and the
+    default exact-distinct metrics hide them until compaction.  True
+    atomic commit needs a transactional table format (Delta
+    txnAppId/txnVersion) — the marker protocol narrows the window to one
+    tiny file write and keeps replays no-ops in the common case.
+
+    Markers live on the CHECKPOINT filesystem (Hadoop FS API, any scheme
+    Spark can reach — HDFS/S3/ABFS), not the driver's local disk, so they
+    survive driver fail-over onto another node.
+    """
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(commits_path, f"batch-{batch_id}")
-        if os.path.exists(marker):
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(f"{commits_path}/batch-{batch_id}")
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
             return  # replay of an already-committed micro-batch (ST1)
         insert_many(batch_df, events_path, attempts_path)
-        with open(marker, "w") as f:
-            f.write("committed")
+        out = fs.create(hpath, False)  # atomic create, no overwrite
+        try:
+            out.write(bytearray(b"committed"))
+        finally:
+            out.close()
 
     return _sink
 

@@ -253,3 +253,43 @@ def test_generate_id_shapes():
     assert u7a != u7b
     nano = generate_id(id_type="nanoid")
     assert len(nano) == 21
+
+
+def test_recover_partials_restores_lost_partition(spark, tmpdir):
+    """A crash between the two swap renames leaves _trash_<part> and no
+    partition dir; the next maintenance run must restore the old data and
+    discard staging — never double-expose or lose a partition."""
+    import os
+
+    from outpost_spark.logstore.retention import _recover_partials
+
+    path = os.path.join(tmpdir, "t")
+    _write_months(spark, path)
+    part = os.path.join(path, "month=202401")
+    trash = os.path.join(path, "_trash_month=202401")
+    tmp = os.path.join(path, "_tmp_retention_month=202401")
+    os.rename(part, trash)          # crash mid-swap: partition gone
+    os.makedirs(tmp)                # leftover staging dir
+    _recover_partials(path)
+    assert os.path.isdir(part) and not os.path.exists(trash) and not os.path.exists(tmp)
+    assert spark.read.parquet(path).filter(F.col("month") == "202401").count() == 5
+
+
+def test_staging_dirs_invisible_to_reads_and_retention(spark, tmpdir):
+    """Leftover staging dirs must not surface as bogus partitions in Spark
+    partition discovery or in the retention month listing (round-1 staged
+    inside the partition dir as month=...._retention_tmp, which both
+    picked up)."""
+    import os
+
+    from outpost_spark.logstore.retention import _month_partitions
+
+    path = os.path.join(tmpdir, "t")
+    _write_months(spark, path)
+    os.makedirs(os.path.join(path, "_tmp_retention_month=209901"))
+    assert _month_partitions(path) == ["month=202311", "month=202312", "month=202401"]
+    months = {
+        str(r["month"])
+        for r in spark.read.parquet(path).select("month").distinct().collect()
+    }
+    assert months == {"202311", "202312", "202401"}
