@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "publish_validation",
     "dedup_exact_documents",
     "dedup_minhash_lsh_pairs",
+    "dedup_minhash_lsh_pairs_fast",
     "embed_cosine_topk",
     "text_token_stats",
     "text_quality_score",

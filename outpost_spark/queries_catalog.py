@@ -883,7 +883,8 @@ _SIGS_SQL = """
              list_transform(range(0, 16), j ->
                coalesce(
                  list_min(list_transform(basehash, h ->
-                   (h * (2 * j + 1) + 1000003 * j) % 4294967291)),
+                   (h * (((2654435761 * (j + 1)) % 1073741824) | 1)
+                      + ((2246822519 * j) % 1073741824)) % 4294967291)),
                  4294967296)) AS minhash
       FROM (
         SELECT doc_id,
@@ -956,6 +957,35 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
         threshold=0.7,
     )
     return out
+
+
+@_register("dedup_minhash_lsh_pairs_fast", None)
+def dedup_minhash_lsh_pairs_fast(spark, sf_dir):
+    """MinHash+LSH near-dup pairs on the xxhash64 base hash — the
+    production path.
+
+    Identical banding math and exact-Jaccard verification as
+    ``dedup_minhash_lsh_pairs``; only the per-shingle base hash differs
+    (Spark-native xxhash64 instead of md5, ~7× cheaper signatures).  No
+    SQL oracle — xxhash64 is not reproducible in DuckDB — so this entry is
+    rows-only; pair-recall parity with the md5 path is pinned by pytest
+    (tests/test_ops.py) on a corpus with planted near-dups.
+    """
+    from outpost_spark.ops.dedup import minhash_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        rows_per_band=4,
+        shingle_len=5,
+        verify_ngram=5,
+        threshold=0.7,
+        hash_fn="xxhash64",
+    )
 
 
 @_register(

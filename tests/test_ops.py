@@ -67,6 +67,38 @@ def test_minhash_finds_planted_near_dups(docs):
     assert not any({a, b} == {1, 5} for a, b in pairs)
 
 
+def test_minhash_xxhash64_path_recall_parity(docs):
+    """The Spark-native xxhash64 base hash (production path) must find the
+    same verified near-dup pairs as the md5 oracle path on the planted
+    corpus, and its plan must contain no md5 call."""
+    md5_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    fast = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5, hash_fn="xxhash64")
+    fast_pairs = {(r["id_a"], r["id_b"]) for r in fast.collect()}
+    assert fast_pairs == md5_pairs
+    assert (1, 2) in fast_pairs and (1, 3) in fast_pairs
+    sig_plan = minhash_signature(docs, "text", hash_fn="xxhash64")._jdf.queryExecution().toString()
+    assert "xxhash64" in sig_plan and "md5" not in sig_plan
+
+
+def test_minhash_lane_mixing_decorrelated(spark):
+    """A very common shingle with a small base hash must not dominate every
+    lane (the failure mode of small affine multipliers): two documents
+    sharing one common shingle but otherwise disjoint must NOT share any
+    full 4-lane band."""
+    common = "zzzzz"  # one shared shingle
+    a = common + " aaaaaaaa bbbbbbbb cccccccc dddddddd eeeeeeee"
+    b = common + " ffffffff gggggggg hhhhhhhh iiiiiiii jjjjjjjj"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id bigint, text string")
+    sigs = {r["doc_id"]: r["minhash"] for r in minhash_signature(df, "text").collect()}
+    shared_bands = sum(
+        sigs[1][i : i + 4] == sigs[2][i : i + 4] for i in range(0, 16, 4)
+    )
+    assert shared_bands == 0
+
+
 def test_simhash_near_dups_close_in_hamming(docs):
     out = {r["doc_id"]: r["simhash"] for r in simhash(docs, "text").select("doc_id", "simhash").collect()}
     assert out[1] == out[2]
