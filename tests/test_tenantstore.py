@@ -173,3 +173,75 @@ def test_attempt_record_include_event_and_data(attempts):
     assert ev["event_id"] == "e1"
     assert ev["time"] == datetime(2024, 1, 15)  # session tz is UTC
     assert ev["data"] == '{"k":1}'
+
+
+# ───────────────────── credential encryption at rest (crypto.py) ─────────────────────
+
+
+@pytest.fixture(scope="module")
+def secret_dests(spark):
+    return spark.createDataFrame(
+        [
+            ("d1", "t1", {"api_key": "sk_live_abcdef123456", "user": "alice"}, '{"idx":1}'),
+            ("d2", "t1", {"token": "tok_9f8e7d"}, None),
+            ("d3", "t2", None, '{"idx":3}'),
+        ],
+        "id string, tenant_id string, credentials map<string,string>, delivery_metadata string",
+    )
+
+
+def test_credentials_encrypt_decrypt_roundtrip(secret_dests):
+    from outpost_spark.tenantstore import (
+        decrypt_destination_secrets,
+        encrypt_destination_secrets,
+    )
+
+    enc = encrypt_destination_secrets(secret_dests, "s3cr3t")
+    enc_rows = {r["id"]: r for r in enc.collect()}
+    # sealed columns are binary, plaintext gone
+    assert isinstance(enc_rows["d1"]["credentials"], (bytes, bytearray))
+    assert b"sk_live" not in bytes(enc_rows["d1"]["credentials"])
+    assert enc_rows["d3"]["credentials"] is None  # null passes through
+
+    dec = decrypt_destination_secrets(enc, "s3cr3t")
+    out = {r["id"]: r for r in dec.collect()}
+    assert out["d1"]["credentials"] == {"api_key": "sk_live_abcdef123456", "user": "alice"}
+    assert out["d2"]["credentials"] == {"token": "tok_9f8e7d"}
+    assert out["d3"]["credentials"] is None
+    # string-typed delivery_metadata round-trips via the generic map schema?
+    # No — it is JSON text; decrypt as plain string instead
+    dec_md = decrypt_destination_secrets(
+        enc, "s3cr3t", cols=("delivery_metadata",), schema="map<string,int>"
+    )
+    md = {r["id"]: r["delivery_metadata"] for r in dec_md.collect()}
+    assert md["d1"] == {"idx": 1} and md["d3"] == {"idx": 3} and md["d2"] is None
+
+
+def test_cipher_wire_format_matches_reference(secret_dests):
+    """cipher.go:16-30 — output must be nonce(12) || ciphertext || tag(16),
+    and a fresh random nonce per seal (same plaintext, different bytes)."""
+    from outpost_spark.tenantstore import encrypt_expr
+
+    df = secret_dests.filter(F.col("id") == "d1").select(
+        encrypt_expr(F.lit("payload-xyz"), "k1").alias("a"),
+        encrypt_expr(F.lit("payload-xyz"), "k1").alias("b"),
+    )
+    r = df.collect()[0]
+    assert len(bytes(r["a"])) == 12 + len(b"payload-xyz") + 16
+    assert bytes(r["a"]) != bytes(r["b"])  # random nonce per call
+
+
+def test_decrypt_wrong_key_strict_raises_lenient_nulls(secret_dests):
+    from outpost_spark.tenantstore import (
+        decrypt_destination_secrets,
+        encrypt_destination_secrets,
+    )
+
+    enc = encrypt_destination_secrets(secret_dests, "right-key")
+    with pytest.raises(Exception):
+        decrypt_destination_secrets(enc, "wrong-key").collect()
+    lenient = decrypt_destination_secrets(enc, "wrong-key", strict=False)
+    assert all(r["credentials"] is None for r in lenient.collect())
+    # and the right key still works after the failed scan
+    ok = decrypt_destination_secrets(enc, "right-key")
+    assert {r["id"]: r["credentials"] for r in ok.collect()}["d2"] == {"token": "tok_9f8e7d"}
