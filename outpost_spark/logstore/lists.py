@@ -231,9 +231,52 @@ def list_events(events_df: DataFrame, req: ListRequest) -> ListResult:
     )
 
 
-def list_attempts(attempts_df: DataFrame, req: ListRequest) -> ListResult:
-    """ListAttempt — same machinery over the denormalized attempts table."""
+def list_attempts(
+    attempts_df: DataFrame,
+    req: ListRequest,
+    *,
+    include: tuple[str, ...] | list[str] = (),
+    destinations_df: DataFrame | None = None,
+    sensitive_config: list[str] | None = None,
+    sensitive_credentials: list[str] | None = None,
+) -> ListResult:
+    """ListAttempt — same machinery over the denormalized attempts table.
+
+    ``include`` applies the reference's response shaping end-to-end
+    (log_handlers.go:54-78 + toAPIAttempt:152-210): "event"/"event.data"
+    nest the embedded event struct, "response_data" keeps the response
+    body, "destination" left-joins the (broadcast, credential-obfuscated)
+    destinations dimension as a nested struct — NULL when the destination
+    no longer exists, like the reference's nil destDisplay.  Shaping is a
+    projection before the keyset page, so the plan stays a
+    TakeOrderedAndProject over limit+1 rows.
+    """
     df = _apply_common_filters(attempts_df, req, time_col="attempt_time", events=False)
+    if include:
+        # lazy import: tenantstore.store imports this module's pagination
+        from outpost_spark.tenantstore.store import (
+            attempt_record,
+            obfuscate_destinations,
+        )
+
+        df = attempt_record(df, include)
+        if "destination" in include and destinations_df is not None:
+            dd = obfuscate_destinations(
+                destinations_df,
+                sensitive_config=sensitive_config,
+                sensitive_credentials=sensitive_credentials,
+            ).alias("__d")
+            dest_struct = F.when(
+                F.col("__d.id").isNotNull(),
+                F.struct(*[F.col(f"__d.{c}").alias(c) for c in dd.columns]),
+            ).alias("destination")
+            shaped = df.alias("__a")
+            df = shaped.join(
+                F.broadcast(dd),
+                (F.col("__a.destination_id") == F.col("__d.id"))
+                & (F.col("__a.tenant_id") == F.col("__d.tenant_id")),
+                "left",
+            ).select(F.col("__a.*"), dest_struct)
     return _page(
         df, time_col="attempt_time", id_col="attempt_id", resource="att", version=1, req=req
     )

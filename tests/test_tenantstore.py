@@ -245,3 +245,83 @@ def test_decrypt_wrong_key_strict_raises_lenient_nulls(secret_dests):
     # and the right key still works after the failed scan
     ok = decrypt_destination_secrets(enc, "right-key")
     assert {r["id"]: r["credentials"] for r in ok.collect()}["d2"] == {"token": "tok_9f8e7d"}
+
+
+# ───────────────── include[] wired end-to-end into the list path ─────────────────
+
+
+@pytest.fixture(scope="module")
+def attempts_multi(spark):
+    rows = []
+    for i in range(1, 6):
+        t = datetime(2024, 1, 15, 12, i, tzinfo=timezone.utc)
+        rows.append(
+            (f"a{i}", f"e{i}", "t1", "d1" if i % 2 else "d-gone", "webhook",
+             "success", "200", 1, False, t, '{"ok":true}', '{"k":%d}' % i,
+             t, True, "user.created", {"m": str(i)})
+        )
+    return spark.createDataFrame(
+        rows,
+        "attempt_id string, event_id string, tenant_id string, destination_id string, "
+        "destination_type string, status string, code string, attempt_number int, "
+        "manual boolean, attempt_time timestamp, response_data string, data string, "
+        "event_time timestamp, eligible_for_retry boolean, topic string, "
+        "metadata map<string,string>",
+    )
+
+
+@pytest.fixture(scope="module")
+def dest_dim(spark):
+    return spark.createDataFrame(
+        [("d1", "t1", "webhook", ["*"], {}, {"api_key": "sk_live_abcdef123456"})],
+        DEST_SCHEMA,
+    )
+
+
+def test_list_attempts_include_matrix(attempts_multi, dest_dim):
+    from outpost_spark.logstore.lists import ListRequest, list_attempts
+
+    # default shape: raw row, no shaping applied
+    plain = list_attempts(attempts_multi, ListRequest(limit=10))
+    assert "response_data" in plain.items[0].asDict()
+
+    # include=() equivalents of the reference matrix (log_handlers.go:54-78)
+    shaped = list_attempts(
+        attempts_multi,
+        ListRequest(limit=10),
+        include=("event", "event.data", "response_data", "destination"),
+        destinations_df=dest_dim,
+        sensitive_credentials=["api_key"],
+    )
+    assert len(shaped.items) == 5
+    by_id = {r["attempt_id"]: r for r in shaped.items}
+    r = by_id["a1"]
+    assert r["response_data"] == '{"ok":true}'
+    assert r["event"]["event_id"] == "e1" and r["event"]["data"] == '{"k":1}'
+    # destination expanded with obfuscated credentials
+    d = r["destination"]
+    assert d["id"] == "d1"
+    assert d["credentials"]["api_key"].startswith("sk_l")
+    assert set(d["credentials"]["api_key"][4:]) == {"*"}
+    # missing destination -> NULL struct (nil destDisplay)
+    assert by_id["a2"]["destination"] is None
+
+    # event without data: nested struct has no 'data' field
+    ev_only = list_attempts(attempts_multi, ListRequest(limit=10), include=("event",))
+    assert "data" not in ev_only.items[0]["event"].asDict()
+    assert "response_data" not in ev_only.items[0].asDict()
+
+
+def test_list_attempts_include_preserves_pagination(attempts_multi):
+    from outpost_spark.logstore.lists import ListRequest, list_attempts
+
+    p1 = list_attempts(attempts_multi, ListRequest(limit=2), include=("event",))
+    assert [r["attempt_id"] for r in p1.items] == ["a5", "a4"]
+    p2 = list_attempts(
+        attempts_multi, ListRequest(limit=2, next=p1.next), include=("event",)
+    )
+    assert [r["attempt_id"] for r in p2.items] == ["a3", "a2"]
+    back = list_attempts(
+        attempts_multi, ListRequest(limit=2, prev=p2.prev), include=("event",)
+    )
+    assert [r["attempt_id"] for r in back.items] == ["a5", "a4"]
