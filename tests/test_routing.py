@@ -270,3 +270,91 @@ def test_compiled_mode_nested_array_payloads(spark):
     assert got["n1"] == ["want_one"]
     assert got["n2"] == []
     assert got["n3"] == ["want_obj"]
+
+def test_topic_filter_precedence_before_content_filter(spark):
+    """match.go 'topic filter takes precedence before content filter': a
+    destination whose topics don't include the event's topic never matches,
+    even when the content filter would — the filter is only consulted after
+    the topic gate passes."""
+    events = spark.createDataFrame(
+        [_ev("p1", "t9", "order", {"type": "order.created"})], EV_SCHEMA
+    )
+    dests = spark.createDataFrame(
+        [
+            _dest(
+                "dest_topic_and_filter",
+                "t9",
+                ["user.created"],
+                {"data": {"type": "order.created"}},
+            )
+        ],
+        DEST_SCHEMA,
+    )
+    got = _matches(match_events(events, dests))
+    assert got["p1"] == []
+
+
+def test_match_after_destination_updated(spark):
+    """match.go 'match after destination is updated': matching is pure over
+    the current destinations snapshot — after a destination's topics change,
+    the same event matches against the new subscription set."""
+    events = spark.createDataFrame(
+        [_ev("u1", "t9", "user.created"), _ev("u2", "t9", "user.updated")], EV_SCHEMA
+    )
+    before = spark.createDataFrame(
+        [
+            _dest("wildcard", "t9", ["*"]),
+            _dest("mover", "t9", ["user.updated"]),
+            _dest("created", "t9", ["user.created"]),
+        ],
+        DEST_SCHEMA,
+    )
+    got = _matches(match_events(events, before))
+    assert got["u1"] == ["created", "wildcard"]
+    assert got["u2"] == ["mover", "wildcard"]
+
+    # upsert: mover now subscribes to user.created instead
+    after = spark.createDataFrame(
+        [
+            _dest("wildcard", "t9", ["*"]),
+            _dest("mover", "t9", ["user.created"]),
+            _dest("created", "t9", ["user.created"]),
+        ],
+        DEST_SCHEMA,
+    )
+    got = _matches(match_events(events, after))
+    assert got["u1"] == ["created", "mover", "wildcard"]
+    assert got["u2"] == ["wildcard"]
+
+
+def test_disable_then_reenable_destination(spark):
+    """match.go DisableAndMatch: disabling removes a destination from the
+    match set; clearing disabled_at restores it."""
+    events = spark.createDataFrame([_ev("d1", "t9", "user.deleted")], EV_SCHEMA)
+    enabled = spark.createDataFrame(
+        [_dest("a", "t9", ["*"]), _dest("b", "t9", ["user.deleted"])], DEST_SCHEMA
+    )
+    disabled = spark.createDataFrame(
+        [_dest("a", "t9", ["*"], disabled=True), _dest("b", "t9", ["user.deleted"])],
+        DEST_SCHEMA,
+    )
+    assert _matches(match_events(events, enabled))["d1"] == ["a", "b"]
+    assert _matches(match_events(events, disabled))["d1"] == ["b"]
+    # re-enabled (disabled_at back to NULL) -> matches again
+    assert _matches(match_events(events, enabled))["d1"] == ["a", "b"]
+
+
+def test_delete_and_match(spark):
+    """match.go DeleteAndMatch: a deleted destination (absent from the
+    snapshot) never matches."""
+    events = spark.createDataFrame([_ev("x1", "t9", "user.created")], EV_SCHEMA)
+    full = spark.createDataFrame(
+        [
+            _dest("gone", "t9", ["user.created"]),
+            _dest("stay", "t9", ["user.*"]),
+        ],
+        DEST_SCHEMA,
+    )
+    pruned = full.filter("id != 'gone'")
+    assert _matches(match_events(events, full))["x1"] == ["gone", "stay"]
+    assert _matches(match_events(events, pruned))["x1"] == ["stay"]
