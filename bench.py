@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_lsh_pairs_fast",
     "embed_cosine_topk",
+    "embed_ann_ivf_topk",
     "text_token_stats",
     "text_quality_score",
 ]

@@ -18,6 +18,8 @@ partitioned by bucket prefix (see ``bucket_partition_hint``).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -109,6 +111,169 @@ def bucket_partition_hint(
     table can be written ``partitionBy(out_col)`` — ANN queries then prune
     the scan to the query's partition instead of reading every vector."""
     return df.withColumn(out_col, sign_lsh_bucket(F.col(vec_col), bits))
+
+
+def _centroid_lit(c) -> Column:
+    return F.array(*[F.lit(float(x)) for x in c])
+
+
+def centroid_scores(vec: Column, centroids, *, score_decimals: int = 6) -> Column:
+    """array<struct<score,negcid>> of rounded cosine from ``vec`` to each
+    centroid.  Rounding before any comparison keeps argmax/top-nprobe
+    selection reproducible across engines (same contract as the other
+    similarity entries); ``negcid`` makes struct-max tie-break to the
+    LOWEST centroid id."""
+    return F.array(
+        *[
+            F.struct(
+                F.round(cosine_expr(vec, _centroid_lit(c)), score_decimals).alias("score"),
+                F.lit(-i).alias("negcid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def assign_ivf_expr(vec: Column, centroids, *, score_decimals: int = 6) -> Column:
+    """IVF list assignment as a pure Column expression: argmax cosine over
+    ``centroids`` (ties -> lowest cid).  Zero-shuffle and oracle-portable;
+    plan size grows with nlist x dim, so use :func:`assign_ivf_pandas` when
+    nlist is large (thousands)."""
+    best = F.array_max(centroid_scores(vec, centroids, score_decimals=score_decimals))
+    return (-best["negcid"]).cast("int")
+
+
+def assign_ivf_pandas(df: DataFrame, vec_col: str, centroids, *, out_col: str = "ivf_cid") -> DataFrame:
+    """Production-scale IVF assignment: Arrow-batched numpy argmax against a
+    closure-captured centroid matrix.  O(nlist x dim) flops per vector with
+    no per-row Python and no shuffle; the right path once nlist x dim makes
+    :func:`assign_ivf_expr`'s literal plan impractical.  Ties break to the
+    lowest cid (``np.argmax`` takes the first maximum)."""
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(centroids, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    cnorm = mat / norms[:, None]
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(list(vecs), dtype=np.float64)
+        vn = np.linalg.norm(v, axis=1)
+        vn[vn == 0] = 1.0
+        scores = (v / vn[:, None]) @ cnorm.T
+        return pd.Series(np.argmax(scores, axis=1).astype("int32"))
+
+    return df.withColumn(out_col, _assign(F.col(vec_col)))
+
+
+def probe_cids_expr(vec: Column, centroids, nprobe: int, *, score_decimals: int = 6) -> Column:
+    """The ``nprobe`` nearest centroid ids to ``vec`` (score desc, cid asc)."""
+    arr = F.array(
+        *[
+            F.struct(
+                (-F.round(cosine_expr(vec, _centroid_lit(c)), score_decimals)).alias("negscore"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(F.slice(F.sort_array(arr), 1, nprobe), lambda s: s["cid"])
+
+
+def train_centroids_kmeans(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int,
+    *,
+    id_col: str = "vec_id",
+    iters: int = 5,
+    assign_method: str = "pandas",
+):
+    """Distributed Lloyd's k-means returning driver-side centroids
+    (``n_centroids x dim`` floats — bounded and small by construction).
+
+    Deterministic: seeds are the ``n_centroids`` rows with the smallest
+    ``id_col`` (TakeOrdered — no global sort), and each iteration is
+    assign (map-only) -> element-wise mean via ``posexplode`` +
+    ``groupBy(cid, pos)`` — map-side partial aggregation reduces the
+    shuffle to ~``nlist x dim`` rows per partition regardless of input
+    size.  Empty clusters keep their previous centroid.
+    """
+    seeds = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in seeds]
+    if not centroids:
+        return centroids
+    dim = len(centroids[0])
+    for _ in range(iters):
+        if assign_method == "pandas":
+            assigned = assign_ivf_pandas(df, vec_col, centroids, out_col="__cid")
+        else:
+            assigned = df.withColumn(
+                "__cid", assign_ivf_expr(F.col(vec_col).cast("array<double>"), centroids)
+            )
+        means = (
+            assigned.select("__cid", F.posexplode(F.col(vec_col).cast("array<double>")))
+            .groupBy("__cid", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        by_cid: dict = {}
+        for r in means:
+            by_cid.setdefault(r["__cid"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [by_cid[i][p] for p in range(dim)] if i in by_cid else centroids[i]
+            for i in range(n_centroids)
+        ]
+    return centroids
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    vec_col: str,
+    query: DataFrame,
+    centroids,
+    *,
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 2,
+    score_decimals: int = 6,
+    assign_col: str | None = None,
+) -> DataFrame:
+    """IVF ANN: scan only the query's ``nprobe`` nearest centroid lists,
+    exact cosine top-k within them.
+
+    At scale the inverted lists live in the table layout: write with
+    ``assign_ivf_pandas(...)`` stamped and ``partitionBy`` that column,
+    pass ``assign_col`` here, and the ``isin(probes)`` filter becomes
+    partition pruning — the scan reads ``nprobe/nlist`` of the files
+    instead of every vector.  Without ``assign_col`` the assignment is
+    computed on the fly (map-only, no shuffle).
+    """
+    q = query.withColumn(
+        "__probes",
+        probe_cids_expr(F.col("qvec").cast("array<double>"), centroids, nprobe, score_decimals=score_decimals),
+    )
+    if assign_col is None:
+        assign_col = "__ivf_cid"
+        df = df.withColumn(
+            assign_col, assign_ivf_expr(F.col(vec_col).cast("array<double>"), centroids, score_decimals=score_decimals)
+        )
+    cand = df.join(F.broadcast(q), F.array_contains(F.col("__probes"), F.col(assign_col)))
+    scored = cand.withColumn(
+        "score",
+        F.round(cosine_expr(F.col(vec_col).cast("array<double>"), F.col("qvec").cast("array<double>")), score_decimals),
+    )
+    return (
+        scored.select(id_col, "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
 
 
 def embedding_near_dup_pairs(

@@ -988,6 +988,156 @@ def dedup_minhash_lsh_pairs_fast(spark, sf_dir):
     )
 
 
+_PAIRS_CTE_SQL = f"""
+    {_SIGS_SQL},
+    cands AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM sigs l JOIN sigs r ON l.doc_id < r.doc_id AND (
+           l.minhash[1:4]   = r.minhash[1:4]
+        OR l.minhash[5:8]   = r.minhash[5:8]
+        OR l.minhash[9:12]  = r.minhash[9:12]
+        OR l.minhash[13:16] = r.minhash[13:16])
+    ),
+    {_GRAMS_SQL},
+    pairs AS (
+      SELECT id_a, id_b
+      FROM cands
+      JOIN grams ga ON ga.doc_id = cands.id_a
+      JOIN grams gb ON gb.doc_id = cands.id_b
+      WHERE CASE WHEN len(list_distinct(list_concat(ga.g, gb.g))) > 0
+            THEN len(list_intersect(ga.g, gb.g)) * 1.0
+                 / len(list_distinct(list_concat(ga.g, gb.g)))
+            ELSE 0.0 END >= 0.7
+    ),
+    edges AS (SELECT id_a AS eu, id_b AS ev FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(ru, rv) AS (
+      SELECT eu, eu FROM edges
+      UNION
+      SELECT r.ru, e.ev FROM reach r JOIN edges e ON r.rv = e.eu
+    ),
+    comp AS (SELECT ru AS doc_id, min(rv) AS component FROM reach GROUP BY ru)
+"""
+
+
+def _minhash_pairs(spark, sf_dir):
+    from outpost_spark.ops.dedup import minhash_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text",
+        num_hashes=16, bands=4, rows_per_band=4,
+        shingle_len=5, verify_ngram=5, threshold=0.7,
+    )
+
+
+@_register(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE {_PAIRS_CTE_SQL}
+    SELECT doc_id, component FROM comp
+    """,
+)
+def dedup_connected_components(spark, sf_dir):
+    """Near-dup clusters: connected components over the verified
+    MinHash+LSH pair graph (component = min reachable doc_id).
+
+    Spark side is iterative min-label propagation
+    (``ops.dedup.connected_components`` — O(diameter) checkpointed
+    rounds, shuffle keyed on node id throughout); the oracle computes the
+    same fixpoint with a recursive transitive-closure CTE, which is only
+    feasible because the pair graph is sparse."""
+    from outpost_spark.ops.dedup import connected_components
+
+    comp = connected_components(_minhash_pairs(spark, sf_dir))
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+@_register(
+    "dedup_canonical_survivors",
+    f"""
+    WITH RECURSIVE {_PAIRS_CTE_SQL}
+    SELECT d.doc_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.doc_id = c.component
+    """,
+)
+def dedup_canonical_survivors(spark, sf_dir):
+    """Fuzzy-dedup output corpus: every near-dup cluster collapsed to its
+    minimum-id member, untouched documents passed through (left-anti join
+    against the losers set, which is broadcast-small by construction)."""
+    from outpost_spark.ops.dedup import dedup_keep_canonical
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_keep_canonical(docs, _minhash_pairs(spark, sf_dir), "doc_id").select(
+        "doc_id"
+    )
+
+
+_HASH_FRAC_SQL = (
+    "(CAST(('0x' || substr(md5('{seed}|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " / 4294967296.0)"
+)
+
+
+@_register(
+    "sample_hash_documents",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE {_HASH_FRAC_SQL.format(seed="sample")} < 0.25
+    """,
+)
+def sample_hash_documents(spark, sf_dir):
+    """Deterministic 25% corpus sample by id-hash fraction — membership is
+    stable across runs/engines/corpus growth (unlike RNG-based sample())."""
+    from outpost_spark.ops.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.25).select("doc_id")
+
+
+@_register(
+    "sample_train_val_test",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_HASH_FRAC_SQL.format(seed="split")} < 0.8 THEN 'train'
+                WHEN {_HASH_FRAC_SQL.format(seed="split")} < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def sample_train_val_test(spark, sf_dir):
+    """Deterministic train/val/test assignment (80/10/10) by id hash."""
+    from outpost_spark.ops.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(
+        docs, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    ).select("doc_id", "split")
+
+
+@_register(
+    "sample_stratified_quota",
+    f"""
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_HASH_FRAC_SQL.format(seed="strata")} ASC, doc_id ASC) AS rn
+      FROM documents) t
+    WHERE rn <= 3
+    """,
+)
+def sample_stratified_quota(spark, sf_dir):
+    """Quota sampling: at most 3 documents per language, picked in
+    hash-fraction order — the deterministic way to cap over-represented
+    strata when assembling a training mix."""
+    from outpost_spark.ops.sampling import stratified_quota
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_quota(docs, ["lang"], 3, "doc_id").select("lang", "doc_id")
+
+
 @_register(
     "dedup_simhash",
     None,  # placeholder replaced below (SQL built programmatically)
@@ -1120,6 +1270,62 @@ def embed_ann_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     return cosine_topk_lsh(emb, "embedding", query, id_col="vec_id", k=10, bits=8)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"""
+      round(CASE WHEN sqrt(list_sum(list_transform({a}, x -> x * x)))
+                   * sqrt(list_sum(list_transform({b}, x -> x * x))) > 0
+            THEN list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))
+                 / (sqrt(list_sum(list_transform({a}, x -> x * x)))
+                    * sqrt(list_sum(list_transform({b}, x -> x * x))))
+            ELSE 0.0 END, 6)
+"""
+
+
+@_register(
+    "embed_ann_ivf_topk",
+    f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM emb WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, s.cid, {_cos_sql("e.v", "s.c")} AS score
+      FROM emb e CROSS JOIN cent s
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+        FROM scored) t WHERE rn = 1
+    ),
+    probes AS (SELECT cid FROM scored WHERE vec_id = 0 ORDER BY score DESC, cid ASC LIMIT 2),
+    q AS (SELECT v AS b FROM emb WHERE vec_id = 0)
+    SELECT e.vec_id, {_cos_sql("e.v", "q.b")} AS score
+    FROM emb e JOIN assigned a ON e.vec_id = a.vec_id, q
+    WHERE a.cid IN (SELECT cid FROM probes)
+    ORDER BY score DESC, e.vec_id ASC LIMIT 10
+    """,
+)
+def embed_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: argmax-cosine list assignment over 8 seed centroids
+    (vec_id < 8), probe the query's 2 nearest lists, exact cosine top-10
+    within them.  The production layout writes the table partitioned by
+    the assignment column so probing prunes files (see
+    ``ops.similarity.cosine_topk_ivf``); full Lloyd's training is
+    ``train_centroids_kmeans`` (pytest-covered — iterative float means
+    are not portably oracle-able)."""
+    from outpost_spark.ops.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        list(r["v"])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    ]
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return cosine_topk_ivf(emb, "embedding", query, seeds, id_col="vec_id", k=10, nprobe=2)
 
 
 @_register(

@@ -6,11 +6,19 @@ import pytest
 from pyspark.sql import functions as F
 
 from outpost_spark.ops.dedup import (
+    connected_components,
+    dedup_keep_canonical,
     exact_dedup,
     minhash_dedup_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
     simhash,
+)
+from outpost_spark.ops.sampling import (
+    hash_fraction,
+    hash_sample,
+    hash_split,
+    stratified_quota,
 )
 from outpost_spark.ops.multimodal import (
     decode_image,
@@ -18,9 +26,13 @@ from outpost_spark.ops.multimodal import (
     extract_features,
 )
 from outpost_spark.ops.similarity import (
+    assign_ivf_expr,
+    assign_ivf_pandas,
     cosine_topk,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_near_dup_pairs,
+    train_centroids_kmeans,
 )
 from outpost_spark.ops.text import language_id, quality_score
 
@@ -143,6 +155,70 @@ def test_ann_lsh_matches_brute_force_in_bucket(vectors):
     assert [r["vec_id"] for r in ann] == [0, 1, 3]
 
 
+def test_ivf_assignment_expr_matches_pandas(vectors):
+    cents = [[1.0, 0.0, 0.5, 0.2] * 16, [-1.0, 0.3, -0.5, 0.1] * 16, [0.0, 1.0, -1.0, 0.7] * 16]
+    expr = {
+        r["vec_id"]: r["cid"]
+        for r in vectors.select(
+            "vec_id", assign_ivf_expr(F.col("embedding").cast("array<double>"), cents).alias("cid")
+        ).collect()
+    }
+    pnd = {
+        r["vec_id"]: r["ivf_cid"]
+        for r in assign_ivf_pandas(vectors, "embedding", cents).select("vec_id", "ivf_cid").collect()
+    }
+    assert expr == pnd
+    # planted structure: 0/1/3 cluster with centroid 0, 2 with 1, 4 with 2
+    assert expr == {0: 0, 1: 0, 2: 1, 3: 0, 4: 2}
+
+
+def test_kmeans_training_deterministic_and_separates(spark):
+    a, b = [1.0, 0.0, 0.5, 0.2] * 16, [-1.0, 0.8, -0.5, 0.1] * 16
+    rows = [
+        (0, a),
+        (1, b),  # the two seeds span the two families
+        (2, [x + 0.01 for x in a]),
+        (3, [x - 0.02 for x in a]),
+        (4, [x + 0.01 for x in b]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    c1 = train_centroids_kmeans(df, "embedding", 2, iters=3)
+    c2 = train_centroids_kmeans(df, "embedding", 2, iters=3)
+    assert c1 == c2  # deterministic seeding + iteration
+    assigned = assign_ivf_pandas(df, "embedding", c1, out_col="cid")
+    cids = {r["vec_id"]: r["cid"] for r in assigned.select("vec_id", "cid").collect()}
+    assert cids[0] == cids[2] == cids[3]
+    assert cids[1] == cids[4] != cids[0]
+    # trained centroid moved toward the family mean (not stuck on the seed)
+    assert c1[0] != [float(x) for x in a]
+
+
+def test_ivf_topk_full_probe_matches_brute_force(vectors):
+    cents = train_centroids_kmeans(vectors, "embedding", 3, iters=2)
+    q = vectors.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    exact = [r["vec_id"] for r in cosine_topk(vectors, "embedding", q, k=5).collect()]
+    # probing every list degenerates to brute force
+    full = [
+        r["vec_id"]
+        for r in cosine_topk_ivf(vectors, "embedding", q, cents, k=5, nprobe=len(cents)).collect()
+    ]
+    assert full == exact
+    # nprobe=1 still finds the planted neighbors (they share the query's list)
+    near = [r["vec_id"] for r in cosine_topk_ivf(vectors, "embedding", q, cents, k=3, nprobe=1).collect()]
+    assert near[:2] == [0, 1]
+
+
+def test_ivf_preassigned_column_path(vectors):
+    cents = [[1.0, 0.0, 0.5, 0.2] * 16, [0.0, 1.0, -1.0, 0.7] * 16]
+    pre = assign_ivf_pandas(vectors, "embedding", cents, out_col="ivf_cid")
+    q = vectors.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    out = cosine_topk_ivf(
+        pre, "embedding", q, cents, k=10, nprobe=1, assign_col="ivf_cid"
+    ).collect()
+    got = [r["vec_id"] for r in out]
+    assert got[0] == 0 and 4 not in got  # other-list vector pruned
+
+
 def test_embedding_near_dup_pairs(vectors):
     pairs = {
         (r["id_a"], r["id_b"]): r["cosine"]
@@ -168,3 +244,73 @@ def test_multimodal_stub_and_fake_pipeline(docs):
     assert rows[1]["checksum"] == rows[2]["checksum"]  # same bytes, same digest
     assert rows[1]["n_bytes"] == len(BASE.encode())
     assert len(rows[1]["feat"]) == 4 and all(0 <= v < 1 for v in rows[1]["feat"])
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4-5 (diameter 4, forces several propagation rounds),
+    # separate pair 10-11, isolated-from-pairs docs never appear
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dedup_keep_canonical_survivors(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 7)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a bigint, id_b bigint"
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_keep_canonical(docs, pairs, "doc_id").collect()
+    )
+    assert kept == [1, 4, 5]  # each cluster -> min id; untouched 4 passes through
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    ids = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s20 = {r["doc_id"] for r in hash_sample(ids, "doc_id", 0.2).collect()}
+    s50 = {r["doc_id"] for r in hash_sample(ids, "doc_id", 0.5).collect()}
+    assert s20 == {r["doc_id"] for r in hash_sample(ids, "doc_id", 0.2).collect()}
+    assert s20 < s50  # same seed: smaller rate is a strict subset
+    assert 0.15 < len(s20) / 2000 < 0.25 and 0.45 < len(s50) / 2000 < 0.55
+    other = {r["doc_id"] for r in hash_sample(ids, "doc_id", 0.2, seed="other").collect()}
+    assert other != s20  # different seed, different (independent) sample
+
+
+def test_hash_split_partitions_and_validates(spark):
+    ids = spark.range(3000).withColumnRenamed("id", "doc_id")
+    out = hash_split(ids, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 3000  # exhaustive assignment
+    assert 0.75 < counts["train"] / 3000 < 0.85
+    assert counts["val"] > 0 and counts["test"] > 0
+    with pytest.raises(ValueError):
+        hash_split(ids, "doc_id", [("a", 0.5), ("b", 0.4)])
+    # xxhash64 production path also covers every row
+    fast = hash_split(ids, "doc_id", [("a", 0.5), ("b", 0.5)], hash_fn="xxhash64")
+    assert fast.filter(F.col("split").isNull()).count() == 0
+
+
+def test_stratified_quota_caps_each_stratum(docs):
+    out = stratified_quota(docs, ["lang"], 2, "doc_id")
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 2 for n in per.values())
+    assert per["en"] == 2  # en has >2 docs -> capped exactly at quota
+    again = stratified_quota(docs, ["lang"], 2, "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_hash_fraction_range(spark):
+    ids = spark.range(500).withColumnRenamed("id", "doc_id")
+    stats = ids.select(
+        F.min(hash_fraction(F.col("doc_id"))).alias("lo"),
+        F.max(hash_fraction(F.col("doc_id"))).alias("hi"),
+        F.avg(hash_fraction(F.col("doc_id"))).alias("mean"),
+    ).collect()[0]
+    assert 0.0 <= stats["lo"] and stats["hi"] < 1.0
+    assert 0.4 < stats["mean"] < 0.6  # roughly uniform
