@@ -265,6 +265,81 @@ def minhash_dedup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph: (node, component)
+    where component = the smallest node id reachable from ``node``.
+
+    Iterative min-label propagation: each round joins the (undirected)
+    edge list against current labels and takes the per-node minimum —
+    both sides shuffle on the node id, so successive rounds reuse the
+    same hash partitioning.  Rounds needed = graph diameter, which for
+    LSH near-dup graphs is small (clusters are band-collision cliques,
+    diameter 1-3); ``max_iters`` bounds adversarial chains.  Each round
+    is localCheckpoint'ed (eager) so lineage — and the replay cost of a
+    lost executor — stays O(1) instead of O(rounds); convergence is
+    detected with a cheap ``limit(1)`` existence probe, not a full count.
+    Deterministic: min over ids, no RNG.
+    """
+    fwd = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    edges = fwd.union(
+        pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select("u").distinct().select(F.col("u").alias("node"), F.col("u").alias("component"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .select(F.col("u").alias("node"), F.col("component"))
+        )
+        new_labels = (
+            prop.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Fuzzy-dedup survivor set: collapse each near-dup component to its
+    canonical (minimum-id) member and keep every untouched document.
+
+    The components frame is tiny relative to the corpus (only documents
+    that appear in a pair), so the anti-join side is the small one —
+    broadcast when it fits.
+    """
+    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def tokens_expr(text: Column) -> Column:
     """Whitespace tokens of the lowercased text (empty-string safe)."""
     t = F.lower(F.trim(text))

@@ -1,0 +1,107 @@
+"""Deterministic sampling and split operators for training-data pipelines.
+
+Every operator keys off a content-independent hash fraction
+``frac(id) = int(md5(seed || '|' || id)[:8], 16) / 2^32`` — uniform in
+[0, 1), reproducible in any engine with md5 (the DuckDB oracles use the
+identical formula), and stable under repartitioning, retries, and
+incremental reprocessing: a document's sample/split membership never
+changes as the corpus grows, which `df.sample()`'s partition-seeded RNG
+cannot guarantee.
+
+Scale design (100 TB):
+- Sampling/splitting is a pure map — a codegen'd filter/projection, no
+  shuffle, fully pushed alongside the scan.
+- ``stratified_quota`` is the only shuffling operator (window per
+  stratum); quota selection shuffles (stratum, frac, id) triples only —
+  never document bodies — and caps each stratum before anything wide.
+- ``hash_fn="xxhash64"`` swaps md5 for the Spark-native hash (one
+  codegen'd call, ~10x cheaper, no SQL oracle) — same switch as the
+  dedup module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_fraction(key: Column, *, seed: str = "sample", hash_fn: str = "md5") -> Column:
+    """Uniform [0, 1) fraction from a stable hash of ``key`` (stringified)."""
+    s = F.concat(F.lit(f"{seed}|"), key.cast("string"))
+    if hash_fn == "xxhash64":
+        h = F.pmod(F.xxhash64(s), F.lit(1 << 32)).cast("long")
+    else:
+        h = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    return h / F.lit(float(1 << 32))
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    rate: float,
+    *,
+    seed: str = "sample",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows by id hash.
+
+    Membership is decided per-id, so two runs (or two engines) agree
+    row-for-row, and disjoint seeds give independent samples.
+    """
+    return df.filter(hash_fraction(F.col(id_col), seed=seed, hash_fn=hash_fn) < rate)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: list[tuple[str, float]],
+    *,
+    seed: str = "split",
+    hash_fn: str = "md5",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split (e.g. train/val/test) by hash.
+
+    ``splits`` is [(name, weight), ...]; weights must sum to 1.  The
+    assignment column is a chained range test on the hash fraction —
+    deterministic, engine-portable, and stable as the corpus grows.
+    """
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    frac = hash_fraction(F.col(id_col), seed=seed, hash_fn=hash_fn)
+    expr = None
+    cum = 0.0
+    for name, w in splits[:-1]:
+        cum += w
+        branch = F.when(frac < cum, F.lit(name))
+        expr = branch if expr is None else expr.when(frac < cum, F.lit(name))
+    last = F.lit(splits[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_quota(
+    df: DataFrame,
+    strata_cols: list[str],
+    quota: int,
+    id_col: str,
+    *,
+    seed: str = "strata",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Deterministic quota sample: at most ``quota`` rows per stratum,
+    chosen by hash-fraction order (ties broken by id).
+
+    The hash order makes the per-stratum pick a uniform random sample
+    that is nevertheless reproducible across runs and engines — the
+    standard way to cap over-represented languages/domains when
+    assembling a training mix.
+    """
+    frac = hash_fraction(F.col(id_col), seed=seed, hash_fn=hash_fn)
+    w = Window.partitionBy(*strata_cols).orderBy(frac.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
