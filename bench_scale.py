@@ -1,0 +1,200 @@
+"""Self-relative large-scale benchmark: 10M events / ~12.6M attempts.
+
+Reproduces the reference's metrics bench corpus (cmd/bench/metrics/README.md
+"Data Distribution", deterministic modulo arithmetic):
+
+- 2 tenants: tenant_0 (90%) / tenant_1 (10%)
+- 500 destinations, 3 topics
+- events spread evenly across January 2000
+- chained retries: 1 event -> 1-4 attempts (~1.26 avg), 0.5% permanently failed
+
+and runs the attempt-metrics query shapes from cmd/bench/metrics/bench_test.go
+through ``query_attempt_metrics`` on the month-partitioned parquet table.
+
+Usage:
+    python bench_scale.py [--events 10000000] [--out BENCH_SCALE_r02.json]
+
+The generated table is cached at $SPARK_GRAFT_SCALE_DIR (default
+/tmp/outpost_scale_bench) keyed by the event count; delete the dir to force
+regeneration.  Prints ONE JSON line; with --out also writes it to a file so
+rounds can commit the measurement as an artifact.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from outpost_spark.logstore.insert import with_month_partition  # noqa: E402
+from outpost_spark.logstore.metrics import (  # noqa: E402
+    MetricsRequest,
+    TimeRange,
+    query_attempt_metrics,
+)
+from outpost_spark.session import get_spark  # noqa: E402
+
+JAN = datetime(2000, 1, 1, tzinfo=timezone.utc)
+FEB = datetime(2000, 2, 1, tzinfo=timezone.utc)
+TOPICS = ["order.created", "order.updated", "payment.received"]
+
+
+def generate(spark, path: str, n_events: int) -> None:
+    """Deterministic corpus, pure-Column generation — no driver-side rows.
+
+    Chain length by event id % 100: 84% x1, 9% x2, 4% x3, 3% x4 (~1.26
+    attempts/event, the reference's ~12.6M for 10M events).  Permanent
+    failure when id % 200 == 0 (0.5%): every attempt in the chain fails;
+    otherwise attempts 1..n-1 fail and the final succeeds.
+    """
+    span_us = int((FEB - JAN).total_seconds() * 1_000_000)
+    ev = (
+        spark.range(n_events)
+        .withColumn(
+            "tenant_id",
+            F.when(F.col("id") % 10 < 9, F.lit("tenant_0")).otherwise(F.lit("tenant_1")),
+        )
+        .withColumn("destination_id", F.concat(F.lit("dest_"), F.col("id") % 500))
+        .withColumn(
+            "topic", F.element_at(F.array(*[F.lit(t) for t in TOPICS]), (F.col("id") % 3 + 1).cast("int"))
+        )
+        .withColumn(
+            "event_time",
+            F.timestamp_micros(
+                (
+                    F.lit(int(JAN.timestamp() * 1_000_000))
+                    + (F.col("id") * F.lit(float(span_us) / n_events)).cast("long")
+                ).cast("long")
+            ),
+        )
+        .withColumn(
+            "n_attempts",
+            F.when(F.col("id") % 100 < 84, 1)
+            .when(F.col("id") % 100 < 93, 2)
+            .when(F.col("id") % 100 < 97, 3)
+            .otherwise(4),
+        )
+        .withColumn("permanent_fail", F.col("id") % 200 == 0)
+    )
+    att = (
+        ev.withColumn("attempt_number", F.explode(F.sequence(F.lit(1), F.col("n_attempts"))))
+        .withColumn(
+            "status",
+            F.when(
+                F.col("permanent_fail") | (F.col("attempt_number") < F.col("n_attempts")),
+                F.lit("failed"),
+            ).otherwise(F.lit("success")),
+        )
+        .withColumn("code", F.when(F.col("status") == "success", "200").otherwise("500"))
+        .withColumn("manual", (F.col("attempt_number") > 1) & (F.col("id") % 97 == 0))
+        .withColumn(
+            "attempt_time",
+            F.col("event_time") + F.make_interval(secs=(F.col("attempt_number") - 1) * 30),
+        )
+        .withColumn("event_id", F.concat(F.lit("evt_"), F.col("id")))
+        .withColumn(
+            "attempt_id", F.concat(F.lit("att_"), F.col("id"), F.lit("_"), F.col("attempt_number"))
+        )
+        .withColumn("destination_type", F.lit("webhook"))
+        .select(
+            "attempt_id", "event_id", "tenant_id", "destination_id", "destination_type",
+            "topic", "status", "code", "manual", "attempt_number", "attempt_time",
+        )
+    )
+    with_month_partition(att, "attempt_time").write.mode("overwrite").partitionBy(
+        "month"
+    ).parquet(path)
+
+
+def bench_requests() -> dict[str, MetricsRequest]:
+    """Attempt-metrics cases from cmd/bench/metrics/bench_test.go:196-280."""
+    month = TimeRange(JAN, FEB)
+    day = TimeRange(datetime(2000, 1, 15, tzinfo=timezone.utc), datetime(2000, 1, 16, tzinfo=timezone.utc))
+    week = TimeRange(datetime(2000, 1, 10, tzinfo=timezone.utc), datetime(2000, 1, 17, tzinfo=timezone.utc))
+    R = MetricsRequest
+    return {
+        "CountAll": R(month, ["count"]),
+        "RateAll": R(month, ["rate"]),
+        "SuccessfulRate": R(month, ["successful_rate"]),
+        "FailedRate": R(month, ["failed_rate"]),
+        "CountAndRate": R(month, ["count", "rate", "error_rate"]),
+        "CountByTopic": R(month, ["count"], dimensions=["topic"]),
+        "CountByDestination": R(month, ["count"], dimensions=["destination_id"]),
+        "CountByTenant": R(month, ["count"], dimensions=["tenant_id"]),
+        "CountByStatus": R(month, ["count"], dimensions=["status"]),
+        "CountByCode": R(month, ["count"], dimensions=["code"]),
+        "CountByAttemptNumber": R(month, ["count"], dimensions=["attempt_number"]),
+        "Hourly_1Day": R(day, ["count"], granularity="1h"),
+        "Hourly_1Week": R(week, ["count"], granularity="1h"),
+        "Daily_1Month": R(month, ["count"], granularity="1d"),
+        "TwoDays_1Month": R(month, ["count"], granularity="2d"),
+        "Weekly_1Month": R(month, ["count"], granularity="1w"),
+        "Monthly_1Month": R(month, ["count"], granularity="1M"),
+        "RateHourly_1Day": R(day, ["rate", "error_rate"], granularity="1h"),
+        "FilterByTopic": R(month, ["count"], filters={"topic": ["order.created"]}),
+        "FilterByDestination": R(month, ["count"], filters={"destination_id": ["dest_42"]}),
+        "SmallTenant": R(
+            month, ["count"], granularity="1d",
+            filters={"tenant_id": ["tenant_1"], "status": ["failed"]},
+        ),
+        # fast-path twins: exactly-once sink => distinct degenerates to count
+        "CountAll_deduped": R(month, ["count"], assume_deduped=True),
+        "DailyByTopic_deduped": R(
+            month, ["count"], granularity="1d", dimensions=["topic"], assume_deduped=True
+        ),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", 10_000_000)))
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    root = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/outpost_scale_bench")
+    path = os.path.join(root, f"attempts_{args.events}")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(f"outpost-scale-bench-local[{cpus}]", shuffle_partitions=int(cpus))
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t0 = time.perf_counter()
+        generate(spark, path, args.events)
+        print(f"generated in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    att = spark.read.parquet(path)
+    n_rows = att.count()
+
+    timings: dict[str, float] = {}
+    rows_out: dict[str, int] = {}
+    for name, req in bench_requests().items():
+        t0 = time.perf_counter()
+        rows_out[name] = len(query_attempt_metrics(att, req).collect())
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"{name}: {timings[name]}s ({rows_out[name]} rows)", file=sys.stderr)
+
+    result = {
+        "metric": "scale_bench_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "rows_out": rows_out,
+        "events": args.events,
+        "attempt_rows": n_rows,
+        "cpus": int(cpus),
+    }
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
