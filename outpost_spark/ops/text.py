@@ -88,6 +88,80 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(id_col, label.alias("lang_pred"))
 
 
+# Dialect-common regexes (no backreferences/lookaround — valid in both
+# Java regex and RE2-style engines, so the DuckDB oracle is exact).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def pii_redact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """PII scrubbing for training corpora: emails, IPv4s, and phone-shaped
+    number runs replaced with typed placeholders, with per-doc match counts.
+
+    Replacement is sequential (email -> ip -> phone) and each count is
+    taken on the text the corresponding replacement saw, so counts and
+    redactions are mutually consistent (a phone never double-counts digits
+    inside an already-redacted IP).  Pure codegen expressions — a map over
+    the scan, no shuffle.
+    """
+    t = F.col(text_col)
+    after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    after_phone = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
+    return df.select(
+        id_col,
+        after_phone.alias("redacted"),
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(after_email, F.lit(PII_IPV4)).cast("bigint").alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality rules):
+    distinct-line ratio, token type-token ratio, and the fraction of line
+    characters sitting in duplicated lines.
+
+    Docs with no lines/tokens report 1.0 ratios ("fully distinct") and 0.0
+    duplicate mass.  The duplicate-line pass is O(lines²) per document in
+    interpreted HOFs — lines-per-doc is small and bounded; the op stays a
+    pure map over the scan.
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: x != "")
+    n_lines = F.size(lines).cast("double")
+    distinct_lines = F.array_distinct(lines)
+    toks = tokens_expr(t)
+    n_toks = F.size(toks).cast("double")
+
+    dup_line_chars = F.aggregate(
+        F.filter(
+            lines,
+            lambda l: F.size(F.filter(lines, lambda x: x == l)) > 1,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, l: acc + F.length(l),
+    ).cast("double")
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    ).cast("double")
+
+    return df.select(
+        id_col,
+        n_lines.cast("bigint").alias("n_lines"),
+        F.round(
+            F.when(n_lines > 0, F.size(distinct_lines) / n_lines).otherwise(F.lit(1.0)), 6
+        ).alias("distinct_line_ratio"),
+        F.round(
+            F.when(n_toks > 0, F.size(F.array_distinct(toks)) / n_toks).otherwise(F.lit(1.0)), 6
+        ).alias("type_token_ratio"),
+        F.round(
+            F.when(line_chars > 0, dup_line_chars / line_chars).otherwise(F.lit(0.0)), 6
+        ).alias("dup_line_char_ratio"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit content fingerprint: normalized text -> md5 prefix.
 

@@ -875,6 +875,68 @@ def text_fingerprint(spark, sf_dir):
     return d.select("doc_id", F.substring(F.md5(F.col("text")), 1, 16).alias("fingerprint"))
 
 
+@_register(
+    "text_pii_redact",
+    r"""
+    WITH e AS (
+      SELECT doc_id, text AS t0,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      FROM documents
+    ),
+    i AS (
+      SELECT doc_id, t0, t1,
+             regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+      FROM e
+    )
+    SELECT doc_id,
+           regexp_replace(t2, '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t2, '\+?\d[\d\- ]{7,}\d')) AS BIGINT) AS n_phones
+    FROM i
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing with typed placeholders + per-doc match counts
+    (sequential email -> ip -> phone passes, counts on the text each pass
+    saw).  Dialect-common regexes make the oracle exact."""
+    from outpost_spark.ops.text import pii_redact
+
+    return pii_redact(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "text_repetition_stats",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(lines) AS BIGINT) AS n_lines,
+      round(CASE WHEN len(lines) > 0
+            THEN len(list_distinct(lines)) * 1.0 / len(lines) ELSE 1.0 END, 6) AS distinct_line_ratio,
+      round(CASE WHEN len(toks) > 0
+            THEN len(list_distinct(toks)) * 1.0 / len(toks) ELSE 1.0 END, 6) AS type_token_ratio,
+      round(CASE WHEN coalesce(list_sum(list_transform(lines, l -> length(l))), 0) > 0
+            THEN coalesce(list_sum(list_transform(
+                   list_filter(lines, l -> len(list_filter(lines, x -> x = l)) > 1),
+                   l -> length(l))), 0) * 1.0
+                 / list_sum(list_transform(lines, l -> length(l)))
+            ELSE 0.0 END, 6) AS dup_line_char_ratio
+    FROM s
+    """,
+)
+def text_repetition_stats(spark, sf_dir):
+    """Within-document repetition signals (Gopher-style): distinct-line
+    ratio, type-token ratio, duplicated-line character mass."""
+    from outpost_spark.ops.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
 # ───────────────────── LLM-pipeline ops: dedup / similarity / text ─────────────────────
 
 _SIGS_SQL = """

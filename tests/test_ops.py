@@ -314,3 +314,86 @@ def test_hash_fraction_range(spark):
     ).collect()[0]
     assert 0.0 <= stats["lo"] and stats["hi"] < 1.0
     assert 0.4 < stats["mean"] < 0.6  # roughly uniform
+
+
+def test_pii_redact_planted(spark):
+    from outpost_spark.ops.text import pii_redact
+
+    rows = [
+        (1, "contact alice@example.com or bob.smith+tag@mail.co.uk today"),
+        (2, "server at 192.168.0.1 and 10.0.0.255 responded"),
+        (3, "call +1 555-123-4567 or 020 7946 0958 now"),
+        (4, "no pii here at all"),
+        (5, "mix: a@b.io from 8.8.8.8 dial 555-000-1111x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in pii_redact(df, "text", "doc_id").collect()}
+    assert out[1]["redacted"] == "contact <EMAIL> or <EMAIL> today"
+    assert out[1]["n_emails"] == 2
+    assert out[2]["redacted"] == "server at <IP> and <IP> responded"
+    assert out[2]["n_ips"] == 2
+    assert out[3]["n_phones"] == 2 and "<PHONE>" in out[3]["redacted"]
+    assert out[4]["redacted"] == "no pii here at all"
+    assert out[5]["n_emails"] == 1 and out[5]["n_ips"] == 1 and out[5]["n_phones"] == 1
+
+
+def test_pii_redact_cross_engine_on_planted_corpus(spark):
+    """The catalog's sf corpus has no PII, so pin the Spark<->DuckDB regex
+    dialect equivalence on a corpus where every pattern actually fires."""
+    import duckdb
+
+    from outpost_spark.ops.text import pii_redact
+
+    rows = [
+        (1, "alice@example.com then 192.168.0.1 then +1 555-123-4567"),
+        (2, "multi a@b.io c@d.net 8.8.8.8 9.9.9.9 123-456-7890 098-765-4321"),
+        (3, "edge 999.999.999.999 not-an-email@ @nope 12345678901"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    spark_rows = sorted(
+        tuple(r) for r in pii_redact(df, "text", "doc_id").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    duck_rows = sorted(
+        tuple(r)
+        for r in con.execute(r"""
+        WITH e AS (
+          SELECT doc_id, text AS t0,
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+          FROM docs),
+        i AS (
+          SELECT doc_id, t0, t1,
+                 regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+          FROM e)
+        SELECT doc_id,
+               regexp_replace(t2, '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(t2, '\+?\d[\d\- ]{7,}\d')) AS BIGINT) AS n_phones
+        FROM i""").fetchall()
+    )
+    assert spark_rows == duck_rows
+
+
+def test_repetition_stats_planted(spark):
+    from outpost_spark.ops.text import repetition_stats
+
+    boiler = "all work and no play"
+    rows = [
+        (1, "\n".join([boiler, "unique line one", boiler, boiler])),
+        (2, "every line here\nis completely different\nfrom the others"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df, "text", "doc_id").collect()}
+    assert out[1]["n_lines"] == 4
+    assert out[1]["distinct_line_ratio"] == 0.5
+    dup_mass = 3 * len(boiler) / (3 * len(boiler) + len("unique line one"))
+    assert out[1]["dup_line_char_ratio"] == pytest.approx(dup_mass, abs=1e-6)
+    assert out[2]["distinct_line_ratio"] == 1.0 and out[2]["dup_line_char_ratio"] == 0.0
+    assert out[3]["n_lines"] == 0
+    assert out[3]["distinct_line_ratio"] == 1.0 and out[3]["type_token_ratio"] == 1.0
+    # repeated tokens lower the type-token ratio
+    assert out[1]["type_token_ratio"] < out[2]["type_token_ratio"]
