@@ -1,0 +1,71 @@
+"""End-to-end corpus curation: the composed pipeline a training-data run
+executes — quality gate -> language gate -> exact dedup -> near-dup
+collapse -> deterministic split assignment.
+
+Each stage is one of the standalone operators from this package; the
+composition exists so the whole chain is exercised (and oracle-checked)
+as a single plan, the way a real curation job would run it.
+
+Scale design (100 TB):
+- The quality/language gates are pure Column expressions fused into the
+  scan — rejected documents never reach a shuffle.
+- Exact dedup shuffles surviving rows once, keyed by content digest
+  (min-id-per-digest window).  Near-dup detection then operates on the
+  exact-deduped corpus (strictly smaller), and its LSH join shuffles
+  (bucket, id) pairs only.
+- The final split stamp is a map; the survivor anti-join's right side is
+  the (sparse) near-dup loser set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from outpost_spark.ops.dedup import dedup_keep_canonical, minhash_dedup_pairs
+from outpost_spark.ops.sampling import hash_split
+from outpost_spark.ops.text import language_id_expr, quality_score_expr
+
+DEFAULT_SPLITS = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+DEFAULT_LANGS = ("en", "de", "fr", "es")
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_min: float = 0.5,
+    langs: tuple[str, ...] = DEFAULT_LANGS,
+    near_dup_threshold: float = 0.7,
+    splits: list[tuple[str, float]] | None = None,
+    split_seed: str = "curate",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Run the full curation chain; returns (id_col, split) for the kept
+    corpus.
+
+    ``hash_fn="xxhash64"`` switches the MinHash base hash and the split
+    hash to the Spark-native production path (same pipeline shape, no SQL
+    oracle).
+    """
+    base = docs.filter(
+        (quality_score_expr(F.col(text_col)) >= quality_min)
+        & (language_id_expr(F.col(text_col)).isin(*langs))
+    )
+    # exact canonical: min id per content digest.  The window shuffles the
+    # surviving rows once by digest — text moves exactly once, and only
+    # for documents that passed the gates.
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    exact = (
+        base.withColumn("__cmin", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__cmin"))
+        .drop("__cmin")
+    )
+    pairs = minhash_dedup_pairs(
+        exact, id_col, text_col, threshold=near_dup_threshold, hash_fn=hash_fn
+    )
+    survivors = dedup_keep_canonical(exact, pairs, id_col)
+    return hash_split(
+        survivors, id_col, splits or DEFAULT_SPLITS, seed=split_seed, hash_fn=hash_fn
+    ).select(id_col, "split")

@@ -34,14 +34,13 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Heuristic quality score in [0,1]: length band + punctuation balance
-    + digit scarcity + mean token length band.
+def quality_score_expr(t: Column) -> Column:
+    """Heuristic quality score in [0,1] as a pure Column expression: length
+    band + punctuation balance + digit scarcity + mean token length band.
 
     The formula is integer/ratio arithmetic rounded to 6 decimals —
     deterministic across engines and partitionings.
     """
-    t = F.col(text_col)
     n_chars = F.length(t).cast("double")
     toks = tokens_expr(t)
     n_tokens = F.size(toks).cast("double")
@@ -56,8 +55,12 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     mean_tok = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
     tok_ok = F.when((mean_tok >= 3) & (mean_tok <= 12), 1.0).otherwise(0.0)
 
-    score = F.round((len_ok + punct_ok + digit_ok + tok_ok) / 4.0, 6)
-    return df.select(id_col, score.alias("quality_score"))
+    return F.round((len_ok + punct_ok + digit_ok + tok_ok) / 4.0, 6)
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality score (see :func:`quality_score_expr`)."""
+    return df.select(id_col, quality_score_expr(F.col(text_col)).alias("quality_score"))
 
 
 def _stopword_hits(toks: Column, words: list[str]) -> Column:
@@ -65,12 +68,11 @@ def _stopword_hits(toks: Column, words: list[str]) -> Column:
     return F.size(F.array_intersect(F.array_distinct(toks), arr)).cast("double")
 
 
-def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Coarse language ID: non-ASCII-dominant docs -> 'other'; else the
-    Latin language whose function words hit the most distinct tokens;
-    no hits at all -> 'und' (undetermined).
+def language_id_expr(t: Column) -> Column:
+    """Coarse language label as a pure Column expression: non-ASCII-dominant
+    docs -> 'other'; else the Latin language whose function words hit the
+    most distinct tokens; no hits at all -> 'und' (undetermined).
     """
-    t = F.col(text_col)
     n_chars = F.length(t).cast("double")
     ascii_chars = F.length(F.regexp_replace(t, r"[^\x00-\x7F]", "")).cast("double")
     ascii_ratio = F.when(n_chars > 0, ascii_chars / n_chars).otherwise(F.lit(0.0))
@@ -85,7 +87,14 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     label = F.when(best <= 0, F.lit("und")).otherwise(label)
     label = F.when(ascii_ratio < 0.5, F.lit("other")).otherwise(label)
     label = F.when(n_chars == 0, F.lit("und")).otherwise(label)  # empty doc
-    return df.select(id_col, label.alias("lang_pred"))
+    return label
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document language label (see :func:`language_id_expr`)."""
+    return df.select(
+        id_col, language_id_expr(F.col(text_col)).alias("lang_pred")
+    )
 
 
 # Dialect-common regexes (no backreferences/lookaround — valid in both

@@ -939,7 +939,8 @@ def text_repetition_stats(spark, sf_dir):
 
 # ───────────────────── LLM-pipeline ops: dedup / similarity / text ─────────────────────
 
-_SIGS_SQL = """
+def _sigs_sql(src: str = "documents") -> str:
+    return f"""
     sigs AS (
       SELECT doc_id,
              list_transform(range(0, 16), j ->
@@ -957,18 +958,25 @@ _SIGS_SQL = """
                  list_distinct(list_transform(
                    range(1, greatest(length(lower(text)) - 4, 0) + 1),
                    i -> substr(lower(text), CAST(i AS INT), 5))) AS shingles
-          FROM documents))
+          FROM {src}))
     )
 """
 
-_GRAMS_SQL = """
+
+def _grams_sql(src: str = "documents") -> str:
+    return f"""
     grams AS (
       SELECT doc_id,
              list_distinct(list_transform(
                range(1, greatest(length(lower(text)) - 4, 0) + 1),
                i -> substr(lower(text), CAST(i AS INT), 5))) AS g
-      FROM documents)
+      FROM {src})
 """
+
+
+_SIGS_SQL = _sigs_sql()
+
+_GRAMS_SQL = _grams_sql()
 
 
 @_register(
@@ -1050,8 +1058,9 @@ def dedup_minhash_lsh_pairs_fast(spark, sf_dir):
     )
 
 
-_PAIRS_CTE_SQL = f"""
-    {_SIGS_SQL},
+def _pairs_cte_sql(src: str = "documents") -> str:
+    return f"""
+    {_sigs_sql(src)},
     cands AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
       FROM sigs l JOIN sigs r ON l.doc_id < r.doc_id AND (
@@ -1060,7 +1069,7 @@ _PAIRS_CTE_SQL = f"""
         OR l.minhash[9:12]  = r.minhash[9:12]
         OR l.minhash[13:16] = r.minhash[13:16])
     ),
-    {_GRAMS_SQL},
+    {_grams_sql(src)},
     pairs AS (
       SELECT id_a, id_b
       FROM cands
@@ -1080,6 +1089,9 @@ _PAIRS_CTE_SQL = f"""
     ),
     comp AS (SELECT ru AS doc_id, min(rv) AS component FROM reach GROUP BY ru)
 """
+
+
+_PAIRS_CTE_SQL = _pairs_cte_sql()
 
 
 def _minhash_pairs(spark, sf_dir):
@@ -1198,6 +1210,21 @@ def sample_stratified_quota(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return stratified_quota(docs, ["lang"], 3, "doc_id").select("lang", "doc_id")
+
+
+@_register(
+    "pipeline_curate_corpus",
+    None,  # composed SQL built programmatically below (_curate_sql)
+)
+def pipeline_curate_corpus(spark, sf_dir):
+    """End-to-end corpus curation as ONE plan: quality gate -> language
+    gate -> exact dedup (min id per digest) -> MinHash near-dup collapse
+    -> deterministic 90/5/5 split.  Output (doc_id, split) is the corpus a
+    training run would read; every stage is a standalone catalog op, this
+    entry pins their composition."""
+    from outpost_spark.ops.pipeline import curate_corpus
+
+    return curate_corpus(_t(spark, sf_dir, "documents"))
 
 
 @_register(
@@ -1334,6 +1361,11 @@ def embed_ann_lsh_topk(spark, sf_dir):
     return cosine_topk_lsh(emb, "embedding", query, id_col="vec_id", k=10, bits=8)
 
 
+# plan-time IVF seed centroids per sf_dir (8 x 64 doubles — tiny);
+# re-collecting them per invocation would cost a whole Spark job each time
+_IVF_SEED_CACHE: dict = {}
+
+
 def _cos_sql(a: str, b: str) -> str:
     return f"""
       round(CASE WHEN sqrt(list_sum(list_transform({a}, x -> x * x)))
@@ -1379,13 +1411,15 @@ def embed_ann_ivf_topk(spark, sf_dir):
     from outpost_spark.ops.similarity import cosine_topk_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
-    seeds = [
-        list(r["v"])
-        for r in emb.filter(F.col("vec_id") < 8)
-        .orderBy("vec_id")
-        .select(F.col("embedding").cast("array<double>").alias("v"))
-        .collect()
-    ]
+    if sf_dir not in _IVF_SEED_CACHE:
+        _IVF_SEED_CACHE[sf_dir] = [
+            list(r["v"])
+            for r in emb.filter(F.col("vec_id") < 8)
+            .orderBy("vec_id")
+            .select(F.col("embedding").cast("array<double>").alias("v"))
+            .collect()
+        ]
+    seeds = _IVF_SEED_CACHE[sf_dir]
     query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     return cosine_topk_ivf(emb, "embedding", query, seeds, id_col="vec_id", k=10, nprobe=2)
 
@@ -1508,6 +1542,79 @@ def _build_langid_sql() -> str:
 
 
 _REGISTRY["text_language_id"] = (_REGISTRY["text_language_id"][0], _build_langid_sql())
+
+
+def _build_curate_sql() -> str:
+    """Composed oracle for pipeline_curate_corpus: quality + language gates
+    (formulas identical to text_quality_score / text_language_id), exact
+    dedup window, the near-dup pair graph + components over the deduped
+    subset (x), survivor anti-join, and the 90/5/5 hash split."""
+    from outpost_spark.ops.text import STOPWORDS
+
+    hit_cols = ",\n             ".join(
+        f"{_lang_hits_sql(w)} AS hits_{lang}" for lang, w in STOPWORDS.items()
+    )
+    best = "greatest(hits_en, hits_de, hits_fr, hits_es)"
+    label = "'und'"
+    for lang in ("es", "fr", "de", "en"):
+        label = f"CASE WHEN hits_{lang} = {best} THEN '{lang}' ELSE {label} END"
+    lang_case = f"""CASE WHEN n_chars = 0 THEN 'und'
+                WHEN (CASE WHEN n_chars > 0 THEN ascii_chars / n_chars ELSE 0.0 END) < 0.5
+                THEN 'other'
+                WHEN {best} <= 0 THEN 'und'
+                ELSE {label} END"""
+    quality = """round((
+             CASE WHEN n_chars >= 50 AND n_chars <= 20000 THEN 1.0 ELSE 0.0 END +
+             CASE WHEN n_chars > 0 AND n_punct / n_chars > 0 AND n_punct / n_chars < 0.1
+                  THEN 1.0 ELSE 0.0 END +
+             CASE WHEN (CASE WHEN n_chars > 0 THEN n_digits / n_chars ELSE 0.0 END) < 0.2
+                  THEN 1.0 ELSE 0.0 END +
+             CASE WHEN n_tokens > 0 AND n_chars / n_tokens >= 3 AND n_chars / n_tokens <= 12
+                  THEN 1.0 ELSE 0.0 END
+           ) / 4.0, 6)"""
+    frac = _HASH_FRAC_SQL.format(seed="curate")
+    return rf"""
+    WITH RECURSIVE t0 AS (
+      SELECT doc_id, text,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS DOUBLE) AS ascii_chars,
+             CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digits,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    h AS (
+      SELECT *, CAST(len(toks) AS DOUBLE) AS n_tokens,
+             {hit_cols}
+      FROM t0
+    ),
+    g AS (
+      SELECT doc_id, text FROM h
+      WHERE {quality} >= 0.5
+        AND ({lang_case}) IN ('en', 'de', 'fr', 'es')
+    ),
+    x AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS cmin FROM g) t1
+      WHERE doc_id = cmin
+    ),
+    {_pairs_cte_sql("x")},
+    surv AS (
+      SELECT x.doc_id FROM x LEFT JOIN comp c ON x.doc_id = c.doc_id
+      WHERE c.doc_id IS NULL OR c.doc_id = c.component
+    )
+    SELECT doc_id,
+           CASE WHEN {frac} < 0.9 THEN 'train'
+                WHEN {frac} < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM surv
+    """
+
+
+_REGISTRY["pipeline_curate_corpus"] = (
+    _REGISTRY["pipeline_curate_corpus"][0],
+    _build_curate_sql(),
+)
 
 
 @_register(

@@ -397,3 +397,50 @@ def test_repetition_stats_planted(spark):
     assert out[3]["distinct_line_ratio"] == 1.0 and out[3]["type_token_ratio"] == 1.0
     # repeated tokens lower the type-token ratio
     assert out[1]["type_token_ratio"] < out[2]["type_token_ratio"]
+
+
+def test_curate_corpus_pipeline_stages(spark):
+    from outpost_spark.ops.pipeline import curate_corpus
+
+    good = (
+        "this is a reasonably long document about the weather in the mountains, "
+        "with some punctuation. it was written for the quality gate to accept it."
+    )
+    rows = [
+        (1, good),
+        (2, good),  # exact dup of 1 -> collapsed to 1
+        (3, good.replace("weather", "climate")),  # near dup of 1 -> collapsed
+        (4, "der hund und die katze sind nicht auf dem tisch. und das ist auch gut so, denn der tisch ist klein."),
+        (5, "xx"),  # fails the quality length band
+        (6, "привет мир " * 20),  # non-latin -> 'other' -> rejected
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["split"] for r in curate_corpus(df).collect()}
+    assert set(out) == {1, 4}  # dups collapsed to 1; de kept; 5/6 gated out
+    assert all(s in ("train", "val", "test") for s in out.values())
+    # xxhash64 production path runs the same shape end-to-end
+    fast = {r["doc_id"] for r in curate_corpus(df, hash_fn="xxhash64").collect()}
+    assert fast == {1, 4}
+
+
+def _physical_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sampling_plans_are_shuffle_free(spark):
+    ids = spark.range(1000).withColumnRenamed("id", "doc_id")
+    sampled = hash_sample(ids, "doc_id", 0.25)
+    split = hash_split(ids, "doc_id", [("a", 0.5), ("b", 0.5)])
+    assert "Exchange" not in _physical_plan(sampled)
+    assert "Exchange" not in _physical_plan(split)
+
+
+def test_ivf_assignment_plan_is_shuffle_free(vectors):
+    cents = [[1.0, 0.0, 0.5, 0.2] * 16, [0.0, 1.0, -1.0, 0.7] * 16]
+    assigned = vectors.withColumn(
+        "cid", assign_ivf_expr(F.col("embedding").cast("array<double>"), cents)
+    )
+    plan = _physical_plan(assigned)
+    assert "Exchange" not in plan
+    # no Python in the expression path either
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
