@@ -117,16 +117,40 @@ def _centroid_lit(c) -> Column:
     return F.array(*[F.lit(float(x)) for x in c])
 
 
-def centroid_scores(vec: Column, centroids, *, score_decimals: int = 6) -> Column:
+def _centroid_norm(c) -> float:
+    """Python-side centroid norm: the centroid is a plan-time constant, so
+    its norm is too — saves one interpreted-HOF pass per (row x centroid).
+    Same left-to-right double summation as the engines' list aggregates,
+    so the rounded scores stay oracle-exact."""
+    acc = 0.0
+    for x in c:
+        acc += float(x) * float(x)
+    import math
+
+    return math.sqrt(acc)
+
+
+def _centroid_cos(vec: Column, vnorm: Column, c) -> Column:
+    """Cosine(vec, centroid) with a shared precomputed ``vnorm`` column and
+    a constant-folded centroid norm — one dot-product HOF per centroid
+    instead of three aggregate passes."""
+    denom = vnorm * F.lit(_centroid_norm(c))
+    return F.when(denom > 0, dot_expr(vec, _centroid_lit(c)) / denom).otherwise(F.lit(0.0))
+
+
+def centroid_scores(
+    vec: Column, centroids, *, score_decimals: int = 6, vnorm: Column | None = None
+) -> Column:
     """array<struct<score,negcid>> of rounded cosine from ``vec`` to each
     centroid.  Rounding before any comparison keeps argmax/top-nprobe
     selection reproducible across engines (same contract as the other
     similarity entries); ``negcid`` makes struct-max tie-break to the
     LOWEST centroid id."""
+    vn = vnorm if vnorm is not None else norm_expr(vec)
     return F.array(
         *[
             F.struct(
-                F.round(cosine_expr(vec, _centroid_lit(c)), score_decimals).alias("score"),
+                F.round(_centroid_cos(vec, vn, c), score_decimals).alias("score"),
                 F.lit(-i).alias("negcid"),
             )
             for i, c in enumerate(centroids)
@@ -134,12 +158,16 @@ def centroid_scores(vec: Column, centroids, *, score_decimals: int = 6) -> Colum
     )
 
 
-def assign_ivf_expr(vec: Column, centroids, *, score_decimals: int = 6) -> Column:
+def assign_ivf_expr(
+    vec: Column, centroids, *, score_decimals: int = 6, vnorm: Column | None = None
+) -> Column:
     """IVF list assignment as a pure Column expression: argmax cosine over
     ``centroids`` (ties -> lowest cid).  Zero-shuffle and oracle-portable;
     plan size grows with nlist x dim, so use :func:`assign_ivf_pandas` when
     nlist is large (thousands)."""
-    best = F.array_max(centroid_scores(vec, centroids, score_decimals=score_decimals))
+    best = F.array_max(
+        centroid_scores(vec, centroids, score_decimals=score_decimals, vnorm=vnorm)
+    )
     return (-best["negcid"]).cast("int")
 
 
@@ -169,10 +197,11 @@ def assign_ivf_pandas(df: DataFrame, vec_col: str, centroids, *, out_col: str = 
 
 def probe_cids_expr(vec: Column, centroids, nprobe: int, *, score_decimals: int = 6) -> Column:
     """The ``nprobe`` nearest centroid ids to ``vec`` (score desc, cid asc)."""
+    vn = norm_expr(vec)
     arr = F.array(
         *[
             F.struct(
-                (-F.round(cosine_expr(vec, _centroid_lit(c)), score_decimals)).alias("negscore"),
+                (-F.round(_centroid_cos(vec, vn, c), score_decimals)).alias("negscore"),
                 F.lit(i).alias("cid"),
             )
             for i, c in enumerate(centroids)
@@ -261,8 +290,19 @@ def cosine_topk_ivf(
     )
     if assign_col is None:
         assign_col = "__ivf_cid"
-        df = df.withColumn(
-            assign_col, assign_ivf_expr(F.col(vec_col).cast("array<double>"), centroids, score_decimals=score_decimals)
+        vd = F.col(vec_col).cast("array<double>")
+        # own projection: the norm is referenced once per centroid below —
+        # CollapseProject keeps non-cheap exprs materialized, so the
+        # aggregate() pass runs once per row, not once per (row x centroid)
+        df = (
+            df.withColumn("__vnorm", norm_expr(vd))
+            .withColumn(
+                assign_col,
+                assign_ivf_expr(
+                    vd, centroids, score_decimals=score_decimals, vnorm=F.col("__vnorm")
+                ),
+            )
+            .drop("__vnorm")
         )
     cand = df.join(F.broadcast(q), F.array_contains(F.col("__probes"), F.col(assign_col)))
     scored = cand.withColumn(
