@@ -1,0 +1,106 @@
+"""Incremental ingestion with near-dup gating: batch-level gate semantics
+and the end-to-end foreachBatch stream (file source, availableNow)."""
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from outpost_spark.streaming.ingest import DedupIndex, attach_ingest_stream
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep green forest to find some food for the long cold winter"
+)
+OTHER = (
+    "completely different text describing spark query engines, columnar io "
+    "paths and the joy of vectorized execution on modern hardware stacks"
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="outpost_ingest_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_gate_intra_batch_collapse(spark, tmpdir):
+    idx = DedupIndex(os.path.join(tmpdir, "idx"))
+    batch = _docs(spark, [(1, BASE), (2, BASE), (3, BASE.replace("quick", "swift")), (4, OTHER)])
+    admitted, rejected = idx.gate(batch)
+    assert sorted(r["doc_id"] for r in admitted.collect()) == [1, 4]
+    rej = {r["doc_id"]: r["matched_id"] for r in rejected.collect()}
+    assert rej == {2: 1, 3: 1}  # collapsed to the min-id batch-mate
+
+
+def test_gate_against_existing_index(spark, tmpdir):
+    idx = DedupIndex(os.path.join(tmpdir, "idx"))
+    idx.build(_docs(spark, [(1, BASE), (4, OTHER)]))
+    batch = _docs(spark, [(10, BASE), (11, BASE.replace("fox", "cat")), (12, "some brand new content about volcanoes and oceans under a winter sky")])
+    admitted, rejected = idx.gate(batch)
+    assert sorted(r["doc_id"] for r in admitted.collect()) == [12]
+    rej = {r["doc_id"]: (r["matched_id"], r["jaccard"]) for r in rejected.collect()}
+    assert rej[10][0] == 1 and rej[10][1] == 1.0  # exact content -> J=1 vs indexed doc
+    # 11 is a near-dup of its batch-mate 10 -> collapsed intra-batch first
+    assert rej[11] == (10, None)
+
+
+def test_gate_admits_everything_without_index(spark, tmpdir):
+    idx = DedupIndex(os.path.join(tmpdir, "idx"))
+    batch = _docs(spark, [(1, BASE), (2, OTHER)])
+    admitted, rejected = idx.gate(batch)
+    assert admitted.count() == 2 and rejected.count() == 0
+
+
+def test_ingest_stream_two_batches_end_to_end(spark, tmpdir):
+    src = os.path.join(tmpdir, "in")
+    corpus = os.path.join(tmpdir, "corpus")
+    rejects = os.path.join(tmpdir, "rejects")
+    ck = os.path.join(tmpdir, "ck")
+    os.makedirs(src)
+    idx = DedupIndex(os.path.join(tmpdir, "idx"))
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+
+    def run_batch(rows, fname):
+        with open(os.path.join(src, fname), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema(schema).json(src)
+        q = (
+            attach_ingest_stream(stream, idx, corpus, ck, rejects_path=rejects)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch([{"doc_id": 1, "text": BASE}, {"doc_id": 2, "text": OTHER}], "b1.json")
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [1, 2]
+
+    # batch 2: near-dup of doc 1 rejected against the index, new doc admitted
+    run_batch(
+        [
+            {"doc_id": 10, "text": BASE.replace("quick", "swift")},
+            {"doc_id": 11, "text": "entirely novel prose about glaciers, tides and the slow drift of continents"},
+        ],
+        "b2.json",
+    )
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert kept == [1, 2, 11]
+    rej = {r["doc_id"]: r["matched_id"] for r in spark.read.parquet(rejects).collect()}
+    assert rej == {10: 1}
+    # admitted doc 11 is now indexed: a third batch duplicating it is rejected
+    run_batch([{"doc_id": 20, "text": "entirely novel prose about glaciers, tides and the slow drift of continents"}], "b3.json")
+    assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == [1, 2, 11]
