@@ -86,8 +86,13 @@ class DeploymentLayout:
 
         Lives under ``_checkpoints/`` (underscore-prefixed: invisible to
         Spark partition discovery on the warehouse root, same convention
-        the retention job relies on for its staging dirs).
+        the retention job relies on for its staging dirs).  The deployment
+        id is its own directory component — NOT a ``_``-joined prefix —
+        because ``_`` is legal in both ids and stream names, so a joined
+        prefix would let ("a", "x_y") and ("a_x", "y") collide on one
+        checkpoint dir and corrupt each other's streaming state.
         """
         if not re.match(r"^[A-Za-z0-9][A-Za-z0-9_-]*$", stream):
             raise ValueError(f"invalid stream name {stream!r}")
-        return f"{self.warehouse.rstrip('/')}/_checkpoints/{self.prefix}{stream}"
+        scope = self.deployment_id or "_default"
+        return f"{self.warehouse.rstrip('/')}/_checkpoints/{scope}/{stream}"

@@ -452,6 +452,13 @@ def run_metrics(
                     )
             out = _finalize(spark, agg, req, measures, time_col=time_col)
             rows = out.collect()
+            # the watchdog can fire BETWEEN Spark jobs (driver-side
+            # planning, or after the guard count and before this collect)
+            # — cancelJobGroup only reaches running jobs, so a query that
+            # kept going past the deadline may land here without any
+            # exception; max_execution_time semantics say it still fails
+            if timed_out.is_set():
+                raise MetricsTimeoutError(f"metrics query exceeded {timeout_s}s")
         except (MetricsTimeoutError, GroupLimitExceededError):
             raise
         except Exception as e:

@@ -70,14 +70,44 @@ def _parallelize_narrow_input(df: DataFrame) -> DataFrame:
 
     Parallelism is estimated from ``inputFiles()`` (file-backed scans)
     rather than ``df.rdd.getNumPartitions()`` — touching ``.rdd`` forces a
-    full plan conversion on every call.  Non-file inputs (local test
-    relations) are simply repartitioned.
+    full plan conversion on every call.  Few-but-large files still split:
+    local file sizes are stat'ed against ``files.maxPartitionBytes`` so a
+    corpus of 8 one-GB files is NOT needlessly reshuffled (the scan
+    already yields enough splits).  Non-file inputs (local test
+    relations) and un-stat-able remote files below the file-count bar are
+    repartitioned — at cluster scale the file count alone clears the bar.
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     files = df.inputFiles()
-    if files and len(files) >= target:
-        return df
+    if files:
+        if len(files) >= target:
+            return df
+        try:
+            from urllib.parse import unquote, urlparse
+
+            import os as _os
+
+            total = 0
+            for f in files:
+                p = urlparse(f)
+                if p.scheme not in ("", "file"):
+                    raise OSError(f"cannot stat {p.scheme}:// cheaply")
+                total += _os.path.getsize(unquote(p.path))
+            max_pb = int(
+                "".join(
+                    ch
+                    for ch in str(
+                        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+                    )
+                    if ch.isdigit()
+                )
+            )
+            est_splits = max(len(files), -(-total // max(max_pb, 1)))
+            if est_splits >= target:
+                return df
+        except OSError:
+            pass
     return df.repartition(target)
 
 
@@ -168,6 +198,26 @@ def minhash_signature(
     return hashed.withColumn(out_col, sig).drop("__basehash")
 
 
+def band_keys_expr(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+    """The LSH band bucket keys ("<band>:<v_v_v_v>") as one array column.
+
+    Single source of truth for the banding layout — the batch pair join
+    AND the incremental ingestion index derive buckets from here, so they
+    can never silently diverge.
+    """
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                # slice() is 1-indexed
+                F.concat_ws("_", F.slice(sig_col, b * rows_per_band + 1, rows_per_band)),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -181,17 +231,7 @@ def lsh_candidate_pairs(
     Output: (id_a, id_b) with id_a < id_b, distinct.  The band/bucket
     equi-join is the only shuffle; each side carries (bucket_key, id).
     """
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                ":",
-                F.lit(str(b)),
-                # slice() is 1-indexed
-                F.concat_ws("_", F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)),
-            )
-            for b in range(bands)
-        ]
-    )
+    band_keys = band_keys_expr(F.col(sig_col), bands, rows_per_band)
     # one explode pass emits every band key — the signature plan is not
     # copied once per band as a union would do
     buckets = sigs.select(

@@ -238,6 +238,8 @@ def train_centroids_kmeans(
     centroids = [list(r["v"]) for r in seeds]
     if not centroids:
         return centroids
+    # fewer rows than requested lists: train what the data supports
+    n_centroids = len(centroids)
     dim = len(centroids[0])
     for _ in range(iters):
         if assign_method == "pandas":

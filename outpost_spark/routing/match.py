@@ -178,12 +178,22 @@ def match_pairs(
     broadcast join + filter; no aggregation).  Output: every event column
     plus ``destination_id``.
 
-    ``filter_mode="compiled"`` (default) compiles the distinct filter docs
-    to native Column predicates at plan time (UDF only for uncompilable
-    docs) — the scale path: no Python in the hot loop for the common filter
-    shapes.  ``"udf"`` interprets every doc in the pandas UDF — the
-    fallback for when the destinations side cannot be collected at plan
-    time (e.g. a streaming destinations frame).
+    ``filter_mode`` picks the filter-language evaluation strategy:
+
+    - ``"compiled"`` (default): distinct filter docs snapshotted at plan
+      time compile to native Column predicates; any doc OUTSIDE the
+      snapshot (uncompilable, or added/edited after plan time — the
+      stream-static join re-resolves destination rows per micro-batch)
+      falls through to the pandas-UDF interpreter, so hot filter updates
+      keep matching correctly.  Cost note: the fallback's presence means
+      Spark materializes the UDF column for the joined pairs (Python UDFs
+      are extracted eagerly, not branch-lazily), so this mode pays an
+      Arrow round-trip per pair row.
+    - ``"compiled_static"``: the zero-Python scale path — unknown docs
+      never match (``otherwise(False)``).  Contract: the destination
+      filter set is FIXED at plan time; recompile per micro-batch (e.g.
+      ``foreachBatch`` routing) or restart the stream on filter changes.
+    - ``"udf"``: interpret every doc in the pandas UDF.
     """
     d = destinations.select(
         F.col("id").alias("__dest_id"),
@@ -215,9 +225,17 @@ def match_pairs(
             F.to_json(F.col("metadata")),
             F.col("data"),
         )
-    if filter_mode == "compiled":
+    if filter_mode in ("compiled", "compiled_static"):
         chain, any_uncompilable = _compiled_filter_predicate(destinations)
-        fallback = udf_pred if any_uncompilable else F.lit(False)
+        if filter_mode == "compiled":
+            # fallback is the interpreter: a filter doc added/edited after
+            # plan time (stream-static re-resolution) must match correctly,
+            # not be silently dropped
+            fallback = udf_pred
+        else:
+            # zero-Python contract — uncompilable docs still need the UDF,
+            # but unknown-after-plan-time docs never match (documented)
+            fallback = udf_pred if any_uncompilable else F.lit(False)
         pairs = pairs.filter(chain.otherwise(fallback))
     elif use_filter_udf:
         pairs = pairs.filter(F.col("__dest_filter").isNull() | udf_pred)

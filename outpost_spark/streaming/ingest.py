@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from outpost_spark.ops.dedup import (
+    band_keys_expr,
     connected_components,
     lsh_candidate_pairs,
     jaccard_expr,
@@ -67,16 +68,7 @@ def _bucketed_rows(
         shingle_len=shingle_len,
         hash_fn=hash_fn,
     )
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                ":",
-                F.lit(str(b)),
-                F.concat_ws("_", F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)),
-            )
-            for b in range(bands)
-        ]
-    )
+    band_keys = band_keys_expr(F.col("minhash"), bands, rows_per_band)
     gram_arr = ngram_set(F.col(text_col), verify_ngram)
     if hash_fn == "xxhash64":
         gram_arr = F.transform(gram_arr, lambda g: F.xxhash64(g))
@@ -209,10 +201,13 @@ class DedupIndex:
             brows = self._rows(batch1, id_col, text_col).localCheckpoint(eager=True)
             pfxs = [r["pfx"] for r in brows.select("pfx").distinct().collect()]
             index = spark.read.parquet(self.path).filter(F.col("pfx").isin(pfxs))
+            # NOTE: self-matches (same doc_id already in the index) are NOT
+            # filtered out — they are precisely what rejects a replayed
+            # batch after a crash between the offset commit and here: the
+            # replayed doc finds its own index row at J=1.0 and is dropped.
             hits = (
                 brows.alias("b")
                 .join(index.alias("i"), "bucket")
-                .filter(F.col("b.doc_id") != F.col("i.doc_id"))
                 .withColumn(
                     "jaccard",
                     F.round(jaccard_expr(F.col("b.grams"), F.col("i.grams")), 6),
@@ -223,12 +218,14 @@ class DedupIndex:
                     F.col("i.doc_id").alias("matched_id"),
                     "jaccard",
                 )
-                # one evidence row per batch doc: strongest match, ties -> lowest id
+                # one evidence row per batch doc: strongest match, ties ->
+                # lowest id (min_by on (-jaccard, id) stays valid for
+                # string ids, where negating the id would not)
                 .groupBy(id_col)
                 .agg(
-                    F.max_by(
+                    F.min_by(
                         F.struct("matched_id", "jaccard"),
-                        F.struct(F.col("jaccard"), -F.col("matched_id")),
+                        F.struct((-F.col("jaccard")).alias("nj"), F.col("matched_id").alias("mid")),
                     ).alias("m")
                 )
                 .select(id_col, F.col("m.matched_id"), F.col("m.jaccard"))

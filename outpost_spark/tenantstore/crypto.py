@@ -32,6 +32,16 @@ from pyspark.sql import functions as F
 #: columns the reference encrypts (serialization.go:124-135)
 DEFAULT_SECRET_COLS = ("credentials", "delivery_metadata")
 
+#: how each default column decrypts: a type string -> from_json into that
+#: type; None -> the sealed value was a plain string, return it verbatim.
+#: Mirrors encrypt_destination_secrets, which JSON-serializes map/struct
+#: columns but seals string columns as-is — so the default round-trip is
+#: the identity for BOTH shapes.
+DEFAULT_SECRET_SCHEMAS: dict = {
+    "credentials": "map<string,string>",
+    "delivery_metadata": None,
+}
+
 _GCM = "GCM"
 
 
@@ -93,20 +103,27 @@ def decrypt_destination_secrets(
     secret: str,
     cols: tuple[str, ...] = DEFAULT_SECRET_COLS,
     *,
-    schema: str = "map<string,string>",
+    schemas: dict | None = None,
     strict: bool = True,
 ) -> DataFrame:
-    """Decrypt-on-read projection: binary secret columns back to their
-    ``map<string,string>`` form (parseDestinationHash,
-    serialization.go:124-135).
+    """Decrypt-on-read projection back to each column's pre-seal shape
+    (parseDestinationHash, serialization.go:124-135).
 
+    ``schemas`` maps column -> type string (``from_json`` target) or None
+    (the column was sealed as a plain string — returned verbatim); the
+    default mirrors :func:`encrypt_destination_secrets` so
+    encrypt-then-decrypt is the identity for every default column.
     ``strict=False`` swaps in :func:`try_decrypt_expr`, leaving NULL for
     rows sealed under a different key instead of failing the scan.
     """
+    if schemas is None:
+        schemas = DEFAULT_SECRET_SCHEMAS
     dtypes = dict(df.dtypes)
     dec = decrypt_expr if strict else try_decrypt_expr
     for c in cols:
         if c not in dtypes:
             continue
-        df = df.withColumn(c, F.from_json(dec(F.col(c), secret), schema))
+        schema = schemas.get(c)
+        plain = dec(F.col(c), secret)
+        df = df.withColumn(c, plain if schema is None else F.from_json(plain, schema))
     return df

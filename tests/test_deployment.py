@@ -37,8 +37,13 @@ def test_layout_paths_and_prefix(tmp_path):
     assert default.prefix == ""  # empty-id branch, chlogstore.go:35-38
     assert a.events_path == f"{root}/dep-a_events"
     assert default.events_path == f"{root}/events"
-    assert a.checkpoint_path("log") == f"{root}/_checkpoints/dep-a_log"
+    assert a.checkpoint_path("log") == f"{root}/_checkpoints/dep-a/log"
     assert a.checkpoint_path("log") != default.checkpoint_path("log")
+    # '_' is legal in ids AND stream names: the directory-component layout
+    # keeps ("a", "x_y") and ("a_x", "y") from sharing a checkpoint dir
+    assert DeploymentLayout(root, "a").checkpoint_path("x_y") != DeploymentLayout(
+        root, "a_x"
+    ).checkpoint_path("y")
 
 
 @pytest.mark.parametrize("bad", ["../escape", "a/b", "", " ", "_x", "a b", "a:b"])

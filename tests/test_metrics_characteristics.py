@@ -169,3 +169,16 @@ def test_timeout_disabled_runs_to_completion(golden):
     req = MetricsRequest(FULL, measures=["count"], granularity="1d", filters=T1)
     resp = run_attempt_metrics(attempts, req, timeout_s=None)
     assert resp.row_count > 0
+
+
+def test_timeout_fires_between_jobs_still_raises(golden):
+    """cancelJobGroup only reaches RUNNING jobs — a deadline that elapses
+    while the driver is between jobs must still surface
+    MetricsTimeoutError (max_execution_time semantics), via the
+    post-collect deadline check."""
+    _, attempts = golden
+    req = MetricsRequest(FULL, measures=["count"], granularity="1d", filters=T1)
+    # a deadline this small fires during driver-side planning, before any
+    # job starts — the cancel itself is a no-op, the flag check must raise
+    with pytest.raises(M.MetricsTimeoutError):
+        run_attempt_metrics(attempts, req, timeout_s=1e-6)

@@ -444,3 +444,10 @@ def test_ivf_assignment_plan_is_shuffle_free(vectors):
     assert "Exchange" not in plan
     # no Python in the expression path either
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmeans_clamps_to_available_rows(spark):
+    rows = [(i, [float(i), 1.0] * 32) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = train_centroids_kmeans(df, "embedding", 8, iters=2)
+    assert len(cents) == 3  # clamped to the data, no IndexError

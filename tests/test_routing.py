@@ -233,16 +233,56 @@ def test_compiled_filter_mode_matches_udf_mode(dfs):
     assert via_compiled == via_udf
 
 
-def test_compiled_mode_plan_has_no_python(dfs):
-    """The default (compiled) routing path must keep filter evaluation
+def test_compiled_static_mode_plan_has_no_python(dfs):
+    """The compiled_static routing path must keep filter evaluation
     JVM-side: when every filter doc compiles, the physical plan contains no
-    Python evaluation node at all."""
+    Python evaluation node at all.  (The default "compiled" mode carries a
+    UDF fallback branch for docs added after plan time — correct under hot
+    updates, but Spark extracts the UDF eagerly, so only compiled_static
+    makes the zero-Python guarantee.)"""
     from outpost_spark.routing.match import match_pairs
 
     events, dests = dfs
-    plan = match_pairs(events, dests)._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        match_pairs(events, dests, filter_mode="compiled_static")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF", "FlatMapsInPandas"):
         assert marker not in plan, f"Python node {marker} in compiled routing plan"
+
+
+def test_compiled_default_matches_docs_outside_plan_snapshot(dfs, monkeypatch):
+    """Default mode must route events for filter docs the compiled chain
+    never saw (hot-added destinations): the chain's fallback is the
+    interpreter, not lit(False).  Simulated by forcing the plan-time
+    snapshot to be empty — every doc is then 'added after plan time'."""
+    from pyspark.sql import functions as F
+
+    from outpost_spark.routing import match as M
+
+    events, dests = dfs
+    expected = {
+        (r["event_id"], r["destination_id"])
+        for r in M.match_pairs(events, dests, filter_mode="udf").collect()
+    }
+    orig = M._compiled_filter_predicate
+    monkeypatch.setattr(
+        M, "_compiled_filter_predicate", lambda d: orig(d.filter(F.lit(False)))
+    )
+    got = {
+        (r["event_id"], r["destination_id"])
+        for r in M.match_pairs(events, dests, filter_mode="compiled").collect()
+    }
+    assert got == expected  # unseen docs fall through to the interpreter
+    # compiled_static with the same starved snapshot drops filtered docs
+    # (its documented static contract) — pinning the difference
+    static = {
+        (r["event_id"], r["destination_id"])
+        for r in M.match_pairs(events, dests, filter_mode="compiled_static").collect()
+    }
+    assert static <= expected
 
 
 def test_compiled_mode_nested_array_payloads(spark):

@@ -104,3 +104,18 @@ def test_ingest_stream_two_batches_end_to_end(spark, tmpdir):
     # admitted doc 11 is now indexed: a third batch duplicating it is rejected
     run_batch([{"doc_id": 20, "text": "entirely novel prose about glaciers, tides and the slow drift of continents"}], "b3.json")
     assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == [1, 2, 11]
+
+
+def test_gate_rejects_replayed_batch(spark, tmpdir):
+    """Crash-replay contract: once a batch's survivors are indexed, running
+    the same batch through the gate again admits nothing — each doc finds
+    its own index row at J=1.0 (self-matches are deliberately not
+    excluded from the probe)."""
+    idx = DedupIndex(os.path.join(tmpdir, "idx"))
+    batch = _docs(spark, [(1, BASE), (2, OTHER)])
+    admitted, _ = idx.gate(batch)
+    idx.append(admitted)
+    re_admitted, re_rejected = idx.gate(batch)  # replay
+    assert re_admitted.count() == 0
+    rej = {r["doc_id"]: (r["matched_id"], r["jaccard"]) for r in re_rejected.collect()}
+    assert rej == {1: (1, 1.0), 2: (2, 1.0)}

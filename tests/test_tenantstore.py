@@ -208,10 +208,14 @@ def test_credentials_encrypt_decrypt_roundtrip(secret_dests):
     assert out["d1"]["credentials"] == {"api_key": "sk_live_abcdef123456", "user": "alice"}
     assert out["d2"]["credentials"] == {"token": "tok_9f8e7d"}
     assert out["d3"]["credentials"] is None
-    # string-typed delivery_metadata round-trips via the generic map schema?
-    # No — it is JSON text; decrypt as plain string instead
+    # string-typed delivery_metadata round-trips to the ORIGINAL string by
+    # default (sealed as-is -> returned verbatim, no from_json coercion)
+    assert out["d1"]["delivery_metadata"] == '{"idx":1}'
+    assert out["d2"]["delivery_metadata"] is None
+    # an explicit per-column schema still parses it into a typed shape
     dec_md = decrypt_destination_secrets(
-        enc, "s3cr3t", cols=("delivery_metadata",), schema="map<string,int>"
+        enc, "s3cr3t", cols=("delivery_metadata",),
+        schemas={"delivery_metadata": "map<string,int>"},
     )
     md = {r["id"]: r["delivery_metadata"] for r in dec_md.collect()}
     assert md["d1"] == {"idx": 1} and md["d3"] == {"idx": 3} and md["d2"] is None
