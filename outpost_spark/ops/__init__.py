@@ -30,8 +30,11 @@ from outpost_spark.ops.similarity import (  # noqa: F401
 from outpost_spark.ops.text import (  # noqa: F401
     fingerprint,
     language_id,
+    length_histogram,
+    length_percentiles,
     pii_redact,
     quality_score,
     repetition_stats,
     token_stats,
+    top_tokens,
 )

@@ -171,6 +171,71 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def length_percentiles(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    *,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group document-length percentiles (chars) + doc count.
+
+    ``exact=True`` uses Spark's exact ``percentile`` (interpolated —
+    bit-identical to DuckDB's ``quantile_cont``, hence oracle-able) but
+    buffers each group's values in executor memory: right for bounded
+    group counts (languages, domains).  At 100 TB with huge groups use
+    ``exact=False`` (``percentile_approx`` — bounded-memory sketch, no
+    exact oracle).
+    """
+    t = F.length(F.col(text_col)).cast("double")
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for p in percentiles:
+        name = f"p{int(p * 100)}"
+        expr = F.percentile(t, F.lit(p)) if exact else F.percentile_approx(t, F.lit(p))
+        aggs.append(F.round(expr, 6).alias(name))
+    return df.groupBy(group_col).agg(*aggs)
+
+
+def length_histogram(
+    df: DataFrame, text_col: str, *, group_col: str | None = None, bucket_width: int = 100
+) -> DataFrame:
+    """Char-length histogram: (group?, bucket_lo, n_docs) — one partial-agg
+    shuffle of (group, bucket) keys; bucket count is bounded by max doc
+    length / width regardless of corpus size."""
+    bucket = (
+        F.floor(F.length(F.col(text_col)) / bucket_width) * bucket_width
+    ).cast("bigint")
+    keys = ([group_col] if group_col else []) + [bucket.alias("bucket_lo")]
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def top_tokens(
+    df: DataFrame, text_col: str, *, k: int = 20, group_col: str | None = None
+) -> DataFrame:
+    """Top-k vocabulary by frequency (ties -> token ascending).
+
+    explode -> partial-agg count -> top-k.  The shuffle moves (token,
+    partial count) pairs after map-side combine — vocabulary-sized, not
+    corpus-sized; per-group top-k is a window over the counted (small)
+    frame, global top-k plans as TakeOrderedAndProject.
+    """
+    toks = tokens_expr(F.col(text_col))
+    gcols = [group_col] if group_col else []
+    ex = df.select(*gcols, F.explode(toks).alias("token"))
+    counts = ex.groupBy(*gcols, "token").agg(F.count(F.lit(1)).alias("n"))
+    if group_col:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col).orderBy(F.col("n").desc(), F.col("token").asc())
+        return (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit content fingerprint: normalized text -> md5 prefix.
 

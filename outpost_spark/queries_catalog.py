@@ -876,6 +876,63 @@ def text_fingerprint(spark, sf_dir):
 
 
 @_register(
+    "text_length_percentiles",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(CAST(length(text) AS DOUBLE), 0.5), 6) AS p50,
+           round(quantile_cont(CAST(length(text) AS DOUBLE), 0.9), 6) AS p90,
+           round(quantile_cont(CAST(length(text) AS DOUBLE), 0.99), 6) AS p99
+    FROM documents GROUP BY lang
+    """,
+)
+def text_length_percentiles(spark, sf_dir):
+    """Per-language exact length percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, interpolated)."""
+    from outpost_spark.ops.text import length_percentiles
+
+    return length_percentiles(_t(spark, sf_dir, "documents"), "text", "lang")
+
+
+@_register(
+    "text_length_histogram",
+    """
+    SELECT lang,
+           CAST(floor(length(text) / 100) * 100 AS BIGINT) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang, bucket_lo
+    """,
+)
+def text_length_histogram(spark, sf_dir):
+    """Char-length histogram per language (100-char buckets)."""
+    from outpost_spark.ops.text import length_histogram
+
+    return length_histogram(
+        _t(spark, sf_dir, "documents"), "text", group_col="lang", bucket_width=100
+    )
+
+
+@_register(
+    "text_top_tokens",
+    r"""
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents) t
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 20
+    """,
+)
+def text_top_tokens(spark, sf_dir):
+    """Global top-20 vocabulary by frequency (deterministic tie-break)."""
+    from outpost_spark.ops.text import top_tokens
+
+    return top_tokens(_t(spark, sf_dir, "documents"), "text", k=20)
+
+
+@_register(
     "text_pii_redact",
     r"""
     WITH e AS (

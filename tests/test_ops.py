@@ -451,3 +451,23 @@ def test_kmeans_clamps_to_available_rows(spark):
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
     cents = train_centroids_kmeans(df, "embedding", 8, iters=2)
     assert len(cents) == 3  # clamped to the data, no IndexError
+
+
+def test_corpus_stats_ops(docs):
+    from outpost_spark.ops.text import length_histogram, length_percentiles, top_tokens
+
+    pct = {r["lang"]: r for r in length_percentiles(docs, "text", "lang").collect()}
+    assert pct["en"]["n_docs"] == 5
+    assert pct["en"]["p50"] <= pct["en"]["p90"] <= pct["en"]["p99"]
+    hist = length_histogram(docs, "text", group_col="lang").collect()
+    assert sum(r["n_docs"] for r in hist) == docs.count()  # every doc lands in a bucket
+    assert all(r["bucket_lo"] % 100 == 0 for r in hist)
+    top = top_tokens(docs, "text", k=3).collect()
+    assert top[0]["token"] == "the"  # dominant token in the planted corpus
+    assert [r["n"] for r in top] == sorted((r["n"] for r in top), reverse=True)
+    per_lang = top_tokens(docs, "text", k=2, group_col="lang").collect()
+    by_lang = {}
+    for r in per_lang:
+        by_lang.setdefault(r["lang"], []).append(r["token"])
+    assert all(len(v) <= 2 for v in by_lang.values())
+    assert "de" in by_lang
