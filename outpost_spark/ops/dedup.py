@@ -237,9 +237,13 @@ def lsh_candidate_pairs(
     buckets = sigs.select(
         F.col(id_col).alias("__id"), F.explode(band_keys).alias("__bucket")
     )
-    # shuffle-hash (not broadcast) self-join: both sides shuffle on
-    # __bucket with IDENTICAL child plans, so ReusedExchange computes the
-    # signature pipeline once; a broadcast build would recompute it
+    # shuffle-hash (not broadcast/sort-merge) self-join: hash join avoids
+    # sorting either side, and at corpus scale the bucket table cannot
+    # broadcast.  Measured honestly: Spark does NOT reuse the exchange
+    # across the two sides here (ReusedExchange=0 under AQE, hint or no
+    # hint), so the signature pipeline is computed once per side — the
+    # price of keeping the operator stateless; materializing buckets
+    # (persist/checkpoint) would trade that for cache management.
     left = buckets.alias("l").hint("shuffle_hash")
     right = buckets.alias("r")
     return (
