@@ -224,6 +224,13 @@ def _gap_fill(
         return result
     slots_df = spark.createDataFrame([(s,) for s in slots], "time_bucket bigint")
     if req.dimensions:
+        # the agg result is referenced twice below (dim combos + the left
+        # join); exchange reuse does NOT fire for these two subtrees
+        # (measured), so materialize it once — bounded by the bucket and
+        # group-count guardrails (≤100k slots, ≤5M groups), and already
+        # persisted (no-op) on the guarded run_metrics path
+        if not result.isStreaming:
+            result = result.localCheckpoint(eager=True)
         combos = result.select(*req.dimensions).distinct()
         grid = F.broadcast(slots_df).crossJoin(combos)
         join_keys = ["time_bucket", *req.dimensions]
