@@ -58,6 +58,39 @@ def _hash_expr(s: Column, seed: int | str, hash_fn: str = "md5") -> Column:
     )
 
 
+_BYTE_SUFFIXES = {
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+}
+
+
+def _parse_byte_size(value: str, default: int = 134217728) -> int:
+    """Parse a Spark byte-size conf value ("134217728", "128m", "1g").
+
+    Naive digit-stripping would read "128m" as 128 bytes and wildly inflate
+    the estimated split count, silently skipping the repartition guard; a
+    malformed value falls back to the Spark default (128 MiB) instead.
+    """
+    s = value.strip().lower()
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    digits, suffix = s[:i], s[i:].strip()
+    if not digits or not digits.isdigit():
+        return default
+    mult = _BYTE_SUFFIXES.get(suffix, None) if suffix else 1
+    if mult is None:
+        return default
+    return int(digits) * mult
+
+
 def _parallelize_narrow_input(df: DataFrame) -> DataFrame:
     """Round-robin repartition a low-parallelism input before CPU-heavy
     per-row work (shingling/hashing are interpreted HOFs — the cost is
@@ -94,14 +127,8 @@ def _parallelize_narrow_input(df: DataFrame) -> DataFrame:
                 if p.scheme not in ("", "file"):
                     raise OSError(f"cannot stat {p.scheme}:// cheaply")
                 total += _os.path.getsize(unquote(p.path))
-            max_pb = int(
-                "".join(
-                    ch
-                    for ch in str(
-                        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-                    )
-                    if ch.isdigit()
-                )
+            max_pb = _parse_byte_size(
+                str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
             )
             est_splits = max(len(files), -(-total // max(max_pb, 1)))
             if est_splits >= target:
@@ -175,11 +202,27 @@ def minhash_signature(
         "__basehash", F.transform(sh, lambda s: _hash_expr(s, "h", hash_fn))
     )
 
-    # Lane layout note: a single aggregate() pass with a num_hashes-wide
-    # zip_with accumulator computes identical signatures and benches 2x
-    # faster in isolation, but measurably SLOWER (4.1s -> 6.0s at sf0.1)
-    # once fused into the full LSH pipeline stage — per-lane
-    # transform+array_min is the empirically faster layout end-to-end.
+    return hashed.withColumn(
+        out_col, signature_from_basehash(F.col("__basehash"), num_hashes)
+    ).drop("__basehash")
+
+
+def signature_from_basehash(basehash: Column, num_hashes: int) -> Column:
+    """MinHash signature array from a per-shingle base-hash array column.
+
+    Split out of :func:`minhash_signature` so pipelines that already hold
+    the hashed shingles (the fused path in :func:`minhash_dedup_pairs`, the
+    ingest gate) can derive signatures without re-running the digest pass —
+    the mixing is pure integer arithmetic, ~5x cheaper than the md5 pass
+    it postdates.
+
+    Lane layout note: a single aggregate() pass with a num_hashes-wide
+    zip_with accumulator computes identical signatures and benches 2x
+    faster in isolation, but measurably SLOWER (4.1s -> 6.0s at sf0.1)
+    once fused into the full LSH pipeline stage — per-lane
+    transform+array_min is the empirically faster layout end-to-end.
+    """
+
     def _min_hash(j: int):
         # closure factory: a default-arg lambda would be parsed as the
         # binary (element, index) HOF form and silently corrupt the seed
@@ -187,15 +230,14 @@ def minhash_signature(
         return F.coalesce(
             F.array_min(
                 F.transform(
-                    F.col("__basehash"),
+                    basehash,
                     lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_PRIME),
                 )
             ),
             F.lit(1 << 32).cast("long"),
         )
 
-    sig = F.array(*[_min_hash(j) for j in range(num_hashes)])
-    return hashed.withColumn(out_col, sig).drop("__basehash")
+    return F.array(*[_min_hash(j) for j in range(num_hashes)])
 
 
 def band_keys_expr(sig_col: Column, bands: int, rows_per_band: int) -> Column:
@@ -225,11 +267,23 @@ def lsh_candidate_pairs(
     bands: int = 4,
     rows_per_band: int = 4,
     sig_col: str = "minhash",
+    materialize: bool = True,
 ) -> DataFrame:
     """LSH banding: docs sharing any band's bucket become candidate pairs.
 
     Output: (id_a, id_b) with id_a < id_b, distinct.  The band/bucket
     equi-join is the only shuffle; each side carries (bucket_key, id).
+
+    ``materialize`` (default on) localCheckpoints the exploded bucket
+    frame before the self-join.  Without it Spark computes the whole
+    signature pipeline once PER SIDE — measured: ReusedExchange never
+    fires across the two sides of a self-join under AQE, hint or no hint —
+    which doubled the single most expensive stage of the dedup bench.
+    The checkpointed frame is (bucket_key, id) only — tiny relative to the
+    corpus — and truncates lineage, the same trade the ingest gate makes
+    (streaming/ingest.py).  Pass ``materialize=False`` to keep the
+    operator fully stateless (e.g. when composing into a larger plan that
+    the caller materializes itself).
     """
     band_keys = band_keys_expr(F.col(sig_col), bands, rows_per_band)
     # one explode pass emits every band key — the signature plan is not
@@ -237,13 +291,11 @@ def lsh_candidate_pairs(
     buckets = sigs.select(
         F.col(id_col).alias("__id"), F.explode(band_keys).alias("__bucket")
     )
+    if materialize:
+        buckets = buckets.localCheckpoint(eager=True)
     # shuffle-hash (not broadcast/sort-merge) self-join: hash join avoids
     # sorting either side, and at corpus scale the bucket table cannot
-    # broadcast.  Measured honestly: Spark does NOT reuse the exchange
-    # across the two sides here (ReusedExchange=0 under AQE, hint or no
-    # hint), so the signature pipeline is computed once per side — the
-    # price of keeping the operator stateless; materializing buckets
-    # (persist/checkpoint) would trade that for cache management.
+    # broadcast
     left = buckets.alias("l").hint("shuffle_hash")
     right = buckets.alias("r")
     return (
@@ -287,6 +339,7 @@ def minhash_dedup_pairs(
     verify_ngram: int = 5,
     threshold: float = 0.7,
     hash_fn: str = "md5",
+    materialize: bool = True,
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup detection with exact verification.
 
@@ -295,22 +348,55 @@ def minhash_dedup_pairs(
     pair set against the shingle arrays, so false LSH positives never reach
     the output.  ``hash_fn="xxhash64"`` selects the Spark-native base hash
     (same banding math, ~10x cheaper signatures, no SQL oracle).
+
+    When ``verify_ngram == shingle_len`` (the default) the pipeline fuses:
+    the verify grams ARE the signature shingles, so ONE hashed-shingle
+    frame — localCheckpoint'ed when ``materialize`` (default) — feeds both
+    the LSH banding and the exact-Jaccard verification.  The expensive
+    per-shingle digest pass runs exactly once for the whole operator, and
+    the verify intersects long arrays instead of strings (Jaccard over
+    distinct hashed grams: deterministic in both engines, equal to string
+    Jaccard up to ~|grams|^2/2^32 collision probability; the DuckDB oracle
+    applies the identical hash so results stay bit-exact).  The
+    checkpointed frame is (id, hashed-gram array) — roughly the footprint
+    of the text column itself, spilled to local disk by Spark when it
+    exceeds storage memory.
     """
     df = _parallelize_narrow_input(df.select(id_col, text_col))
-    sigs = minhash_signature(
-        df, text_col, num_hashes=num_hashes, shingle_len=shingle_len, hash_fn=hash_fn
-    )
-    cands = lsh_candidate_pairs(
-        sigs, id_col, bands=bands, rows_per_band=rows_per_band
-    )
-    gram_arr = ngram_set(F.col(text_col), verify_ngram)
-    if hash_fn == "xxhash64":
-        # verify on 64-bit gram hashes instead of the strings: long-array
-        # intersect/union is much cheaper and the arrays shuffle smaller;
-        # Jaccard is unchanged up to (negligible) 64-bit collisions.  The
-        # md5 path keeps string grams — its DuckDB oracle is string-exact.
-        gram_arr = F.transform(gram_arr, lambda g: F.xxhash64(g))
-    grams = df.select(F.col(id_col).alias("__gid"), gram_arr.alias("__grams"))
+    if verify_ngram == shingle_len:
+        hashed = df.select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(
+                    shingle_set(F.col(text_col), shingle_len),
+                    lambda s: _hash_expr(s, "h", hash_fn),
+                )
+            ).alias("__grams"),
+        )
+        if materialize:
+            hashed = hashed.localCheckpoint(eager=True)
+        sigs = hashed.withColumn(
+            "minhash", signature_from_basehash(F.col("__grams"), num_hashes)
+        )
+        cands = lsh_candidate_pairs(
+            sigs, id_col, bands=bands, rows_per_band=rows_per_band, materialize=materialize
+        )
+        grams = hashed.select(F.col(id_col).alias("__gid"), F.col("__grams"))
+    else:
+        sigs = minhash_signature(
+            df, text_col, num_hashes=num_hashes, shingle_len=shingle_len, hash_fn=hash_fn
+        )
+        cands = lsh_candidate_pairs(
+            sigs, id_col, bands=bands, rows_per_band=rows_per_band, materialize=materialize
+        )
+        gram_arr = ngram_set(F.col(text_col), verify_ngram)
+        if hash_fn == "xxhash64":
+            # verify on 64-bit gram hashes instead of the strings: long-array
+            # intersect/union is much cheaper and the arrays shuffle smaller;
+            # Jaccard is unchanged up to (negligible) 64-bit collisions.  The
+            # md5 path keeps string grams — its DuckDB oracle is string-exact.
+            gram_arr = F.transform(gram_arr, lambda g: F.xxhash64(g))
+        grams = df.select(F.col(id_col).alias("__gid"), gram_arr.alias("__grams"))
     return (
         cands.join(grams.withColumnRenamed("__gid", "id_a").withColumnRenamed("__grams", "__ga"), "id_a")
         .join(grams.withColumnRenamed("__gid", "id_b").withColumnRenamed("__grams", "__gb"), "id_b")

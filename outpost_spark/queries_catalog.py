@@ -50,21 +50,29 @@ def _t(
     name: str,
     ns_window: dict[str, tuple] | None = None,
 ) -> DataFrame:
-    """Read a testdata table, normalizing TIMESTAMP(NANOS) columns.
+    """Read a testdata table, normalizing timestamp columns to TIMESTAMP
+    (LTZ, session tz UTC) regardless of how the parquet encodes them.
 
-    Spark's parquet reader rejects nano-precision timestamps; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` they surface as LongType
-    nanos, which we truncate to micros (DuckDB does the same) — the scan
-    stays native/vectorized, no driver-side materialization.
+    - ``timestamp[ns]``: Spark's parquet reader rejects nano precision;
+      with ``spark.sql.legacy.parquet.nanosAsLong`` they surface as
+      LongType nanos, which we truncate to micros (DuckDB does the same)
+      — the scan stays native/vectorized, no driver-side materialization.
+    - ``timestamp[s/ms/us]`` without a timezone: Spark 4 infers
+      TIMESTAMP_NTZ, which epoch functions (``unix_micros`` et al.)
+      reject; cast to TIMESTAMP — under the session's UTC tz the naive
+      value is reinterpreted as UTC, exactly how DuckDB treats a naive
+      TIMESTAMP in ``epoch()``.
+    - ``timestamp[.., tz=..]``: already TIMESTAMP, untouched.
 
     ``ns_window``: optional {col: (start_dt|None, end_dt|None)} range
-    filters applied to the RAW nano long *before* the micros conversion.
-    A filter on the converted column (``timestamp_micros(ts div 1000) >=
-    X``) cannot be pushed into the parquet scan, so every row group would
-    be read; filtering the raw long keeps the predicate in ``PushedFilters``
-    where min/max row-group stats (and, on a partitioned table, partition
-    pruning) skip the irrelevant data — the difference between O(window)
-    and O(table) I/O at 100 TB.  Bounds are half-open [start, end).
+    filters applied to the RAW column *before* the conversion.  A filter
+    on the converted column (``timestamp_micros(ts div 1000) >= X`` or
+    ``cast(ts as timestamp) >= X``) cannot be pushed into the parquet
+    scan, so every row group would be read; filtering the raw long/NTZ
+    value keeps the predicate in ``PushedFilters`` where min/max
+    row-group stats (and, on a partitioned table, partition pruning) skip
+    the irrelevant data — the difference between O(window) and O(table)
+    I/O at 100 TB.  Bounds are half-open [start, end), tz-aware UTC.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -73,7 +81,8 @@ def _t(
 
         schema = pq.read_schema(os.path.join(sf_dir, f"{name}.parquet"))
         for field in schema:
-            if str(field.type) == "timestamp[ns]":
+            t = str(field.type)
+            if t == "timestamp[ns]":
                 if ns_window and field.name in ns_window:
                     start, end = ns_window[field.name]
                     if start is not None:
@@ -88,6 +97,24 @@ def _t(
                 df = df.withColumn(
                     field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
                 )
+            elif t.startswith("timestamp[") and "tz=" not in t:
+                if ns_window and field.name in ns_window:
+                    from datetime import timezone as _tz
+
+                    start, end = ns_window[field.name]
+                    # naive-UTC literals compare against the NTZ column
+                    # directly, so the predicate stays scan-pushable
+                    if start is not None:
+                        df = df.filter(
+                            F.col(field.name)
+                            >= F.lit(start.astimezone(_tz.utc).replace(tzinfo=None))
+                        )
+                    if end is not None:
+                        df = df.filter(
+                            F.col(field.name)
+                            < F.lit(end.astimezone(_tz.utc).replace(tzinfo=None))
+                        )
+                df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     except ImportError:
         pass
     return df
@@ -998,6 +1025,17 @@ def text_repetition_stats(spark, sf_dir):
 
 def _sigs_sql(src: str = "documents") -> str:
     return f"""
+    base AS (
+      SELECT doc_id,
+             list_distinct(list_transform(shingles, s ->
+               CAST(('0x' || substr(md5('h|' || s), 1, 8)) AS BIGINT))) AS basehash
+      FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(length(lower(text)) - 4, 0) + 1),
+                 i -> substr(lower(text), CAST(i AS INT), 5))) AS shingles
+        FROM {src})
+    ),
     sigs AS (
       SELECT doc_id,
              list_transform(range(0, 16), j ->
@@ -1006,28 +1044,20 @@ def _sigs_sql(src: str = "documents") -> str:
                    (h * (((2654435761 * (j + 1)) % 1073741824) | 1)
                       + ((2246822519 * j) % 1073741824)) % 4294967291)),
                  4294967296)) AS minhash
-      FROM (
-        SELECT doc_id,
-               list_transform(shingles, s ->
-                 CAST(('0x' || substr(md5('h|' || s), 1, 8)) AS BIGINT)) AS basehash
-        FROM (
-          SELECT doc_id,
-                 list_distinct(list_transform(
-                   range(1, greatest(length(lower(text)) - 4, 0) + 1),
-                   i -> substr(lower(text), CAST(i AS INT), 5))) AS shingles
-          FROM {src}))
+      FROM base
     )
 """
 
 
 def _grams_sql(src: str = "documents") -> str:
-    return f"""
-    grams AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(length(lower(text)) - 4, 0) + 1),
-               i -> substr(lower(text), CAST(i AS INT), 5))) AS g
-      FROM {src})
+    """Verify-gram CTE.  Must follow :func:`_sigs_sql` in the same WITH —
+    the grams ARE the (already distinct, already hashed) signature
+    shingles from its ``base`` CTE, mirroring the fused single-hash-pass
+    verify in ``ops.dedup.minhash_dedup_pairs`` (``src`` is carried by
+    ``base``; the parameter is kept for call-site symmetry)."""
+    del src
+    return """
+    grams AS (SELECT doc_id, basehash AS g FROM base)
 """
 
 

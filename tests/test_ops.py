@@ -471,3 +471,18 @@ def test_corpus_stats_ops(docs):
         by_lang.setdefault(r["lang"], []).append(r["token"])
     assert all(len(v) <= 2 for v in by_lang.values())
     assert "de" in by_lang
+
+
+def test_parse_byte_size_suffixes():
+    from outpost_spark.ops.dedup import _parse_byte_size
+
+    assert _parse_byte_size("134217728") == 134217728
+    assert _parse_byte_size("128m") == 128 << 20
+    assert _parse_byte_size("128MB") == 128 << 20
+    assert _parse_byte_size("1g") == 1 << 30
+    assert _parse_byte_size("64k") == 64 << 10
+    assert _parse_byte_size("512b") == 512
+    # malformed values fall back to the Spark default, never a tiny number
+    assert _parse_byte_size("garbage") == 134217728
+    assert _parse_byte_size("12x") == 134217728
+    assert _parse_byte_size("") == 134217728
