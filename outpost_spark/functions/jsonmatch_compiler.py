@@ -222,6 +222,94 @@ def _variant_value_pred(v: Column, path: str, schema: Any) -> Column:
     return _pred_on_variant(F.try_variant_get(v, path, "variant"), schema)
 
 
+def _overflow_on_variant(x: Column, schema: Any, depth: int = _MAX_ARRAY_DEPTH) -> Column:
+    """True where the VALUE under ``x`` nests arrays past the unroll bound
+    along paths ``schema`` actually inspects — exactly the rows on which
+    :func:`_pred_on_variant` (bounded) may disagree with the reference's
+    unbounded recursivelyMatchValue.  Mirrors its structure: operator
+    nodes don't recurse (never overflow), path descent resets the bound
+    (as ``object_pred`` does), array elements consume one level.
+    """
+    arr = F.try_variant_get(x, "$", "array<variant>")
+    if schema is None or isinstance(schema, (str, bool, int, float)):
+        if depth <= 0:
+            return F.coalesce(arr.isNotNull(), _false())
+        return F.coalesce(
+            F.exists(
+                arr,
+                lambda e: F.coalesce(_overflow_on_variant(e, schema, depth - 1), _false()),
+            ),
+            _false(),
+        )
+    if isinstance(schema, dict):
+        if "$or" in schema:
+            subs = schema["$or"]
+            if not isinstance(subs, list):
+                return _false()
+            pred = _false()
+            for s in subs:
+                pred = pred | _overflow_on_variant(x, s, depth)
+            return pred
+        if any(k in _OPERATORS for k in schema):
+            return _false()
+        if depth <= 0:
+            return F.coalesce(arr.isNotNull(), _false())
+        any_el = F.coalesce(
+            F.exists(
+                arr,
+                lambda e: F.coalesce(_overflow_on_variant(e, schema, depth - 1), _false()),
+            ),
+            _false(),
+        )
+        children = _false()
+        for key, sub in schema.items():
+            if not _SAFE_KEY.match(key):
+                continue  # the predicate compiler already rejected the doc
+            child = F.try_variant_get(x, f"$.{key}", "variant")
+            children = children | _overflow_on_variant(child, sub)  # fresh bound
+        return F.when(arr.isNotNull(), any_el).otherwise(children)
+    return _false()
+
+
+def compile_overflow(filter_doc: dict | None, *, data_col: Column) -> Column | None:
+    """Depth-overflow detector for a compiled filter document.
+
+    Returns a boolean Column that is true on rows whose payload nests
+    arrays deeper than :data:`_MAX_ARRAY_DEPTH` along a path the
+    document's ``data`` schemas inspect — rows the bounded compiled
+    predicate cannot decide faithfully and the caller must route to the
+    UDF interpreter (the reference recurses to any data-driven depth,
+    match.go:115-185).  Returns ``None`` when the document cannot
+    overflow (no ``data`` schemas anywhere): callers skip the wrapper
+    entirely, which is the common case.  Envelope scalars and metadata
+    entries are strings — only ``data`` recursion is depth-bounded.
+    """
+    if not isinstance(filter_doc, dict):
+        return None
+    schemas: list[Any] = []
+
+    def walk(d: Any) -> None:
+        if not isinstance(d, dict):
+            return
+        for k, s in d.items():
+            if k == "$not":
+                walk(s)
+            elif k in ("$or", "$and") and isinstance(s, list):
+                for item in s:
+                    walk(item)
+            elif k == "data" and isinstance(s, dict):
+                schemas.append(s)
+
+    walk(filter_doc)
+    if not schemas:
+        return None
+    v = F.parse_json(F.when(data_col.rlike(r"^\s*\{"), data_col).otherwise(F.lit("{}")))
+    pred = _false()
+    for s in schemas:
+        pred = pred | _overflow_on_variant(F.try_variant_get(v, "$", "variant"), s)
+    return F.coalesce(pred, _false())
+
+
 # ───────────────── plain string columns (topic/id/time/metadata) ─────────────────
 
 

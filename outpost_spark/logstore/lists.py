@@ -186,6 +186,7 @@ def _page(
 
     seen: set = set()
     uniq: list = []
+    exhausted = False
     for _ in range(MAX_DEDUP_ITERATIONS):
         scanned = fetch(pos)
         for r in scanned:
@@ -196,8 +197,17 @@ def _page(
         if len(scanned) < limit + 1 or len(uniq) > limit:
             break
         pos = (_row_unix_ms(scanned[-1], time_col), scanned[-1][id_col])
+    else:
+        # every round scanned a FULL page of (mostly) duplicates and the
+        # unique set never filled: more rows exist beyond ``pos``.  The
+        # reference caps rounds the same way but surfaces continuation via
+        # its cursor — returning has_more=False here would silently
+        # truncate pagination, so the short page carries a continuation
+        # cursor at the last SCANNED position (not the last returned row:
+        # everything between them is a known duplicate of this page).
+        exhausted = True
 
-    has_more = len(uniq) > limit
+    has_more = len(uniq) > limit or exhausted
     rows = uniq[:limit]
     if backward:
         rows.reverse()
@@ -209,17 +219,22 @@ def _page(
 
     nxt = prev = ""
     if rows:
+        cont = (
+            cursor_codec.encode_position(resource, version, pos[0], pos[1])
+            if exhausted
+            else ""
+        )
         if first_page:
             if has_more:
-                nxt = enc(rows[-1])
+                nxt = cont or enc(rows[-1])
         elif not backward:
             prev = enc(rows[0])
             if has_more:
-                nxt = enc(rows[-1])
+                nxt = cont or enc(rows[-1])
         else:
             nxt = enc(rows[-1])
             if has_more:
-                prev = enc(rows[0])
+                prev = cont or enc(rows[0])
     return ListResult(items=rows, next=nxt, prev=prev)
 
 

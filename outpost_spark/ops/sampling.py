@@ -97,11 +97,25 @@ def stratified_quota(
     that is nevertheless reproducible across runs and engines — the
     standard way to cap over-represented languages/domains when
     assembling a training mix.
+
+    Scale shape: the ranking window runs over a NARROW projection —
+    (strata, frac, id) triples — so the per-stratum shuffle never carries
+    document bodies; the winning ids (at most quota x #strata rows) are
+    then semi-joined back against the full table.  That second join is
+    the id-equality kind AQE converts to a broadcast at runtime when the
+    winner set is small, and the extra scan of the base table is
+    column-pruned — at 100 TB, re-reading (id, strata) beats shuffling
+    text by orders of magnitude.
     """
     frac = hash_fraction(F.col(id_col), seed=seed, hash_fn=hash_fn)
-    w = Window.partitionBy(*strata_cols).orderBy(frac.asc(), F.col(id_col).asc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= quota)
-        .drop("__rn")
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.col("__frac").asc(), F.col(id_col).asc()
     )
+    winners = (
+        df.select(*strata_cols, id_col)
+        .withColumn("__frac", frac)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .select(id_col)
+    )
+    return df.join(winners, id_col, "left_semi")

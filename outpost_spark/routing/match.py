@@ -110,7 +110,7 @@ def _rfc3339(col: Column) -> Column:
     return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ssX")
 
 
-def _compiled_filter_predicate(destinations: DataFrame):
+def _compiled_filter_predicate(destinations: DataFrame, overflow_fallback: Column | None = None):
     """Plan-time compilation of the distinct filter docs (P8 fast path).
 
     The destinations dimension is small by design (it broadcasts into the
@@ -120,12 +120,22 @@ def _compiled_filter_predicate(destinations: DataFrame):
     whole-stage codegen; only rows whose doc is outside the compilable
     subset fall back to the pandas-UDF interpreter.  Returns (chain,
     any_uncompilable).
+
+    ``overflow_fallback``: the compiled predicate unrolls nested-array
+    recursion to a fixed bound while the reference recurses to any
+    data-driven depth (match.go:115-185).  When provided (the 'compiled'
+    mode, where the interpreter column is materialized anyway), rows
+    whose payload nests arrays past the bound along an inspected path are
+    routed to this fallback instead of the bounded predicate, so depth
+    never changes an outcome.  When None ('compiled_static'), the bound
+    is part of the mode's documented contract.
     """
     import json as _json
 
     from outpost_spark.functions.jsonmatch_compiler import (
         UncompilableFilter,
         compile_filter,
+        compile_overflow,
     )
 
     docs = [
@@ -156,6 +166,10 @@ def _compiled_filter_predicate(destinations: DataFrame):
         except UncompilableFilter:
             any_uncompilable = True
             continue
+        if overflow_fallback is not None:
+            overflow = compile_overflow(doc, data_col=F.col("data"))
+            if overflow is not None:
+                pred = F.when(overflow, overflow_fallback).otherwise(pred)
         chain = chain.when(F.col("__dest_filter") == fstr, pred)
     return chain, any_uncompilable
 
@@ -185,14 +199,19 @@ def match_pairs(
       snapshot (uncompilable, or added/edited after plan time — the
       stream-static join re-resolves destination rows per micro-batch)
       falls through to the pandas-UDF interpreter, so hot filter updates
-      keep matching correctly.  Cost note: the fallback's presence means
-      Spark materializes the UDF column for the joined pairs (Python UDFs
-      are extracted eagerly, not branch-lazily), so this mode pays an
-      Arrow round-trip per pair row.
+      keep matching correctly; payloads nesting arrays deeper than the
+      compiler's unroll bound are likewise routed row-wise to the
+      interpreter, so depth never changes an outcome.  Cost note: the
+      fallback's presence means Spark materializes the UDF column for the
+      joined pairs (Python UDFs are extracted eagerly, not branch-lazily),
+      so this mode pays an Arrow round-trip per pair row.
     - ``"compiled_static"``: the zero-Python scale path — unknown docs
       never match (``otherwise(False)``).  Contract: the destination
-      filter set is FIXED at plan time; recompile per micro-batch (e.g.
-      ``foreachBatch`` routing) or restart the stream on filter changes.
+      filter set is FIXED at plan time (recompile per micro-batch — see
+      ``streaming.pipeline.make_routing_sink`` — or restart the stream on
+      filter changes), and nested-array recursion is bounded at the
+      compiler's unroll depth (deeper payloads don't match on inspected
+      paths).
     - ``"udf"``: interpret every doc in the pandas UDF.
     """
     d = destinations.select(
@@ -226,7 +245,10 @@ def match_pairs(
             F.col("data"),
         )
     if filter_mode in ("compiled", "compiled_static"):
-        chain, any_uncompilable = _compiled_filter_predicate(destinations)
+        chain, any_uncompilable = _compiled_filter_predicate(
+            destinations,
+            overflow_fallback=udf_pred if filter_mode == "compiled" else None,
+        )
         if filter_mode == "compiled":
             # fallback is the interpreter: a filter doc added/edited after
             # plan time (stream-static re-resolution) must match correctly,

@@ -18,15 +18,18 @@ already-ingested corpus without rescanning it.  The pattern here:
 - Survivors are appended to the corpus AND their bucket rows to the
   index, so the next batch sees them.  foreachBatch + checkpoint gives
   at-least-once; once a batch's index append has committed, replaying it
-  re-admits nothing (the gate itself rejects the replays).  A crash in
-  the window between the corpus append and the index append can duplicate
-  that one batch — the same eventual-dedup contract as the log sink,
-  hidden by read-side exact dedup.
+  re-admits nothing (the gate itself rejects the replays — a content
+  digest carried in the index short-circuits even documents too short to
+  shingle, whose empty gram sets would otherwise self-match at J=0.0).
+  A crash in the window between the corpus append and the index append
+  can duplicate that one batch — the same eventual-dedup contract as the
+  log sink, hidden by read-side exact dedup.
 
 Scale notes: the per-batch index read is proportional to the batch's
 bucket fan-out, not the corpus; the join shuffles (bucket, id) pairs and
 broadcast-sized gram arrays for candidates only.  The index is append-only
-parquet — compaction piggybacks on the retention machinery.
+parquet; :meth:`DedupIndex.compact` bounds the per-partition file count
+with the same crash-safe staging the retention machinery uses.
 """
 
 from __future__ import annotations
@@ -37,13 +40,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from outpost_spark.ops.dedup import (
+    _hash_expr,
     band_keys_expr,
     connected_components,
-    lsh_candidate_pairs,
     jaccard_expr,
     minhash_signature,
     ngram_set,
+    shingle_set,
+    signature_from_basehash,
 )
+# (lsh_candidate_pairs is intentionally not used here: the gate derives
+# intra-batch candidates from the same checkpointed bucket rows that feed
+# the index probe, so the signature pipeline runs once per batch)
 
 INDEX_PARTITIONS = 64
 
@@ -60,28 +68,56 @@ def _bucketed_rows(
     verify_ngram: int,
     hash_fn: str,
 ) -> DataFrame:
-    """(bucket, pfx, id, grams) rows for every document x band."""
-    sigs = minhash_signature(
-        docs.select(id_col, text_col),
-        text_col,
-        num_hashes=num_hashes,
-        shingle_len=shingle_len,
-        hash_fn=hash_fn,
-    )
-    band_keys = band_keys_expr(F.col("minhash"), bands, rows_per_band)
-    gram_arr = ngram_set(F.col(text_col), verify_ngram)
-    if hash_fn == "xxhash64":
-        gram_arr = F.transform(gram_arr, lambda g: F.xxhash64(g))
-        grams = gram_arr.cast("array<long>")
+    """(bucket, pfx, id, grams, digest) rows for every document x band.
+
+    Grams are stored hashed (long arrays) — they never leave Spark, and
+    long intersects are far cheaper than string intersects at verify
+    time.  When ``verify_ngram == shingle_len`` (the default) the hashed
+    shingles double as both the signature input and the verify grams, so
+    the per-shingle hash pass runs once (same fusion as
+    ``ops.dedup.minhash_dedup_pairs``).  ``digest`` is a full-content
+    hash: equality is an unconditional duplicate verdict, which is what
+    rejects replayed or repeated documents too short to produce grams.
+    """
+    base = docs.select(id_col, text_col)
+    digest = F.xxhash64(F.col(text_col)).alias("digest")
+    if verify_ngram == shingle_len:
+        hashed = base.select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(
+                    shingle_set(F.col(text_col), shingle_len),
+                    lambda s: _hash_expr(s, "h", hash_fn),
+                )
+            ).alias("__grams"),
+            digest,
+        )
+        sigs = hashed.withColumn(
+            "minhash", signature_from_basehash(F.col("__grams"), num_hashes)
+        )
     else:
-        grams = gram_arr
+        sigs = minhash_signature(
+            base, text_col, num_hashes=num_hashes, shingle_len=shingle_len, hash_fn=hash_fn
+        ).select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(
+                    ngram_set(F.col(text_col), verify_ngram),
+                    lambda g: _hash_expr(g, "h", hash_fn),
+                )
+            ).alias("__grams"),
+            digest,
+            F.col("minhash"),
+        )
+    band_keys = band_keys_expr(F.col("minhash"), bands, rows_per_band)
     return (
         sigs.withColumn("bucket", F.explode(band_keys))
         .select(
             "bucket",
             F.pmod(F.xxhash64(F.col("bucket")), F.lit(INDEX_PARTITIONS)).alias("pfx"),
             F.col(id_col).alias("doc_id"),
-            grams.alias("grams"),
+            F.col("__grams").alias("grams"),
+            "digest",
         )
     )
 
@@ -139,8 +175,59 @@ class DedupIndex:
             "pfx"
         ).parquet(self.path)
 
-    def exists(self) -> bool:
-        return os.path.exists(self.path)
+    def exists(self, spark: SparkSession | None = None) -> bool:
+        """True once the index has been created.
+
+        Uses the Hadoop FileSystem API when a session is available so the
+        check works for any warehouse scheme (hdfs://, s3a://, ...);
+        plain ``os.path`` only as a session-less local fallback.
+        """
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            return os.path.exists(self.path)
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        return fs.exists(jpath)
+
+    def compact(self, spark: SparkSession, *, target_files: int = 1) -> dict[str, int]:
+        """Rewrite index partitions down to ``target_files`` files each.
+
+        Append-only micro-batch writes accumulate one file per batch per
+        task; without maintenance a long-running ingest degrades every
+        probe.  Reuses the retention machinery's crash-safe staging
+        (``_tmp_*`` write -> ``_trash_*`` swap, recovered on next run), so
+        a crash mid-compaction never loses or double-exposes index rows.
+        Gate results are unchanged — compaction only rewrites files.
+        Local-filesystem staging, like the retention module it mirrors
+        (reference analog: internal/logretention/ttl.go:27-68); an
+        object-store deployment would swap via a table format instead.
+
+        Returns {partition: input_file_count} for the rewritten partitions.
+        """
+        from outpost_spark.logstore.retention import _recover_partials, _swap_partition
+
+        _recover_partials(self.path)
+        report: dict[str, int] = {}
+        if not os.path.isdir(self.path):
+            return report
+        for part in sorted(os.listdir(self.path)):
+            if not part.startswith("pfx="):
+                continue
+            part_path = os.path.join(self.path, part)
+            n_files = sum(
+                1
+                for f in os.listdir(part_path)
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+            if n_files <= target_files:
+                continue
+            df = spark.read.parquet(part_path)
+            tmp = os.path.join(self.path, f"_tmp_compact_{part}")
+            df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+            _swap_partition(self.path, part, tmp)
+            report[part] = n_files
+        return report
 
     def gate(
         self, batch: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -153,37 +240,35 @@ class DedupIndex:
         ``rejected_matches``: (doc_id, matched_id, jaccard) evidence rows;
         ``matched_id`` is an indexed doc for index hits, or the kept
         batch-mate for intra-batch collapses (jaccard null there).
+
+        One signature pass per batch: the same checkpointed bucket rows
+        drive the intra-batch self-join AND the index probe.  Duplicate
+        verdicts are ``jaccard >= threshold OR digest equality`` — the
+        digest clause is what catches exact copies too short to shingle
+        (empty gram sets verify at J=0.0), including replays of a
+        committed batch after a crash.
         """
         spark = batch.sparkSession
         batch = batch.localCheckpoint(eager=True)  # stream batches re-plan per action
+        brows = self._rows(batch, id_col, text_col).localCheckpoint(eager=True)
 
         # intra-batch collapse first: min-id survivor per near-dup component
-        sigs = minhash_signature(
-            batch.select(id_col, text_col),
-            text_col,
-            num_hashes=self.num_hashes,
-            shingle_len=self.shingle_len,
-            hash_fn=self.hash_fn,
-        )
-        cands = lsh_candidate_pairs(
-            sigs, id_col, bands=self.bands, rows_per_band=self.rows_per_band
-        )
-        gram_arr = ngram_set(F.col(text_col), self.verify_ngram)
-        if self.hash_fn == "xxhash64":
-            gram_arr = F.transform(gram_arr, lambda g: F.xxhash64(g))
-        grams = batch.select(F.col(id_col).alias("__gid"), gram_arr.alias("__grams"))
+        left, right = brows.alias("l"), brows.alias("r")
         pairs = (
-            cands.join(
-                grams.withColumnRenamed("__gid", "id_a").withColumnRenamed("__grams", "__ga"),
-                "id_a",
+            left.join(
+                right,
+                (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
             )
-            .join(
-                grams.withColumnRenamed("__gid", "id_b").withColumnRenamed("__grams", "__gb"),
-                "id_b",
+            .filter(
+                (
+                    F.round(jaccard_expr(F.col("l.grams"), F.col("r.grams")), 6)
+                    >= self.threshold
+                )
+                | (F.col("l.digest") == F.col("r.digest"))
             )
-            .withColumn("jaccard", F.round(jaccard_expr(F.col("__ga"), F.col("__gb")), 6))
-            .filter(F.col("jaccard") >= self.threshold)
-            .select("id_a", "id_b")
+            .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+            .distinct()
         )
         comp = connected_components(pairs)
         intra_losers = comp.filter(F.col("node") != F.col("component")).select(
@@ -193,24 +278,31 @@ class DedupIndex:
             intra_losers.select(id_col), id_col, "left_anti"
         ).localCheckpoint(eager=True)
 
-        if not self.exists():
+        if not self.exists(spark):
             admitted = batch1
             index_hits = None
         else:
-            # index probe: read ONLY the partitions this batch's buckets touch
-            brows = self._rows(batch1, id_col, text_col).localCheckpoint(eager=True)
-            pfxs = [r["pfx"] for r in brows.select("pfx").distinct().collect()]
+            # index probe: read ONLY the partitions this batch's buckets
+            # touch, reusing the checkpointed bucket rows (restricted to
+            # intra-batch survivors — a semi-join, no signature recompute)
+            brows1 = brows.join(
+                batch1.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
+            )
+            pfxs = [r["pfx"] for r in brows1.select("pfx").distinct().collect()]
             index = spark.read.parquet(self.path).filter(F.col("pfx").isin(pfxs))
             # NOTE: self-matches (same doc_id already in the index) are NOT
             # filtered out — they are precisely what rejects a replayed
             # batch after a crash between the offset commit and here: the
-            # replayed doc finds its own index row at J=1.0 and is dropped.
+            # replayed doc finds its own index row at J=1.0 (or by digest
+            # for un-shingleable docs) and is dropped.
             hits = (
-                brows.alias("b")
+                brows1.alias("b")
                 .join(index.alias("i"), "bucket")
                 .withColumn(
                     "jaccard",
-                    F.round(jaccard_expr(F.col("b.grams"), F.col("i.grams")), 6),
+                    F.when(F.col("b.digest") == F.col("i.digest"), F.lit(1.0)).otherwise(
+                        F.round(jaccard_expr(F.col("b.grams"), F.col("i.grams")), 6)
+                    ),
                 )
                 .filter(F.col("jaccard") >= self.threshold)
                 .select(

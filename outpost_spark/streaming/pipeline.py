@@ -27,16 +27,58 @@ from outpost_spark.logstore.insert import insert_many
 from outpost_spark.routing.match import match_pairs
 
 
-def route_stream(events_stream: DataFrame, destinations: DataFrame) -> DataFrame:
+def route_stream(
+    events_stream: DataFrame,
+    destinations: DataFrame,
+    *,
+    filter_mode: str = "compiled_static",
+) -> DataFrame:
     """Streaming routing: event stream -> DeliveryTask stream.
 
     Uses the aggregation-free pair join (stream-static broadcast), one task
     row per (event, matched destination), attempt=1 (tasks.go:37-43).
     The batch-only ``match_events`` array-stamping shape needs an
     aggregation and is not used on streams.
+
+    Streaming default is ``compiled_static`` — zero Python in the hot
+    path when every filter doc compiles (the reference's MatchEvent is
+    likewise native per-event work, redistenantstore.go:645-667);
+    uncompilable docs still interpret via the pandas UDF.  The trade:
+    filter docs are compiled once at stream plan time, so a doc ADDED or
+    EDITED after the stream starts will not match until restart even
+    though the stream-static join re-resolves destination ROWS per batch.
+    Deployments that hot-edit filters use :func:`make_routing_sink`
+    (per-batch recompile, same zero-Python plan, no staleness) or
+    ``filter_mode="compiled"`` (row-wise interpreter fallback, pays an
+    Arrow round-trip per pair).
     """
-    pairs = match_pairs(events_stream, destinations)
+    pairs = match_pairs(events_stream, destinations, filter_mode=filter_mode)
     return pairs.withColumn("attempt", F.lit(1)).withColumn("manual", F.lit(False))
+
+
+def make_routing_sink(load_destinations, process):
+    """foreachBatch routing with per-batch filter compilation.
+
+    ``load_destinations(spark) -> DataFrame`` re-reads the destinations
+    snapshot each micro-batch; ``process(routed_df, batch_id)`` consumes
+    the routed DeliveryTask rows.  Because compilation happens inside the
+    batch against the batch's own snapshot, this gets compiled_static's
+    zero-Python plan AND picks up filter edits with no restart — the
+    per-batch recompile is a driver-side collect of a small broadcast
+    dimension plus Column construction, microseconds against a
+    micro-batch's runtime.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        dests = load_destinations(batch_df.sparkSession)
+        routed = (
+            match_pairs(batch_df, dests, filter_mode="compiled_static")
+            .withColumn("attempt", F.lit(1))
+            .withColumn("manual", F.lit(False))
+        )
+        process(routed, batch_id)
+
+    return _sink
 
 
 def make_log_sink(events_path: str, attempts_path: str, commits_path: str):

@@ -486,3 +486,20 @@ def test_parse_byte_size_suffixes():
     assert _parse_byte_size("garbage") == 134217728
     assert _parse_byte_size("12x") == 134217728
     assert _parse_byte_size("") == 134217728
+
+
+def test_stratified_quota_window_never_shuffles_bodies(docs):
+    """The ranking window must run over the narrow (strata, frac, id)
+    projection — the document text shuffles zero times in this plan."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    out = stratified_quota(docs, ["lang"], 2, "doc_id")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"\(\d+\) Window\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert m, f"no Window node in plan:\n{plan}"
+    assert "text" not in m.group(1), f"Window carries the doc body: {m.group(1)}"

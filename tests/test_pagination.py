@@ -169,3 +169,42 @@ def test_sub_ms_timestamp_not_repeated_across_pages(spark):
         walked += _ids(res)
     assert sorted(walked) == ["old_1", "sub_a", "sub_b", "sub_c"]
     assert len(walked) == len(set(walked)), f"repeated rows: {walked}"
+
+
+def test_dedup_round_exhaustion_surfaces_continuation_cursor(spark):
+    """Pathological duplication: when MAX_DEDUP_ITERATIONS full fetch
+    rounds can't fill a page, the short page must still carry a
+    continuation cursor (at the last SCANNED position) instead of
+    silently ending pagination — rows beyond the duplicate run stay
+    reachable (the reference surfaces continuation via its cursor the
+    same way)."""
+    from datetime import timedelta
+
+    # one id duplicated 40 times at distinct ms timestamps, newer than two
+    # unique rows; limit=2 -> each round scans 3 rows, all the same id
+    rows = [
+        ("dup_id", "t1", "user.created", BASE + timedelta(seconds=100 + i), ["d1"])
+        for i in range(40)
+    ]
+    rows += [
+        ("uniq_a", "t1", "user.created", BASE + timedelta(seconds=2), ["d1"]),
+        ("uniq_b", "t1", "user.created", BASE + timedelta(seconds=1), ["d1"]),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    df.cache().count()
+
+    p1 = list_events(df, ListRequest(limit=2, order="desc"))
+    assert _ids(p1) == ["dup_id"]  # page short of the limit...
+    assert p1.next != ""  # ...but pagination must continue
+
+    # following the cursors reaches the unique tail in bounded pages
+    ids, nxt = set(_ids(p1)), p1.next
+    for _ in range(10):
+        if not nxt:
+            break
+        page = list_events(df, ListRequest(limit=2, order="desc", next=nxt))
+        ids.update(_ids(page))
+        nxt = page.next
+    assert not nxt  # terminates
+    assert ids == {"dup_id", "uniq_a", "uniq_b"}
+    df.unpersist()

@@ -269,7 +269,9 @@ def test_compiled_default_matches_docs_outside_plan_snapshot(dfs, monkeypatch):
     }
     orig = M._compiled_filter_predicate
     monkeypatch.setattr(
-        M, "_compiled_filter_predicate", lambda d: orig(d.filter(F.lit(False)))
+        M,
+        "_compiled_filter_predicate",
+        lambda d, **kw: orig(d.filter(F.lit(False)), **kw),
     )
     got = {
         (r["event_id"], r["destination_id"])
@@ -398,3 +400,55 @@ def test_delete_and_match(spark):
     pruned = full.filter("id != 'gone'")
     assert _matches(match_events(events, full))["x1"] == ["gone", "stay"]
     assert _matches(match_events(events, pruned))["x1"] == ["stay"]
+
+
+def test_compiled_mode_depth_overflow_routes_to_interpreter(spark):
+    """Payloads nesting arrays DEEPER than the compiler's unroll bound must
+    still match exactly like the reference's unbounded recursion
+    (match.go:115-185): the compiled chain detects the overflow row-wise
+    and hands it to the interpreter instead of silently not matching."""
+    deep_hit = {"a": [[[[[[1]]]]]]}  # 6 array levels > _MAX_ARRAY_DEPTH=4
+    deep_miss = {"a": [[[[[[2]]]]]]}
+    events = spark.createDataFrame(
+        [
+            _ev("d1", "t9", "a.b", deep_hit),
+            _ev("d2", "t9", "a.b", deep_miss),
+            _ev("d3", "t9", "a.b", {"a": [1]}),  # shallow control
+        ],
+        EV_SCHEMA,
+    )
+    dests = spark.createDataFrame(
+        [_dest("want_one", "t9", ["*"], {"data": {"a": 1}})], DEST_SCHEMA
+    )
+    via_udf = _matches(match_events(events, dests, filter_mode="udf"))
+    got = _matches(match_events(events, dests, filter_mode="compiled"))
+    assert got == via_udf
+    assert got["d1"] == ["want_one"]
+    assert got["d2"] == []
+    assert got["d3"] == ["want_one"]
+
+
+def test_compile_overflow_is_none_for_dataless_docs(spark):
+    """Docs with no data schemas can never overflow — the detector returns
+    None so the chain skips the wrapper (no plan growth for the common
+    topic/metadata-only filters)."""
+    from outpost_spark.functions.jsonmatch_compiler import compile_overflow
+    from pyspark.sql import functions as F
+
+    assert compile_overflow({"topic": "a.b"}, data_col=F.col("data")) is None
+    assert (
+        compile_overflow(
+            {"$or": [{"topic": "x"}, {"metadata": {"k": "v"}}]}, data_col=F.col("data")
+        )
+        is None
+    )
+    assert (
+        compile_overflow({"data": {"a": 1}}, data_col=F.col("data")) is not None
+    )
+    # data schemas nested under envelope logic ops are found too
+    assert (
+        compile_overflow(
+            {"$not": {"$and": [{"data": {"a": {"b": 1}}}]}}, data_col=F.col("data")
+        )
+        is not None
+    )

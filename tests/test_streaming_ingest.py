@@ -119,3 +119,71 @@ def test_gate_rejects_replayed_batch(spark, tmpdir):
     assert re_admitted.count() == 0
     rej = {r["doc_id"]: (r["matched_id"], r["jaccard"]) for r in re_rejected.collect()}
     assert rej == {1: (1, 1.0), 2: (2, 1.0)}
+
+
+def test_gate_digest_rejects_short_doc_replay(spark, tmpdir):
+    """Documents shorter than shingle_len have empty gram sets, so the
+    Jaccard verify alone would score a replayed copy at 0.0 and re-admit
+    it; the content digest must short-circuit those to an unconditional
+    reject (both intra-batch and against the index)."""
+    idx = DedupIndex(os.path.join(tmpdir, "idx"))
+    # intra-batch: two exact short copies collapse to the min id
+    batch = _docs(spark, [(1, "hi"), (2, "hi"), (3, "yo")])
+    admitted, rejected = idx.gate(batch)
+    assert sorted(r["doc_id"] for r in admitted.collect()) == [1, 3]
+    assert {r["doc_id"]: r["matched_id"] for r in rejected.collect()} == {2: 1}
+    idx.append(admitted)
+    # replay: both short survivors find their own digest in the index
+    re_admitted, re_rejected = idx.gate(_docs(spark, [(1, "hi"), (3, "yo")]))
+    assert re_admitted.count() == 0
+    rej = {r["doc_id"]: (r["matched_id"], r["jaccard"]) for r in re_rejected.collect()}
+    assert rej == {1: (1, 1.0), 3: (3, 1.0)}
+    # different short docs are NOT each other's duplicates
+    new_admitted, _ = idx.gate(_docs(spark, [(9, "ok")]))
+    assert sorted(r["doc_id"] for r in new_admitted.collect()) == [9]
+
+
+def test_index_compaction_bounds_files_and_preserves_gate(spark, tmpdir):
+    idx = DedupIndex(os.path.join(tmpdir, "idx"))
+    idx.build(_docs(spark, [(100, BASE), (101, OTHER)]))
+    for i in range(3):  # repeat-append the same buckets -> files pile up per pfx
+        idx.append(_docs(spark, [(200 + i, BASE + f" tail {i}"), (300 + i, OTHER + f" tail {i}")]))
+    probe = _docs(spark, [(500, BASE), (501, OTHER)])
+    before_adm, before_rej = idx.gate(probe)
+    before = (
+        sorted(r["doc_id"] for r in before_adm.collect()),
+        sorted((r["doc_id"], r["matched_id"]) for r in before_rej.collect()),
+    )
+    # some partition must have accumulated >1 file for the test to bite
+    parts = [d for d in os.listdir(idx.path) if d.startswith("pfx=")]
+    max_before = max(
+        sum(1 for f in os.listdir(os.path.join(idx.path, d)) if f.endswith(".parquet"))
+        for d in parts
+    )
+    assert max_before > 1
+    report = idx.compact(spark, target_files=1)
+    assert report  # something was compacted
+    for d in (x for x in os.listdir(idx.path) if x.startswith("pfx=")):
+        n = sum(1 for f in os.listdir(os.path.join(idx.path, d)) if f.endswith(".parquet"))
+        assert n <= 1
+        assert not any(f.startswith(("_tmp_", "_trash_")) for f in os.listdir(idx.path))
+    after_adm, after_rej = idx.gate(probe)
+    after = (
+        sorted(r["doc_id"] for r in after_adm.collect()),
+        sorted((r["doc_id"], r["matched_id"]) for r in after_rej.collect()),
+    )
+    assert before == after
+
+
+def test_index_exists_uses_hadoop_fs(spark, tmpdir):
+    """exists() must go through the Hadoop FileSystem API (scheme-agnostic),
+    not os.path — a file:// URI that os.path.exists would reject still
+    resolves."""
+    p = os.path.join(tmpdir, "idx")
+    idx_uri = DedupIndex("file://" + p)
+    assert not idx_uri.exists(spark)
+    idx_local = DedupIndex(p)
+    idx_local.build(_docs(spark, [(1, BASE)]))
+    assert idx_uri.exists(spark)
+    assert idx_local.exists(spark)
+    assert idx_local.exists()  # session-less local fallback still works

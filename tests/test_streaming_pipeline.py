@@ -262,3 +262,63 @@ def test_retry_stream_timer_fires(spark, tmpdir):
     fired = {(r["event_id"], r["destination_id"], r["attempt_number"]) for r in got}
     assert ("e1", "d1", 2) in fired      # failed -> retry attempt 2 fired
     assert not any(d == "d2" for _, d, _n in fired)  # canceled by success
+
+
+def test_routing_sink_recompiles_per_batch_and_stays_python_free(spark, tmpdir):
+    """make_routing_sink: per-batch filter compilation — a filter doc EDITED
+    between micro-batches takes effect with no restart, and the per-batch
+    routing plan contains no Python evaluation node when every doc
+    compiles (the zero-Python streaming default, matching MatchEvent's
+    native per-event evaluation)."""
+    from outpost_spark.streaming.pipeline import make_routing_sink
+
+    src = os.path.join(tmpdir, "in")
+    os.makedirs(src)
+    dest_state = {"filter": json.dumps({"data": {"type": "premium"}})}
+
+    def load_destinations(s):
+        return s.createDataFrame(
+            [("d1", "t1", "webhook", ["*"], dest_state["filter"], None)],
+            "id string, tenant_id string, type string, topics array<string>, "
+            "filter string, disabled_at timestamp",
+        )
+
+    routed_ids: list = []
+    plans: list = []
+
+    def process(routed, batch_id):
+        plans.append(routed._jdf.queryExecution().executedPlan().toString())
+        routed_ids.extend(
+            (r["event_id"], r["destination_id"]) for r in routed.collect()
+        )
+
+    sink = make_routing_sink(load_destinations, process)
+
+    def run_batch(rows, fname):
+        with open(os.path.join(src, fname), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema(EV_SCHEMA).json(src)
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmpdir, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    ev = {"tenant_id": "t1", "topic": "x.y", "event_time": "2024-01-01T00:00:00.000Z",
+          "metadata": {}}
+    run_batch([{**ev, "event_id": "b1", "data": json.dumps({"type": "premium"})},
+               {**ev, "event_id": "b2", "data": json.dumps({"type": "basic"})}], "b1.json")
+    assert routed_ids == [("b1", "d1")]
+
+    # edit the filter between batches: the next batch compiles the NEW doc
+    dest_state["filter"] = json.dumps({"data": {"type": "basic"}})
+    run_batch([{**ev, "event_id": "b3", "data": json.dumps({"type": "premium"})},
+               {**ev, "event_id": "b4", "data": json.dumps({"type": "basic"})}], "b2.json")
+    assert routed_ids == [("b1", "d1"), ("b4", "d1")]
+
+    for plan in plans:
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
+            assert marker not in plan, f"Python node {marker} in per-batch routing plan"
