@@ -516,6 +516,70 @@ def simhash(
     return df.withColumn(out_col, value)
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs: band-of-bits equi-join + exact Hamming verify.
+
+    Pigeonhole guarantee: split the ``bits``-bit fingerprint into
+    ``bands`` (> max_hamming, default max_hamming+1) equal segments — two
+    fingerprints within Hamming distance ``max_hamming`` differ in at
+    most ``max_hamming`` segments, so they agree EXACTLY on at least one.
+    The (band index, band value) equi-join therefore finds every
+    qualifying pair with zero false negatives and no quadratic self-join;
+    ``bit_count(a XOR b)`` then verifies candidates exactly.  Output:
+    (id_a, id_b, hamming), id_a < id_b, distinct.
+
+    Scale shape mirrors :func:`lsh_candidate_pairs`: the join sides carry
+    (band key, id, fingerprint) — one long beyond the LSH layout — and
+    the band explode is the only row multiplication (x bands).
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(f"bands ({bands}) must exceed max_hamming ({max_hamming})")
+    if bits % bands:
+        raise ValueError(f"bits ({bits}) must divide evenly into {bands} bands")
+    w = bits // bands
+    mask = (1 << w) - 1
+    fp = simhash(df.select(id_col, text_col), text_col, bits=bits)
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                ((F.shiftright(F.col("simhash"), b * w)) % F.lit(mask + 1)).cast("string"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = fp.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash").alias("__sim"),
+        F.explode(band_arr).alias("__band"),
+    )
+    left, right = buckets.alias("l"), buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.__band") == F.col("r.__band")) & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.bit_count(F.col("l.__sim").bitwiseXOR(F.col("r.__sim"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -1,7 +1,6 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Design (the Spark-side plumbing is real; codec work is stubbed because
-image/audio libraries are not available in this environment):
+Design:
 
 - A multimodal table carries ``(id, modality, content binary, meta map)``.
 - Decode / feature-extract / resize / frame-sample run as Arrow-batched
@@ -13,14 +12,23 @@ image/audio libraries are not available in this environment):
   only features shuffle.  Partitioning by (modality, date) keeps decode
   tasks homogeneous — no skew from mixing 1 KB thumbnails with 1 GB video.
 
-``decode_image`` / ``decode_audio`` raise ``NotImplementedError`` (clearly
-marked stubs); ``fake_features`` is the deterministic stand-in used by
-tests and the catalog so the pipeline shape is exercised end to end.
+Decoders are stdlib-only: PNG via ``zlib``/``struct`` (dimensions, bit
+depth, channels, mean luminance — 8-bit non-interlaced, all five scanline
+filters) and WAV via the ``wave`` module (sample rate, channels,
+duration, RMS for 16-bit PCM).  Formats needing external codec libraries
+(JPEG, MP3, video) raise ``ValueError`` like any other undecodable blob;
+the batched featurizer turns that into ``decode_ok=false`` rather than
+failing the task, since a corpus-scale decode job must survive corrupt
+members.  ``fake_features`` remains the deterministic engine-portable
+featurizer used by the cross-engine catalog oracle.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -30,16 +38,128 @@ from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = "id bigint, modality string, n_bytes bigint, checksum string, feat array<double>"
 
-
-def decode_image(content: bytes) -> "object":
-    """STUB — real implementation needs an image codec (PIL/opencv),
-    not available in this container."""
-    raise NotImplementedError("image decoding requires an image codec library")
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def decode_audio(content: bytes) -> "object":
-    """STUB — real implementation needs an audio codec (soundfile/ffmpeg)."""
-    raise NotImplementedError("audio decoding requires an audio codec library")
+def decode_image(content: bytes) -> dict:
+    """Decode a PNG with stdlib only: dims, depth, channels, mean luminance.
+
+    Supports 8-bit non-interlaced greyscale/RGB(+alpha) — the shapes a
+    training pipeline's thumbnail/tile stages produce — with full scanline
+    unfiltering (None/Sub/Up/Average/Paeth).  Palette, 16-bit, and
+    interlaced PNGs decode headers only (``mean_luminance`` None).  Any
+    non-PNG input raises ``ValueError``.
+    """
+    if len(content) < 8 or content[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + payload + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None or color_type not in _PNG_CHANNELS:
+        raise ValueError("malformed PNG (no IHDR / bad color type)")
+    channels = _PNG_CHANNELS[color_type]
+    out = {
+        "kind": "png",
+        "width": int(width),
+        "height": int(height),
+        "bit_depth": int(bit_depth),
+        "channels": channels,
+        "mean_luminance": None,
+    }
+    if bit_depth != 8 or interlace or color_type == 3 or not idat or not height:
+        return out  # header-only decode for the unsupported pixel layouts
+
+    import numpy as np
+
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    prev = np.zeros(stride, dtype=np.uint16)
+    total = 0.0
+    lum_w = (
+        np.array([0.299, 0.587, 0.114, 0.0][: channels])
+        if channels >= 3
+        else np.array([1.0, 0.0][:channels])
+    )
+    off = 0
+    for _y in range(height):
+        ftype = raw[off]
+        cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).astype(
+            np.uint16
+        )
+        off += stride + 1
+        if ftype == 1:  # Sub
+            for x in range(channels, stride):
+                cur[x] = (cur[x] + cur[x - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = cur[x - channels] if x >= channels else 0
+                cur[x] = (cur[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                c = int(prev[x - channels]) if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        px = cur.reshape(width, channels).astype(np.float64)
+        total += float((px * lum_w).sum())
+        prev = cur
+    out["mean_luminance"] = total / (width * height)
+    return out
+
+
+def decode_audio(content: bytes) -> dict:
+    """Decode a WAV with the stdlib ``wave`` module: rate, channels,
+    duration; RMS amplitude (normalized to [0,1]) for 16-bit PCM.  Any
+    non-WAV input raises ``ValueError``."""
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(content), "rb") as w:
+            rate = w.getframerate()
+            channels = w.getnchannels()
+            width = w.getsampwidth()
+            n_frames = w.getnframes()
+            frames = w.readframes(n_frames)
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"not a WAV: {e}") from e
+    rms = None
+    if width == 2 and frames:
+        import numpy as np
+
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+        rms = float(np.sqrt(np.mean(samples * samples)))
+    return {
+        "kind": "wav",
+        "sample_rate": int(rate),
+        "channels": int(channels),
+        "sample_width": int(width),
+        "n_frames": int(n_frames),
+        "duration_s": (n_frames / rate) if rate else 0.0,
+        "rms": rms,
+    }
 
 
 def _fake_feature_vector(content: bytes, dims: int = 4) -> list[float]:
@@ -72,6 +192,67 @@ def extract_features(multimodal_df: DataFrame) -> DataFrame:
     """
     return multimodal_df.select("id", "modality", "content").mapInPandas(
         fake_features_batches, FEATURE_SCHEMA
+    )
+
+
+DECODED_SCHEMA = (
+    "id bigint, modality string, n_bytes bigint, checksum string, decode_ok boolean, "
+    "kind string, width int, height int, channels int, bit_depth int, "
+    "mean_luminance double, sample_rate int, duration_s double, rms double"
+)
+
+_DECODED_NULLS = {
+    k: None
+    for k in (
+        "kind width height channels bit_depth mean_luminance "
+        "sample_rate duration_s rms"
+    ).split()
+}
+
+
+def _decode_one(content: bytes) -> dict:
+    """Try each stdlib decoder; undecodable blobs yield decode_ok=false."""
+    for dec in (decode_image, decode_audio):
+        try:
+            d = dec(content)
+        except ValueError:
+            continue
+        except Exception:  # corrupt member mid-decode: survive, don't fail the task
+            break
+        return {**_DECODED_NULLS, **d, "decode_ok": True}
+    return {**_DECODED_NULLS, "decode_ok": False}
+
+
+def decoded_features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: binary content -> typed decoded metadata.
+
+    A corpus-scale decode job must survive corrupt/foreign members: rows
+    neither decoder accepts come back with ``decode_ok=false`` and null
+    features instead of failing the task.
+    """
+    for pdf in batches:
+        content = pdf["content"]
+        decoded = [_decode_one(b) for b in content]
+        out = {
+            "id": pdf["id"],
+            "modality": pdf["modality"],
+            "n_bytes": content.map(len),
+            "checksum": content.map(lambda b: hashlib.md5(b).hexdigest()),
+        }
+        for field in ("decode_ok", *_DECODED_NULLS):
+            out[field] = [d[field] for d in decoded]
+        yield pd.DataFrame(out)
+
+
+def extract_features_decoded(multimodal_df: DataFrame) -> DataFrame:
+    """Binary table -> real decoded metadata via Arrow-batched mapInPandas.
+
+    Same plumbing contract as :func:`extract_features` (binary consumed
+    inside the stage, only typed features leave it); the decoders are the
+    stdlib PNG/WAV ones above.
+    """
+    return multimodal_df.select("id", "modality", "content").mapInPandas(
+        decoded_features_batches, DECODED_SCHEMA
     )
 
 

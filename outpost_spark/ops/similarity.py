@@ -275,21 +275,37 @@ def cosine_topk_ivf(
     nprobe: int = 2,
     score_decimals: int = 6,
     assign_col: str | None = None,
+    prune_partitions: bool = True,
 ) -> DataFrame:
     """IVF ANN: scan only the query's ``nprobe`` nearest centroid lists,
     exact cosine top-k within them.
 
     At scale the inverted lists live in the table layout: write with
     ``assign_ivf_pandas(...)`` stamped and ``partitionBy`` that column,
-    pass ``assign_col`` here, and the ``isin(probes)`` filter becomes
-    partition pruning — the scan reads ``nprobe/nlist`` of the files
-    instead of every vector.  Without ``assign_col`` the assignment is
-    computed on the fly (map-only, no shuffle).
+    then pass ``assign_col`` here.  The per-row probe predicate is a JOIN
+    condition (``array_contains`` against the broadcast query), which
+    neither static partition pruning nor dynamic partition pruning can
+    use — so with ``prune_partitions`` (default) the probe set is first
+    collected from the query side (bounded: |queries| x nprobe ids,
+    computed by the same ``probe_cids_expr`` so it can never disagree
+    with the join predicate) and applied as a LITERAL ``isin`` filter on
+    ``assign_col``.  That literal is what turns into partition pruning:
+    the scan reads ``nprobe/nlist`` of the files instead of every vector
+    (measured in tests/test_ops.py via the scan's numFiles metric).
+    Without ``assign_col`` the assignment is computed on the fly
+    (map-only, no shuffle).
     """
     q = query.withColumn(
         "__probes",
         probe_cids_expr(F.col("qvec").cast("array<double>"), centroids, nprobe, score_decimals=score_decimals),
     )
+    if assign_col is not None and prune_partitions:
+        probe_set = [
+            r["c"] for r in q.select(F.explode("__probes").alias("c")).distinct().collect()
+        ]
+        df = df.filter(
+            F.col(assign_col).isin(probe_set) if probe_set else F.lit(False)
+        )
     if assign_col is None:
         assign_col = "__ivf_cid"
         vd = F.col(vec_col).cast("array<double>")

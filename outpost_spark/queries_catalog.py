@@ -1350,6 +1350,47 @@ _REGISTRY["dedup_simhash"] = (
 
 
 @_register(
+    "dedup_simhash_pairs",
+    None,  # placeholder replaced below (shares the simhash CTE SQL)
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS: band-of-bits equi-join (pigeonhole: within
+    Hamming r, at least one of r+1 bands matches exactly) + exact
+    ``bit_count(xor)`` verify — completes the dedup family (fingerprints
+    alone don't pair)."""
+    from outpost_spark.ops.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=3)
+
+
+_REGISTRY["dedup_simhash_pairs"] = (
+    _REGISTRY["dedup_simhash_pairs"][0],
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(t, tok -> CAST(('0x' || substr(md5('0|' || tok), 1, 8)) AS BIGINT)) AS hashes
+      FROM toks
+    ),
+    sims AS (SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash FROM hashed),
+    bands AS (
+      SELECT doc_id, simhash, b, (simhash >> (b * 8)) % 256 AS bv
+      FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+    )
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+           CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+    FROM bands l JOIN bands r ON l.b = r.b AND l.bv = r.bv AND l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+    """,
+)
+
+
+@_register(
     "dedup_ngram_jaccard_grouped",
     """
     WITH g AS (
@@ -1755,6 +1796,51 @@ def multimodal_features(spark, sf_dir):
             F.round(F.element_at("feat", i + 1), 9).alias(f"f{i}")
             for i in range(4)
         ],
+    )
+
+
+@_register(
+    "multimodal_decoded",
+    """
+    SELECT doc_id AS id,
+           'text' AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum,
+           false AS decode_ok,
+           CAST(NULL AS VARCHAR) AS kind,
+           CAST(NULL AS INT) AS width,
+           CAST(NULL AS INT) AS height,
+           CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS DOUBLE) AS duration_s
+    FROM documents
+    """,
+)
+def multimodal_decoded(spark, sf_dir):
+    """REAL stdlib decoders (PNG via zlib, WAV via wave) over the binary
+    mapInPandas path.  The documents corpus is text, so every row comes
+    back ``decode_ok=false`` with null decoded fields — which is exactly
+    what the oracle pins: the decode stage runs distributed over an
+    undecodable corpus without failing a task, and the portable fields
+    (sizes, checksums, flags) hash-match cross-engine.  The decoder
+    correctness itself is pinned by pytest over planted PNG/WAV binaries
+    (tests/test_ops.py)."""
+    from outpost_spark.ops.multimodal import (
+        documents_as_multimodal,
+        extract_features_decoded,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_features_decoded(documents_as_multimodal(docs)).select(
+        "id",
+        "modality",
+        "n_bytes",
+        "checksum",
+        "decode_ok",
+        "kind",
+        "width",
+        "height",
+        "sample_rate",
+        "duration_s",
     )
 
 

@@ -237,8 +237,8 @@ def test_quality_and_langid(docs):
 
 
 def test_multimodal_stub_and_fake_pipeline(docs):
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG")  # magic alone is not a decodable PNG
     feats = extract_features(documents_as_multimodal(docs.filter(F.col("doc_id") <= 2)))
     rows = {r["id"]: r for r in feats.collect()}
     assert rows[1]["checksum"] == rows[2]["checksum"]  # same bytes, same digest
@@ -503,3 +503,222 @@ def test_stratified_quota_window_never_shuffles_bodies(docs):
     m = re.search(r"\(\d+\) Window\nInput \[\d+\]: \[([^\]]*)\]", plan)
     assert m, f"no Window node in plan:\n{plan}"
     assert "text" not in m.group(1), f"Window carries the doc body: {m.group(1)}"
+
+
+# ───────────────── stdlib multimodal decoders ─────────────────
+
+
+def _encode_png(pixels, color_type, filters):
+    """Minimal independent PNG writer for decoder tests: ``pixels`` is a
+    list of rows, each row a list of per-channel tuples; one filter type
+    per row (applied correctly, so every unfilter branch gets exercised)."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    height = len(pixels)
+    width = len(pixels[0])
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = [0] * (width * ch)
+    for y, row in enumerate(pixels):
+        flat = [v for px in row for v in px]
+        f = filters[y % len(filters)]
+        raw.append(f)
+        enc = []
+        for x, v in enumerate(flat):
+            a = flat[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                enc.append(v & 0xFF)
+            elif f == 1:
+                enc.append((v - a) & 0xFF)
+            elif f == 2:
+                enc.append((v - b) & 0xFF)
+            elif f == 3:
+                enc.append((v - ((a + b) >> 1)) & 0xFF)
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc.append((v - pred) & 0xFF)
+        raw.extend(enc)
+        prev = flat
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _encode_wav(samples, rate=8000, channels=1):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_decode_image_png_all_filters():
+    from outpost_spark.ops.multimodal import decode_image
+
+    # 4x4 RGB gradient; luminance is filter-independent, so decoding the
+    # same image under every scanline filter type must agree exactly
+    pixels = [
+        [((x * 40) % 256, (y * 60) % 256, (x * y * 13) % 256) for x in range(4)]
+        for y in range(4)
+    ]
+    expected = sum(
+        0.299 * r + 0.587 * g + 0.114 * b for row in pixels for (r, g, b) in row
+    ) / 16
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3]):
+        d = decode_image(_encode_png(pixels, 2, filters))
+        assert (d["width"], d["height"], d["channels"], d["bit_depth"]) == (4, 4, 3, 8)
+        assert d["kind"] == "png"
+        assert abs(d["mean_luminance"] - expected) < 1e-9, filters
+
+    # grayscale: luminance = plain mean
+    gray = [[(10,), (20,)], [(30,), (40,)]]
+    d = decode_image(_encode_png(gray, 0, [0]))
+    assert d["channels"] == 1 and abs(d["mean_luminance"] - 25.0) < 1e-9
+
+    # RGBA: alpha ignored by luminance
+    rgba = [[(100, 50, 25, 7)]]
+    d = decode_image(_encode_png(rgba, 6, [0]))
+    assert d["channels"] == 4
+    assert abs(d["mean_luminance"] - (0.299 * 100 + 0.587 * 50 + 0.114 * 25)) < 1e-9
+
+    with pytest.raises(ValueError):
+        decode_image(b"not a png at all")
+
+
+def test_decode_audio_wav():
+    import math
+
+    from outpost_spark.ops.multimodal import decode_audio
+
+    n, amp = 8000, 16000  # 1 second at 8 kHz
+    samples = [int(amp * math.sin(2 * math.pi * 440 * t / n)) for t in range(n)]
+    d = decode_audio(_encode_wav(samples))
+    assert d["kind"] == "wav"
+    assert d["sample_rate"] == 8000 and d["channels"] == 1
+    assert abs(d["duration_s"] - 1.0) < 1e-9
+    # RMS of a sine = amplitude / sqrt(2), normalized by 2^15
+    assert abs(d["rms"] - (amp / 32768.0) / math.sqrt(2)) < 1e-3
+    with pytest.raises(ValueError):
+        decode_audio(b"definitely not riff data")
+
+
+def test_extract_features_decoded_mixed_corpus(spark):
+    from outpost_spark.ops.multimodal import extract_features_decoded
+
+    png = _encode_png([[(255, 0, 0), (0, 255, 0)]], 2, [0])
+    wav = _encode_wav([0, 1000, -1000, 0])
+    rows = [
+        (1, "image", bytearray(png)),
+        (2, "audio", bytearray(wav)),
+        (3, "text", bytearray(b"plain text blob, no codec")),
+        (4, "image", bytearray(b"\x89PNG\r\n\x1a\ntruncated-garbage")),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, modality string, content binary")
+    out = {r["id"]: r.asDict() for r in extract_features_decoded(df).collect()}
+    assert out[1]["decode_ok"] and out[1]["kind"] == "png"
+    assert (out[1]["width"], out[1]["height"]) == (2, 1)
+    assert out[2]["decode_ok"] and out[2]["kind"] == "wav"
+    assert out[2]["sample_rate"] == 8000 and out[2]["rms"] > 0
+    assert not out[3]["decode_ok"] and out[3]["kind"] is None
+    assert not out[4]["decode_ok"]  # corrupt member survives, flagged
+    assert all(r["n_bytes"] > 0 and len(r["checksum"]) == 32 for r in out.values())
+
+
+def test_ivf_end_to_end_partition_pruning(spark, tmp_path):
+    """IVF at rest: train -> assign -> partitionBy(cid) write -> probe.
+    The probed scan must read only the nprobe/nlist slice of the files
+    (partition pruning measured from the executed scan's own metrics, not
+    inferred from the plan text), and return the same top-k as on-the-fly
+    assignment."""
+    import glob
+
+    # 8 orthogonal planted clusters x 30 members, deterministic (no RNG);
+    # ids interleaved so the deterministic smallest-id seeding spans all
+    # clusters (ids 0..7 = one member of each)
+    def vec(c, j):
+        v = [0.0] * 64
+        for r in range(8):
+            v[r * 8 + c] = 10.0
+        # spread large enough that cosines stay distinct at 6 decimals
+        v[(c + 1) % 8] += 0.3 * j
+        return v
+
+    rows = [(j * 8 + c, vec(c, j)) for j in range(30) for c in range(8)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = train_centroids_kmeans(df, "embedding", 8, iters=3)
+
+    path = str(tmp_path / "ivf_table")
+    assigned = assign_ivf_pandas(df, "embedding", cents, out_col="ivf_cid")
+    assigned.repartition("ivf_cid").write.partitionBy("ivf_cid").parquet(path)
+    assert len(glob.glob(path + "/ivf_cid=*")) == 8  # kmeans truly separated
+
+    table = spark.read.parquet(path)
+    q = df.filter(F.col("vec_id") == 8).select(F.col("embedding").alias("qvec"))
+    nprobe = 2
+    out = cosine_topk_ivf(
+        table, "embedding", q, cents, k=5, nprobe=nprobe, assign_col="ivf_cid"
+    )
+    got = [(r["vec_id"], r["score"]) for r in out.collect()]
+
+    # the same probe computed without the table layout must agree
+    fly = cosine_topk_ivf(df, "embedding", q, cents, k=5, nprobe=nprobe)
+    assert got == [(r["vec_id"], r["score"]) for r in fly.collect()]
+    assert got[0][0] == 8  # the query vector itself leads its own list
+    assert len(got) == 5  # the probed list holds the full cluster
+
+    # measured pruning: the executed scan read only the probed partitions
+    # (AQE root -> finalPhysicalPlan for the real leaves)
+    plan = out._jdf.queryExecution().executedPlan()
+    if plan.nodeName() == "AdaptiveSparkPlan":
+        plan = plan.finalPhysicalPlan()
+    leaves = plan.collectLeaves()
+    scan = next(
+        leaves.apply(i)
+        for i in range(leaves.size())
+        if "parquet" in leaves.apply(i).nodeName().lower()
+    )
+    num_files = scan.metrics().apply("numFiles").value()
+    total_files = len(glob.glob(path + "/ivf_cid=*/*.parquet"))
+    assert 0 < num_files <= total_files * nprobe // 8 + 1, (num_files, total_files)
+    assert scan.metrics().apply("numPartitions").value() == nprobe
+
+
+def test_simhash_pairs_banded(docs):
+    from outpost_spark.ops.dedup import simhash_pairs
+
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert out[(1, 2)] == 0  # identical docs: same fingerprint
+    # near-dup (one word changed) is within the radius; unrelated is not
+    assert (1, 3) in out and 0 < out[(1, 3)] <= 3
+    assert not any({a, b} == {1, 5} for a, b in out)
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, "doc_id", "text", max_hamming=4, bands=4)
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=2, bands=5)
