@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "dedup_exact_documents",
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_lsh_pairs_fast",
+    "dedup_simhash_pairs",
+    "sample_stratified_quota",
     "embed_cosine_topk",
     "embed_ann_ivf_topk",
     "text_token_stats",
