@@ -622,3 +622,75 @@ def ngram_jaccard_pairs(
             F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"), F.col("jaccard")
         )
     )
+
+
+def word_ngrams_expr(text: Column, n: int) -> Column:
+    """Distinct word n-grams of the whitespace-tokenized text (space-joined)."""
+    toks = tokens_expr(text)
+    m = F.size(toks) - (n - 1)
+    return F.when(
+        m >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Test-set decontamination: flag training documents sharing any word
+    n-gram with a benchmark corpus (the standard n-gram-overlap
+    contamination check used before training on scraped data).
+
+    Output: one row per training document — (id, matched_ngrams,
+    contaminated); ``matched_ngrams`` counts the DISTINCT benchmark
+    n-grams the document contains.
+
+    Scale shape: both sides explode to hashed (gram, id) pairs — fixed
+    width, never text — and meet in an equi-join on the gram hash.  The
+    benchmark side is the distinct gram set of a *benchmark* (thousands
+    of documents, not the corpus), so Spark broadcasts it under AQE;
+    the training side streams through map-side.  The final per-document
+    count aggregates (id, gram) pairs for matched grams only — output is
+    one row per train doc, and the only wide exchange is keyed by the
+    gram hash.  ``hash_fn="md5"`` is the engine-portable default (DuckDB
+    oracle); ``"xxhash64"`` is the cheaper Spark-native production path.
+    """
+    def grams(df: DataFrame, with_id: bool) -> DataFrame:
+        g = F.explode(word_ngrams_expr(F.col(text_col), n)).alias("__gram")
+        base = df.select(*( [F.col(id_col).alias("__id")] if with_id else [] ), g)
+        # md5: the full 32-char hex digest (fixed width, portable, no
+        # truncation collisions); xxhash64: one codegen'd long
+        h = (
+            F.xxhash64(F.col("__gram"))
+            if hash_fn == "xxhash64"
+            else F.md5(F.col("__gram"))
+        )
+        return base.select(*( ["__id"] if with_id else [] ), h.alias("__g"))
+
+    bench_grams = grams(benchmark, with_id=False).distinct()
+    hits = (
+        grams(train, with_id=True)
+        .join(bench_grams, "__g")
+        .groupBy("__id")
+        .agg(F.count_distinct("__g").alias("matched_ngrams"))
+    )
+    return (
+        train.select(F.col(id_col).alias("__id"))
+        .join(hits, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("matched_ngrams"), F.lit(0)).alias("matched_ngrams"),
+            (F.coalesce(F.col("matched_ngrams"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -247,3 +247,59 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         id_col,
         F.substring(F.md5(norm), 1, 16).alias("fingerprint"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into token windows with overlap — the standard
+    pre-training/embedding chunking step.
+
+    Output: (id, chunk_idx, chunk_text, n_tokens); chunk i covers tokens
+    [i*stride, i*stride + max_tokens) with stride = max_tokens - overlap,
+    whitespace-tokenized (the engine's portable tokenizer).  The final
+    window is the only one allowed to be short, and no window starts past
+    the end (a doc with <= max_tokens tokens yields exactly one chunk);
+    empty documents yield no chunks.
+
+    Scale shape: a pure per-row expression pipeline — tokenization, the
+    window-start sequence, and the slice/join all run inside whole-stage
+    codegen; ``posexplode`` is the only row multiplication (x n_chunks),
+    and nothing shuffles.  Chunk text duplicates ~overlap/max_tokens of
+    the corpus by construction; downstream ops shuffle chunk ids, not
+    text.
+    """
+    if max_tokens <= 0 or overlap < 0 or overlap >= max_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < max_tokens, got overlap={overlap} max_tokens={max_tokens}"
+        )
+    stride = max_tokens - overlap
+    toks = tokens_expr(F.col(text_col))
+    n = F.size(toks)
+    # last window start: stride * ceil((n - max_tokens) / stride), floored at 0
+    last_start = F.greatest(
+        F.lit(0), F.ceil((n - F.lit(max_tokens)) / F.lit(stride)).cast("int") * F.lit(stride)
+    )
+    starts = F.when(n > 0, F.sequence(F.lit(0), last_start, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.array_join(F.slice(toks, s + 1, max_tokens), " ").alias("chunk_text"),
+            F.least(n - s, F.lit(max_tokens)).cast("int").alias("n_tokens"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.col(text_col), F.posexplode(chunks).alias("chunk_idx", "__c")
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+        F.col("__c.n_tokens").alias("n_tokens"),
+    )

@@ -1390,6 +1390,77 @@ _REGISTRY["dedup_simhash_pairs"] = (
 )
 
 
+_TOKS_SQL = r"""
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
+      FROM documents
+    )
+"""
+
+
+@_register(
+    "text_chunk_documents",
+    f"""
+    WITH {_TOKS_SQL},
+    s AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    starts AS (
+      SELECT doc_id, t, n,
+             unnest(range(0, greatest(CAST(ceil((n - 64) / 48.0) AS BIGINT), 0) * 48 + 1, 48)) AS st
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(st // 48 AS INT) AS chunk_idx,
+           array_to_string(t[st + 1 : st + 64], ' ') AS chunk_text,
+           CAST(least(n - st, 64) AS INT) AS n_tokens
+    FROM starts
+    """,
+)
+def text_chunk_documents(spark, sf_dir):
+    """Token-window chunking (64-token windows, 16-token overlap) — the
+    standard pre-training/embedding chunking step, as one codegen'd
+    expression pipeline (posexplode is the only row multiplication)."""
+    from outpost_spark.ops.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", max_tokens=64, overlap=16)
+
+
+@_register(
+    "dedup_ngram_contamination",
+    f"""
+    WITH {_TOKS_SQL},
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 7, 0) + 1),
+               i -> md5(array_to_string(t[i : i + 7], ' '))))) AS gram
+      FROM toks
+    ),
+    bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+    hits AS (
+      SELECT g.doc_id, count(DISTINCT g.gram) AS matched_ngrams
+      FROM g JOIN bg USING (gram) GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(h.matched_ngrams, 0) AS matched_ngrams,
+           coalesce(h.matched_ngrams, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def dedup_ngram_contamination(spark, sf_dir):
+    """Test-set decontamination: flag training documents sharing any word
+    8-gram with a benchmark set (here: the deterministic doc_id % 50 = 0
+    subset, which plants guaranteed hits — the subset itself and its
+    duplicates).  Hashed (gram, id) pairs meet in an equi-join; the
+    benchmark gram set broadcasts."""
+    from outpost_spark.ops.dedup import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return ngram_contamination(docs, bench, n=8)
+
+
 @_register(
     "dedup_ngram_jaccard_grouped",
     """

@@ -722,3 +722,65 @@ def test_simhash_pairs_banded(docs):
         simhash_pairs(docs, "doc_id", "text", max_hamming=4, bands=4)
     with pytest.raises(ValueError):
         simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=2, bands=5)
+
+
+def test_chunk_documents_windows(spark):
+    from outpost_spark.ops.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(25))),
+            (2, "one two"),  # single short chunk
+            (3, ""),  # empty -> no chunks
+        ],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(docs, "text", "doc_id", max_tokens=10, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # stride 8: windows at 0, 8, 16; last is the only short one
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2]
+    assert c1[0]["chunk_text"].split() == [f"w{i}" for i in range(10)]
+    assert c1[1]["chunk_text"].split() == [f"w{i}" for i in range(8, 18)]
+    assert c1[2]["chunk_text"].split() == [f"w{i}" for i in range(16, 25)]
+    assert [r["n_tokens"] for r in c1] == [10, 10, 9]
+    # overlap reconstruction: consecutive chunks share exactly `overlap` tokens
+    assert c1[0]["chunk_text"].split()[-2:] == c1[1]["chunk_text"].split()[:2]
+    assert by_doc[2][0]["chunk_text"] == "one two" and by_doc[2][0]["n_tokens"] == 2
+    assert 3 not in by_doc
+    with pytest.raises(ValueError):
+        chunk_documents(docs, "text", "doc_id", max_tokens=10, overlap=10)
+    # chunking is shuffle-free (pure expressions + generate)
+    plan = (
+        chunk_documents(docs, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_ngram_contamination_planted(spark):
+    from outpost_spark.ops.dedup import ngram_contamination
+
+    shared = " ".join(f"s{i}" for i in range(12))  # 12 shared tokens -> 5 shared 8-grams
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words here " + shared),  # contains the benchmark run
+            (2, shared.replace("s5", "x5")),  # run broken mid-way
+            (3, "totally different content with many other words present"),
+            (4, "tiny"),  # too short to have any 8-gram
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(100, shared)], "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in ngram_contamination(train, bench, n=8).collect()}
+    assert out[1]["contaminated"] and out[1]["matched_ngrams"] == 5
+    assert not out[2]["contaminated"]  # s5->x5 breaks every full 8-gram
+    assert not out[3]["contaminated"] and not out[4]["contaminated"]
+    assert len(out) == 4  # one row per train doc, clean docs included
+    # production hash path agrees on the planted corpus
+    fast = {
+        r["doc_id"]: r["matched_ngrams"]
+        for r in ngram_contamination(train, bench, n=8, hash_fn="xxhash64").collect()
+    }
+    assert fast == {k: v["matched_ngrams"] for k, v in out.items()}
