@@ -1467,8 +1467,10 @@ def dedup_ngram_contamination(spark, sf_dir):
     WITH g AS (
       SELECT doc_id, lang,
              list_distinct(list_transform(
-               range(1, greatest(length(lower(text)) - 2, 0) + 1),
-               i -> substr(lower(text), CAST(i AS INT), 3))) AS grams
+               list_distinct(list_transform(
+                 range(1, greatest(length(lower(text)) - 2, 0) + 1),
+                 i -> substr(lower(text), CAST(i AS INT), 3))),
+               s -> CAST(('0x' || substr(md5('g|' || s), 1, 8)) AS BIGINT))) AS grams
       FROM documents
     )
     SELECT l.doc_id AS id_a, r.doc_id AS id_b,
