@@ -720,3 +720,69 @@ def ngram_contamination(
             (F.coalesce(F.col("matched_ngrams"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def paragraphs_expr(text: Column, sep: str = "\n") -> Column:
+    """Non-empty trimmed paragraphs of a document, order preserved."""
+    return F.filter(
+        F.transform(F.split(text, sep), lambda p: F.trim(p)), lambda p: p != ""
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    sep: str = "\n",
+) -> DataFrame:
+    """Global paragraph-level dedup (the C4/RefinedWeb curation step):
+    every repeated paragraph is removed from ALL documents except its
+    first global occurrence (ordering by (doc id, position)); documents
+    are rebuilt from their surviving paragraphs.
+
+    Output: (id, text_clean, n_kept, n_removed) — one row per input
+    document, paragraphs joined back with ``sep``.
+
+    Scale shape: the first-occurrence decision runs over (hash, id, idx)
+    triples ONLY — paragraph text never enters the shuffle (same narrow-
+    projection pattern as ``sampling.stratified_quota``).  The surviving
+    index sets (ints) join back by id, and each document's clean text is
+    re-derived from its own original row with an index-membership filter
+    — pure expressions, no text exchange anywhere.
+    """
+    from pyspark.sql import Window
+
+    paras = paragraphs_expr(F.col(text_col), sep)
+    narrow = df.select(
+        F.col(id_col).alias("__id"), F.posexplode(paras).alias("__pos", "__p")
+    ).select("__id", "__pos", F.md5(F.col("__p")).alias("__h"))
+    w = Window.partitionBy("__h")
+    kept = (
+        narrow.withColumn("__first", F.min(F.struct("__id", "__pos")).over(w))
+        .filter(
+            (F.col("__first.__id") == F.col("__id"))
+            & (F.col("__first.__pos") == F.col("__pos"))
+        )
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_list("__pos")).alias("__keep"))
+    )
+    rebuilt = (
+        df.join(kept, df[id_col] == kept["__id"], "left")
+        .withColumn("__paras", paras)
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(
+                    F.coalesce(F.col("__keep"), F.array().cast("array<int>")),
+                    lambda i: F.element_at(F.col("__paras"), i + 1),
+                ),
+                sep,
+            ).alias("text_clean"),
+            F.coalesce(F.size("__keep"), F.lit(0)).cast("int").alias("n_kept"),
+            (F.size("__paras") - F.coalesce(F.size("__keep"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+    return rebuilt

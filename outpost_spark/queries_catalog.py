@@ -1462,6 +1462,56 @@ def dedup_ngram_contamination(spark, sf_dir):
 
 
 @_register(
+    "dedup_paragraphs_global",
+    """
+    WITH d2 AS (
+      SELECT doc_id, replace(text, ' table ', chr(10)) AS text FROM documents
+    ),
+    p0 AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                         x -> x <> '') AS paras
+      FROM d2
+    ),
+    ph AS (
+      SELECT doc_id, pos, md5(para) AS h FROM (
+        SELECT doc_id, unnest(paras) AS para, unnest(range(0, len(paras))) AS pos
+        FROM p0)
+    ),
+    f1 AS (SELECT h, min(doc_id) AS fd FROM ph GROUP BY h),
+    f2 AS (SELECT ph.h, min(ph.pos) AS fp
+           FROM ph JOIN f1 ON ph.h = f1.h AND ph.doc_id = f1.fd GROUP BY ph.h),
+    kept AS (
+      SELECT ph.doc_id, ph.pos
+      FROM ph JOIN f1 ON ph.h = f1.h JOIN f2 ON ph.h = f2.h
+      WHERE ph.doc_id = f1.fd AND ph.pos = f2.fp
+    ),
+    ks AS (SELECT doc_id, list_sort(list(pos)) AS keep FROM kept GROUP BY doc_id)
+    SELECT p0.doc_id,
+           coalesce(array_to_string(
+             list_transform(ks.keep, i -> p0.paras[CAST(i AS INT) + 1]), chr(10)), '') AS text_clean,
+           CAST(coalesce(len(ks.keep), 0) AS INT) AS n_kept,
+           CAST(len(p0.paras) - coalesce(len(ks.keep), 0) AS INT) AS n_removed
+    FROM p0 LEFT JOIN ks ON p0.doc_id = ks.doc_id
+    """,
+)
+def dedup_paragraphs_global(spark, sf_dir):
+    """Global paragraph dedup (the C4/RefinedWeb curation step): repeated
+    paragraphs survive only at their first global (doc, position)
+    occurrence; documents are rebuilt from survivors.  The synthetic
+    corpus has no newlines, so a deterministic paragraph structure is
+    derived first (the word 'table' becomes a paragraph break —
+    identical replace in both engines), which plants genuine cross-
+    document shared paragraphs via the corpus's duplicate documents."""
+    from outpost_spark.ops.dedup import dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace(F.col("text"), " table ", "\n")
+    )
+    return dedup_paragraphs(docs, "text", "doc_id")
+
+
+@_register(
     "dedup_ngram_jaccard_grouped",
     """
     WITH g AS (

@@ -784,3 +784,43 @@ def test_ngram_contamination_planted(spark):
         for r in ngram_contamination(train, bench, n=8, hash_fn="xxhash64").collect()
     }
     assert fast == {k: v["matched_ngrams"] for k, v in out.items()}
+
+
+def test_dedup_paragraphs_global(spark):
+    from outpost_spark.ops.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\ncommon boilerplate footer\nunique one"),
+            (2, "gamma delta\ncommon boilerplate footer\nunique two"),
+            (3, "common boilerplate footer"),  # entirely deduped away
+            (4, ""),  # empty doc stays empty, removes nothing
+            (5, "repeat me\nrepeat me\nlast"),  # within-doc repeat collapses too
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_paragraphs(docs, "text", "doc_id").collect()}
+    assert len(out) == 5  # one row per input document, always
+    # first global occurrence (doc 1) keeps the shared paragraph
+    assert out[1]["text_clean"] == "alpha beta\ncommon boilerplate footer\nunique one"
+    assert (out[1]["n_kept"], out[1]["n_removed"]) == (3, 0)
+    assert out[2]["text_clean"] == "gamma delta\nunique two"
+    assert (out[2]["n_kept"], out[2]["n_removed"]) == (2, 1)
+    assert out[3]["text_clean"] == "" and out[3]["n_removed"] == 1
+    assert out[4]["text_clean"] == "" and out[4]["n_removed"] == 0
+    assert out[5]["text_clean"] == "repeat me\nlast"
+    # order within a document is preserved after removal
+    assert out[2]["text_clean"].split("\n")[0] == "gamma delta"
+    # the dedup decision must never shuffle paragraph text: the only
+    # Exchange before the Window carries (id, pos, hash) — no 'para' col
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        dedup_paragraphs(docs, "text", "doc_id").explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"\(\d+\) Window\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "__p#" not in m.group(1) and "text#" not in m.group(1)
