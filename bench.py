@@ -44,7 +44,10 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_lsh_pairs_fast",
     "dedup_simhash_pairs",
+    "dedup_paragraphs_global",
+    "dedup_ngram_contamination",
     "sample_stratified_quota",
+    "text_chunk_documents",
     "embed_cosine_topk",
     "embed_ann_ivf_topk",
     "text_token_stats",

@@ -693,6 +693,7 @@ def ngram_contamination(
     oracle); ``"xxhash64"`` is the cheaper Spark-native production path.
     """
     def grams(df: DataFrame, with_id: bool) -> DataFrame:
+        df = _parallelize_narrow_input(df)  # the gram hash pass is CPU-bound
         g = F.explode(word_ngrams_expr(F.col(text_col), n)).alias("__gram")
         base = df.select(*( [F.col(id_col).alias("__id")] if with_id else [] ), g)
         # md5: the full 32-char hex digest (fixed width, portable, no
@@ -735,6 +736,7 @@ def dedup_paragraphs(
     id_col: str,
     *,
     sep: str = "\n",
+    broadcast_removed: bool = True,
 ) -> DataFrame:
     """Global paragraph-level dedup (the C4/RefinedWeb curation step):
     every repeated paragraph is removed from ALL documents except its
@@ -746,43 +748,52 @@ def dedup_paragraphs(
 
     Scale shape: the first-occurrence decision runs over (hash, id, idx)
     triples ONLY — paragraph text never enters the shuffle (same narrow-
-    projection pattern as ``sampling.stratified_quota``).  The surviving
-    index sets (ints) join back by id, and each document's clean text is
-    re-derived from its own original row with an index-membership filter
-    — pure expressions, no text exchange anywhere.
+    projection pattern as ``sampling.stratified_quota``).  The decision is
+    a groupBy(hash) min + join back, NOT a window over partitionBy(hash):
+    paragraph frequency is the canonical skew case (one boilerplate line
+    in 30% of documents would pin a window's sort to one task), and the
+    aggregation's map-side partial combine collapses each partition to
+    its distinct hashes before anything shuffles.  The join-back side is
+    the REMOVED positions — duplicate instances only, a small fraction of
+    the corpus at realistic dup rates — broadcast by default
+    (``broadcast_removed``) so the document text itself never enters any
+    exchange; each document's clean text is re-derived from its own
+    original row with an index-membership filter.  Disable the broadcast
+    for pathological dup rates where the removed set itself is
+    corpus-sized (the join then shuffles by id, still ints vs text on the
+    small side).
     """
-    from pyspark.sql import Window
-
     paras = paragraphs_expr(F.col(text_col), sep)
     narrow = df.select(
         F.col(id_col).alias("__id"), F.posexplode(paras).alias("__pos", "__p")
     ).select("__id", "__pos", F.md5(F.col("__p")).alias("__h"))
-    w = Window.partitionBy("__h")
-    kept = (
-        narrow.withColumn("__first", F.min(F.struct("__id", "__pos")).over(w))
+    narrow = narrow.localCheckpoint(eager=True)  # reused by the agg AND the join
+    firsts = narrow.groupBy("__h").agg(F.min(F.struct("__id", "__pos")).alias("__first"))
+    removed = (
+        narrow.join(firsts, "__h")
         .filter(
-            (F.col("__first.__id") == F.col("__id"))
-            & (F.col("__first.__pos") == F.col("__pos"))
+            (F.col("__first.__id") != F.col("__id"))
+            | (F.col("__first.__pos") != F.col("__pos"))
         )
         .groupBy("__id")
-        .agg(F.array_sort(F.collect_list("__pos")).alias("__keep"))
+        .agg(F.array_sort(F.collect_list("__pos")).alias("__drop"))
     )
+    drop = F.coalesce(F.col("__drop"), F.array().cast("array<int>"))
+    keep_paras = F.filter(
+        F.col("__paras"), lambda p, i: ~F.array_contains(drop, i.cast("int"))
+    )
+    if broadcast_removed:
+        removed = F.broadcast(removed)
     rebuilt = (
-        df.join(kept, df[id_col] == kept["__id"], "left")
+        df.join(removed, df[id_col] == removed["__id"], "left")
         .withColumn("__paras", paras)
         .select(
             F.col(id_col),
-            F.array_join(
-                F.transform(
-                    F.coalesce(F.col("__keep"), F.array().cast("array<int>")),
-                    lambda i: F.element_at(F.col("__paras"), i + 1),
-                ),
-                sep,
-            ).alias("text_clean"),
-            F.coalesce(F.size("__keep"), F.lit(0)).cast("int").alias("n_kept"),
-            (F.size("__paras") - F.coalesce(F.size("__keep"), F.lit(0)))
+            F.array_join(keep_paras, sep).alias("text_clean"),
+            (F.size("__paras") - F.coalesce(F.size("__drop"), F.lit(0)))
             .cast("int")
-            .alias("n_removed"),
+            .alias("n_kept"),
+            F.coalesce(F.size("__drop"), F.lit(0)).cast("int").alias("n_removed"),
         )
     )
     return rebuilt

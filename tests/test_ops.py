@@ -811,8 +811,8 @@ def test_dedup_paragraphs_global(spark):
     assert out[5]["text_clean"] == "repeat me\nlast"
     # order within a document is preserved after removal
     assert out[2]["text_clean"].split("\n")[0] == "gamma delta"
-    # the dedup decision must never shuffle paragraph text: the only
-    # Exchange before the Window carries (id, pos, hash) — no 'para' col
+    # the dedup decision must never shuffle paragraph text: every
+    # Exchange in the plan carries only (id, pos, hash)-derived columns
     import io
     import re
     from contextlib import redirect_stdout
@@ -821,6 +821,7 @@ def test_dedup_paragraphs_global(spark):
     with redirect_stdout(buf):
         dedup_paragraphs(docs, "text", "doc_id").explain("formatted")
     plan = buf.getvalue()
-    m = re.search(r"\(\d+\) Window\nInput \[\d+\]: \[([^\]]*)\]", plan)
-    assert m, plan
-    assert "__p#" not in m.group(1) and "text#" not in m.group(1)
+    exchanges = re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert exchanges, plan  # the agg/join shuffles exist...
+    for cols in exchanges:  # ...and none of them carries text
+        assert "__p#" not in cols and "text#" not in cols, cols
