@@ -825,3 +825,46 @@ def test_dedup_paragraphs_global(spark):
     assert exchanges, plan  # the agg/join shuffles exist...
     for cols in exchanges:  # ...and none of them carries text
         assert "__p#" not in cols and "text#" not in cols, cols
+
+
+def test_chunk_documents_reconstruction_property(spark):
+    """Property (hypothesis): for any token count, concatenating chunk 0
+    with each subsequent chunk minus its leading `overlap` tokens yields
+    exactly the original token stream — no token lost, none duplicated
+    beyond the declared overlap."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from outpost_spark.ops.text import chunk_documents
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        n_tokens=st.integers(min_value=0, max_value=60),
+        max_tokens=st.integers(min_value=2, max_value=20),
+        overlap=st.integers(min_value=0, max_value=19),
+    )
+    def check(n_tokens, max_tokens, overlap):
+        if overlap >= max_tokens:
+            return
+        text = " ".join(f"t{i}" for i in range(n_tokens))
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        rows = sorted(
+            chunk_documents(df, "text", "doc_id", max_tokens=max_tokens, overlap=overlap).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        if n_tokens == 0:
+            assert rows == []
+            return
+        stride = max_tokens - overlap
+        rebuilt = []
+        for r in rows:
+            toks = r["chunk_text"].split()
+            assert len(toks) == r["n_tokens"] <= max_tokens
+            assert r["chunk_idx"] * stride < n_tokens  # no window starts past the end
+            start = 0 if r["chunk_idx"] == 0 else len(rebuilt) - (r["chunk_idx"] * stride)
+            rebuilt.extend(toks[start:] if r["chunk_idx"] else toks)
+        assert rebuilt == [f"t{i}" for i in range(n_tokens)]
+        # only the FINAL chunk may be short
+        assert all(r["n_tokens"] == max_tokens for r in rows[:-1])
+
+    check()
