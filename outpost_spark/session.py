@@ -56,11 +56,16 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTD
     """Load the driver-generated parquet tables and register temp views.
 
     Returns a dict name -> DataFrame. Reads are lazy; column pruning and
-    predicate pushdown reach the parquet scans via Catalyst.
+    predicate pushdown reach the parquet scans via Catalyst.  Goes through
+    the catalog's normalizing reader so timestamp encodings the generator
+    might use (nanos, tz-less NTZ) surface uniformly as session-UTC
+    TIMESTAMP.
     """
+    from outpost_spark.queries_catalog import _t
+
     out = {}
     for name in names:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = _t(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -293,3 +293,16 @@ def test_staging_dirs_invisible_to_reads_and_retention(spark, tmpdir):
         for r in spark.read.parquet(path).select("month").distinct().collect()
     }
     assert months == {"202311", "202312", "202401"}
+
+
+def test_load_tables_normalizes_timestamps(spark):
+    """load_tables must surface timestamps as session-UTC TIMESTAMP no
+    matter how the generator encoded them (nanos or tz-less NTZ) — epoch
+    functions reject TIMESTAMP_NTZ, so a raw read would break callers."""
+    from outpost_spark.session import load_tables
+
+    tabs = load_tables(spark, "/root/testdata/sf0.001", names=("events", "orders"))
+    assert dict(tabs["events"].dtypes)["ts"] == "timestamp"
+    assert dict(tabs["orders"].dtypes)["o_orderdate"] == "timestamp"
+    # epoch extraction works (would throw on NTZ)
+    tabs["events"].selectExpr("unix_micros(ts)").limit(1).collect()
