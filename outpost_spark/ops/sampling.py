@@ -119,3 +119,40 @@ def stratified_quota(
         .select(id_col)
     )
     return df.join(winners, id_col, "left_semi")
+
+
+def sample_by_rates(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    *,
+    default_rate: float = 1.0,
+    seed: str = "mix",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-domain deterministic sampling — the corpus-mixing primitive
+    (up-/down-weight sources, languages, or quality tiers when assembling
+    a training mix).  Each row keeps iff its id's hash fraction is below
+    its group's rate; groups absent from ``rates`` use ``default_rate``.
+
+    Same determinism contract as :func:`hash_sample`: membership is
+    per-id, so the mix is reproducible across engines/runs and stable as
+    the corpus grows; disjoint seeds give independent mixes.  Pure
+    codegen filter — no shuffle, pushed alongside the scan.
+    """
+    for k, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    rate = None
+    for k, r in rates.items():
+        branch = (F.col(group_col) == k, F.lit(float(r)))
+        rate = F.when(*branch) if rate is None else rate.when(*branch)
+    rate_expr = F.lit(float(default_rate)) if rate is None else rate.otherwise(
+        F.lit(float(default_rate))
+    )
+    return df.filter(
+        hash_fraction(F.col(id_col), seed=seed, hash_fn=hash_fn) < rate_expr
+    )

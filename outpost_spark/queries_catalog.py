@@ -1278,6 +1278,26 @@ def sample_train_val_test(spark, sf_dir):
 
 
 @_register(
+    "sample_mix_by_rates",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_HASH_FRAC_SQL.format(seed="mix")} <
+          CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 ELSE 0.1 END
+    """,
+)
+def sample_mix_by_rates(spark, sf_dir):
+    """Corpus mixing: per-language sampling rates (down-weight en to 50%,
+    keep de, thin everything else to 10%) via the deterministic id-hash
+    fraction — pure codegen filter, no shuffle."""
+    from outpost_spark.ops.sampling import sample_by_rates
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_by_rates(
+        docs, "lang", {"en": 0.5, "de": 1.0}, "doc_id", default_rate=0.1
+    ).select("doc_id", "lang")
+
+
+@_register(
     "sample_stratified_quota",
     f"""
     SELECT lang, doc_id FROM (

@@ -868,3 +868,32 @@ def test_chunk_documents_reconstruction_property(spark):
         assert all(r["n_tokens"] == max_tokens for r in rows[:-1])
 
     check()
+
+
+def test_sample_by_rates_mixing(spark):
+    from outpost_spark.ops.sampling import hash_sample, sample_by_rates
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = sample_by_rates(df, "lang", {"en": 0.5, "de": 1.0}, "doc_id", default_rate=0.0)
+    got = out.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in got}
+    assert by_lang["de"] == 200  # rate 1.0 keeps every row
+    assert 140 < by_lang["en"] < 260  # ~50% of 400
+    # rate-1.0-for-everyone == identity; rate-0 group vanishes
+    assert sample_by_rates(df, "lang", {}, "doc_id", default_rate=1.0).count() == 600
+    assert (
+        sample_by_rates(df, "lang", {"en": 0.0, "de": 0.0}, "doc_id").count() == 0
+    )
+    # per-group membership equals hash_sample at the same seed/rate
+    en_mix = {r["doc_id"] for r in out.filter("lang = 'en'").collect()}
+    en_direct = {
+        r["doc_id"]
+        for r in hash_sample(df.filter("lang = 'en'"), "doc_id", 0.5, seed="mix").collect()
+    }
+    assert en_mix == en_direct
+    with pytest.raises(ValueError):
+        sample_by_rates(df, "lang", {"en": 1.5}, "doc_id")
+    # pure map: no shuffle in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
