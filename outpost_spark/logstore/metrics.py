@@ -123,6 +123,17 @@ class MetricsRequest:
     until a dedup compaction runs — opt in only when that window is
     acceptable or compaction is scheduled.  Defaults to False (byte-equal
     reference semantics, duplicate-safe).
+
+    ``approx_distinct``: HyperLogLog++ distinct counts
+    (``approx_count_distinct`` at ``approx_rsd`` relative error) instead
+    of exact.  The exact path shuffles (bucket, dims, id) once to
+    de-duplicate ids and again to merge counts; HLL sketches merge in the
+    ordinary partial/final aggregation, removing the id shuffle entirely
+    — at 100 TB that is the difference between shuffling every attempt id
+    and shuffling a fixed-size sketch per group.  Duplicate-safe (unlike
+    ``assume_deduped``) but APPROXIMATE — dashboards yes, billing no.
+    Ignored when ``assume_deduped`` is set (plain counts are already
+    one-pass and exact).
     """
 
     time_range: TimeRange
@@ -131,6 +142,13 @@ class MetricsRequest:
     dimensions: list[str] = field(default_factory=list)
     filters: dict[str, list] = field(default_factory=dict)
     assume_deduped: bool = False
+    approx_distinct: bool = False
+    approx_rsd: float = 0.05
+
+    def distinct_mode(self) -> str:
+        if self.assume_deduped:
+            return "deduped"
+        return "approx" if self.approx_distinct else "exact"
 
     def gran(self) -> Granularity | None:
         if self.granularity is None:
@@ -152,45 +170,53 @@ def _enrich_measures(measures: list[str]) -> list[str]:
     return out
 
 
-def _count_distinct_if(id_col: str, cond: Column, deduped: bool) -> Column:
-    if deduped:
+def _count_distinct_if(
+    id_col: str, cond: Column, mode: str, rsd: float = 0.05
+) -> Column:
+    if mode == "deduped":
         return F.count(F.when(cond, F.lit(1)))
+    if mode == "approx":
+        return F.approx_count_distinct(F.when(cond, F.col(id_col)), rsd)
     return F.count_distinct(F.when(cond, F.col(id_col)))
 
 
-def _count_distinct(id_col: str, deduped: bool) -> Column:
-    return F.count(F.lit(1)) if deduped else F.count_distinct(F.col(id_col))
+def _count_distinct(id_col: str, mode: str, rsd: float = 0.05) -> Column:
+    if mode == "deduped":
+        return F.count(F.lit(1))
+    if mode == "approx":
+        return F.approx_count_distinct(F.col(id_col), rsd)
+    return F.count_distinct(F.col(id_col))
 
 
-def _attempt_measure_expr(measure: str, deduped: bool = False) -> Column | None:
+def _attempt_measure_expr(measure: str, mode: str = "exact", rsd: float = 0.05) -> Column | None:
     """chlogstore/metrics.go:355-382; rates are post-aggregation (None here)."""
     c = F.col
     if measure == "count":
-        return _count_distinct("attempt_id", deduped)
+        return _count_distinct("attempt_id", mode, rsd)
     if measure == "successful_count":
-        return _count_distinct_if("attempt_id", c("status") == "success", deduped)
+        return _count_distinct_if("attempt_id", c("status") == "success", mode, rsd)
     if measure == "failed_count":
-        return _count_distinct_if("attempt_id", c("status") == "failed", deduped)
+        return _count_distinct_if("attempt_id", c("status") == "failed", mode, rsd)
     if measure == "error_rate":
         return _count_distinct_if(
-            "attempt_id", c("status") == "failed", deduped
-        ) / _count_distinct("attempt_id", deduped)
+            "attempt_id", c("status") == "failed", mode, rsd
+        ) / _count_distinct("attempt_id", mode, rsd)
     if measure == "first_attempt_count":
         return _count_distinct_if(
-            "attempt_id", (c("attempt_number") == 1) & ~c("manual"), deduped
+            "attempt_id", (c("attempt_number") == 1) & ~c("manual"), mode, rsd
         )
     if measure == "retry_count":
-        return _count_distinct_if("attempt_id", c("attempt_number") > 1, deduped)
+        return _count_distinct_if("attempt_id", c("attempt_number") > 1, mode, rsd)
     if measure == "manual_retry_count":
-        return _count_distinct_if("attempt_id", c("manual"), deduped)
+        return _count_distinct_if("attempt_id", c("manual"), mode, rsd)
     if measure == "avg_attempt_number":
         return F.avg(c("attempt_number"))
     return None  # rate / successful_rate / failed_rate: post-agg
 
 
-def _event_measure_expr(measure: str, deduped: bool = False) -> Column | None:
+def _event_measure_expr(measure: str, mode: str = "exact", rsd: float = 0.05) -> Column | None:
     if measure == "count":
-        return _count_distinct("event_id", deduped)
+        return _count_distinct("event_id", mode, rsd)
     return None
 
 
@@ -335,11 +361,12 @@ def _aggregate(
     group_cols += [F.col(d) for d in req.dimensions]
 
     agg_exprs = []
+    mode = req.distinct_mode()
     for m in measures:
         e = (
-            _event_measure_expr(m, req.assume_deduped)
+            _event_measure_expr(m, mode, req.approx_rsd)
             if events
-            else _attempt_measure_expr(m, req.assume_deduped)
+            else _attempt_measure_expr(m, mode, req.approx_rsd)
         )
         if e is not None:
             agg_exprs.append(e.alias(m))

@@ -147,3 +147,50 @@ def write_log_stream(
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def windowed_attempt_counts(
+    attempts_stream: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    time_col: str = "attempt_time",
+    dims: tuple[str, ...] = (),
+    approx_rsd: float = 0.05,
+):
+    """Streaming pre-aggregation: event-time windowed attempt counts with
+    late-data handling — the rollup a dashboard tails instead of
+    re-scanning the fact table.
+
+    ``withWatermark(time_col, watermark)`` bounds state: a window's
+    aggregate is emitted (append mode) once the watermark passes its end,
+    and rows arriving later than the watermark are DROPPED — the
+    documented late-data contract; the batch metrics engine over the fact
+    table remains the exact source of truth for backfills.  Out-of-order
+    rows WITHIN the watermark are aggregated correctly.
+
+    Distinct attempt counts use HLL sketches (``approx_count_distinct``)
+    — exact distinct over append-mode streaming windows would require
+    keeping every id in state; the sketch keeps state fixed-size per
+    window x dims, the same trade the batch engine's ``approx_distinct``
+    mode makes.  Output: window start/end, dims, rows, approx_attempts,
+    failed_rows.
+    """
+    w = F.window(F.col(time_col), window)
+    return (
+        attempts_stream.withWatermark(time_col, watermark)
+        .groupBy(w.alias("__w"), *[F.col(d) for d in dims])
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.approx_count_distinct("attempt_id", approx_rsd).alias("approx_attempts"),
+            F.count(F.when(F.col("status") == "failed", F.lit(1))).alias("failed_rows"),
+        )
+        .select(
+            F.col("__w.start").alias("bucket_start"),
+            F.col("__w.end").alias("bucket_end"),
+            *[F.col(d) for d in dims],
+            "rows",
+            "approx_attempts",
+            "failed_rows",
+        )
+    )

@@ -182,3 +182,69 @@ def test_timeout_fires_between_jobs_still_raises(golden):
     # job starts — the cancel itself is a no-op, the flag check must raise
     with pytest.raises(M.MetricsTimeoutError):
         run_attempt_metrics(attempts, req, timeout_s=1e-6)
+
+
+def test_approx_distinct_mode(spark):
+    """approx_distinct: HLL sketches instead of exact distinct — results
+    within the configured rsd of exact, and the plan drops the dedicated
+    id-distinct exchange (sketches merge in the ordinary partial/final
+    aggregation)."""
+    from datetime import datetime, timezone
+
+    from outpost_spark.logstore.metrics import (
+        MetricsRequest,
+        TimeRange,
+        query_attempt_metrics,
+    )
+
+    rows = [
+        (
+            f"a{i}",
+            f"e{i}",
+            "t1",
+            "user.created",
+            datetime(2024, 1, 1, i % 24, tzinfo=timezone.utc),
+            "success" if i % 5 else "failed",
+            False,
+            1,
+            "d1",
+            ["d1"],
+        )
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "attempt_id string, event_id string, tenant_id string, topic string, "
+        "attempt_time timestamp, status string, manual boolean, attempt_number int, "
+        "destination_id string, matched_destination_ids array<string>",
+    )
+    tr = TimeRange(
+        datetime(2024, 1, 1, tzinfo=timezone.utc), datetime(2024, 1, 2, tzinfo=timezone.utc)
+    )
+    exact = query_attempt_metrics(
+        df, MetricsRequest(time_range=tr, measures=["count", "failed_count"])
+    ).collect()[0]
+    approx = query_attempt_metrics(
+        df,
+        MetricsRequest(
+            time_range=tr, measures=["count", "failed_count"], approx_distinct=True
+        ),
+    ).collect()[0]
+    assert exact["count"] == 2000
+    assert abs(approx["count"] - 2000) <= 2000 * 0.05 * 3  # well within 3x rsd
+    assert abs(approx["failed_count"] - exact["failed_count"]) <= exact["failed_count"] * 0.2
+
+    def n_exchanges(req):
+        plan = query_attempt_metrics(df, req)._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange")
+
+    req_exact = MetricsRequest(time_range=tr, measures=["count"], granularity="1h")
+    req_approx = MetricsRequest(
+        time_range=tr, measures=["count"], granularity="1h", approx_distinct=True
+    )
+    assert n_exchanges(req_approx) < n_exchanges(req_exact)
+    # assume_deduped wins when both are set (already exact AND one-pass)
+    both = MetricsRequest(
+        time_range=tr, measures=["count"], assume_deduped=True, approx_distinct=True
+    )
+    assert both.distinct_mode() == "deduped"

@@ -322,3 +322,83 @@ def test_routing_sink_recompiles_per_batch_and_stays_python_free(spark, tmpdir):
     for plan in plans:
         for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
             assert marker not in plan, f"Python node {marker} in per-batch routing plan"
+
+
+def test_windowed_attempt_counts_watermark_and_late_data(spark, tmpdir):
+    """Event-time windowed pre-aggregation: out-of-order rows inside the
+    watermark aggregate correctly; a window's row is emitted (append mode)
+    once the watermark passes its end; rows later than the watermark are
+    dropped — the documented late-data contract."""
+    from outpost_spark.streaming.pipeline import windowed_attempt_counts
+
+    src = os.path.join(tmpdir, "in")
+    os.makedirs(src)
+    schema = T.StructType(
+        [
+            T.StructField("attempt_id", T.StringType()),
+            T.StructField("attempt_time", T.TimestampType()),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+
+    def write_batch(rows, fname):
+        with open(os.path.join(src, fname), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    stream = spark.readStream.schema(schema).json(src)
+    agg = windowed_attempt_counts(stream, window="1 minute", watermark="2 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ck"))
+        .start()
+    )
+
+    def snapshot():
+        return {
+            (r["bucket_start"].isoformat(), r["rows"], r["failed_rows"])
+            for r in spark.sql("SELECT * FROM win_out").collect()
+        }
+
+    try:
+        # batch 1: two rows in 00:00 window (one out of order), one in 00:01
+        write_batch(
+            [
+                {"attempt_id": "a2", "attempt_time": "2024-01-01T00:00:40.000Z", "status": "success"},
+                {"attempt_id": "a1", "attempt_time": "2024-01-01T00:00:10.000Z", "status": "failed"},
+                {"attempt_id": "a3", "attempt_time": "2024-01-01T00:01:10.000Z", "status": "success"},
+            ],
+            "b1.json",
+        )
+        q.processAllAvailable()
+        # watermark after batch 1 = 00:01:10 - 2min < 00:01 -> nothing final yet
+        assert snapshot() == set()
+
+        # batch 2: advance event time far enough to close the first two
+        # windows (watermark becomes 00:05 - 2min = 00:03 at batch end)
+        write_batch(
+            [{"attempt_id": "a4", "attempt_time": "2024-01-01T00:05:00.000Z", "status": "success"}],
+            "b2.json",
+        )
+        q.processAllAvailable()
+        # batch 3: a row for the 00:00 window arriving AFTER the watermark
+        # passed it — must be dropped, not re-opened
+        write_batch(
+            [
+                {"attempt_id": "late", "attempt_time": "2024-01-01T00:00:50.000Z", "status": "failed"},
+                {"attempt_id": "a5", "attempt_time": "2024-01-01T00:05:01.000Z", "status": "success"},
+            ],
+            "b3.json",
+        )
+        q.processAllAvailable()
+        got = snapshot()
+    finally:
+        q.stop()
+
+    # both early windows emitted exactly once, late row NOT counted
+    assert ("2024-01-01T00:00:00", 2, 1) in got
+    assert ("2024-01-01T00:01:00", 1, 0) in got
+    # the 00:05 window stays open (watermark hasn't passed its end)
+    assert not any(b.startswith("2024-01-01T00:05") for b, _, _ in got)
