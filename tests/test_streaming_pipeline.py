@@ -402,3 +402,111 @@ def test_windowed_attempt_counts_watermark_and_late_data(spark, tmpdir):
     assert ("2024-01-01T00:01:00", 1, 0) in got
     # the 00:05 window stays open (watermark hasn't passed its end)
     assert not any(b.startswith("2024-01-01T00:05") for b, _, _ in got)
+
+
+def test_full_pipeline_publish_route_log_metrics(spark, tmpdir):
+    """Capstone integration: published events stream in -> routing fan-out
+    (zero-Python per-batch compile) -> LogEntry rows -> idempotent log sink
+    -> the batch metrics engine answers over the resulting tables.  This is
+    the reference's publish->fanout->deliver->log lifecycle end to end on
+    one SparkSession."""
+    from datetime import datetime, timezone
+
+    from outpost_spark.logstore.metrics import (
+        MetricsRequest,
+        TimeRange,
+        query_attempt_metrics,
+    )
+    from outpost_spark.streaming.pipeline import make_routing_sink, make_log_sink
+
+    src = os.path.join(tmpdir, "in")
+    events_path = os.path.join(tmpdir, "events_t")
+    attempts_path = os.path.join(tmpdir, "attempts_t")
+    os.makedirs(src)
+
+    def load_destinations(s):
+        return s.createDataFrame(
+            [
+                ("d_orders", "t1", "webhook", ["order.*"], None, None),
+                ("d_premium", "t1", "webhook", ["*"],
+                 json.dumps({"data": {"tier": "premium"}}), None),
+            ],
+            "id string, tenant_id string, type string, topics array<string>, "
+            "filter string, disabled_at timestamp",
+        )
+
+    log_sink = make_log_sink(
+        events_path, attempts_path, os.path.join(tmpdir, "commits")
+    )
+
+    def deliver_and_log(routed, batch_id):
+        entries = routed.select(
+            F.concat(F.col("event_id"), F.lit(":"), F.col("destination_id")).alias("attempt_id"),
+            "event_id",
+            "tenant_id",
+            "destination_id",
+            "topic",
+            F.lit(True).alias("eligible_for_retry"),
+            F.col("event_time"),
+            F.col("event_time").alias("attempt_time"),
+            F.col("metadata"),
+            F.col("data"),
+            # simulate delivery: premium-filter destination always succeeds,
+            # the orders destination fails for updated orders
+            F.when(F.col("topic") == "order.updated", "failed")
+            .otherwise("success")
+            .alias("status"),
+            F.lit(False).alias("manual"),
+            F.col("attempt").alias("attempt_number"),
+        )
+        log_sink(entries, batch_id)
+
+    rows = [
+        {"event_id": "e1", "tenant_id": "t1", "topic": "order.created",
+         "event_time": "2024-03-01T10:00:00.000Z", "metadata": {},
+         "data": json.dumps({"tier": "premium"})},      # -> d_orders + d_premium
+        {"event_id": "e2", "tenant_id": "t1", "topic": "order.updated",
+         "event_time": "2024-03-01T11:00:00.000Z", "metadata": {},
+         "data": json.dumps({"tier": "basic"})},        # -> d_orders (fails)
+        {"event_id": "e3", "tenant_id": "t1", "topic": "user.created",
+         "event_time": "2024-03-01T12:00:00.000Z", "metadata": {},
+         "data": json.dumps({"tier": "premium"})},      # -> d_premium only
+    ]
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = spark.readStream.schema(EV_SCHEMA).json(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            make_routing_sink(load_destinations, deliver_and_log)
+        )
+        .option("checkpointLocation", os.path.join(tmpdir, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    attempts = spark.read.parquet(attempts_path)
+    got = {(r["event_id"], r["destination_id"], r["status"]) for r in attempts.collect()}
+    assert got == {
+        ("e1", "d_orders", "success"),
+        ("e1", "d_premium", "success"),
+        ("e2", "d_orders", "failed"),
+        ("e3", "d_premium", "success"),
+    }
+    # events table: one row per event, matched ids materialized at write
+    events_t = spark.read.parquet(events_path)
+    assert events_t.count() == 3
+
+    # the metrics engine answers over the freshly written table
+    req = MetricsRequest(
+        time_range=TimeRange(
+            datetime(2024, 3, 1, tzinfo=timezone.utc),
+            datetime(2024, 3, 2, tzinfo=timezone.utc),
+        ),
+        measures=["count", "failed_count", "error_rate"],
+    )
+    m = query_attempt_metrics(attempts, req).collect()[0]
+    assert m["count"] == 4 and m["failed_count"] == 1
+    assert abs(m["error_rate"] - 0.25) < 1e-9
