@@ -252,8 +252,19 @@ def _overflow_on_variant(x: Column, schema: Any, depth: int = _MAX_ARRAY_DEPTH) 
             return pred
         if any(k in _OPERATORS for k in schema):
             return _false()
+        children = _false()
+        for key, sub in schema.items():
+            if not _SAFE_KEY.match(key):
+                continue  # the predicate compiler already rejected the doc
+            child = F.try_variant_get(x, f"$.{key}", "variant")
+            children = children | _overflow_on_variant(child, sub)  # fresh bound
         if depth <= 0:
-            return F.coalesce(arr.isNotNull(), _false())
+            # mirror _pred_on_variant at the cutoff: an ARRAY here is
+            # undecidable (overflow), an OBJECT still descends with a
+            # fresh bound — its children can overflow on their own paths
+            return F.when(F.coalesce(arr.isNotNull(), _false()), F.lit(True)).otherwise(
+                children
+            )
         any_el = F.coalesce(
             F.exists(
                 arr,
@@ -261,12 +272,6 @@ def _overflow_on_variant(x: Column, schema: Any, depth: int = _MAX_ARRAY_DEPTH) 
             ),
             _false(),
         )
-        children = _false()
-        for key, sub in schema.items():
-            if not _SAFE_KEY.match(key):
-                continue  # the predicate compiler already rejected the doc
-            child = F.try_variant_get(x, f"$.{key}", "variant")
-            children = children | _overflow_on_variant(child, sub)  # fresh bound
         return F.when(arr.isNotNull(), any_el).otherwise(children)
     return _false()
 

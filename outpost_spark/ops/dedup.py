@@ -493,6 +493,10 @@ def simhash(
     """SimHash: bit b of the output is 1 iff sum over tokens of
     (bit b of h(token) ? +1 : -1) is positive.
 
+    ``bits`` must be in [1, 32]: the per-token base hash is 32-bit, so
+    higher bit positions would be constant 0 for every document —
+    silently degrading, never informative.
+
     Pure Column expressions — no explode, no shuffle; near-dup docs
     differ in few bits (compare with ``bit_count(a ^ b)``).  The token
     hash array gets its OWN projection before the per-bit aggregates:
@@ -500,6 +504,8 @@ def simhash(
     the expensive md5-per-token pass runs once per row instead of once
     per (row x bit) — measured 6x on the pair bench at sf0.1.
     """
+    if not 1 <= bits <= 32:
+        raise ValueError(f"bits must be in [1, 32] (32-bit base hash), got {bits}")
     toks = tokens_expr(F.col(text_col))
     hashed = df.withColumn("__tokhash", F.transform(toks, lambda t: _hash_expr(t, 0)))
 
@@ -724,9 +730,17 @@ def ngram_contamination(
 
 
 def paragraphs_expr(text: Column, sep: str = "\n") -> Column:
-    """Non-empty trimmed paragraphs of a document, order preserved."""
+    """Non-empty trimmed paragraphs of a document, order preserved.
+
+    ``sep`` is a LITERAL separator (regex-escaped before it reaches
+    ``split`` — a '|' or '.' separator must not be parsed as a pattern,
+    which would shred the text into characters).
+    """
+    import re as _re
+
     return F.filter(
-        F.transform(F.split(text, sep), lambda p: F.trim(p)), lambda p: p != ""
+        F.transform(F.split(text, _re.escape(sep)), lambda p: F.trim(p)),
+        lambda p: p != "",
     )
 
 

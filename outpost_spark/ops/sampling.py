@@ -106,6 +106,12 @@ def stratified_quota(
     winner set is small, and the extra scan of the base table is
     column-pruned — at 100 TB, re-reading (id, strata) beats shuffling
     text by orders of magnitude.
+
+    Like every op in this module, membership is PER ID: ``id_col`` is
+    assumed to be the table's key.  If duplicate physical rows share an
+    id (at-least-once replay debris), all copies of a winning id survive
+    — same contract as :func:`hash_sample`; run exact dedup first if the
+    quota must bound physical rows.
     """
     frac = hash_fraction(F.col(id_col), seed=seed, hash_fn=hash_fn)
     w = Window.partitionBy(*strata_cols).orderBy(

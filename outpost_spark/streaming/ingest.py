@@ -55,6 +55,13 @@ from outpost_spark.ops.dedup import (
 
 INDEX_PARTITIONS = 64
 
+# On-disk index format. 2 = hashed gram arrays (seeded 32-bit _hash_expr)
+# + content digest column. Bump whenever the row schema or any hash
+# formula changes: buckets/grams from different formats never collide
+# correctly, so mixing them would SILENTLY admit duplicates — the meta
+# check below turns that into an explicit rebuild-required error.
+INDEX_FORMAT = 2
+
 
 def _bucketed_rows(
     docs: DataFrame,
@@ -164,16 +171,81 @@ class DedupIndex:
             hash_fn=self.hash_fn,
         )
 
+    def _meta(self) -> dict:
+        return {
+            "format": INDEX_FORMAT,
+            "num_hashes": self.num_hashes,
+            "bands": self.bands,
+            "rows_per_band": self.rows_per_band,
+            "shingle_len": self.shingle_len,
+            "verify_ngram": self.verify_ngram,
+            "hash_fn": self.hash_fn,
+        }
+
+    def _meta_fs(self, spark: SparkSession):
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/_meta.json")
+        return p, p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+
+    def _write_meta(self, spark: SparkSession) -> None:
+        import json as _json
+
+        p, fs = self._meta_fs(spark)
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(_json.dumps(self._meta()).encode()))
+        finally:
+            out.close()
+
+    def _check_meta(self, spark: SparkSession) -> None:
+        """Refuse to touch an index whose on-disk format/parameters differ.
+
+        Bucket keys and gram hashes from a different format or LSH
+        parameterization never collide correctly against this object's,
+        so proceeding would silently void the dedup guarantee (replays
+        and near-dups of the old corpus re-admitted).  An explicit error
+        demanding a rebuild is the only safe behavior.
+        """
+        import json as _json
+
+        p, fs = self._meta_fs(spark)
+        if not fs.exists(p):
+            raise ValueError(
+                f"dedup index at {self.path} has no _meta.json (pre-versioning "
+                "or partially-written index) — rebuild it with build()"
+            )
+        stream = fs.open(p)
+        try:
+            ba = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        finally:
+            stream.close()
+        on_disk = _json.loads(bytes(ba).decode())
+        if on_disk != self._meta():
+            raise ValueError(
+                f"dedup index format/parameter mismatch at {self.path}: "
+                f"on disk {on_disk}, this object {self._meta()} — rebuild "
+                "the index (or construct DedupIndex with the stored parameters)"
+            )
+
     def build(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
         """Bootstrap the index from an existing corpus (overwrite)."""
         self._rows(docs, id_col, text_col).write.mode("overwrite").partitionBy(
             "pfx"
         ).parquet(self.path)
+        self._write_meta(docs.sparkSession)
 
     def append(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
+        spark = docs.sparkSession
+        fresh = not self.exists(spark)
+        if not fresh:
+            self._check_meta(spark)
         self._rows(docs, id_col, text_col).write.mode("append").partitionBy(
             "pfx"
         ).parquet(self.path)
+        if fresh:
+            # meta lands AFTER the first data write: a crash in between
+            # leaves data-without-meta, which _check_meta rejects loudly
+            self._write_meta(spark)
 
     def exists(self, spark: SparkSession | None = None) -> bool:
         """True once the index has been created.
@@ -282,6 +354,7 @@ class DedupIndex:
             admitted = batch1
             index_hits = None
         else:
+            self._check_meta(spark)
             # index probe: read ONLY the partitions this batch's buckets
             # touch, reusing the checkpointed bucket rows (restricted to
             # intra-batch survivors — a semi-join, no signature recompute)

@@ -897,3 +897,26 @@ def test_sample_by_rates_mixing(spark):
     # pure map: no shuffle in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_paragraph_sep_is_literal_not_regex(spark):
+    from outpost_spark.ops.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha|shared part|unique"), (2, "beta|shared part|other")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_paragraphs(docs, "text", "doc_id", sep="|").collect()}
+    # '|' as a regex would be empty alternation and shred the text; as a
+    # literal it splits into 3 paragraphs and dedups the shared one
+    assert out[1]["text_clean"] == "alpha|shared part|unique"
+    assert out[2]["text_clean"] == "beta|other" and out[2]["n_removed"] == 1
+
+
+def test_simhash_bits_validated(docs):
+    from outpost_spark.ops.dedup import simhash, simhash_pairs
+
+    with pytest.raises(ValueError, match="bits"):
+        simhash(docs, "text", bits=64)
+    with pytest.raises(ValueError, match="bits"):
+        simhash_pairs(docs, "doc_id", "text", bits=48, max_hamming=3)

@@ -187,3 +187,34 @@ def test_index_exists_uses_hadoop_fs(spark, tmpdir):
     assert idx_uri.exists(spark)
     assert idx_local.exists(spark)
     assert idx_local.exists()  # session-less local fallback still works
+
+
+def test_index_meta_versioning(spark, tmpdir):
+    """Index format/parameters are pinned in _meta.json: a pre-versioning
+    index (no meta) and a parameter mismatch both fail LOUDLY instead of
+    silently admitting duplicates against incompatibly-hashed rows."""
+    import glob
+
+    p = os.path.join(tmpdir, "idx")
+    idx = DedupIndex(p)
+    idx.build(_docs(spark, [(1, BASE)]))
+    assert os.path.exists(os.path.join(p, "_meta.json"))
+    # normal operation passes the check
+    admitted, _ = idx.gate(_docs(spark, [(2, OTHER)]))
+    idx.append(admitted)
+
+    # same path, different LSH parameters -> refuse
+    other = DedupIndex(p, bands=8, rows_per_band=2)
+    with pytest.raises(ValueError, match="mismatch"):
+        other.gate(_docs(spark, [(3, OTHER)]))
+    with pytest.raises(ValueError, match="mismatch"):
+        other.append(_docs(spark, [(3, OTHER)]))
+
+    # legacy/partial index (data, no meta) -> refuse with rebuild hint
+    os.remove(os.path.join(p, "_meta.json"))
+    with pytest.raises(ValueError, match="rebuild"):
+        idx.gate(_docs(spark, [(4, OTHER)]))
+    # rebuild restores service
+    idx.build(_docs(spark, [(1, BASE)]))
+    re_admitted, _ = idx.gate(_docs(spark, [(1, BASE)]))
+    assert re_admitted.count() == 0  # replay still self-rejects
