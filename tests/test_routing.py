@@ -452,3 +452,31 @@ def test_compile_overflow_is_none_for_dataless_docs(spark):
         )
         is not None
     )
+
+
+def test_compiled_mode_overflow_behind_object_at_cutoff(spark):
+    """The depth detector must mirror the predicate's object descent: an
+    OBJECT sitting exactly at the unroll cutoff still descends with a
+    fresh bound, so deep arrays on its child paths are undecidable for
+    the compiled predicate and must route to the interpreter."""
+    # 4 outer array levels (== the unroll bound), then an object whose
+    # inspected path holds 5 MORE array levels
+    deep_inner_hit = {"a": [[[[{"b": [[[[[1]]]]]}]]]]}
+    deep_inner_miss = {"a": [[[[{"b": [[[[[2]]]]]}]]]]}
+    events = spark.createDataFrame(
+        [
+            _ev("o1", "t9", "a.b", deep_inner_hit),
+            _ev("o2", "t9", "a.b", deep_inner_miss),
+            _ev("o3", "t9", "a.b", {"a": [{"b": [1]}]}),  # shallow control
+        ],
+        EV_SCHEMA,
+    )
+    dests = spark.createDataFrame(
+        [_dest("want", "t9", ["*"], {"data": {"a": {"b": 1}}})], DEST_SCHEMA
+    )
+    via_udf = _matches(match_events(events, dests, filter_mode="udf"))
+    got = _matches(match_events(events, dests, filter_mode="compiled"))
+    assert got == via_udf
+    assert got["o1"] == ["want"]
+    assert got["o2"] == []
+    assert got["o3"] == ["want"]
