@@ -367,3 +367,41 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"), F.col("cosine"))
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    out_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage format for
+    embedding columns at corpus scale (4x smaller than float32, 8x than
+    float64; ANN recall loss is negligible at 8 bits).
+
+    q[i] = clamp(floor(v[i]/scale + 0.5), -127, 127) with
+    scale = max(|v|)/127 — ``floor(x + 0.5)`` is explicit half-up
+    rounding, identical in every engine (library ``round`` functions
+    disagree on ties), which keeps the DuckDB oracle bit-exact.  An
+    all-zero vector quantizes to zeros with scale 0.  Pure codegen map:
+    no shuffle, no Python.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(
+        mx > 0,
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.floor(x / (mx / F.lit(127.0)) + F.lit(0.5))),
+            ).cast("int"),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.withColumn(scale_col, mx / F.lit(127.0)).withColumn(out_col, q)
+
+
+def dequantize_expr(qvec: Column, scale: Column) -> Column:
+    """Reconstruct the float vector: q[i] * scale (zero-scale safe)."""
+    return F.transform(qvec, lambda x: x.cast("double") * scale)

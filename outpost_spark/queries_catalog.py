@@ -1696,6 +1696,36 @@ def embed_ann_ivf_topk(spark, sf_dir):
 
 
 @_register(
+    "embed_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(sc, 9) AS qscale,
+           CASE WHEN sc > 0
+                THEN list_transform(embedding, x ->
+                       CAST(greatest(-127, least(127,
+                            floor(CAST(x AS DOUBLE) / sc + 0.5))) AS INT))
+                ELSE list_transform(embedding, x -> 0) END AS qvec
+    FROM s
+    """,
+)
+def embed_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embeddings table —
+    the 4x-smaller storage format for embedding columns at corpus scale.
+    Explicit half-up rounding (floor(x+0.5)) keeps both engines bit-exact."""
+    from outpost_spark.ops.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb, "embedding").select(
+        "vec_id", F.round(F.col("qscale"), 9).alias("qscale"), "qvec"
+    )
+
+
+@_register(
     "embed_near_dup_pairs",
     f"""
     WITH b AS (

@@ -920,3 +920,37 @@ def test_simhash_bits_validated(docs):
         simhash(docs, "text", bits=64)
     with pytest.raises(ValueError, match="bits"):
         simhash_pairs(docs, "doc_id", "text", bits=48, max_hamming=3)
+
+
+def test_quantize_embeddings_roundtrip(vectors):
+    from outpost_spark.ops.similarity import (
+        cosine_expr,
+        dequantize_expr,
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(vectors, "embedding")
+    rows = q.collect()
+    for r in rows:
+        assert all(-127 <= x <= 127 for x in r["qvec"])
+        assert len(r["qvec"]) == len(r["embedding"])
+        # the max-magnitude element quantizes to exactly +/-127
+        assert max(abs(x) for x in r["qvec"]) == 127
+    # reconstruction preserves direction almost exactly
+    recon = q.select(
+        cosine_expr(
+            F.col("embedding").cast("array<double>"),
+            dequantize_expr(F.col("qvec"), F.col("qscale")),
+        ).alias("cos")
+    ).collect()
+    assert all(r["cos"] > 0.999 for r in recon)
+    # all-zero vector: zero scale, zero codes, no division blow-up
+    z = quantize_embeddings(
+        vectors.sparkSession.createDataFrame(
+            [(9, [0.0] * 64)], "vec_id bigint, embedding array<float>"
+        ),
+        "embedding",
+    ).collect()[0]
+    assert z["qscale"] == 0.0 and set(z["qvec"]) == {0}
+    # pure map: no shuffle
+    assert "Exchange" not in q._jdf.queryExecution().executedPlan().toString()
