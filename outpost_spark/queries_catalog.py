@@ -2165,9 +2165,107 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics_error_rate_daily(spark, sf_dir)
 
 
+# Emission order for the driver contract.  The driver walks ``queries()``
+# in dict order under a cumulative time budget, so the order is part of the
+# contract: cheap entries first (sub-second at sf0.01 — these were starved
+# out of CORRECTNESS_r02/r03 when they sat at the registry tail), ascending
+# measured sf0.01 cost after that, and the expensive dedup/pipeline family
+# last where a budget cut costs the least signal.  Entries not named here
+# (newly registered operators) are appended in registration order just
+# before the heavy tail.
+_EMIT_FIRST = [
+    # the 14 entries the driver skipped in r02+r03 — all cheap, run them first
+    "store_obfuscate_credentials",
+    "store_list_destinations",
+    "publish_validation",
+    "attempt_record_flat",
+    "attempt_record_include",
+    "text_quality_score",
+    "text_language_id",
+    "text_normalized_fingerprint",
+    "embed_quantize_int8",
+    "embed_cosine_topk",
+    "embed_ann_lsh_topk",
+    "embed_near_dup_pairs",
+    "multimodal_decoded",
+    "multimodal_features",
+    # remaining cheap entries, ascending measured sf0.01 cost
+    "sample_train_val_test",
+    "text_fingerprint",
+    "sample_hash_documents",
+    "sample_mix_by_rates",
+    "text_token_stats",
+    "dedup_ngram_contamination",
+    "dedup_paragraphs_global",
+    "text_chunk_documents",
+    "text_length_percentiles",
+    "dedup_exact_documents",
+    "retry_backoff_schedule",
+    "text_length_histogram",
+    "dedup_drop_duplicates",
+    "filter_array_overlap",
+    "list_time_window_gt_lt",
+    "point_lookup_event",
+    "alert_consecutive_failures",
+    "filter_topic_glob",
+    "list_events_first_page",
+    "join_explode_unnest",
+    "lineitem_pricing_summary",
+    "text_pii_redact",
+    "join_latest_attempt_per_key",
+    "filter_json_predicate",
+    "metrics_15m_dense",
+    "list_events_keyset_page",
+    "join_broadcast_dim",
+    "dedup_simhash",
+    "metrics_filtered_by_topic_status",
+    "text_repetition_stats",
+    "join_multiway_star",
+    "metrics_retry_measures",
+    "metrics_rate_whole_range",
+    "dedup_simhash_pairs",
+    "metrics_sunday_weekly",
+    "sample_stratified_quota",
+    "dedup_ngram_jaccard_grouped",
+    "embed_ann_ivf_topk",
+    "metrics_monthly",
+    "metrics_2day_epoch_buckets",
+    "metrics_error_rate_daily",
+]
+_EMIT_LAST = [
+    # the heavy tail — multi-second at sf0.01 even tuned
+    "dedup_canonical_survivors",
+    "dedup_connected_components",
+    "metrics_daily_by_topic",
+    "metrics_hourly_count",
+    "metrics_count_all",
+    "pipeline_curate_corpus",
+    "dedup_minhash_lsh_pairs_fast",
+    "dedup_minhash_lsh_pairs",
+    "text_top_tokens",
+]
+
+
+def _emit_order() -> list[str]:
+    named = set(_EMIT_FIRST) | set(_EMIT_LAST)
+    middle = [n for n in _REGISTRY if n not in named]
+    order = (
+        [n for n in _EMIT_FIRST if n in _REGISTRY]
+        + middle
+        + [n for n in _EMIT_LAST if n in _REGISTRY]
+    )
+    # safety: never drop a registered entry
+    assert set(order) == set(_REGISTRY), set(_REGISTRY) ^ set(order)
+    return order
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+    return {name: _REGISTRY[name][0] for name in _emit_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    return {
+        name: _REGISTRY[name][1]
+        for name in _emit_order()
+        if _REGISTRY[name][1] is not None
+    }
