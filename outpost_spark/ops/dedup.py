@@ -58,6 +58,36 @@ def _hash_expr(s: Column, seed: int | str, hash_fn: str = "md5") -> Column:
     )
 
 
+def _hash_expr_wide(s: Column, seed: int | str, hash_fn: str = "md5") -> Column:
+    """Wide hash of a string column whose top 32 bits reproduce
+    :func:`_hash_expr` exactly.
+
+    ``"md5"``: int(md5(seed || '|' || s)[:15], 16) — 60 bits (15 hex
+    chars keep the value < 2^63, safe in a signed BIGINT in any engine);
+    ``_hash_expr``'s 32-bit value is this ``>> 28``.  ``"xxhash64"``: the
+    full signed 64-bit xxhash64; ``_hash_expr`` is ``pmod(·, 2^32)``.
+
+    Used by the fused MinHash verify: Jaccard over 32-bit gram hashes
+    suffers birthday collisions once |grams| nears 10^5
+    (|grams|^2/2^33 ≈ 1), inflating near-threshold similarities; at 60+
+    bits the same corpus sits at |grams|^2/2^61 ≈ 10^-8.  One digest
+    pass still feeds both the verify arrays and (via the cheap
+    projection above) the minhash lanes.
+    """
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.lit(str(seed)), s)
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), s)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _narrow_from_wide(g: Column, hash_fn: str = "md5") -> Column:
+    """Project a :func:`_hash_expr_wide` value back to :func:`_hash_expr`."""
+    if hash_fn == "xxhash64":
+        return F.pmod(g, F.lit(1 << 32))
+    return F.shiftrightunsigned(g, 28)
+
+
 _BYTE_SUFFIXES = {
     "b": 1,
     "k": 1 << 10,
@@ -364,19 +394,26 @@ def minhash_dedup_pairs(
     """
     df = _parallelize_narrow_input(df.select(id_col, text_col))
     if verify_ngram == shingle_len:
+        # ONE digest pass: store the wide (60/64-bit) gram hash — the
+        # verify unit — and derive the 32-bit minhash base by projection
+        # (signatures/banding identical to the unfused path; see
+        # _hash_expr_wide for the collision math).
         hashed = df.select(
             F.col(id_col),
             F.array_distinct(
                 F.transform(
                     shingle_set(F.col(text_col), shingle_len),
-                    lambda s: _hash_expr(s, "h", hash_fn),
+                    lambda s: _hash_expr_wide(s, "h", hash_fn),
                 )
             ).alias("__grams"),
         )
         if materialize:
             hashed = hashed.localCheckpoint(eager=True)
+        basehash = F.array_distinct(
+            F.transform(F.col("__grams"), lambda g: _narrow_from_wide(g, hash_fn))
+        )
         sigs = hashed.withColumn(
-            "minhash", signature_from_basehash(F.col("__grams"), num_hashes)
+            "minhash", signature_from_basehash(basehash, num_hashes)
         )
         cands = lsh_candidate_pairs(
             sigs, id_col, bands=bands, rows_per_band=rows_per_band, materialize=materialize

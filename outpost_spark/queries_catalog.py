@@ -102,18 +102,26 @@ def _t(
                     from datetime import timezone as _tz
 
                     start, end = ns_window[field.name]
-                    # naive-UTC literals compare against the NTZ column
-                    # directly, so the predicate stays scan-pushable
+                    # Bounds must be tz-aware: .astimezone() on a naive
+                    # datetime would reinterpret it in the driver's local tz.
+                    for b in (start, end):
+                        if b is not None and b.tzinfo is None:
+                            raise ValueError(
+                                f"ns_window bound for {field.name!r} must be tz-aware"
+                            )
+                    # Cast the literal to TIMESTAMP_NTZ so the comparison is
+                    # NTZ-vs-NTZ: a plain F.lit(datetime) is TIMESTAMP (LTZ),
+                    # which forces a cast onto the *column* and keeps the
+                    # predicate out of PushedFilters.
+                    def _ntz(b):
+                        return F.lit(
+                            b.astimezone(_tz.utc).replace(tzinfo=None)
+                        ).cast("timestamp_ntz")
+
                     if start is not None:
-                        df = df.filter(
-                            F.col(field.name)
-                            >= F.lit(start.astimezone(_tz.utc).replace(tzinfo=None))
-                        )
+                        df = df.filter(F.col(field.name) >= _ntz(start))
                     if end is not None:
-                        df = df.filter(
-                            F.col(field.name)
-                            < F.lit(end.astimezone(_tz.utc).replace(tzinfo=None))
-                        )
+                        df = df.filter(F.col(field.name) < _ntz(end))
                 df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     except ImportError:
         pass
@@ -1026,9 +1034,11 @@ def text_repetition_stats(spark, sf_dir):
 def _sigs_sql(src: str = "documents") -> str:
     return f"""
     base AS (
+      -- wide (60-bit) gram hash: the verify unit; the 32-bit minhash base
+      -- is its top 32 bits (h // 2^28) — mirrors ops.dedup._hash_expr_wide
       SELECT doc_id,
              list_distinct(list_transform(shingles, s ->
-               CAST(('0x' || substr(md5('h|' || s), 1, 8)) AS BIGINT))) AS basehash
+               CAST(('0x' || substr(md5('h|' || s), 1, 15)) AS BIGINT))) AS widehash
       FROM (
         SELECT doc_id,
                list_distinct(list_transform(
@@ -1040,7 +1050,8 @@ def _sigs_sql(src: str = "documents") -> str:
       SELECT doc_id,
              list_transform(range(0, 16), j ->
                coalesce(
-                 list_min(list_transform(basehash, h ->
+                 list_min(list_transform(
+                   list_distinct(list_transform(widehash, w -> w // 268435456)), h ->
                    (h * (((2654435761 * (j + 1)) % 1073741824) | 1)
                       + ((2246822519 * j) % 1073741824)) % 4294967291)),
                  4294967296)) AS minhash
@@ -1057,7 +1068,7 @@ def _grams_sql(src: str = "documents") -> str:
     ``base``; the parameter is kept for call-site symmetry)."""
     del src
     return """
-    grams AS (SELECT doc_id, basehash AS g FROM base)
+    grams AS (SELECT doc_id, widehash AS g FROM base)
 """
 
 
