@@ -1,0 +1,144 @@
+"""Filesystem helper for maintenance ops (retention, compaction, index).
+
+Maintenance rewrites (drop partition, compact, crash-safe staged swap)
+need directory listing / rename / delete — operations Spark's DataFrame
+API deliberately doesn't expose.  Routing them through Hadoop's
+``FileSystem`` API (via the session JVM) makes every maintenance op work
+on any warehouse scheme Spark itself can read: plain local paths,
+``file://``, ``hdfs://``, ``s3a://``, ``abfss://``, ...
+
+Atomicity note: the staged-swap protocol (``_tmp_*`` write ->
+``_trash_*`` rename) relies on ``rename`` being atomic, which holds on
+local filesystems and HDFS.  Object stores (s3a) emulate rename by
+copy+delete, so the swap is *recoverable* (via the partial-state
+recovery pass) but not atomic there — the standard answer at that layer
+is a table format (Delta/Iceberg); this module keeps plain parquet
+maintenance working everywhere else.
+
+When no SparkSession is active (pure-unit contexts) a local ``os``
+fallback handles schemeless paths, so helpers remain callable without a
+JVM.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+class MaintenanceFS:
+    """Thin wrapper over ``org.apache.hadoop.fs.FileSystem`` for one root.
+
+    All child paths are joined JVM-side (``Path(parent, child)``), so URI
+    schemes and authorities survive.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self.root = self._Path(root)
+        self.fs = self.root.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+
+    def _p(self, *parts: str):
+        p = self.root
+        for part in parts:
+            p = self._Path(p, part)
+        return p
+
+    def exists(self, *parts: str) -> bool:
+        return self.fs.exists(self._p(*parts))
+
+    def is_dir(self, *parts: str) -> bool:
+        p = self._p(*parts)
+        return self.fs.exists(p) and self.fs.getFileStatus(p).isDirectory()
+
+    def listdir(self, *parts: str) -> list[str]:
+        """Child names (not paths) of a directory; [] if absent."""
+        p = self._p(*parts)
+        if not self.fs.exists(p):
+            return []
+        return sorted(s.getPath().getName() for s in self.fs.listStatus(p))
+
+    def list_files(self, *parts: str) -> list[str]:
+        p = self._p(*parts)
+        if not self.fs.exists(p):
+            return []
+        return sorted(
+            s.getPath().getName() for s in self.fs.listStatus(p) if s.isFile()
+        )
+
+    def rename(self, src_parts: list[str], dst_parts: list[str]) -> None:
+        ok = self.fs.rename(self._p(*src_parts), self._p(*dst_parts))
+        if not ok:
+            raise OSError(
+                f"rename failed: {self._p(*src_parts)} -> {self._p(*dst_parts)}"
+            )
+
+    def delete(self, *parts: str) -> None:
+        self.fs.delete(self._p(*parts), True)
+
+    def path_str(self, *parts: str) -> str:
+        return self._p(*parts).toString()
+
+
+class _LocalFS:
+    """``os``-based fallback with the same surface, for JVM-less contexts."""
+
+    def __init__(self, root: str):
+        if "://" in root:
+            raise NotImplementedError(
+                f"path {root!r} has a URI scheme but no SparkSession is active "
+                "to reach the Hadoop FileSystem API — start a session first"
+            )
+        self.root = root
+
+    def _p(self, *parts: str) -> str:
+        return os.path.join(self.root, *parts)
+
+    def exists(self, *parts: str) -> bool:
+        return os.path.exists(self._p(*parts))
+
+    def is_dir(self, *parts: str) -> bool:
+        return os.path.isdir(self._p(*parts))
+
+    def listdir(self, *parts: str) -> list[str]:
+        p = self._p(*parts)
+        return sorted(os.listdir(p)) if os.path.isdir(p) else []
+
+    def list_files(self, *parts: str) -> list[str]:
+        p = self._p(*parts)
+        if not os.path.isdir(p):
+            return []
+        return sorted(
+            f for f in os.listdir(p) if os.path.isfile(os.path.join(p, f))
+        )
+
+    def rename(self, src_parts: list[str], dst_parts: list[str]) -> None:
+        os.rename(self._p(*src_parts), self._p(*dst_parts))
+
+    def delete(self, *parts: str) -> None:
+        p = self._p(*parts)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        elif os.path.exists(p):
+            os.remove(p)
+
+    def path_str(self, *parts: str) -> str:
+        return self._p(*parts)
+
+
+def maintenance_fs(root: str, spark: SparkSession | None = None):
+    """Resolve the right filesystem wrapper for ``root``.
+
+    Prefers the Hadoop API whenever a session is available (covering every
+    scheme the cluster supports); falls back to local ``os`` only when no
+    JVM exists and the path is schemeless.
+    """
+    spark = spark or SparkSession.getActiveSession()
+    if spark is not None:
+        return MaintenanceFS(spark, root)
+    return _LocalFS(root)

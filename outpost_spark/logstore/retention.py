@@ -17,6 +17,11 @@ At scale this is the standard "delete by partition" pattern: the job's
 I/O is bounded by one month of data regardless of table size.  On Delta
 Lake the same policy is ``DELETE WHERE time < cutoff`` + ``VACUUM``.
 
+All directory manipulation goes through :mod:`outpost_spark.fsutil`, so
+retention and compaction work against any warehouse scheme the cluster
+can read (local, ``file://``, ``hdfs://``, ``s3a://`` — see fsutil's
+rename-atomicity note for object stores).
+
 ``compact_partition`` is the companion maintenance op: rewrite one
 partition into ``target_files`` files (micro-batch streaming writes leave
 many small files; compaction restores scan efficiency).
@@ -24,13 +29,13 @@ many small files; compaction restores scan efficiency).
 
 from __future__ import annotations
 
-import os
-import shutil
 from dataclasses import dataclass
 from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+from outpost_spark.fsutil import maintenance_fs
 
 
 @dataclass
@@ -40,15 +45,12 @@ class RetentionReport:
     rows_deleted: int
 
 
-def _month_partitions(table_path: str) -> list[str]:
-    if not os.path.isdir(table_path):
-        return []
-    return sorted(
-        d for d in os.listdir(table_path) if d.startswith("month=")
-    )
+def _month_partitions(table_path: str, spark: SparkSession | None = None) -> list[str]:
+    fs = maintenance_fs(table_path, spark)
+    return [d for d in fs.listdir() if d.startswith("month=")]
 
 
-def _recover_partials(table_path: str) -> None:
+def _recover_partials(table_path: str, spark: SparkSession | None = None) -> None:
     """Crash recovery for partition rewrites (run before any maintenance).
 
     Rewrites stage into ``_tmp_*`` and swap via ``_trash_*`` (both
@@ -58,33 +60,32 @@ def _recover_partials(table_path: str) -> None:
     data is the durable truth); any other leftover staging dir is deleted
     (the rewrite will simply be redone).
     """
-    if not os.path.isdir(table_path):
-        return
-    for d in os.listdir(table_path):
-        full = os.path.join(table_path, d)
+    fs = maintenance_fs(table_path, spark)
+    for d in fs.listdir():
         if d.startswith("_trash_"):
             part = d[len("_trash_"):]
-            dest = os.path.join(table_path, part)
-            if not os.path.exists(dest):
-                os.rename(full, dest)
+            if not fs.exists(part):
+                fs.rename([d], [part])
             else:
-                shutil.rmtree(full)
+                fs.delete(d)
         elif d.startswith("_tmp_"):
-            shutil.rmtree(full)
+            fs.delete(d)
 
 
-def _swap_partition(table_path: str, part: str, tmp_path: str) -> None:
+def _swap_partition(table_path: str, part: str, tmp_path: str, spark: SparkSession | None = None) -> None:
     """Replace partition ``part`` with the staged rewrite at ``tmp_path``.
 
     Two atomic renames; every intermediate state is recoverable by
     :func:`_recover_partials` and never double-exposes data (the staging
     names are invisible to partition discovery).
     """
-    part_path = os.path.join(table_path, part)
-    trash = os.path.join(table_path, f"_trash_{part}")
-    os.rename(part_path, trash)
-    os.rename(tmp_path, part_path)
-    shutil.rmtree(trash)
+    fs = maintenance_fs(table_path, spark)
+    trash = f"_trash_{part}"
+    fs.rename([part], [trash])
+    # tmp_path is a child of table_path by construction (staging names)
+    tmp_name = tmp_path.rstrip("/").rsplit("/", 1)[-1]
+    fs.rename([tmp_name], [part])
+    fs.delete(trash)
 
 
 def apply_retention(
@@ -107,18 +108,19 @@ def apply_retention(
     cutoff = now - timedelta(days=ttl_days)
     cutoff_month = cutoff.strftime("%Y%m")
 
-    _recover_partials(table_path)
+    _recover_partials(table_path, spark)
+    fs = maintenance_fs(table_path, spark)
     dropped: list[str] = []
     rewritten: str | None = None
     rows_deleted = 0
 
-    for part in _month_partitions(table_path):
+    for part in _month_partitions(table_path, spark):
         month = part.split("=", 1)[1]
-        part_path = os.path.join(table_path, part)
+        part_path = fs.path_str(part)
         if month < cutoff_month:
             # count is cheap (parquet footer metadata only)
             rows_deleted += spark.read.parquet(part_path).count()
-            shutil.rmtree(part_path)
+            fs.delete(part)
             dropped.append(part)
         elif month == cutoff_month:
             df = spark.read.parquet(part_path)
@@ -126,9 +128,9 @@ def apply_retention(
             kept = df.filter(F.col(time_col) >= F.lit(cutoff))
             kept_count = kept.count()
             if kept_count < total:
-                tmp = os.path.join(table_path, f"_tmp_retention_{part}")
+                tmp = fs.path_str(f"_tmp_retention_{part}")
                 kept.write.mode("overwrite").parquet(tmp)
-                _swap_partition(table_path, part, tmp)
+                _swap_partition(table_path, part, tmp, spark)
                 rewritten = part
                 rows_deleted += total - kept_count
     return RetentionReport(dropped, rewritten, rows_deleted)
@@ -143,20 +145,20 @@ def compact_partition(
     append a file per trigger per task; compaction keeps the file count
     (and thus scan/task overhead) bounded.
     """
-    _recover_partials(table_path)
+    _recover_partials(table_path, spark)
+    fs = maintenance_fs(table_path, spark)
     part = f"month={month}"
-    part_path = os.path.join(table_path, part)
-    if not os.path.isdir(part_path):
+    if not fs.is_dir(part):
         return 0
     n_files = sum(
         1
-        for f in os.listdir(part_path)
+        for f in fs.list_files(part)
         if f.endswith(".parquet") and not f.startswith("_")
     )
     if n_files <= target_files:
         return 0
-    df = spark.read.parquet(part_path)
-    tmp = os.path.join(table_path, f"_tmp_compact_{part}")
+    df = spark.read.parquet(fs.path_str(part))
+    tmp = fs.path_str(f"_tmp_compact_{part}")
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    _swap_partition(table_path, part, tmp)
+    _swap_partition(table_path, part, tmp, spark)
     return n_files

@@ -271,33 +271,34 @@ class DedupIndex:
         (``_tmp_*`` write -> ``_trash_*`` swap, recovered on next run), so
         a crash mid-compaction never loses or double-exposes index rows.
         Gate results are unchanged — compaction only rewrites files.
-        Local-filesystem staging, like the retention module it mirrors
-        (reference analog: internal/logretention/ttl.go:27-68); an
-        object-store deployment would swap via a table format instead.
+        Directory manipulation goes through the Hadoop FileSystem API
+        (outpost_spark.fsutil) like ``exists()``, so maintenance works on
+        hdfs://, s3a://, file://, ... — see fsutil's rename-atomicity
+        note for object stores (reference analog:
+        internal/logretention/ttl.go:27-68).
 
         Returns {partition: input_file_count} for the rewritten partitions.
         """
+        from outpost_spark.fsutil import maintenance_fs
         from outpost_spark.logstore.retention import _recover_partials, _swap_partition
 
-        _recover_partials(self.path)
+        _recover_partials(self.path, spark)
+        fs = maintenance_fs(self.path, spark)
         report: dict[str, int] = {}
-        if not os.path.isdir(self.path):
-            return report
-        for part in sorted(os.listdir(self.path)):
+        for part in fs.listdir():
             if not part.startswith("pfx="):
                 continue
-            part_path = os.path.join(self.path, part)
             n_files = sum(
                 1
-                for f in os.listdir(part_path)
+                for f in fs.list_files(part)
                 if f.endswith(".parquet") and not f.startswith("_")
             )
             if n_files <= target_files:
                 continue
-            df = spark.read.parquet(part_path)
-            tmp = os.path.join(self.path, f"_tmp_compact_{part}")
+            df = spark.read.parquet(fs.path_str(part))
+            tmp = fs.path_str(f"_tmp_compact_{part}")
             df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-            _swap_partition(self.path, part, tmp)
+            _swap_partition(self.path, part, tmp, spark)
             report[part] = n_files
         return report
 

@@ -306,3 +306,36 @@ def test_load_tables_normalizes_timestamps(spark):
     assert dict(tabs["orders"].dtypes)["o_orderdate"] == "timestamp"
     # epoch extraction works (would throw on NTZ)
     tabs["events"].selectExpr("unix_micros(ts)").limit(1).collect()
+
+
+def test_retention_and_compaction_through_file_scheme_uri(spark, tmpdir):
+    """apply_retention + compact_partition on a file:// URI — the Hadoop
+    FileSystem code path a hdfs:// / s3a:// warehouse would take."""
+    path = os.path.join(tmpdir, "tbl_uri")
+    _write_months(spark, path)
+    uri = "file://" + path
+    rep = apply_retention(
+        spark,
+        uri,
+        time_col="time",
+        ttl_days=25,
+        now=datetime(2024, 1, 20, tzinfo=timezone.utc),
+    )
+    assert rep.dropped_partitions == ["month=202311"]
+    assert rep.rewritten_partition == "month=202312"
+    assert rep.rows_deleted == 3 + 4
+    assert spark.read.option("basePath", uri).parquet(uri).count() == 5
+
+    path2 = os.path.join(tmpdir, "tbl_uri2")
+    df = spark.createDataFrame(
+        [(str(i), datetime(2024, 1, 10, tzinfo=timezone.utc)) for i in range(100)],
+        "id string, time timestamp",
+    )
+    df.repartition(8).withColumn("month", F.lit("202401")).write.partitionBy(
+        "month"
+    ).mode("overwrite").parquet(path2)
+    n_before = compact_partition(spark, "file://" + path2, "202401", target_files=1)
+    assert n_before == 8
+    part = os.path.join(path2, "month=202401")
+    assert len([f for f in os.listdir(part) if f.endswith(".parquet")]) == 1
+    assert spark.read.parquet(part).count() == 100

@@ -218,3 +218,37 @@ def test_index_meta_versioning(spark, tmpdir):
     idx.build(_docs(spark, [(1, BASE)]))
     re_admitted, _ = idx.gate(_docs(spark, [(1, BASE)]))
     assert re_admitted.count() == 0  # replay still self-rejects
+
+
+def test_index_compaction_through_file_scheme_uri(spark, tmpdir):
+    """compact() must work on a URI path (Hadoop FS API surface — the same
+    code path a hdfs:// or s3a:// deployment hits), not just bare local
+    paths, and gate results must be identical before/after."""
+    p = os.path.join(tmpdir, "idx")
+    idx = DedupIndex("file://" + p)
+    idx.build(_docs(spark, [(100, BASE), (101, OTHER)]))
+    for i in range(3):
+        idx.append(_docs(spark, [(200 + i, BASE + f" tail {i}"), (300 + i, OTHER + f" tail {i}")]))
+    probe = _docs(spark, [(500, BASE), (501, OTHER)])
+    before_adm, before_rej = idx.gate(probe)
+    before = (
+        sorted(r["doc_id"] for r in before_adm.collect()),
+        sorted((r["doc_id"], r["matched_id"]) for r in before_rej.collect()),
+    )
+    parts = [d for d in os.listdir(p) if d.startswith("pfx=")]
+    assert max(
+        sum(1 for f in os.listdir(os.path.join(p, d)) if f.endswith(".parquet"))
+        for d in parts
+    ) > 1
+    report = idx.compact(spark, target_files=1)
+    assert report
+    for d in (x for x in os.listdir(p) if x.startswith("pfx=")):
+        n = sum(1 for f in os.listdir(os.path.join(p, d)) if f.endswith(".parquet"))
+        assert n <= 1
+    assert not any(f.startswith(("_tmp_", "_trash_")) for f in os.listdir(p))
+    after_adm, after_rej = idx.gate(probe)
+    after = (
+        sorted(r["doc_id"] for r in after_adm.collect()),
+        sorted((r["doc_id"], r["matched_id"]) for r in after_rej.collect()),
+    )
+    assert before == after
