@@ -609,6 +609,53 @@ def test_decode_image_png_all_filters():
         decode_image(b"not a png at all")
 
 
+def test_decode_image_bomb_guards():
+    """Crafted PNGs must never allocate unbounded memory: dims above the
+    raw-byte ceiling decode header-only, and an IDAT that inflates past
+    what the declared dims imply is truncated at exactly that bound."""
+    import struct
+    import zlib
+
+    from outpost_spark.ops.multimodal import _MAX_RAW_BYTES, decode_image
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    magic = b"\x89PNG\r\n\x1a\n"
+
+    # declared dims imply ~2^41 raw bytes; a real bomb would pair this
+    # with a tiny highly-compressed IDAT — must return header-only fast
+    ihdr = struct.pack(">IIBBBBB", 1 << 20, 1 << 19, 8, 2, 0, 0, 0)
+    bomb = magic + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * 1024)
+    ) + chunk(b"IEND", b"")
+    d = decode_image(bomb)
+    assert d["width"] == 1 << 20 and d["mean_luminance"] is None
+    assert (1 << 20) * ((1 << 19) * 3 + 1) > _MAX_RAW_BYTES  # guard actually bit
+
+    # small declared dims but an IDAT that would inflate to 64 MB: the
+    # decode must cap the inflate at the declared size and still be exact
+    w, h = 2, 2
+    raw = bytes([0, 10, 20, 30, 40, 50, 60]) + bytes([0, 1, 2, 3, 4, 5, 6])
+    padded = raw + b"\x00" * (64 << 20)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = magic + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(padded)
+    ) + chunk(b"IEND", b"")
+    d = decode_image(png)
+    expected = (
+        sum(0.299 * r + 0.587 * g + 0.114 * b
+            for (r, g, b) in [(10, 20, 30), (40, 50, 60), (1, 2, 3), (4, 5, 6)])
+        / 4
+    )
+    assert abs(d["mean_luminance"] - expected) < 1e-9
+
+
 def test_decode_audio_wav():
     import math
 
