@@ -1739,10 +1739,17 @@ def embed_quantize_int8(spark, sf_dir):
 @_register(
     "embed_near_dup_pairs",
     f"""
-    WITH b AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-             CAST({_SIGNBUCKET_SQL} AS INT) AS bucket
-      FROM embeddings
+    WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    src AS (
+      SELECT vec_id, v FROM raw
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(range(1, 65),
+                            i -> CASE WHEN i >= 9 THEN v[i] + 0.001 ELSE v[i] END)
+      FROM raw WHERE vec_id < 20
+    ),
+    b AS (
+      SELECT vec_id, v, CAST({_SIGNBUCKET_SQL} AS INT) AS bucket FROM src
     )
     SELECT l.vec_id AS id_a, r.vec_id AS id_b,
            round(CASE WHEN sqrt(list_sum(list_transform(l.v, x -> x * x)))
@@ -1761,12 +1768,31 @@ def embed_quantize_int8(spark, sf_dir):
     """,
 )
 def embed_near_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via sign-bucket blocking + verify."""
+    """Embedding-cosine near-dup pairs via sign-bucket blocking + verify.
+
+    The raw testdata embeddings contain no pairs above the threshold, so
+    a bare run would compare 0 rows against 0 rows — a vacuous parity
+    check.  The frame is augmented with a deterministic perturbed copy of
+    the first 20 vectors (+0.001 on dims 9..64; dims 1..8 — the sign
+    bucket — untouched, so each copy provably lands in its source's
+    bucket), mirrored exactly in the oracle.  The entry therefore emits
+    >= 20 real pairs and the cross-engine hash discriminates the full
+    block-join-verify path.
+    """
     from outpost_spark.ops.similarity import embedding_near_dup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + F.when(i >= 8, F.lit(0.001)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
     return embedding_near_dup_pairs(
-        emb, "embedding", id_col="vec_id", threshold=0.9, bits=8
+        emb.unionByName(pert), "embedding", id_col="vec_id", threshold=0.9, bits=8
     )
 
 
