@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "text_chunk_documents",
     "embed_cosine_topk",
     "embed_ann_ivf_topk",
+    "embed_knn_join",
     "text_token_stats",
     "text_quality_score",
 ]

@@ -114,7 +114,11 @@ def bucket_partition_hint(
 
 
 def _centroid_lit(c) -> Column:
-    return F.array(*[F.lit(float(x)) for x in c])
+    # ONE array literal (single py4j call, single Literal node) — building
+    # it as F.array(*[F.lit(x) ...]) costs dim JVM round-trips per
+    # centroid at plan time and dim CreateArray children at codegen time,
+    # which dominated the whole ANN stage for nlist x dim plans
+    return F.lit([float(x) for x in c])
 
 
 def _centroid_norm(c) -> float:
@@ -155,6 +159,58 @@ def centroid_scores(
             )
             for i, c in enumerate(centroids)
         ]
+    )
+
+
+def _f_sql(x: float) -> str:
+    """Exact double literal for generated SQL (repr round-trips IEEE754)."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _centroid_score_sql(vec_sql: str, vnorm_sql: str, c, score_decimals: int) -> str:
+    """SQL text for round(cosine(vec, centroid), d) with a constant-folded
+    centroid norm — semantically identical to :func:`_centroid_cos`."""
+    arr = "array(" + ",".join(_f_sql(x) for x in c) + ")"
+    cn = _f_sql(_centroid_norm(c))
+    dot = f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    return (
+        f"round(CASE WHEN ({vnorm_sql}) * {cn} > 0 "
+        f"THEN {dot} / (({vnorm_sql}) * {cn}) ELSE 0D END, {score_decimals})"
+    )
+
+
+def assign_ivf_sql(
+    vec_sql: str, vnorm_sql: str, centroids, *, score_decimals: int = 6
+) -> Column:
+    """String-SQL twin of :func:`assign_ivf_expr` for named columns.
+
+    Building the nlist x dim literal plan through the Column API costs
+    thousands of py4j round-trips (one per literal / lambda piece) —
+    ~1 s of driver time for 8x64 centroids, dwarfing the actual
+    execution at small scale.  Generating the expression as ONE string
+    for ONE ``F.expr`` parse eliminates that; the resolved plan (and the
+    scores) are identical.
+    """
+    structs = ",".join(
+        f"struct({_centroid_score_sql(vec_sql, vnorm_sql, c, score_decimals)} AS score, "
+        f"{-i} AS negcid)"
+        for i, c in enumerate(centroids)
+    )
+    return F.expr(f"CAST(-(array_max(array({structs})).negcid) AS INT)")
+
+
+def probe_cids_sql(
+    vec_sql: str, vnorm_sql: str, centroids, nprobe: int, *, score_decimals: int = 6
+) -> Column:
+    """String-SQL twin of :func:`probe_cids_expr` (same rationale as
+    :func:`assign_ivf_sql`)."""
+    structs = ",".join(
+        f"struct(-{_centroid_score_sql(vec_sql, vnorm_sql, c, score_decimals)} AS negscore, "
+        f"{i} AS cid)"
+        for i, c in enumerate(centroids)
+    )
+    return F.expr(
+        f"transform(slice(sort_array(array({structs})), 1, {nprobe}), s -> s.cid)"
     )
 
 
@@ -331,6 +387,151 @@ def cosine_topk_ivf(
         scored.select(id_col, "score")
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def knn_join_brute(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    id_col: str = "vec_id",
+    k: int = 10,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Exact batched k-NN join: every row -> its top-k neighbors, O(N^2).
+
+    The correctness baseline for :func:`knn_join` (recall evaluation,
+    small-N oracles).  Quadratic by construction — never the scale path.
+    Output: (src_id, neighbor_id, score, rank), rank 1..k per source.
+    """
+    a = df.select(F.col(id_col).alias("__sid"), F.col(vec_col).cast("array<double>").alias("__sv"))
+    b = df.select(F.col(id_col).alias("__tid"), F.col(vec_col).cast("array<double>").alias("__tv"))
+    scored = (
+        a.crossJoin(b)
+        .filter(F.col("__sid") != F.col("__tid"))
+        .withColumn(
+            "score", F.round(cosine_expr(F.col("__sv"), F.col("__tv")), score_decimals)
+        )
+        .select("__sid", "__tid", "score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__sid").orderBy(F.col("score").desc(), F.col("__tid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__sid").alias("src_id"),
+            F.col("__tid").alias("neighbor_id"),
+            "score",
+            "rank",
+        )
+    )
+
+
+def knn_join(
+    df: DataFrame,
+    vec_col: str,
+    centroids,
+    *,
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 2,
+    score_decimals: int = 6,
+    assign_col: str | None = None,
+) -> DataFrame:
+    """Batched k-NN join via IVF: EVERY row -> its top-k neighbors in ONE
+    plan — the semantic-dedup / retrieval-eval primitive.
+
+    Unlike :func:`cosine_topk_ivf` (one query, driver-collected probe
+    set), the probe side here is the full table, so nothing touches the
+    driver:
+
+    - target side: each vector lands in its argmax-cosine centroid list
+      (``assign_col`` reuses a pre-stamped layout column; otherwise the
+      assignment is computed map-only);
+    - source side: each vector explodes to its ``nprobe`` nearest list
+      ids;
+    - one shuffle-hash equi-join on the list id — both shuffles carry
+      ``(cid, id, vec)`` only;
+    - exact cosine on candidates, then top-k per source through a window
+      that sees ``(sid, tid, score)`` rows ONLY (vectors are projected
+      away before the window exchange, same discipline as the stratified
+      sampler).
+
+    Recall follows IVF physics: a true neighbor is missed only when it
+    is assigned to a list the source does not probe — raise ``nprobe``
+    (or train better centroids) to trade compute for recall.  Skewed
+    lists (hot centroids) are AQE's skew-join case; at extreme skew,
+    re-train with more centroids.  Candidates per source are bounded by
+    the probed list sizes, so the window partition never exceeds
+    ``nprobe x max_list``.
+
+    Output: (src_id, neighbor_id, score, rank), rank 1..k per source;
+    sources whose probed lists hold fewer than k other vectors emit
+    fewer rows.
+    """
+    vd = F.col(vec_col).cast("array<double>")
+    # norms are computed ONCE per vector in the map stages and carried
+    # through the shuffle, so each candidate pair costs one dot-product
+    # HOF instead of dot + two norm passes (3x on the hot stage)
+    if assign_col is not None:
+        tgt = df.select(
+            F.col(assign_col).alias("__cid"),
+            F.col(id_col).alias("__tid"),
+            vd.alias("__tv"),
+        ).withColumn("__tn", norm_expr(F.col("__tv")))
+    else:
+        tgt = (
+            df.select(F.col(id_col).alias("__tid"), vd.alias("__tv"))
+            .withColumn("__tn", norm_expr(F.col("__tv")))
+            .withColumn(
+                "__cid",
+                assign_ivf_sql(
+                    "__tv", "__tn", centroids, score_decimals=score_decimals
+                ),
+            )
+            .select("__cid", "__tid", "__tv", "__tn")
+        )
+    src = (
+        df.select(F.col(id_col).alias("__sid"), vd.alias("__sv"))
+        .withColumn("__sn", norm_expr(F.col("__sv")))
+        .withColumn(
+            "__cid",
+            F.explode(
+                probe_cids_sql(
+                    "__sv", "__sn", centroids, nprobe, score_decimals=score_decimals
+                )
+            ),
+        )
+    )
+    denom = F.col("__sn") * F.col("__tn")
+    scored = (
+        src.hint("shuffle_hash")
+        .join(tgt, "__cid")
+        .filter(F.col("__sid") != F.col("__tid"))
+        .withColumn(
+            "score",
+            F.round(
+                F.when(denom > 0, dot_expr(F.col("__sv"), F.col("__tv")) / denom)
+                .otherwise(F.lit(0.0)),
+                score_decimals,
+            ),
+        )
+        .select("__sid", "__tid", "score")  # vectors die before the window
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__sid").orderBy(F.col("score").desc(), F.col("__tid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__sid").alias("src_id"),
+            F.col("__tid").alias("neighbor_id"),
+            "score",
+            "rank",
+        )
     )
 
 

@@ -1643,9 +1643,23 @@ def embed_ann_lsh_topk(spark, sf_dir):
     return cosine_topk_lsh(emb, "embedding", query, id_col="vec_id", k=10, bits=8)
 
 
-# plan-time IVF seed centroids per sf_dir (8 x 64 doubles — tiny);
+# plan-time IVF seed centroids per (sf_dir, n) (n x 64 doubles — tiny);
 # re-collecting them per invocation would cost a whole Spark job each time
 _IVF_SEED_CACHE: dict = {}
+
+
+def _ivf_seeds(spark, sf_dir: str, n: int) -> list:
+    key = (sf_dir, n)
+    if key not in _IVF_SEED_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        _IVF_SEED_CACHE[key] = [
+            list(r["v"])
+            for r in emb.filter(F.col("vec_id") < n)
+            .orderBy("vec_id")
+            .select(F.col("embedding").cast("array<double>").alias("v"))
+            .collect()
+        ]
+    return _IVF_SEED_CACHE[key]
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -1693,17 +1707,79 @@ def embed_ann_ivf_topk(spark, sf_dir):
     from outpost_spark.ops.similarity import cosine_topk_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
-    if sf_dir not in _IVF_SEED_CACHE:
-        _IVF_SEED_CACHE[sf_dir] = [
-            list(r["v"])
-            for r in emb.filter(F.col("vec_id") < 8)
-            .orderBy("vec_id")
-            .select(F.col("embedding").cast("array<double>").alias("v"))
-            .collect()
-        ]
-    seeds = _IVF_SEED_CACHE[sf_dir]
+    seeds = _ivf_seeds(spark, sf_dir, 8)
     query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     return cosine_topk_ivf(emb, "embedding", query, seeds, id_col="vec_id", k=10, nprobe=2)
+
+
+@_register(
+    "embed_knn_join",
+    f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM emb WHERE vec_id < 24),
+    cscored AS (
+      SELECT e.vec_id, s.cid, {_cos_sql("e.v", "s.c")} AS score
+      FROM emb e CROSS JOIN cent s
+    ),
+    ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+      FROM cscored
+    ),
+    assigned AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id, cid FROM ranked WHERE rn <= 2),
+    cand AS (
+      SELECT p.vec_id AS sid, a.vec_id AS tid
+      FROM probes p JOIN assigned a ON p.cid = a.cid AND p.vec_id <> a.vec_id
+    ),
+    cs AS (
+      SELECT c.sid, c.tid, {_cos_sql("s.v", "t.v")} AS score
+      FROM cand c JOIN emb s ON s.vec_id = c.sid JOIN emb t ON t.vec_id = c.tid
+    )
+    SELECT sid AS src_id, tid AS neighbor_id, score, CAST(rank AS INT) AS rank
+    FROM (SELECT sid, tid, score,
+                 row_number() OVER (PARTITION BY sid ORDER BY score DESC, tid ASC) AS rank
+          FROM cs) t
+    WHERE rank <= 3
+    """,
+)
+def embed_knn_join(spark, sf_dir):
+    """Batched k-NN join (IVF): EVERY vector -> its top-3 neighbors in one
+    plan — the semantic-dedup / retrieval-eval primitive.  24 seed
+    centroids (vec_id < 24), 2 probed lists per source; both join
+    shuffles carry (cid, id, vec) only and the top-k window sees
+    (sid, tid, score) rows with vectors projected away (plan-asserted in
+    pytest)."""
+    from outpost_spark.ops.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join(
+        emb, "embedding", _ivf_seeds(spark, sf_dir, 24), id_col="vec_id", k=3, nprobe=2
+    )
+
+
+@_register(
+    "embed_knn_join_brute",
+    f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cs AS (
+      SELECT s.vec_id AS sid, t.vec_id AS tid, {_cos_sql("s.v", "t.v")} AS score
+      FROM emb s JOIN emb t ON s.vec_id <> t.vec_id
+    )
+    SELECT sid AS src_id, tid AS neighbor_id, score, CAST(rank AS INT) AS rank
+    FROM (SELECT sid, tid, score,
+                 row_number() OVER (PARTITION BY sid ORDER BY score DESC, tid ASC) AS rank
+          FROM cs) t
+    WHERE rank <= 3
+    """,
+)
+def embed_knn_join_brute(spark, sf_dir):
+    """Exact batched k-NN join (O(N^2) baseline for the IVF path) — kept
+    oracle-able at sf0.01 where the quadratic cross product is small."""
+    from outpost_spark.ops.similarity import knn_join_brute
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join_brute(emb, "embedding", id_col="vec_id", k=3)
 
 
 @_register(

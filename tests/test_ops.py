@@ -219,6 +219,59 @@ def test_ivf_preassigned_column_path(vectors):
     assert got[0] == 0 and 4 not in got  # other-list vector pruned
 
 
+def test_knn_join_matches_brute_when_probing_everything(vectors):
+    """nprobe = nlist degenerates IVF to exact: the batched join must
+    reproduce the brute-force top-k for EVERY source row."""
+    from outpost_spark.ops.similarity import knn_join, knn_join_brute
+
+    cents = [[1.0, 0.0, 0.5, 0.2] * 16, [-1.0, 0.3, -0.5, 0.1] * 16, [0.0, 1.0, -1.0, 0.7] * 16]
+    brute = {
+        (r["src_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in knn_join_brute(vectors, "embedding", k=2).collect()
+    }
+    ivf = {
+        (r["src_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in knn_join(vectors, "embedding", cents, k=2, nprobe=len(cents)).collect()
+    }
+    assert ivf == brute
+    assert len({s for s, _ in ivf}) == 5  # every source emitted neighbors
+    # planted near-dup pair is mutual rank-1
+    assert ivf[(0, 1)][0] == 1 and ivf[(1, 1)][0] == 0
+
+
+def test_knn_join_preassigned_and_recall(vectors):
+    from outpost_spark.ops.similarity import knn_join
+
+    cents = [[1.0, 0.0, 0.5, 0.2] * 16, [0.0, 1.0, -1.0, 0.7] * 16]
+    pre = assign_ivf_pandas(vectors, "embedding", cents, out_col="ivf_cid")
+    out = knn_join(pre, "embedding", cents, k=2, nprobe=1, assign_col="ivf_cid").collect()
+    got = {(r["src_id"], r["rank"]): r["neighbor_id"] for r in out}
+    # with 1 probed list the planted near-dups still find each other
+    assert got[(0, 1)] == 1 and got[(1, 1)] == 0
+
+
+def test_knn_join_window_never_shuffles_vectors(vectors):
+    """The top-k window must see (sid, tid, score) rows only — embedding
+    arrays are projected away before the window exchange."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from outpost_spark.ops.similarity import knn_join
+
+    cents = [[1.0, 0.0, 0.5, 0.2] * 16, [0.0, 1.0, -1.0, 0.7] * 16]
+    out = knn_join(vectors, "embedding", cents, k=2, nprobe=2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"\(\d+\) Window\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert m, f"no Window node in plan:\n{plan}"
+    assert "__sv" not in m.group(1) and "__tv" not in m.group(1), (
+        f"Window carries embedding arrays: {m.group(1)}"
+    )
+
+
 def test_embedding_near_dup_pairs(vectors):
     pairs = {
         (r["id_a"], r["id_b"]): r["cosine"]
