@@ -1,14 +1,21 @@
 """End-to-end corpus curation: the composed pipeline a training-data run
-executes — quality gate -> language gate -> exact dedup -> near-dup
-collapse -> deterministic split assignment.
+executes — quality gate -> language gate -> [paragraph-level dedup] ->
+exact dedup -> near-dup collapse -> deterministic split assignment.
 
 Each stage is one of the standalone operators from this package; the
 composition exists so the whole chain is exercised (and oracle-checked)
-as a single plan, the way a real curation job would run it.
+as a single plan, the way a real curation job would run it.  The
+paragraph stage (``paragraph_sep``) mirrors the C4/RefinedWeb ordering:
+boilerplate paragraphs are stripped globally BEFORE document-level
+near-dup detection, so two documents differing only in shared
+boilerplate collapse correctly.
 
 Scale design (100 TB):
 - The quality/language gates are pure Column expressions fused into the
   scan — rejected documents never reach a shuffle.
+- Paragraph dedup's first-occurrence decision runs over (hash, id, pos)
+  triples; document text never enters its shuffles (see
+  ``dedup.dedup_paragraphs``).
 - Exact dedup shuffles surviving rows once, keyed by content digest
   (min-id-per-digest window).  Near-dup detection then operates on the
   exact-deduped corpus (strictly smaller), and its LSH join shuffles
@@ -22,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from outpost_spark.ops.dedup import dedup_keep_canonical, minhash_dedup_pairs
+from outpost_spark.ops.dedup import (
+    dedup_keep_canonical,
+    dedup_paragraphs,
+    minhash_dedup_pairs,
+)
 from outpost_spark.ops.sampling import hash_split
 from outpost_spark.ops.text import language_id_expr, quality_score_expr
 
@@ -41,18 +52,28 @@ def curate_corpus(
     splits: list[tuple[str, float]] | None = None,
     split_seed: str = "curate",
     hash_fn: str = "md5",
+    paragraph_sep: str | None = None,
 ) -> DataFrame:
     """Run the full curation chain; returns (id_col, split) for the kept
     corpus.
 
     ``hash_fn="xxhash64"`` switches the MinHash base hash and the split
     hash to the Spark-native production path (same pipeline shape, no SQL
-    oracle).
+    oracle).  ``paragraph_sep`` enables the paragraph-level dedup stage:
+    repeated paragraphs are removed globally (first (doc, pos) occurrence
+    survives), documents are rebuilt from their surviving paragraphs, and
+    documents left empty are dropped — all downstream stages then operate
+    on the cleaned text.
     """
     base = docs.filter(
         (quality_score_expr(F.col(text_col)) >= quality_min)
         & (language_id_expr(F.col(text_col)).isin(*langs))
     )
+    if paragraph_sep is not None:
+        cleaned = dedup_paragraphs(base, text_col, id_col, sep=paragraph_sep)
+        base = cleaned.filter(F.col("text_clean") != "").select(
+            F.col(id_col), F.col("text_clean").alias(text_col)
+        )
     # exact canonical: min id per content digest.  The window shuffles the
     # surviving rows once by digest — text moves exactly once, and only
     # for documents that passed the gates.

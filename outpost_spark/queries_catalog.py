@@ -1958,11 +1958,17 @@ def _build_langid_sql() -> str:
 _REGISTRY["text_language_id"] = (_REGISTRY["text_language_id"][0], _build_langid_sql())
 
 
-def _build_curate_sql() -> str:
+def _build_curate_sql(paragraphs: bool = False) -> str:
     """Composed oracle for pipeline_curate_corpus: quality + language gates
     (formulas identical to text_quality_score / text_language_id), exact
     dedup window, the near-dup pair graph + components over the deduped
-    subset (x), survivor anti-join, and the 90/5/5 hash split."""
+    subset (x), survivor anti-join, and the 90/5/5 hash split.
+
+    ``paragraphs=True`` builds the v2 oracle: the global paragraph-dedup
+    stage (same CTE structure as dedup_paragraphs_global, over the gated
+    set g) runs between the gates and exact dedup, documents are rebuilt
+    from surviving paragraphs, and emptied documents drop out — mirroring
+    ``curate_corpus(paragraph_sep=...)``."""
     from outpost_spark.ops.text import STOPWORDS
 
     hit_cols = ",\n             ".join(
@@ -1987,29 +1993,68 @@ def _build_curate_sql() -> str:
                   THEN 1.0 ELSE 0.0 END
            ) / 4.0, 6)"""
     frac = _HASH_FRAC_SQL.format(seed="curate")
+    src_text = "replace(text, ' table ', chr(10))" if paragraphs else "text"
+    para_ctes = ""
+    x_src = "g"
+    if paragraphs:
+        para_ctes = """
+    p0 AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                         x -> x <> '') AS paras
+      FROM g
+    ),
+    ph AS (
+      SELECT doc_id, pos, md5(para) AS h FROM (
+        SELECT doc_id, unnest(paras) AS para, unnest(range(0, len(paras))) AS pos
+        FROM p0)
+    ),
+    pf1 AS (SELECT h, min(doc_id) AS fd FROM ph GROUP BY h),
+    pf2 AS (SELECT ph.h, min(ph.pos) AS fp
+            FROM ph JOIN pf1 ON ph.h = pf1.h AND ph.doc_id = pf1.fd GROUP BY ph.h),
+    pkept AS (
+      SELECT ph.doc_id, ph.pos
+      FROM ph JOIN pf1 ON ph.h = pf1.h JOIN pf2 ON ph.h = pf2.h
+      WHERE ph.doc_id = pf1.fd AND ph.pos = pf2.fp
+    ),
+    pks AS (SELECT doc_id, list_sort(list(pos)) AS keep FROM pkept GROUP BY doc_id),
+    pdx AS (
+      SELECT doc_id, text FROM (
+        SELECT p0.doc_id,
+               coalesce(array_to_string(
+                 list_transform(pks.keep, i -> p0.paras[CAST(i AS INT) + 1]),
+                 chr(10)), '') AS text
+        FROM p0 LEFT JOIN pks ON p0.doc_id = pks.doc_id) pd
+      WHERE text <> ''
+    ),"""
+        x_src = "pdx"
     return rf"""
     WITH RECURSIVE t0 AS (
+      SELECT doc_id, {src_text} AS text FROM documents
+    ),
+    t1 AS (
       SELECT doc_id, text,
              CAST(length(text) AS DOUBLE) AS n_chars,
              CAST(length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS DOUBLE) AS ascii_chars,
              CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS n_punct,
              CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digits,
              list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
-      FROM documents
+      FROM t0
     ),
     h AS (
       SELECT *, CAST(len(toks) AS DOUBLE) AS n_tokens,
              {hit_cols}
-      FROM t0
+      FROM t1
     ),
     g AS (
       SELECT doc_id, text FROM h
       WHERE {quality} >= 0.5
         AND ({lang_case}) IN ('en', 'de', 'fr', 'es')
-    ),
+    ),{para_ctes}
     x AS (
       SELECT doc_id, text FROM (
-        SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS cmin FROM g) t1
+        SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS cmin
+        FROM {x_src}) tx
       WHERE doc_id = cmin
     ),
     {_pairs_cte_sql("x")},
@@ -2028,6 +2073,30 @@ def _build_curate_sql() -> str:
 _REGISTRY["pipeline_curate_corpus"] = (
     _REGISTRY["pipeline_curate_corpus"][0],
     _build_curate_sql(),
+)
+
+
+@_register("pipeline_curate_corpus_v2", None)  # composed SQL attached below
+def pipeline_curate_corpus_v2(spark, sf_dir):
+    """Curation chain WITH the C4-style paragraph stage: quality gate ->
+    language gate -> global paragraph dedup (first (doc, pos) occurrence
+    of every repeated paragraph survives, documents rebuilt, emptied
+    documents dropped) -> exact dedup -> MinHash near-dup collapse ->
+    90/5/5 split.  Paragraph structure is derived deterministically (the
+    word 'table' becomes a break, as in dedup_paragraphs_global) so the
+    corpus's planted duplicate documents produce genuine cross-document
+    shared paragraphs for the stage to strip before near-dup detection."""
+    from outpost_spark.ops.pipeline import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace(F.col("text"), " table ", "\n")
+    )
+    return curate_corpus(docs, paragraph_sep="\n")
+
+
+_REGISTRY["pipeline_curate_corpus_v2"] = (
+    _REGISTRY["pipeline_curate_corpus_v2"][0],
+    _build_curate_sql(paragraphs=True),
 )
 
 

@@ -476,6 +476,40 @@ def test_curate_corpus_pipeline_stages(spark):
     assert fast == {1, 4}
 
 
+def test_curate_corpus_paragraph_stage(spark):
+    """paragraph_sep runs C4-style global paragraph dedup BEFORE the
+    document-level stages: shared boilerplate is stripped, so documents
+    that differ only in boilerplate collapse; a document reduced to
+    nothing drops out entirely."""
+    from outpost_spark.ops.pipeline import curate_corpus
+
+    boiler = "subscribe to our newsletter for more updates, offers and news."
+    body_a = (
+        "this is a reasonably long document about the weather in the mountains, "
+        "with some punctuation. it was written for the quality gate to accept it."
+    )
+    body_b = body_a.replace("weather", "climate")  # near dup of body_a
+    rows = [
+        # doc 0 holds the FIRST occurrence of the boiler paragraph — it
+        # keeps it; every later occurrence is stripped
+        (0, boiler + "\nmore unique content follows here, about cooking stews. "
+            "it is long enough and punctuated well, so the gates accept it."),
+        (1, body_a + "\n" + boiler),
+        (2, body_b + "\n" + boiler),       # near dup of 1 once boiler is gone
+        (4, boiler),                        # only boilerplate -> emptied, dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"] for r in curate_corpus(df, paragraph_sep="\n").collect()}
+    # 2 collapses into 1 (bodies near-dup after the boiler is stripped);
+    # 0 keeps its unique paragraph + the boiler; 4 vanishes entirely
+    assert out == {0, 1}
+    # without the paragraph stage the trailing boiler keeps 1/2 apart is
+    # NOT guaranteed (they're still near-dups) — but doc 4 must survive,
+    # since its text is only stripped by the paragraph stage
+    base = {r["doc_id"] for r in curate_corpus(df).collect()}
+    assert 4 in base
+
+
 def _physical_plan(df):
     return df._jdf.queryExecution().executedPlan().toString()
 
