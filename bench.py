@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "lineitem_pricing_summary",
     "join_latest_attempt_per_key",
     "alert_consecutive_failures",
+    "routing_match_fanout",
     "store_list_destinations",
     "publish_validation",
     "dedup_exact_documents",

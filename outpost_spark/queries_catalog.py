@@ -2227,6 +2227,78 @@ def _dests_dim(spark, sf_dir):
 
 
 @_register(
+    "routing_match_fanout",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT event_id,
+           array_to_string(list_sort(
+             list_concat(
+               list_concat(
+                 ['d_' || topic],
+                 CASE WHEN CAST(tenant_id AS BIGINT) % 2 = 1
+                      THEN ['d_wild'] ELSE CAST([] AS VARCHAR[]) END),
+               CASE WHEN topic = 'error'
+                    THEN ['d_filtered'] ELSE CAST([] AS VARCHAR[]) END
+             )), ',') AS matched_csv
+    FROM src
+    """,
+)
+def routing_match_fanout(spark, sf_dir):
+    """J3/ST-hot-path throughput entry: every event matched against a
+    destination corpus (exact-topic per (tenant, topic), a '*' wildcard
+    destination disabled for even tenants, and a '*' destination gated by
+    a compiled JSON filter) in ``compiled_static`` mode — the zero-Python
+    broadcast fan-out the streaming router runs per micro-batch.  Bench
+    events/s = event count / entry seconds.  The oracle recomputes each
+    event's matched set from the corpus construction rules."""
+    from outpost_spark.routing.match import match_events
+
+    events = (
+        _events(spark, sf_dir)
+        .drop("matched_destination_ids")  # the matcher stamps its own
+        .withColumn("metadata", F.create_map().cast("map<string,string>"))
+    )
+    base = events.select("tenant_id", "topic").distinct()
+    nulls = [
+        F.lit(None).cast("string").alias("filter"),
+        F.lit(None).cast("timestamp").alias("disabled_at"),
+    ]
+    d_exact = base.select(
+        F.concat(F.lit("d_"), F.col("topic")).alias("id"),
+        "tenant_id",
+        F.lit("webhook").alias("type"),
+        F.array(F.col("topic")).alias("topics"),
+        *nulls,
+    )
+    tenants = base.select("tenant_id").distinct()
+    d_wild = tenants.select(
+        F.lit("d_wild").alias("id"),
+        "tenant_id",
+        F.lit("webhook").alias("type"),
+        F.array(F.lit("*")).alias("topics"),
+        F.lit(None).cast("string").alias("filter"),
+        F.when(
+            F.col("tenant_id").cast("bigint") % 2 == 0,
+            F.to_timestamp(F.lit("2020-01-01 00:00:00")),
+        ).alias("disabled_at"),
+    )
+    d_filtered = tenants.select(
+        F.lit("d_filtered").alias("id"),
+        "tenant_id",
+        F.lit("webhook").alias("type"),
+        F.array(F.lit("*")).alias("topics"),
+        F.lit('{"topic": "error"}').alias("filter"),
+        F.lit(None).cast("timestamp").alias("disabled_at"),
+    )
+    dests = d_exact.unionByName(d_wild).unionByName(d_filtered)
+    matched = match_events(events, dests, filter_mode="compiled_static")
+    return matched.select(
+        "event_id",
+        F.array_join(F.col("matched_destination_ids"), ",").alias("matched_csv"),
+    )
+
+
+@_register(
     "store_list_destinations",
     f"""
     WITH src AS ({_EVENTS_SQL}),
