@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh_pairs_fast",
     "dedup_simhash_pairs",
     "dedup_paragraphs_global",
+    "dedup_substrings_global",
     "dedup_ngram_contamination",
     "sample_stratified_quota",
     "text_chunk_documents",

@@ -848,3 +848,104 @@ def dedup_paragraphs(
         )
     )
     return rebuilt
+
+
+def dedup_substrings(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    window: int = 40,
+    stride: int = 1,
+    broadcast_removed: bool = True,
+) -> DataFrame:
+    """Substring-level exact dedup (the Lee-et-al. "Deduplicating Training
+    Data Makes Language Models Better" granularity — document > paragraph
+    > substring): every character covered by a length-``window`` substring
+    that already occurred earlier in the corpus is removed; the first
+    global occurrence (ordering by (doc id, position)) keeps its text.
+
+    Rabin-Karp-style design re-expressed relationally: each document
+    emits its rolling windows as (hash, id, pos) triples; the
+    first-occurrence decision is a groupBy(hash) min — the same
+    skew-proof narrow-shuffle shape as :func:`dedup_paragraphs` (window
+    text never enters a shuffle, only its hash).  Non-first occurrences
+    become [pos, pos+window) spans, merged per document with a fold over
+    the sorted start positions, and the cleaned text is rebuilt by
+    cutting the merged spans — both pure Column expressions, zero
+    Python.  ``stride > 1`` trades alignment coverage for an O(stride)
+    reduction in window rows (a repeated substring is then only caught
+    when its alignment hits a sampled start).
+
+    Output: (id, text_clean, n_removed) — n_removed counts removed
+    characters.  Documents shorter than ``window`` pass through
+    untouched.
+    """
+    text = F.col(text_col)
+    n_wins = F.greatest(F.length(text) - F.lit(window) + 1, F.lit(0))
+    starts = F.when(
+        n_wins > 0, F.sequence(F.lit(1), n_wins, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    narrow = df.select(
+        F.col(id_col).alias("__id"), F.explode(starts).alias("__pos"), text.alias("__t")
+    ).select("__id", "__pos", F.md5(F.col("__t").substr(F.col("__pos"), F.lit(window))).alias("__h"))
+    narrow = narrow.localCheckpoint(eager=True)  # reused by the agg AND the join
+    firsts = narrow.groupBy("__h").agg(F.min(F.struct("__id", "__pos")).alias("__first"))
+    removed = (
+        narrow.join(firsts, "__h")
+        .filter(
+            (F.col("__first.__id") != F.col("__id"))
+            | (F.col("__first.__pos") != F.col("__pos"))
+        )
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_list("__pos")).alias("__starts"))
+    )
+    if broadcast_removed:
+        removed = F.broadcast(removed)
+
+    # merge sorted starts into disjoint spans, then cut them out —
+    # evaluated only on documents that HAVE removals (inner-join side)
+    empty_spans = F.expr("CAST(array() AS array<struct<s: int, e: int>>)")
+    spans = F.aggregate(
+        F.col("__starts"),
+        empty_spans,
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        (p + F.lit(window)).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(p.alias("s"), (p + F.lit(window)).alias("e"))))
+        ),
+    )
+    cut = F.aggregate(
+        F.col("__spans"),
+        F.struct(F.lit(1).alias("cur"), F.lit("").alias("out")),
+        lambda acc, sp: F.struct(
+            sp["e"].alias("cur"),
+            F.concat(acc["out"], text.substr(acc["cur"], sp["s"] - acc["cur"])).alias(
+                "out"
+            ),
+        ),
+        lambda acc: F.concat(
+            acc["out"], text.substr(acc["cur"], F.length(text) - acc["cur"] + 1)
+        ),
+    )
+    return (
+        df.join(removed, df[id_col] == removed["__id"], "left")
+        .withColumn("__spans", spans)
+        .withColumn(
+            "text_clean", F.when(F.col("__spans").isNull(), text).otherwise(cut)
+        )
+        .select(
+            F.col(id_col),
+            "text_clean",
+            (F.length(text) - F.length("text_clean")).cast("int").alias("n_removed"),
+        )
+    )

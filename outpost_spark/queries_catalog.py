@@ -1331,6 +1331,57 @@ def sample_stratified_quota(spark, sf_dir):
 
 
 @_register(
+    "dedup_substrings_global",
+    """
+    WITH docs AS (SELECT doc_id, text FROM documents),
+    w AS (
+      SELECT doc_id, CAST(i AS INT) AS pos, md5(substr(text, CAST(i AS INT), 40)) AS h
+      FROM docs, unnest(range(1, greatest(length(text) - 40 + 1, 0) + 1)) AS t(i)
+    ),
+    f1 AS (SELECT h, min(doc_id) AS fd FROM w GROUP BY h),
+    f2 AS (SELECT w.h, min(w.pos) AS fp
+           FROM w JOIN f1 ON w.h = f1.h AND w.doc_id = f1.fd GROUP BY w.h),
+    rem AS (
+      SELECT DISTINCT w.doc_id, CAST(p AS INT) AS p
+      FROM w JOIN f1 ON w.h = f1.h JOIN f2 ON w.h = f2.h,
+           unnest(range(w.pos, w.pos + 40)) AS u(p)
+      WHERE NOT (w.doc_id = f1.fd AND w.pos = f2.fp)
+    ),
+    chars AS (
+      SELECT doc_id, CAST(i AS INT) AS i, substr(text, CAST(i AS INT), 1) AS ch
+      FROM docs, unnest(range(1, length(text) + 1)) AS t(i)
+    ),
+    kept AS (
+      SELECT c.doc_id, c.i, c.ch
+      FROM chars c LEFT JOIN rem r ON c.doc_id = r.doc_id AND c.i = r.p
+      WHERE r.doc_id IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(ch, '' ORDER BY i) AS text_clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.text_clean, '') AS text_clean,
+           CAST(length(d.text) - length(coalesce(a.text_clean, '')) AS INT) AS n_removed
+    FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+)
+def dedup_substrings_global(spark, sf_dir):
+    """Substring-level exact dedup (Lee et al. granularity: document >
+    paragraph > substring): every character covered by a 40-char window
+    already seen earlier in the corpus is cut; first global (doc, pos)
+    occurrence keeps its text.  The corpus's planted duplicate documents
+    make later copies collapse to empty — non-vacuous by construction.
+    The oracle reconstructs cleaned text character-by-character from the
+    same removed-position set (the Spark side cuts merged spans with a
+    fold — identical result, corpus-scale shape)."""
+    from outpost_spark.ops.dedup import dedup_substrings
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_substrings(docs, "text", "doc_id", window=40)
+
+
+@_register(
     "pipeline_curate_corpus",
     None,  # composed SQL built programmatically below (_curate_sql)
 )

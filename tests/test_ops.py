@@ -95,6 +95,66 @@ def test_minhash_xxhash64_path_recall_parity(docs):
     assert "xxhash64" in sig_plan and "md5" not in sig_plan
 
 
+def test_dedup_substrings_global(spark):
+    """Substring-level dedup: characters covered by a repeated 40-char
+    window are cut everywhere except the first global occurrence; docs
+    without repeats pass through byte-identical; a doc fully covered by
+    repeated windows empties."""
+    from outpost_spark.ops.dedup import dedup_substrings
+
+    shared = "A" * 25 + "BCDEFGHIJKLMNOPQRSTUVWXY"  # 49 chars > window
+    rows = [
+        (1, "unique prefix one. " + shared + " unique tail one."),
+        (2, "different opening text " + shared + " and another ending."),
+        (3, "totally unrelated document with no repeats at all here."),
+        (4, shared),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in dedup_substrings(df, "text", "doc_id", window=40).collect()
+    }
+    assert out[1] == (rows[0][1], 0)          # first occurrence untouched
+    assert shared not in out[2][0] and out[2][1] >= 49
+    assert out[3] == (rows[2][1], 0)          # no repeats -> identical
+    assert out[4][0] == "" and out[4][1] == 49  # fully covered -> emptied
+    # stride > 1 still catches the aligned duplicate copy in doc 4
+    strided = {
+        r["doc_id"]: r["n_removed"]
+        for r in dedup_substrings(df, "text", "doc_id", window=40, stride=5).collect()
+    }
+    assert strided[1] == 0 and strided[3] == 0
+
+
+def test_minhash_fast_path_pairset_equality_on_real_corpus(spark):
+    """Pin the production path to the oracle-checked one on REAL data:
+    md5 and xxhash64 runs with the catalog's exact parameters must return
+    the identical verified pair set (not just recall on planted
+    fixtures) on the sf0.001 documents table."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    kw = dict(num_hashes=16, bands=4, rows_per_band=4,
+              shingle_len=5, verify_ngram=5, threshold=0.7)
+    md5_pairs = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_dedup_pairs(docs, "doc_id", "text", **kw).collect()
+    }
+    fast_pairs = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_dedup_pairs(
+            docs, "doc_id", "text", hash_fn="xxhash64", **kw
+        ).collect()
+    }
+    assert {(a, b) for a, b, _ in fast_pairs} == {(a, b) for a, b, _ in md5_pairs}
+    assert md5_pairs  # the corpus plants real near-dups — non-vacuous
+    # verified Jaccard agrees across base hashes (same gram sets up to
+    # hash identity; scores rounded to 6dp on both paths)
+    md5_j = {(a, b): j for a, b, j in md5_pairs}
+    for a, b, j in fast_pairs:
+        assert abs(md5_j[(a, b)] - j) < 1e-6
+
+
 def test_minhash_lane_mixing_decorrelated(spark):
     """A very common shingle with a small base hash must not dominate every
     lane (the failure mode of small affine multipliers): two documents
