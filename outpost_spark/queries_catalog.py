@@ -2536,9 +2536,14 @@ _EMIT_FIRST = [
     "metrics_monthly",
     "metrics_2day_epoch_buckets",
     "metrics_error_rate_daily",
+    "dedup_substrings_global",
+    "routing_match_fanout",
 ]
 _EMIT_LAST = [
     # the heavy tail — multi-second at sf0.01 even tuned
+    "embed_knn_join",
+    "embed_knn_join_brute",
+    "pipeline_curate_corpus_v2",
     "dedup_canonical_survivors",
     "dedup_connected_components",
     "metrics_daily_by_topic",
