@@ -149,12 +149,89 @@ def bench_requests() -> dict[str, MetricsRequest]:
         "DailyByTopic_deduped": R(
             month, ["count"], granularity="1d", dimensions=["topic"], assume_deduped=True
         ),
+        # HLL twins: sketches merge in the normal partial/final agg, the id
+        # exchange disappears (the 100x dashboard path)
+        "CountAll_approx": R(month, ["count"], approx_distinct=True),
+        "DailyByTopic_approx": R(
+            month, ["count"], granularity="1d", dimensions=["topic"], approx_distinct=True
+        ),
+    }
+
+
+VOCAB = [f"w{i:03d}" for i in range(200)]
+
+
+def generate_documents(spark, path: str, n_docs: int) -> None:
+    """Deterministic large documents corpus, pure-Column generation.
+
+    5 paragraphs x 12 words per doc; paragraph content is keyed by
+    ``(id * 7 + p * 13) % (n_docs // 20)`` so each distinct paragraph
+    recurs ~100x across the corpus (the boilerplate shape paragraph
+    dedup exists for).  Every 20th doc is an exact duplicate of its
+    predecessor (near-dup family for the LSH/SimHash ops), mirroring the
+    planted structure of the driver testdata at 100x the rows.
+    """
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    n_para_keys = max(n_docs // 20, 1)
+    base_id = F.when(F.col("id") % 20 == 1, F.col("id") - 1).otherwise(F.col("id"))
+    para = lambda p: F.concat_ws(  # noqa: E731
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(11)),
+            lambda w: F.element_at(
+                vocab,
+                (
+                    F.pmod((base_id * 7 + F.lit(p * 13)) % n_para_keys * 17 + w * 29, F.lit(200))
+                    + 1
+                ).cast("int"),
+            ),
+        ),
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws("\n", *[para(p) for p in range(5)]).alias("text"),
+    )
+    docs.write.mode("overwrite").parquet(path)
+
+
+def doc_cases(spark, path: str):
+    """Round-3/4 document operators at scale (names -> thunks returning a
+    row count; each runs the full operator plan)."""
+    from outpost_spark.ops.dedup import (
+        dedup_paragraphs,
+        dedup_substrings,
+        minhash_dedup_pairs,
+        ngram_contamination,
+        simhash_pairs,
+    )
+    from outpost_spark.ops.text import chunk_documents
+
+    docs = spark.read.parquet(path)
+    bench = docs.filter(F.col("doc_id") % 997 == 0).select("doc_id", "text")
+    return {
+        "SimHashPairs": lambda: simhash_pairs(
+            docs, "doc_id", "text", max_hamming=3
+        ).count(),
+        "MinHashPairs_fast": lambda: minhash_dedup_pairs(
+            docs, "doc_id", "text", threshold=0.7, hash_fn="xxhash64"
+        ).count(),
+        "ParagraphDedup": lambda: dedup_paragraphs(docs, "text", "doc_id").count(),
+        "SubstringDedup_s20": lambda: dedup_substrings(
+            docs, "text", "doc_id", window=40, stride=20, broadcast_removed=False
+        ).count(),
+        "NgramContamination": lambda: ngram_contamination(
+            docs, bench, n=8, hash_fn="xxhash64"
+        ).count(),
+        "ChunkDocuments": lambda: chunk_documents(
+            docs, "text", "doc_id", max_tokens=24, overlap=6
+        ).count(),
     }
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", 10_000_000)))
+    ap.add_argument("--docs", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", 1_000_000)))
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -179,6 +256,17 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"{name}: {timings[name]}s ({rows_out[name]} rows)", file=sys.stderr)
 
+    dpath = os.path.join(root, f"documents_{args.docs}")
+    if not os.path.exists(os.path.join(dpath, "_SUCCESS")):
+        t0 = time.perf_counter()
+        generate_documents(spark, dpath, args.docs)
+        print(f"documents generated in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    for name, thunk in doc_cases(spark, dpath).items():
+        t0 = time.perf_counter()
+        rows_out[name] = thunk()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"{name}: {timings[name]}s ({rows_out[name]} rows)", file=sys.stderr)
+
     result = {
         "metric": "scale_bench_total",
         "value": round(sum(timings.values()), 4),
@@ -187,6 +275,7 @@ def main() -> None:
         "rows_out": rows_out,
         "events": args.events,
         "attempt_rows": n_rows,
+        "doc_rows": args.docs,
         "cpus": int(cpus),
     }
     line = json.dumps(result)
