@@ -158,38 +158,43 @@ def bench_requests() -> dict[str, MetricsRequest]:
     }
 
 
-VOCAB = [f"w{i:03d}" for i in range(200)]
-
-
 def generate_documents(spark, path: str, n_docs: int) -> None:
     """Deterministic large documents corpus, pure-Column generation.
 
-    5 paragraphs x 12 words per doc; paragraph content is keyed by
-    ``(id * 7 + p * 13) % (n_docs // 20)`` so each distinct paragraph
-    recurs ~100x across the corpus (the boilerplate shape paragraph
-    dedup exists for).  Every 20th doc is an exact duplicate of its
-    predecessor (near-dup family for the LSH/SimHash ops), mirroring the
-    planted structure of the driver testdata at 100x the rows.
+    Realistic duplication structure (a corpus where EVERYTHING repeats
+    degenerates every pair op into a quadratic blowup — not the shape
+    these operators run on):
+
+    - each doc = 1 boilerplate paragraph (50 variants corpus-wide — the
+      C4 shape paragraph dedup exists for) + 4 unique paragraphs of 12
+      words drawn from a 2000-word vocabulary by affine mixing;
+    - every 20th doc is an exact copy of its predecessor (5% planted
+      dup rate for the LSH/SimHash/substring families).
     """
-    vocab = F.array(*[F.lit(w) for w in VOCAB])
-    n_para_keys = max(n_docs // 20, 1)
     base_id = F.when(F.col("id") % 20 == 1, F.col("id") - 1).otherwise(F.col("id"))
-    para = lambda p: F.concat_ws(  # noqa: E731
-        " ",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(11)),
-            lambda w: F.element_at(
-                vocab,
-                (
-                    F.pmod((base_id * 7 + F.lit(p * 13)) % n_para_keys * 17 + w * 29, F.lit(200))
-                    + 1
-                ).cast("int"),
+
+    def para(key_expr):
+        # words are md5-hex of the FULL (paragraph key, word index) pair —
+        # both earlier designs (small vocab, affine mixing mod 2000) let
+        # the key collapse modulo the vocab size, leaving ~500 distinct
+        # documents in a 50k corpus and a quadratic false-pair explosion
+        return F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(11)),
+                lambda w: F.substring(
+                    F.md5(F.concat_ws("_", key_expr.cast("string"), w.cast("string"))),
+                    1,
+                    8,
+                ),
             ),
-        ),
-    )
+        )
+
+    boiler = para((base_id % 50).cast("long") * 7919)
+    uniques = [para(base_id * 4 + F.lit(p) + F.lit(1_000_003)) for p in range(4)]
     docs = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
-        F.concat_ws("\n", *[para(p) for p in range(5)]).alias("text"),
+        F.concat_ws("\n", boiler, *uniques).alias("text"),
     )
     docs.write.mode("overwrite").parquet(path)
 

@@ -351,10 +351,13 @@ def cosine_topk_ivf(
     Without ``assign_col`` the assignment is computed on the fly
     (map-only, no shuffle).
     """
-    q = query.withColumn(
+    q = query.withColumn("__qn", norm_expr(F.col("qvec").cast("array<double>"))).withColumn(
         "__probes",
-        probe_cids_expr(F.col("qvec").cast("array<double>"), centroids, nprobe, score_decimals=score_decimals),
-    )
+        probe_cids_sql(
+            "CAST(qvec AS ARRAY<DOUBLE>)", "__qn", centroids, nprobe,
+            score_decimals=score_decimals,
+        ),
+    ).drop("__qn")
     if assign_col is not None and prune_partitions:
         probe_set = [
             r["c"] for r in q.select(F.explode("__probes").alias("c")).distinct().collect()
@@ -364,19 +367,20 @@ def cosine_topk_ivf(
         )
     if assign_col is None:
         assign_col = "__ivf_cid"
-        vd = F.col(vec_col).cast("array<double>")
         # own projection: the norm is referenced once per centroid below —
         # CollapseProject keeps non-cheap exprs materialized, so the
-        # aggregate() pass runs once per row, not once per (row x centroid)
+        # aggregate() pass runs once per row, not once per (row x centroid);
+        # string-SQL builders keep plan construction O(1) py4j calls
         df = (
-            df.withColumn("__vnorm", norm_expr(vd))
+            df.withColumn("__vd", F.col(vec_col).cast("array<double>"))
+            .withColumn("__vnorm", norm_expr(F.col("__vd")))
             .withColumn(
                 assign_col,
-                assign_ivf_expr(
-                    vd, centroids, score_decimals=score_decimals, vnorm=F.col("__vnorm")
+                assign_ivf_sql(
+                    "__vd", "__vnorm", centroids, score_decimals=score_decimals
                 ),
             )
-            .drop("__vnorm")
+            .drop("__vd", "__vnorm")
         )
     cand = df.join(F.broadcast(q), F.array_contains(F.col("__probes"), F.col(assign_col)))
     scored = cand.withColumn(

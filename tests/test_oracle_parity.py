@@ -85,3 +85,48 @@ def test_query_matches_oracle(spark, sf_dir, ddb, name):
         f"{name}: {len(mismatches)} mismatched rows; first: "
         f"spark={sset[mismatches[0]]} oracle={oset[mismatches[0]]}"
     )
+
+
+def test_ntz_window_filter_pushes_to_scan(spark, tmp_path):
+    """A ns_window range on a TIMESTAMP_NTZ parquet column must reach
+    PushedFilters (the literal is cast to timestamp_ntz so the comparison
+    is NTZ-vs-NTZ — a plain datetime literal is LTZ and forces a cast
+    onto the column, losing pushdown), and naive bounds must be rejected
+    (a naive datetime would be reinterpreted in the driver's local tz)."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+    from datetime import datetime, timezone
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from outpost_spark.queries_catalog import _t
+
+    ts = pd.date_range("2024-01-01", periods=1000, freq="h")
+    pq.write_table(
+        pa.table({"id": list(range(1000)), "ts": pa.array(ts, type=pa.timestamp("us"))}),
+        str(tmp_path / "ntz.parquet"),
+    )
+    df = _t(
+        spark,
+        str(tmp_path),
+        "ntz",
+        ns_window={
+            "ts": (
+                datetime(2024, 1, 10, tzinfo=timezone.utc),
+                datetime(2024, 1, 20, tzinfo=timezone.utc),
+            )
+        },
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", buf.getvalue())
+    assert m and "GreaterThanOrEqual(ts" in m.group(1) and "LessThan(ts" in m.group(1)
+    assert df.count() == 240
+
+    with pytest.raises(ValueError, match="tz-aware"):
+        _t(spark, str(tmp_path), "ntz", ns_window={"ts": (datetime(2024, 1, 10), None)})
