@@ -214,8 +214,11 @@ def doc_cases(spark, path: str):
     docs = spark.read.parquet(path)
     bench = docs.filter(F.col("doc_id") % 997 == 0).select("doc_id", "text")
     return {
-        "SimHashPairs": lambda: simhash_pairs(
-            docs, "doc_id", "text", max_hamming=3
+        # 64-bit fingerprints: at 1M docs a 32-bit simhash produces ~1.3M
+        # hamming<=3 birthday-collision pairs (measured); 64-bit is the
+        # corpus-scale configuration (xxhash64 base, production path)
+        "SimHashPairs_64": lambda: simhash_pairs(
+            docs, "doc_id", "text", bits=64, max_hamming=3, bands=4, hash_fn="xxhash64"
         ).count(),
         "MinHashPairs_fast": lambda: minhash_dedup_pairs(
             docs, "doc_id", "text", threshold=0.7, hash_fn="xxhash64"

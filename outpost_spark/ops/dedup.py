@@ -525,14 +525,24 @@ def tokens_expr(text: Column) -> Column:
 
 
 def simhash(
-    df: DataFrame, text_col: str, *, bits: int = 32, out_col: str = "simhash"
+    df: DataFrame,
+    text_col: str,
+    *,
+    bits: int = 32,
+    out_col: str = "simhash",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """SimHash: bit b of the output is 1 iff sum over tokens of
     (bit b of h(token) ? +1 : -1) is positive.
 
-    ``bits`` must be in [1, 32]: the per-token base hash is 32-bit, so
-    higher bit positions would be constant 0 for every document —
-    silently degrading, never informative.
+    ``bits`` is bounded by the base hash width — [1, 32] for ``"md5"``
+    (oracle-portable 32-bit base), [1, 64] for ``"xxhash64"`` (full
+    Spark-native 64-bit base, no SQL oracle): higher bit positions would
+    be constant 0 for every document — silently degrading, never
+    informative.  At corpus scale the width matters: 32-bit fingerprints
+    at hamming <= 3 collide at ~5.5k/2^32 per pair, which is ~1.3M false
+    pairs in a 1M-doc corpus (measured on the scale bench); at 64 bits
+    the same corpus expects ~10^-3 collision pairs total.
 
     Pure Column expressions — no explode, no shuffle; near-dup docs
     differ in few bits (compare with ``bit_count(a ^ b)``).  The token
@@ -541,23 +551,35 @@ def simhash(
     the expensive md5-per-token pass runs once per row instead of once
     per (row x bit) — measured 6x on the pair bench at sf0.1.
     """
-    if not 1 <= bits <= 32:
-        raise ValueError(f"bits must be in [1, 32] (32-bit base hash), got {bits}")
+    max_bits = 64 if hash_fn == "xxhash64" else 32
+    if not 1 <= bits <= max_bits:
+        raise ValueError(
+            f"bits must be in [1, {max_bits}] ({max_bits}-bit {hash_fn} base hash), got {bits}"
+        )
     toks = tokens_expr(F.col(text_col))
-    hashed = df.withColumn("__tokhash", F.transform(toks, lambda t: _hash_expr(t, 0)))
+    if hash_fn == "xxhash64":
+        tok_hash = lambda t: F.xxhash64(F.lit("0"), t)  # noqa: E731 — full 64-bit
+    else:
+        tok_hash = lambda t: _hash_expr(t, 0, hash_fn)  # noqa: E731
+    hashed = df.withColumn("__tokhash", F.transform(toks, tok_hash))
 
     def _bit_sum(b: int):
-        # closure factory: HOF lambdas must take exactly (acc, x)
+        # closure factory: HOF lambdas must take exactly (acc, x);
+        # shiftrightunsigned extracts bits correctly for NEGATIVE 64-bit
+        # base hashes too (arithmetic shiftright would sign-extend and
+        # make `% 2` return -1)
         return F.aggregate(
             F.col("__tokhash"),
             F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.shiftright(h, b) % 2) * 2 - 1,
+            lambda acc, h: acc + (F.shiftrightunsigned(h, b) % 2) * 2 - 1,
         )
 
     bit_sums = [_bit_sum(b) for b in range(bits)]
     value = None
     for b, s in enumerate(bit_sums):
-        contrib = F.when(s > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        # bit 63's weight is the sign bit: its two's-complement long value
+        bit_val = (1 << b) if b < 63 else -(1 << 63)
+        contrib = F.when(s > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
         value = contrib if value is None else value + contrib
     return hashed.withColumn(out_col, value).drop("__tokhash")
 
@@ -571,6 +593,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int | None = None,
     materialize: bool = True,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """SimHash near-dup pairs: band-of-bits equi-join + exact Hamming verify.
 
@@ -598,13 +621,18 @@ def simhash_pairs(
         raise ValueError(f"bits ({bits}) must divide evenly into {bands} bands")
     w = bits // bands
     mask = (1 << w) - 1
-    fp = simhash(df.select(id_col, text_col), text_col, bits=bits)
+    fp = simhash(df.select(id_col, text_col), text_col, bits=bits, hash_fn=hash_fn)
+    # shiftrightunsigned + bitwiseAND: band values stay correct when the
+    # 64-bit fingerprint's sign bit is set (arithmetic shift + signed %
+    # would emit negative keys — consistent but needlessly confusing)
     band_arr = F.array(
         *[
             F.concat_ws(
                 ":",
                 F.lit(str(b)),
-                ((F.shiftright(F.col("simhash"), b * w)) % F.lit(mask + 1)).cast("string"),
+                F.shiftrightunsigned(F.col("simhash"), b * w)
+                .bitwiseAND(F.lit(mask))
+                .cast("string"),
             )
             for b in range(bands)
         ]

@@ -918,6 +918,33 @@ def test_simhash_pairs_banded(docs):
         simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=2, bands=5)
 
 
+def test_simhash_pairs_64bit_production_path(docs):
+    """64-bit fingerprints (xxhash64 base — the corpus-scale config where
+    32 bits birthday-collide) find the same planted near-dups, and the
+    width gate tracks the base hash."""
+    from outpost_spark.ops.dedup import simhash, simhash_pairs
+
+    # hamming distance scales with width: a radius of r bits at 32 bits
+    # corresponds to ~2r at 64 — use 7 (bands=8) for the planted near-dup
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(
+            docs, "doc_id", "text", bits=64, max_hamming=7, bands=8, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert out[(1, 2)] == 0  # identical docs: same 64-bit fingerprint
+    assert (1, 3) in out and 0 < out[(1, 3)] <= 7
+    assert not any({a, b} == {1, 5} for a, b in out)
+    # fingerprints use the full width (some doc sets a high bit; with 8
+    # docs the top-16 band values differ for unrelated docs)
+    fps = [r["simhash"] for r in simhash(docs, "text", bits=64, hash_fn="xxhash64").collect()]
+    assert any(abs(f) > (1 << 32) for f in fps)
+    with pytest.raises(ValueError):
+        simhash(docs, "text", bits=64)  # md5 base is 32-bit
+    with pytest.raises(ValueError):
+        simhash(docs, "text", bits=65, hash_fn="xxhash64")
+
+
 def test_chunk_documents_windows(spark):
     from outpost_spark.ops.text import chunk_documents
 
