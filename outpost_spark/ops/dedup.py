@@ -175,21 +175,28 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingle_set(text: Column, k: int = 5) -> Column:
-    """Distinct character k-shingles of the lowercased text (JVM-side).
+def shingle_seq(text: Column, k: int = 5) -> Column:
+    """ALL character k-shingles of the lowercased text, in position order
+    (duplicates included).
 
-    Texts shorter than k yield an empty array — guarded explicitly because
-    ``sequence(1, 0)`` in Spark generates a DESCENDING sequence, not an
-    empty one.
+    The cheap building block for pipelines that hash the shingles anyway:
+    dedup AFTER hashing (`array_distinct` on longs) costs far less than a
+    string-level distinct over the same multiset, and min-based consumers
+    (minhash lanes) need no dedup at all.  Texts shorter than k yield an
+    empty array — guarded explicitly because ``sequence(1, 0)`` in Spark
+    generates a DESCENDING sequence, not an empty one.
     """
     t = F.lower(text)
     n = F.length(t) - (k - 1)
     return F.when(
         n >= 1,
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(t, i.cast("int"), k))
-        ),
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(t, i.cast("int"), k)),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_set(text: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles of the lowercased text (JVM-side)."""
+    return F.array_distinct(shingle_seq(text, k))
 
 
 _MINHASH_PRIME = 4294967291  # largest 32-bit prime
@@ -225,7 +232,10 @@ def minhash_signature(
     signature (all 2^32 ≥ the mixing prime) so they never collide with
     real content.
     """
-    sh = shingle_set(F.col(text_col), shingle_len)
+    # non-distinct shingles: array_min is duplicate-insensitive, so the
+    # string-level distinct pass (the most expensive part of shingling at
+    # corpus scale) is pure waste on the signature path
+    sh = shingle_seq(F.col(text_col), shingle_len)
     # own projection: referenced num_hashes times below — CollapseProject
     # leaves it materialized instead of re-inlining the hash pass per lane
     hashed = df.withColumn(
@@ -398,11 +408,14 @@ def minhash_dedup_pairs(
         # verify unit — and derive the 32-bit minhash base by projection
         # (signatures/banding identical to the unfused path; see
         # _hash_expr_wide for the collision math).
+        # hash ALL shingles then distinct the LONGS: same set in the same
+        # first-occurrence order as distinct-then-hash, without the
+        # string-level distinct pass (strings hash/compare far slower)
         hashed = df.select(
             F.col(id_col),
             F.array_distinct(
                 F.transform(
-                    shingle_set(F.col(text_col), shingle_len),
+                    shingle_seq(F.col(text_col), shingle_len),
                     lambda s: _hash_expr_wide(s, "h", hash_fn),
                 )
             ).alias("__grams"),

@@ -46,7 +46,7 @@ from outpost_spark.ops.dedup import (
     jaccard_expr,
     minhash_signature,
     ngram_set,
-    shingle_set,
+    shingle_seq,
     signature_from_basehash,
 )
 # (lsh_candidate_pairs is intentionally not used here: the gate derives
@@ -93,7 +93,7 @@ def _bucketed_rows(
             F.col(id_col),
             F.array_distinct(
                 F.transform(
-                    shingle_set(F.col(text_col), shingle_len),
+                    shingle_seq(F.col(text_col), shingle_len),
                     lambda s: _hash_expr(s, "h", hash_fn),
                 )
             ).alias("__grams"),
