@@ -422,9 +422,10 @@ def minhash_dedup_pairs(
         )
         if materialize:
             hashed = hashed.localCheckpoint(eager=True)
-        basehash = F.array_distinct(
-            F.transform(F.col("__grams"), lambda g: _narrow_from_wide(g, hash_fn))
-        )
+        # no distinct on the narrow projection: array_min per lane is
+        # duplicate-insensitive, so the signatures are identical and the
+        # extra O(|grams|) pass is pure cost
+        basehash = F.transform(F.col("__grams"), lambda g: _narrow_from_wide(g, hash_fn))
         sigs = hashed.withColumn(
             "minhash", signature_from_basehash(basehash, num_hashes)
         )
