@@ -1175,3 +1175,48 @@ def test_quantize_embeddings_roundtrip(vectors):
     assert z["qscale"] == 0.0 and set(z["qvec"]) == {0}
     # pure map: no shuffle
     assert "Exchange" not in q._jdf.queryExecution().executedPlan().toString()
+
+
+def _substring_dedup_reference(rows, window):
+    """Character-level Python reference for dedup_substrings (stride 1):
+    every char covered by a non-first-occurrence window is removed."""
+    first = {}
+    for did, text in sorted(rows):
+        for pos in range(len(text) - window + 1):
+            key = text[pos : pos + window]
+            first.setdefault(key, (did, pos))
+    out = {}
+    for did, text in rows:
+        removed = set()
+        for pos in range(len(text) - window + 1):
+            if first[text[pos : pos + window]] != (did, pos):
+                removed.update(range(pos, pos + window))
+        out[did] = "".join(c for i, c in enumerate(text) if i not in removed)
+    return out
+
+
+def test_dedup_substrings_matches_char_level_reference(spark):
+    """Property: the span-merge-and-cut fold must equal character-level
+    removal of every non-first window occurrence, on adversarial small
+    alphabets (dense repeats, adjacent/overlapping spans, full-doc
+    coverage, spans touching both ends)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from outpost_spark.ops.dedup import dedup_substrings
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        texts=st.lists(st.text(alphabet="ab", max_size=24), min_size=1, max_size=5),
+        window=st.integers(min_value=2, max_value=4),
+    )
+    def run(texts, window):
+        rows = list(enumerate(texts))
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {
+            r["doc_id"]: r["text_clean"]
+            for r in dedup_substrings(df, "text", "doc_id", window=window).collect()
+        }
+        assert got == _substring_dedup_reference(rows, window)
+
+    run()
