@@ -539,6 +539,119 @@ def knn_join(
     )
 
 
+def embedding_near_dup_pairs_ivf(
+    df: DataFrame,
+    vec_col: str,
+    centroids,
+    *,
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    nprobe: int = 2,
+    score_decimals: int = 6,
+    assign_col: str | None = None,
+) -> DataFrame:
+    """All embedding pairs with cosine >= threshold, IVF-blocked — the
+    candidate generator for semantic dedup (SemDeDup-style).
+
+    Same join shape as :func:`knn_join` (assign + nprobe-probe explode,
+    shuffles carry (cid, id, vec) only), but instead of per-source top-k
+    it emits every verified pair once: both probe directions are
+    normalized with least/greatest so a pair is found when EITHER
+    member probes the other's list (exact duplicates always share a
+    list, so recall on true dups is 1 by construction).
+
+    Output: (id_a, id_b, cosine), id_a < id_b, distinct.
+    """
+    vd = F.col(vec_col).cast("array<double>")
+    if assign_col is not None:
+        tgt = df.select(
+            F.col(assign_col).alias("__cid"),
+            F.col(id_col).alias("__tid"),
+            vd.alias("__tv"),
+        ).withColumn("__tn", norm_expr(F.col("__tv")))
+    else:
+        tgt = (
+            df.select(F.col(id_col).alias("__tid"), vd.alias("__tv"))
+            .withColumn("__tn", norm_expr(F.col("__tv")))
+            .withColumn(
+                "__cid",
+                assign_ivf_sql(
+                    "__tv", "__tn", centroids, score_decimals=score_decimals
+                ),
+            )
+            .select("__cid", "__tid", "__tv", "__tn")
+        )
+    src = (
+        df.select(F.col(id_col).alias("__sid"), vd.alias("__sv"))
+        .withColumn("__sn", norm_expr(F.col("__sv")))
+        .withColumn(
+            "__cid",
+            F.explode(
+                probe_cids_sql(
+                    "__sv", "__sn", centroids, nprobe, score_decimals=score_decimals
+                )
+            ),
+        )
+    )
+    denom = F.col("__sn") * F.col("__tn")
+    return (
+        src.hint("shuffle_hash")
+        .join(tgt, "__cid")
+        .filter(F.col("__sid") != F.col("__tid"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.when(denom > 0, dot_expr(F.col("__sv"), F.col("__tv")) / denom)
+                .otherwise(F.lit(0.0)),
+                score_decimals,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.least("__sid", "__tid").alias("id_a"),
+            F.greatest("__sid", "__tid").alias("id_b"),
+            "cosine",
+        )
+        .distinct()
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    centroids,
+    *,
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    nprobe: int = 2,
+    score_decimals: int = 6,
+    assign_col: str | None = None,
+) -> DataFrame:
+    """Semantic dedup survivors (SemDeDup, Abbas et al. 2023 shape):
+    cluster embedding near-dups (IVF-blocked pairs above ``threshold``,
+    connected components) and keep each component's minimum id plus every
+    untouched row.
+
+    The embedding-space analog of the MinHash pipeline: pairs frame is
+    sparse relative to the corpus, components run on pairs only, and the
+    survivor filter is a left-anti join against the small losers set.
+    Returns the surviving ids (one column, ``id_col``).
+    """
+    from outpost_spark.ops.dedup import dedup_keep_canonical
+
+    pairs = embedding_near_dup_pairs_ivf(
+        df,
+        vec_col,
+        centroids,
+        id_col=id_col,
+        threshold=threshold,
+        nprobe=nprobe,
+        score_decimals=score_decimals,
+        assign_col=assign_col,
+    )
+    return dedup_keep_canonical(df.select(id_col), pairs, id_col)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,

@@ -1834,6 +1834,84 @@ def embed_knn_join_brute(spark, sf_dir):
 
 
 @_register(
+    "embed_semantic_dedup",
+    f"""
+    WITH RECURSIVE raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    src AS (
+      SELECT vec_id, v FROM raw
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(range(1, 65),
+                            i -> CASE WHEN i >= 9 THEN v[i] + 0.001 ELSE v[i] END)
+      FROM raw WHERE vec_id < 20
+    ),
+    cent AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM raw WHERE vec_id < 24),
+    cscored AS (
+      SELECT s.vec_id, cent.cid, {_cos_sql("s.v", "cent.c")} AS score
+      FROM src s CROSS JOIN cent
+    ),
+    ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+      FROM cscored
+    ),
+    assigned AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id, cid FROM ranked WHERE rn <= 2),
+    cand AS (
+      SELECT DISTINCT least(p.vec_id, a.vec_id) AS id_a,
+                      greatest(p.vec_id, a.vec_id) AS id_b
+      FROM probes p JOIN assigned a ON p.cid = a.cid AND p.vec_id <> a.vec_id
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN src s1 ON s1.vec_id = c.id_a JOIN src s2 ON s2.vec_id = c.id_b
+      WHERE {_cos_sql("s1.v", "s2.v")} >= 0.95
+    ),
+    edges AS (SELECT id_a AS eu, id_b AS ev FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(ru, rv) AS (
+      SELECT eu, eu FROM edges
+      UNION
+      SELECT r.ru, e.ev FROM reach r JOIN edges e ON r.rv = e.eu
+    ),
+    comp AS (SELECT ru AS vid, min(rv) AS component FROM reach GROUP BY ru)
+    SELECT s.vec_id FROM src s LEFT JOIN comp c ON s.vec_id = c.vid
+    WHERE c.vid IS NULL OR c.vid = c.component
+    """,
+)
+def embed_semantic_dedup(spark, sf_dir):
+    """Semantic dedup survivors (SemDeDup shape): IVF-blocked embedding
+    pairs at cosine >= 0.95 -> connected components -> min-id survivor
+    per cluster.  Runs on the embeddings table augmented with the same
+    20 deterministic perturbed copies as embed_near_dup_pairs (raw
+    vectors have no pairs above threshold), so the entry collapses 20
+    real clusters; 24 seed centroids, both probe directions normalized
+    least/greatest.  Oracle composes the IVF CTEs with recursive-CTE
+    components."""
+    from outpost_spark.ops.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + F.when(i >= 8, F.lit(0.001)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    aug = emb.unionByName(pert)
+    return semantic_dedup(
+        aug,
+        "embedding",
+        _ivf_seeds(spark, sf_dir, 24),
+        id_col="vec_id",
+        threshold=0.95,
+        nprobe=2,
+    )
+
+
+@_register(
     "embed_quantize_int8",
     """
     WITH s AS (
@@ -2541,6 +2619,7 @@ _EMIT_FIRST = [
 ]
 _EMIT_LAST = [
     # the heavy tail — multi-second at sf0.01 even tuned
+    "embed_semantic_dedup",
     "embed_knn_join",
     "embed_knn_join_brute",
     "pipeline_curate_corpus_v2",

@@ -1220,3 +1220,34 @@ def test_dedup_substrings_matches_char_level_reference(spark):
         assert got == _substring_dedup_reference(rows, window)
 
     run()
+
+
+def test_semantic_dedup_collapses_planted_clusters(vectors):
+    """IVF-blocked pairs + components + min-id survivors: the planted
+    near-identical pair (0, 1) collapses to 0; unrelated vectors all
+    survive; recall holds even when members assign to different lists
+    (both probe directions are unioned)."""
+    from outpost_spark.ops.similarity import (
+        embedding_near_dup_pairs_ivf,
+        semantic_dedup,
+    )
+
+    cents = [[1.0, 0.0, 0.5, 0.2] * 16, [-1.0, 0.3, -0.5, 0.1] * 16, [0.0, 1.0, -1.0, 0.7] * 16]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs_ivf(
+            vectors, "embedding", cents, threshold=0.999
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.999
+    assert all({a, b} == {0, 1} for a, b in pairs)  # nothing else is that close
+    survivors = {
+        r["vec_id"] for r in semantic_dedup(vectors, "embedding", cents, threshold=0.999).collect()
+    }
+    assert survivors == {0, 2, 3, 4}  # 1 collapsed into 0
+    # at a looser threshold vector 3 (cosine ~0.9966 to 0) joins the
+    # cluster and the whole component collapses to its min id
+    loose = {
+        r["vec_id"] for r in semantic_dedup(vectors, "embedding", cents, threshold=0.99).collect()
+    }
+    assert loose == {0, 2, 4}
