@@ -349,6 +349,84 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_cross_pairs(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_len: int = 5,
+    threshold: float = 0.7,
+    hash_fn: str = "md5",
+    materialize: bool = True,
+) -> DataFrame:
+    """Cross-corpus near-dup join: which training documents are near-dups
+    of ANY benchmark document (document-level decontamination — the
+    companion to :func:`ngram_contamination`'s n-gram overlap test).
+
+    Same fused single-hash-pass design as :func:`minhash_dedup_pairs`,
+    but the band-bucket equi-join runs BETWEEN the two corpora instead of
+    as a self-join, so the work is |train| + |benchmark| signatures and a
+    train-vs-benchmark bucket join — never a quadratic self-product.  The
+    benchmark side is typically small (an eval suite), so AQE broadcasts
+    its bucket/gram frames and the train side streams map-side.
+
+    Output: (train_id, bench_id, jaccard), exact-verified >= threshold.
+    """
+
+    def prep(df: DataFrame, side: str):
+        hashed = _parallelize_narrow_input(df.select(id_col, text_col)).select(
+            F.col(id_col).alias(f"__{side}"),
+            F.array_distinct(
+                F.transform(
+                    shingle_seq(F.col(text_col), shingle_len),
+                    lambda s: _hash_expr_wide(s, "h", hash_fn),
+                )
+            ).alias(f"__{side}_grams"),
+        )
+        if materialize:
+            hashed = hashed.localCheckpoint(eager=True)
+        basehash = F.transform(
+            F.col(f"__{side}_grams"), lambda g: _narrow_from_wide(g, hash_fn)
+        )
+        sigs = hashed.withColumn(
+            "minhash", signature_from_basehash(basehash, num_hashes)
+        )
+        buckets = sigs.select(
+            f"__{side}",
+            F.explode(
+                band_keys_expr(F.col("minhash"), bands, rows_per_band)
+            ).alias("__bucket"),
+        )
+        return hashed.select(f"__{side}", f"__{side}_grams"), buckets
+
+    tg, tb = prep(train, "tid")
+    bg, bb = prep(benchmark, "bid")
+    cands = (
+        tb.hint("shuffle_hash")
+        .join(bb, "__bucket")
+        .select("__tid", "__bid")
+        .distinct()
+    )
+    return (
+        cands.join(tg, "__tid")
+        .join(bg, "__bid")
+        .withColumn(
+            "jaccard",
+            F.round(jaccard_expr(F.col("__tid_grams"), F.col("__bid_grams")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("__tid").alias("train_id"),
+            F.col("__bid").alias("bench_id"),
+            "jaccard",
+        )
+    )
+
+
 def ngram_set(text: Column, n: int = 3) -> Column:
     """Distinct character n-grams (lowercased) — the exact-Jaccard unit."""
     return shingle_set(text, n)

@@ -1031,9 +1031,9 @@ def text_repetition_stats(spark, sf_dir):
 
 # ───────────────────── LLM-pipeline ops: dedup / similarity / text ─────────────────────
 
-def _sigs_sql(src: str = "documents") -> str:
+def _sigs_sql(src: str = "documents", prefix: str = "") -> str:
     return f"""
-    base AS (
+    {prefix}base AS (
       -- wide (60-bit) gram hash: the verify unit; the 32-bit minhash base
       -- is its top 32 bits (h // 2^28) — mirrors ops.dedup._hash_expr_wide
       SELECT doc_id,
@@ -1046,7 +1046,7 @@ def _sigs_sql(src: str = "documents") -> str:
                  i -> substr(lower(text), CAST(i AS INT), 5))) AS shingles
         FROM {src})
     ),
-    sigs AS (
+    {prefix}sigs AS (
       SELECT doc_id,
              list_transform(range(0, 16), j ->
                coalesce(
@@ -1055,7 +1055,7 @@ def _sigs_sql(src: str = "documents") -> str:
                    (h * (((2654435761 * (j + 1)) % 1073741824) | 1)
                       + ((2246822519 * j) % 1073741824)) % 4294967291)),
                  4294967296)) AS minhash
-      FROM base
+      FROM {prefix}base
     )
 """
 
@@ -1328,6 +1328,52 @@ def sample_stratified_quota(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return stratified_quota(docs, ["lang"], 3, "doc_id").select("lang", "doc_id")
+
+
+def _cross_pairs_sql() -> str:
+    jac = """round(CASE WHEN len(list_distinct(list_concat(ga.widehash, gb.widehash))) > 0
+                 THEN len(list_intersect(ga.widehash, gb.widehash)) * 1.0
+                      / len(list_distinct(list_concat(ga.widehash, gb.widehash)))
+                 ELSE 0.0 END, 6)"""
+    return f"""
+    WITH {_sigs_sql("documents", "t")},
+    {_sigs_sql("(SELECT * FROM documents WHERE doc_id % 17 = 3)", "b")},
+    cands AS (
+      SELECT DISTINCT t.doc_id AS train_id, b.doc_id AS bench_id
+      FROM tsigs t JOIN bsigs b ON (
+           t.minhash[1:4]   = b.minhash[1:4]
+        OR t.minhash[5:8]   = b.minhash[5:8]
+        OR t.minhash[9:12]  = b.minhash[9:12]
+        OR t.minhash[13:16] = b.minhash[13:16])
+    )
+    SELECT train_id, bench_id, {jac} AS jaccard
+    FROM cands
+    JOIN tbase ga ON ga.doc_id = cands.train_id
+    JOIN bbase gb ON gb.doc_id = cands.bench_id
+    WHERE {jac} >= 0.7
+    """
+
+
+@_register("dedup_cross_corpus_near_dups", None)  # SQL attached below
+def dedup_cross_corpus_near_dups(spark, sf_dir):
+    """Document-level decontamination: which training documents are
+    near-dups (MinHash+LSH, exact-Jaccard >= 0.7) of ANY benchmark
+    document.  Benchmark = the deterministic doc_id % 17 == 3 slice, so
+    every benchmark doc finds its own training copy at J=1 plus the
+    corpus's planted near-dups — non-vacuous by construction.  The
+    train-vs-benchmark bucket join never forms a self-product; the small
+    benchmark side broadcasts under AQE."""
+    from outpost_spark.ops.dedup import minhash_cross_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 3)
+    return minhash_cross_pairs(docs, bench, "doc_id", "text", threshold=0.7)
+
+
+_REGISTRY["dedup_cross_corpus_near_dups"] = (
+    _REGISTRY["dedup_cross_corpus_near_dups"][0],
+    _cross_pairs_sql(),
+)
 
 
 @_register(
@@ -2619,6 +2665,7 @@ _EMIT_FIRST = [
 ]
 _EMIT_LAST = [
     # the heavy tail — multi-second at sf0.01 even tuned
+    "dedup_cross_corpus_near_dups",
     "embed_semantic_dedup",
     "embed_knn_join",
     "embed_knn_join_brute",

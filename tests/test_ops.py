@@ -1251,3 +1251,34 @@ def test_semantic_dedup_collapses_planted_clusters(vectors):
         r["vec_id"] for r in semantic_dedup(vectors, "embedding", cents, threshold=0.99).collect()
     }
     assert loose == {0, 2, 4}
+
+
+def test_minhash_cross_pairs_decontamination(spark):
+    """Cross-corpus near-dup join: train docs matching ANY benchmark doc
+    are flagged with exact-verified Jaccard; unrelated docs are not."""
+    from outpost_spark.ops.dedup import minhash_cross_pairs
+
+    train = spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, BASE.replace("quick", "swift")),   # near dup of the bench doc
+            (3, "completely different text about spark query engines and columnar io paths"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(100, BASE)], "doc_id bigint, text string")
+    out = {
+        (r["train_id"], r["bench_id"]): r["jaccard"]
+        for r in minhash_cross_pairs(train, bench, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert out[(1, 100)] == 1.0
+    assert (2, 100) in out and out[(2, 100)] > 0.8
+    assert not any(t == 3 for t, _ in out)
+    # xxhash64 production path finds the same pair set
+    fast = {
+        (r["train_id"], r["bench_id"])
+        for r in minhash_cross_pairs(
+            train, bench, "doc_id", "text", threshold=0.5, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert fast == set(out)
