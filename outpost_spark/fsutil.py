@@ -79,7 +79,13 @@ class MaintenanceFS:
             )
 
     def delete(self, *parts: str) -> None:
-        self.fs.delete(self._p(*parts), True)
+        # Hadoop's delete reports failure via its boolean, not an
+        # exception (RawLocalFileSystem returns false on e.g. permission
+        # errors) — swallowing it would let retention report rows as
+        # deleted while the partition is still on disk and discoverable
+        p = self._p(*parts)
+        if not self.fs.delete(p, True) and self.fs.exists(p):
+            raise OSError(f"delete failed: {p}")
 
     def path_str(self, *parts: str) -> str:
         return self._p(*parts).toString()

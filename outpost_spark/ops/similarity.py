@@ -433,6 +433,77 @@ def knn_join_brute(
     )
 
 
+def _ivf_scored_candidates(
+    df: DataFrame,
+    vec_col: str,
+    centroids,
+    *,
+    id_col: str,
+    nprobe: int,
+    score_decimals: int,
+    assign_col: str | None,
+) -> DataFrame:
+    """Shared IVF candidate generator for the batched similarity ops:
+    assign every vector to its argmax-cosine list (or reuse a pre-stamped
+    ``assign_col``), explode every vector to its ``nprobe`` nearest list
+    ids, shuffle-hash equi-join the two sides on the list id — both
+    shuffles carry (cid, id, vec) only — and score each candidate pair
+    with one dot-product HOF (norms are computed ONCE per vector in the
+    map stages and carried through the shuffle, 3x cheaper than dot +
+    two norm passes on the hot stage).
+
+    Returns the narrow scored frame (__sid, __tid, score) — vectors are
+    projected away, so downstream top-k windows / threshold filters never
+    shuffle them.
+    """
+    vd = F.col(vec_col).cast("array<double>")
+    if assign_col is not None:
+        tgt = df.select(
+            F.col(assign_col).alias("__cid"),
+            F.col(id_col).alias("__tid"),
+            vd.alias("__tv"),
+        ).withColumn("__tn", norm_expr(F.col("__tv")))
+    else:
+        tgt = (
+            df.select(F.col(id_col).alias("__tid"), vd.alias("__tv"))
+            .withColumn("__tn", norm_expr(F.col("__tv")))
+            .withColumn(
+                "__cid",
+                assign_ivf_sql(
+                    "__tv", "__tn", centroids, score_decimals=score_decimals
+                ),
+            )
+            .select("__cid", "__tid", "__tv", "__tn")
+        )
+    src = (
+        df.select(F.col(id_col).alias("__sid"), vd.alias("__sv"))
+        .withColumn("__sn", norm_expr(F.col("__sv")))
+        .withColumn(
+            "__cid",
+            F.explode(
+                probe_cids_sql(
+                    "__sv", "__sn", centroids, nprobe, score_decimals=score_decimals
+                )
+            ),
+        )
+    )
+    denom = F.col("__sn") * F.col("__tn")
+    return (
+        src.hint("shuffle_hash")
+        .join(tgt, "__cid")
+        .filter(F.col("__sid") != F.col("__tid"))
+        .withColumn(
+            "score",
+            F.round(
+                F.when(denom > 0, dot_expr(F.col("__sv"), F.col("__tv")) / denom)
+                .otherwise(F.lit(0.0)),
+                score_decimals,
+            ),
+        )
+        .select("__sid", "__tid", "score")
+    )
+
+
 def knn_join(
     df: DataFrame,
     vec_col: str,
@@ -475,54 +546,14 @@ def knn_join(
     sources whose probed lists hold fewer than k other vectors emit
     fewer rows.
     """
-    vd = F.col(vec_col).cast("array<double>")
-    # norms are computed ONCE per vector in the map stages and carried
-    # through the shuffle, so each candidate pair costs one dot-product
-    # HOF instead of dot + two norm passes (3x on the hot stage)
-    if assign_col is not None:
-        tgt = df.select(
-            F.col(assign_col).alias("__cid"),
-            F.col(id_col).alias("__tid"),
-            vd.alias("__tv"),
-        ).withColumn("__tn", norm_expr(F.col("__tv")))
-    else:
-        tgt = (
-            df.select(F.col(id_col).alias("__tid"), vd.alias("__tv"))
-            .withColumn("__tn", norm_expr(F.col("__tv")))
-            .withColumn(
-                "__cid",
-                assign_ivf_sql(
-                    "__tv", "__tn", centroids, score_decimals=score_decimals
-                ),
-            )
-            .select("__cid", "__tid", "__tv", "__tn")
-        )
-    src = (
-        df.select(F.col(id_col).alias("__sid"), vd.alias("__sv"))
-        .withColumn("__sn", norm_expr(F.col("__sv")))
-        .withColumn(
-            "__cid",
-            F.explode(
-                probe_cids_sql(
-                    "__sv", "__sn", centroids, nprobe, score_decimals=score_decimals
-                )
-            ),
-        )
-    )
-    denom = F.col("__sn") * F.col("__tn")
-    scored = (
-        src.hint("shuffle_hash")
-        .join(tgt, "__cid")
-        .filter(F.col("__sid") != F.col("__tid"))
-        .withColumn(
-            "score",
-            F.round(
-                F.when(denom > 0, dot_expr(F.col("__sv"), F.col("__tv")) / denom)
-                .otherwise(F.lit(0.0)),
-                score_decimals,
-            ),
-        )
-        .select("__sid", "__tid", "score")  # vectors die before the window
+    scored = _ivf_scored_candidates(
+        df,
+        vec_col,
+        centroids,
+        id_col=id_col,
+        nprobe=nprobe,
+        score_decimals=score_decimals,
+        assign_col=assign_col,
     )
     from pyspark.sql import Window
 
@@ -562,55 +593,21 @@ def embedding_near_dup_pairs_ivf(
 
     Output: (id_a, id_b, cosine), id_a < id_b, distinct.
     """
-    vd = F.col(vec_col).cast("array<double>")
-    if assign_col is not None:
-        tgt = df.select(
-            F.col(assign_col).alias("__cid"),
-            F.col(id_col).alias("__tid"),
-            vd.alias("__tv"),
-        ).withColumn("__tn", norm_expr(F.col("__tv")))
-    else:
-        tgt = (
-            df.select(F.col(id_col).alias("__tid"), vd.alias("__tv"))
-            .withColumn("__tn", norm_expr(F.col("__tv")))
-            .withColumn(
-                "__cid",
-                assign_ivf_sql(
-                    "__tv", "__tn", centroids, score_decimals=score_decimals
-                ),
-            )
-            .select("__cid", "__tid", "__tv", "__tn")
-        )
-    src = (
-        df.select(F.col(id_col).alias("__sid"), vd.alias("__sv"))
-        .withColumn("__sn", norm_expr(F.col("__sv")))
-        .withColumn(
-            "__cid",
-            F.explode(
-                probe_cids_sql(
-                    "__sv", "__sn", centroids, nprobe, score_decimals=score_decimals
-                )
-            ),
-        )
+    scored = _ivf_scored_candidates(
+        df,
+        vec_col,
+        centroids,
+        id_col=id_col,
+        nprobe=nprobe,
+        score_decimals=score_decimals,
+        assign_col=assign_col,
     )
-    denom = F.col("__sn") * F.col("__tn")
     return (
-        src.hint("shuffle_hash")
-        .join(tgt, "__cid")
-        .filter(F.col("__sid") != F.col("__tid"))
-        .withColumn(
-            "cosine",
-            F.round(
-                F.when(denom > 0, dot_expr(F.col("__sv"), F.col("__tv")) / denom)
-                .otherwise(F.lit(0.0)),
-                score_decimals,
-            ),
-        )
-        .filter(F.col("cosine") >= threshold)
+        scored.filter(F.col("score") >= threshold)
         .select(
             F.least("__sid", "__tid").alias("id_a"),
             F.greatest("__sid", "__tid").alias("id_b"),
-            "cosine",
+            F.col("score").alias("cosine"),
         )
         .distinct()
     )

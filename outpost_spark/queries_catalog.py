@@ -85,6 +85,14 @@ def _t(
             if t == "timestamp[ns]":
                 if ns_window and field.name in ns_window:
                     start, end = ns_window[field.name]
+                    # same contract as the NTZ branch: a naive datetime's
+                    # .timestamp() uses the DRIVER's local tz — silent
+                    # wrong-window results on a non-UTC driver
+                    for b in (start, end):
+                        if b is not None and b.tzinfo is None:
+                            raise ValueError(
+                                f"ns_window bound for {field.name!r} must be tz-aware"
+                            )
                     if start is not None:
                         df = df.filter(
                             F.col(field.name) >= int(start.timestamp() * 1_000_000_000)
@@ -1703,6 +1711,37 @@ def embed_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, "embedding", query, id_col="vec_id", k=20)
 
 
+
+# Deterministic planted-near-dup augmentation shared by embed_near_dup_pairs
+# and embed_semantic_dedup: a perturbed copy of the first 20 vectors
+# (+0.001 on dims 9..64; dims 1..8 untouched so sign buckets are provably
+# preserved).  ONE definition on each side — the constants are a
+# cross-engine parity contract.
+_PERT_SRC_SQL = """raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    src AS (
+      SELECT vec_id, v FROM raw
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(range(1, 65),
+                            i -> CASE WHEN i >= 9 THEN v[i] + 0.001 ELSE v[i] END)
+      FROM raw WHERE vec_id < 20
+    )"""
+
+
+def _perturbed_embeddings(spark, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + F.when(i >= 8, F.lit(0.001)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(pert)
+
+
 _SIGNBUCKET_SQL = " + ".join(
     f"CASE WHEN v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END" for i in range(8)
 )
@@ -1882,15 +1921,7 @@ def embed_knn_join_brute(spark, sf_dir):
 @_register(
     "embed_semantic_dedup",
     f"""
-    WITH RECURSIVE raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    src AS (
-      SELECT vec_id, v FROM raw
-      UNION ALL
-      SELECT vec_id + 1000000,
-             list_transform(range(1, 65),
-                            i -> CASE WHEN i >= 9 THEN v[i] + 0.001 ELSE v[i] END)
-      FROM raw WHERE vec_id < 20
-    ),
+    WITH RECURSIVE {_PERT_SRC_SQL},
     cent AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM raw WHERE vec_id < 24),
     cscored AS (
       SELECT s.vec_id, cent.cid, {_cos_sql("s.v", "cent.c")} AS score
@@ -1936,19 +1967,8 @@ def embed_semantic_dedup(spark, sf_dir):
     components."""
     from outpost_spark.ops.similarity import semantic_dedup
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    pert = emb.filter(F.col("vec_id") < 20).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.transform(
-            F.col("embedding"),
-            lambda x, i: x + F.when(i >= 8, F.lit(0.001)).otherwise(F.lit(0.0)),
-        ).alias("embedding"),
-    )
-    aug = emb.unionByName(pert)
     return semantic_dedup(
-        aug,
+        _perturbed_embeddings(spark, sf_dir),
         "embedding",
         _ivf_seeds(spark, sf_dir, 24),
         id_col="vec_id",
@@ -1990,15 +2010,7 @@ def embed_quantize_int8(spark, sf_dir):
 @_register(
     "embed_near_dup_pairs",
     f"""
-    WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    src AS (
-      SELECT vec_id, v FROM raw
-      UNION ALL
-      SELECT vec_id + 1000000,
-             list_transform(range(1, 65),
-                            i -> CASE WHEN i >= 9 THEN v[i] + 0.001 ELSE v[i] END)
-      FROM raw WHERE vec_id < 20
-    ),
+    WITH {_PERT_SRC_SQL},
     b AS (
       SELECT vec_id, v, CAST({_SIGNBUCKET_SQL} AS INT) AS bucket FROM src
     )
@@ -2032,18 +2044,9 @@ def embed_near_dup_pairs(spark, sf_dir):
     """
     from outpost_spark.ops.similarity import embedding_near_dup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    pert = emb.filter(F.col("vec_id") < 20).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.transform(
-            F.col("embedding"),
-            lambda x, i: x + F.when(i >= 8, F.lit(0.001)).otherwise(F.lit(0.0)),
-        ).alias("embedding"),
-    )
     return embedding_near_dup_pairs(
-        emb.unionByName(pert), "embedding", id_col="vec_id", threshold=0.9, bits=8
+        _perturbed_embeddings(spark, sf_dir), "embedding",
+        id_col="vec_id", threshold=0.9, bits=8
     )
 
 

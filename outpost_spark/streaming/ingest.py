@@ -40,7 +40,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from outpost_spark.ops.dedup import (
-    _hash_expr,
+    _hash_expr_wide,
+    _narrow_from_wide,
     band_keys_expr,
     connected_components,
     jaccard_expr,
@@ -55,12 +56,16 @@ from outpost_spark.ops.dedup import (
 
 INDEX_PARTITIONS = 64
 
-# On-disk index format. 2 = hashed gram arrays (seeded 32-bit _hash_expr)
-# + content digest column. Bump whenever the row schema or any hash
-# formula changes: buckets/grams from different formats never collide
-# correctly, so mixing them would SILENTLY admit duplicates — the meta
-# check below turns that into an explicit rebuild-required error.
-INDEX_FORMAT = 2
+# On-disk index format. 3 = WIDE gram hashes (60-bit md5 / 64-bit
+# xxhash64, _hash_expr_wide) so the gate's verify Jaccard matches the
+# batch dedup family's collision-free unit (32-bit grams birthday-collide
+# near 10^5 shingles, inflating near-threshold similarities); the minhash
+# base derives from the wide value by projection, so buckets are
+# unchanged vs format 2 — but gram arrays are not comparable across
+# formats. Bump whenever the row schema or any hash formula changes:
+# mixing formats would SILENTLY admit duplicates — the meta check below
+# turns that into an explicit rebuild-required error.
+INDEX_FORMAT = 3
 
 
 def _bucketed_rows(
@@ -94,13 +99,19 @@ def _bucketed_rows(
             F.array_distinct(
                 F.transform(
                     shingle_seq(F.col(text_col), shingle_len),
-                    lambda s: _hash_expr(s, "h", hash_fn),
+                    lambda s: _hash_expr_wide(s, "h", hash_fn),
                 )
             ).alias("__grams"),
             digest,
         )
         sigs = hashed.withColumn(
-            "minhash", signature_from_basehash(F.col("__grams"), num_hashes)
+            "minhash",
+            signature_from_basehash(
+                F.transform(
+                    F.col("__grams"), lambda g: _narrow_from_wide(g, hash_fn)
+                ),
+                num_hashes,
+            ),
         )
     else:
         sigs = minhash_signature(
@@ -110,7 +121,7 @@ def _bucketed_rows(
             F.array_distinct(
                 F.transform(
                     ngram_set(F.col(text_col), verify_ngram),
-                    lambda g: _hash_expr(g, "h", hash_fn),
+                    lambda g: _hash_expr_wide(g, "h", hash_fn),
                 )
             ).alias("__grams"),
             digest,

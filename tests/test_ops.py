@@ -126,12 +126,14 @@ def test_dedup_substrings_global(spark):
     assert strided[1] == 0 and strided[3] == 0
 
 
-def test_minhash_fast_path_pairset_equality_on_real_corpus(spark):
+def test_minhash_fast_path_pairset_equality_on_real_corpus(spark, sf_dir):
     """Pin the production path to the oracle-checked one on REAL data:
     md5 and xxhash64 runs with the catalog's exact parameters must return
     the identical verified pair set (not just recall on planted
     fixtures) on the sf0.001 documents table."""
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+    import os as _os
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "text"
     )
     kw = dict(num_hashes=16, bands=4, rows_per_band=4,
