@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "embed_cosine_topk",
     "embed_ann_ivf_topk",
     "embed_knn_join",
+    "embed_semantic_dedup",
+    "dedup_cross_corpus_near_dups",
     "text_token_stats",
     "text_quality_score",
 ]
