@@ -303,3 +303,33 @@ def chunk_documents(
         F.col("__c.chunk_text").alias("chunk_text"),
         F.col("__c.n_tokens").alias("n_tokens"),
     )
+
+
+def normalize_url_expr(url: Column) -> Column:
+    """Canonical URL for coarse URL-level dedup (the CommonCrawl-style
+    step that runs BEFORE content dedup): drop fragment and query,
+    lowercase, strip the scheme, a leading ``www.``, and trailing
+    slashes.
+
+    Lowercasing the whole URL (not just the host) is deliberate for this
+    granularity — crawl frontiers treat /Page and /page as one resource
+    far more often than not, and a false merge here only hands slightly
+    more work to the content-level dedup behind it.  Pure codegen regex
+    chain; the same expressions run in any regexp_replace-capable engine.
+    """
+    u = F.regexp_replace(url, r"#.*$", "")
+    u = F.regexp_replace(u, r"\?.*$", "")
+    u = F.lower(u)
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    return F.regexp_replace(u, r"/+$", "")
+
+
+def dedup_by_url(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """URL-level exact dedup groups: one row per canonical URL with the
+    minimum-id member and the copy count.  Same narrow-shuffle shape as
+    ``dedup.exact_dedup`` — group keys are normalized URLs, never bodies.
+    """
+    return df.groupBy(
+        normalize_url_expr(F.col(url_col)).alias("canonical_url")
+    ).agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("copies"))

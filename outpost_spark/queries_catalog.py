@@ -1338,6 +1338,60 @@ def sample_stratified_quota(spark, sf_dir):
     return stratified_quota(docs, ["lang"], 3, "doc_id").select("lang", "doc_id")
 
 
+@_register(
+    "dedup_url_canonical",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'https://www.example.com/page/' || CAST(doc_id % 100 AS VARCHAR) || '?utm_source=feed'
+               WHEN 1 THEN 'http://example.com/page/' || CAST(doc_id % 100 AS VARCHAR) || '/'
+               ELSE 'HTTPS://Example.COM/page/' || CAST(doc_id % 100 AS VARCHAR) || '#frag'
+             END AS url
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   lower(regexp_replace(regexp_replace(url, '#.*$', ''), '\?.*$', '')),
+                   '^https?://', ''),
+                 '^www\.', ''),
+               '/+$', '') AS canonical_url
+      FROM d
+    )
+    SELECT canonical_url,
+           min(doc_id) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS copies
+    FROM n GROUP BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark, sf_dir):
+    """URL-level dedup (the crawl-frontier step BEFORE content dedup):
+    scheme/www/case/query/fragment/trailing-slash variants of the same
+    resource collapse to one canonical URL.  The corpus has no URL
+    column, so a deterministic one is derived (three variant shapes of
+    doc_id % 100 resources — every normalization rule does real work in
+    the parity hash)."""
+    from outpost_spark.ops.text import dedup_by_url
+
+    docs = _t(spark, sf_dir, "documents")
+    page = (F.col("doc_id") % 100).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("https://www.example.com/page/"), page, F.lit("?utm_source=feed")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("http://example.com/page/"), page, F.lit("/")),
+        )
+        .otherwise(F.concat(F.lit("HTTPS://Example.COM/page/"), page, F.lit("#frag")))
+    )
+    return dedup_by_url(docs.withColumn("url", url), "url", "doc_id")
+
+
 def _cross_pairs_sql() -> str:
     jac = """round(CASE WHEN len(list_distinct(list_concat(ga.widehash, gb.widehash))) > 0
                  THEN len(list_intersect(ga.widehash, gb.widehash)) * 1.0
@@ -2665,6 +2719,7 @@ _EMIT_FIRST = [
     "metrics_error_rate_daily",
     "dedup_substrings_global",
     "routing_match_fanout",
+    "dedup_url_canonical",
 ]
 _EMIT_LAST = [
     # the heavy tail — multi-second at sf0.01 even tuned

@@ -1284,3 +1284,23 @@ def test_minhash_cross_pairs_decontamination(spark):
         ).collect()
     }
     assert fast == set(out)
+
+
+def test_url_normalization_and_dedup(spark):
+    from outpost_spark.ops.text import dedup_by_url, normalize_url_expr
+
+    rows = [
+        (1, "https://www.Example.com/Page/1?utm=x"),
+        (2, "http://example.com/page/1/"),
+        (3, "HTTPS://EXAMPLE.COM/page/1#frag"),
+        (4, "https://example.com/page/2"),
+        (5, "https://other.org/"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    norm = {r["doc_id"]: r["n"] for r in df.select("doc_id", normalize_url_expr(F.col("url")).alias("n")).collect()}
+    assert norm[1] == norm[2] == norm[3] == "example.com/page/1"
+    assert norm[4] == "example.com/page/2"
+    assert norm[5] == "other.org"
+    out = {r["canonical_url"]: (r["canonical_id"], r["copies"]) for r in dedup_by_url(df, "url", "doc_id").collect()}
+    assert out["example.com/page/1"] == (1, 3)
+    assert out["example.com/page/2"] == (4, 1)
