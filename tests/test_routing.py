@@ -480,3 +480,16 @@ def test_compiled_mode_overflow_behind_object_at_cutoff(spark):
     assert got["o1"] == ["want"]
     assert got["o2"] == []
     assert got["o3"] == ["want"]
+
+
+def test_routing_fanout_catalog_entry_is_zero_python(spark, sf_dir):
+    """The benched routing_match_fanout entry (the throughput number the
+    rounds track) must run the compiled_static zero-Python plan — its
+    compiled JSON filter corpus is fully compilable, so any Python node
+    appearing here means the fast path silently degraded."""
+    from outpost_spark.queries_catalog import _REGISTRY
+
+    df = _REGISTRY["routing_match_fanout"][0](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF", "FlatMapsInPandas"):
+        assert marker not in plan, f"Python node {marker} in fan-out entry plan"
