@@ -6,8 +6,14 @@ line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
 Query set mirrors the reference bench matrix (cmd/bench/metrics/
 bench_test.go:13-120): count-all / rate / count+rate, count by
 topic/destination/tenant, hourly over a day, daily over the month —
-expressed through this engine's operators.  Each query runs once warm
-(after a cold JVM warm-up pass on count-all).
+expressed through this engine's operators.
+
+Protocol (r05+): each query runs TWICE; ``queries`` carries the warm
+min-of-2 (matches SCALE.md's protocol, so round-over-round deltas are
+attributable to plan changes rather than first-run plan-compile/codegen
+noise — VERDICT r04 "What's wrong" #2/#4), ``queries_cold`` the first
+run, and the headline ``value`` is the warm total (``cold_total`` kept
+alongside for comparison against r01-r04, whose totals were cold).
 """
 
 from __future__ import annotations
@@ -70,20 +76,26 @@ def main() -> None:
     # warm-up: JVM + parquet footer caches
     registry["metrics_count_all"](spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
-    total = round(sum(timings.values()), 4)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        cold[name] = round(runs[0], 4)
+        warm[name] = round(min(runs), 4)
     print(
         json.dumps(
             {
                 "metric": "catalog_bench_total",
-                "value": total,
+                "value": round(sum(warm.values()), 4),
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
+                "queries_cold": cold,
+                "cold_total": round(sum(cold.values()), 4),
                 "sf": sf,
             }
         )

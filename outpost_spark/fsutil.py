@@ -8,12 +8,14 @@ on any warehouse scheme Spark itself can read: plain local paths,
 ``file://``, ``hdfs://``, ``s3a://``, ``abfss://``, ...
 
 Atomicity note: the staged-swap protocol (``_tmp_*`` write ->
-``_trash_*`` rename) relies on ``rename`` being atomic, which holds on
-local filesystems and HDFS.  Object stores (s3a) emulate rename by
-copy+delete, so the swap is *recoverable* (via the partial-state
-recovery pass) but not atomic there — the standard answer at that layer
-is a table format (Delta/Iceberg); this module keeps plain parquet
-maintenance working everywhere else.
+``_trash_*`` rename) is atomic on local filesystems and HDFS.  Object
+stores (s3a) emulate rename by copy+delete; the swap journal written by
+``retention._swap_partition`` (file-size manifests of both sides) makes
+every mid-swap crash window — including partial copies — recovery-
+tested (tests/test_retention_sources_sinkfns.py's ``test_swap_crash_*``
+construct each window and assert convergence).  A table format
+(Delta/Iceberg) remains the standard answer at that layer; this module
+keeps plain-parquet maintenance safe everywhere.
 
 When no SparkSession is active (pure-unit contexts) a local ``os``
 fallback handles schemeless paths, so helpers remain callable without a
@@ -90,6 +92,34 @@ class MaintenanceFS:
     def path_str(self, *parts: str) -> str:
         return self._p(*parts).toString()
 
+    def file_sizes(self, *parts: str) -> dict[str, int]:
+        """{file name: byte length} for a directory's immediate files."""
+        p = self._p(*parts)
+        if not self.fs.exists(p):
+            return {}
+        return {
+            s.getPath().getName(): s.getLen()
+            for s in self.fs.listStatus(p)
+            if s.isFile()
+        }
+
+    def write_text(self, parts: list[str], text: str) -> None:
+        """Create-or-overwrite a small text file (swap journals)."""
+        out = self.fs.create(self._p(*parts), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def read_text(self, *parts: str) -> str:
+        stream = self.fs.open(self._p(*parts))
+        try:
+            # readAllBytes avoids a py4j round-trip per read() chunk
+            data = bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+        return data.decode("utf-8")
+
 
 class _LocalFS:
     """``os``-based fallback with the same surface, for JVM-less contexts."""
@@ -135,6 +165,24 @@ class _LocalFS:
 
     def path_str(self, *parts: str) -> str:
         return self._p(*parts)
+
+    def file_sizes(self, *parts: str) -> dict[str, int]:
+        p = self._p(*parts)
+        if not os.path.isdir(p):
+            return {}
+        return {
+            f: os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p)
+            if os.path.isfile(os.path.join(p, f))
+        }
+
+    def write_text(self, parts: list[str], text: str) -> None:
+        with open(self._p(*parts), "w", encoding="utf-8") as fh:
+            fh.write(text)
+
+    def read_text(self, *parts: str) -> str:
+        with open(self._p(*parts), encoding="utf-8") as fh:
+            return fh.read()
 
 
 def maintenance_fs(root: str, spark: SparkSession | None = None):

@@ -50,17 +50,71 @@ def _month_partitions(table_path: str, spark: SparkSession | None = None) -> lis
     return [d for d in fs.listdir() if d.startswith("month=")]
 
 
+def _dir_complete(fs, name: str, manifest: dict[str, int]) -> bool:
+    """True iff directory ``name`` holds AT LEAST every manifest file at
+    its recorded size (a completed copy may coexist with extra cruft, but
+    a partial copy is always missing bytes or whole files)."""
+    if not manifest:
+        return fs.is_dir(name)
+    have = fs.file_sizes(name)
+    return all(have.get(f) == size for f, size in manifest.items())
+
+
 def _recover_partials(table_path: str, spark: SparkSession | None = None) -> None:
     """Crash recovery for partition rewrites (run before any maintenance).
 
     Rewrites stage into ``_tmp_*`` and swap via ``_trash_*`` (both
     underscore-prefixed so Spark's file listing and ``_month_partitions``
-    ignore them).  After a crash: a leftover ``_trash_<part>`` whose
-    partition dir is missing is restored (the swap died mid-way — the old
-    data is the durable truth); any other leftover staging dir is deleted
-    (the rewrite will simply be redone).
+    ignore them), with a ``_swapjournal_<part>`` manifest written before
+    the first rename (see :func:`_swap_partition`).
+
+    Journaled recovery is sound even when ``rename`` is copy+delete
+    (s3a): Hadoop deletes the rename source only after the whole copy
+    succeeded, so "trash incomplete ⇒ live partition untouched" and
+    "live partition partial ⇒ trash copy completed".  Decision tree per
+    leftover journal (every branch idempotent — recovery itself may
+    crash and rerun):
+
+    - trash complete per the original's manifest:
+        - partition complete per the NEW manifest -> the swap finished
+          its second rename; roll FORWARD (drop trash + journal);
+        - else -> roll BACK: drop the partial partition, restore trash.
+    - trash absent/partial -> the original is still live and complete;
+      roll BACK (drop trash + staging).
+
+    Journal-less leftovers (pre-upgrade writers, or a journal write that
+    itself crashed — in which case no rename has started) keep the
+    original semantics: restore ``_trash_<part>`` when the partition is
+    missing, else drop it; drop any ``_tmp_*`` staging dir.
     """
+    import json
+
     fs = maintenance_fs(table_path, spark)
+    entries = fs.listdir()
+    for d in entries:
+        if not d.startswith("_swapjournal_"):
+            continue
+        part = d[len("_swapjournal_"):]
+        trash = f"_trash_{part}"
+        try:
+            j = json.loads(fs.read_text(d))
+            orig_manifest = {k: int(v) for k, v in j["orig"].items()}
+            new_manifest = {k: int(v) for k, v in j["new"].items()}
+        except (OSError, ValueError, KeyError, TypeError):
+            # unreadable journal: its write crashed, so no rename ever
+            # started — the orphan pass below cleans staging dirs
+            fs.delete(d)
+            continue
+        if fs.exists(trash) and _dir_complete(fs, trash, orig_manifest):
+            if fs.exists(part) and _dir_complete(fs, part, new_manifest):
+                fs.delete(trash)  # swap finished; roll forward
+            else:
+                if fs.exists(part):
+                    fs.delete(part)  # partial copy of either side
+                fs.rename([trash], [part])
+        elif fs.exists(trash):
+            fs.delete(trash)  # partial trash copy; original still live
+        fs.delete(d)
     for d in fs.listdir():
         if d.startswith("_trash_"):
             part = d[len("_trash_"):]
@@ -75,17 +129,30 @@ def _recover_partials(table_path: str, spark: SparkSession | None = None) -> Non
 def _swap_partition(table_path: str, part: str, tmp_path: str, spark: SparkSession | None = None) -> None:
     """Replace partition ``part`` with the staged rewrite at ``tmp_path``.
 
-    Two atomic renames; every intermediate state is recoverable by
-    :func:`_recover_partials` and never double-exposes data (the staging
-    names are invisible to partition discovery).
+    Protocol: journal (manifests of both dirs) -> rename part out of the
+    way -> rename staging in -> drop trash -> drop journal.  On atomic-
+    rename filesystems every intermediate state is trivially recoverable;
+    on copy+delete stores the journal's file-size manifests let
+    :func:`_recover_partials` decide which side is complete (its
+    docstring has the proof sketch).  Staging names are underscore-
+    prefixed, so no intermediate state is ever visible to partition
+    discovery.
     """
+    import json
+
     fs = maintenance_fs(table_path, spark)
     trash = f"_trash_{part}"
-    fs.rename([part], [trash])
+    journal = f"_swapjournal_{part}"
     # tmp_path is a child of table_path by construction (staging names)
     tmp_name = tmp_path.rstrip("/").rsplit("/", 1)[-1]
+    fs.write_text(
+        [journal],
+        json.dumps({"orig": fs.file_sizes(part), "new": fs.file_sizes(tmp_name)}),
+    )
+    fs.rename([part], [trash])
     fs.rename([tmp_name], [part])
     fs.delete(trash)
+    fs.delete(journal)
 
 
 def apply_retention(

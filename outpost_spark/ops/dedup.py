@@ -280,6 +280,112 @@ def signature_from_basehash(basehash: Column, num_hashes: int) -> Column:
     return F.array(*[_min_hash(j) for j in range(num_hashes)])
 
 
+def minhash_grams_and_signature_numpy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 16,
+    shingle_len: int = 5,
+    grams_col: str = "__grams",
+    sig_col: str = "minhash",
+) -> DataFrame:
+    """Arrow-batched numpy twin of the fused gram-hash + signature stage:
+    (id, distinct 64-bit gram hashes, minhash signature) in ONE
+    ``mapInPandas`` pass.
+
+    Why a Python stage on the hot path, against this repo's own rule:
+    Spark evaluates higher-order functions (``transform``) interpreted,
+    outside whole-stage codegen, so the per-shingle hash dominates the
+    corpus-scale dedup bench (~290 interpreted hashes/doc -> 182 s for 1M
+    docs, VERDICT r04 task #4).  Here the whole doc is hashed with ~25
+    numpy kernel calls: codepoints via fixed-width UTF-32-LE decode (so
+    shingle boundaries are CHARACTER-exact, matching ``substring``
+    semantics on non-ASCII text, not byte windows), a degree-(k-1)
+    polynomial over a sliding window in wrapping uint64, a splitmix64
+    avalanche, ``np.unique`` for the distinct gram set, and one
+    (grams x lanes) broadcast matrix for all lane minima.
+
+    The hash family differs from the md5/xxhash64 paths (values are not
+    comparable across paths) but the LANE MIXING is identical
+    (:func:`_mix_consts` on ``h mod 2^32``), so banding behavior,
+    collision math, and the downstream pipeline are unchanged; the
+    verified pair set is pinned to the md5 oracle path by pytest on both
+    the planted and the real sf0.001 corpora.
+
+    Scale: the stage is a narrow map (no shuffle); Arrow ships ~one text
+    column per task and gets back (id, longs).  Empty/short docs emit an
+    empty gram set and the same all-sentinel signature as the Column path.
+    """
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_field.name, id_field.dataType, id_field.nullable),
+            StructField(grams_col, ArrayType(LongType(), False), False),
+            StructField(sig_col, ArrayType(LongType(), False), False),
+        ]
+    )
+    lane_a, lane_b = zip(*[_mix_consts(j) for j in range(num_hashes)])
+    k = shingle_len
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        # degree-(k-1) polynomial in the FNV-1a prime, wrapping in uint64
+        pows = np.array(
+            [pow(1099511628211, e, 1 << 64) for e in range(k - 1, -1, -1)],
+            dtype=np.uint64,
+        )
+        c1 = np.uint64(0xBF58476D1CE4E5B9)
+        c2 = np.uint64(0x94D049BB133111EB)
+        s30, s27, s31 = np.uint64(30), np.uint64(27), np.uint64(31)
+        m32 = np.uint64((1 << 32) - 1)
+        la = np.array(lane_a, dtype=np.uint64)[None, :]
+        lb = np.array(lane_b, dtype=np.uint64)[None, :]
+        prime = np.uint64(_MINHASH_PRIME)
+        sentinel = np.full(num_hashes, 1 << 32, dtype=np.int64)
+        empty = np.empty(0, dtype=np.int64)
+
+        with np.errstate(over="ignore"):
+            for pdf in batches:
+                grams_out: list = []
+                sig_out: list = []
+                for text in pdf[text_col]:
+                    cp = np.frombuffer(
+                        ("" if text is None else text).lower().encode("utf-32-le"),
+                        dtype=np.uint32,
+                    ).astype(np.uint64)
+                    n = cp.size - (k - 1)
+                    if n <= 0:
+                        grams_out.append(empty)
+                        sig_out.append(sentinel)
+                        continue
+                    h = cp[:n] * pows[0]
+                    for j in range(1, k):
+                        h += cp[j : j + n] * pows[j]
+                    h ^= h >> s30
+                    h *= c1
+                    h ^= h >> s27
+                    h *= c2
+                    h ^= h >> s31
+                    u = np.unique(h)
+                    grams_out.append(u.view(np.int64))
+                    lanes = (((u & m32)[:, None] * la + lb) % prime).min(axis=0)
+                    sig_out.append(lanes.astype(np.int64))
+                yield pd.DataFrame(
+                    {
+                        id_field.name: pdf[id_col],
+                        grams_col: grams_out,
+                        sig_col: sig_out,
+                    }
+                )
+
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
 def band_keys_expr(sig_col: Column, bands: int, rows_per_band: int) -> Column:
     """The LSH band bucket keys ("<band>:<v_v_v_v>") as one array column.
 
@@ -481,7 +587,22 @@ def minhash_dedup_pairs(
     exceeds storage memory.
     """
     df = _parallelize_narrow_input(df.select(id_col, text_col))
-    if verify_ngram == shingle_len:
+    if hash_fn == "numpy":
+        if verify_ngram != shingle_len:
+            raise ValueError("hash_fn='numpy' requires verify_ngram == shingle_len")
+        # grams + signature in one Arrow-batched numpy pass (the 1M-doc
+        # signature bottleneck fix — see minhash_grams_and_signature_numpy)
+        hashed = minhash_grams_and_signature_numpy(
+            df, id_col, text_col, num_hashes=num_hashes, shingle_len=shingle_len
+        )
+        if materialize:
+            hashed = hashed.localCheckpoint(eager=True)
+        cands = lsh_candidate_pairs(
+            hashed, id_col, bands=bands, rows_per_band=rows_per_band,
+            materialize=materialize,
+        )
+        grams = hashed.select(F.col(id_col).alias("__gid"), F.col("__grams"))
+    elif verify_ngram == shingle_len:
         # ONE digest pass: store the wide (60/64-bit) gram hash — the
         # verify unit — and derive the 32-bit minhash base by projection
         # (signatures/banding identical to the unfused path; see

@@ -339,3 +339,182 @@ def test_retention_and_compaction_through_file_scheme_uri(spark, tmpdir):
     part = os.path.join(path2, "month=202401")
     assert len([f for f in os.listdir(part) if f.endswith(".parquet")]) == 1
     assert spark.read.parquet(part).count() == 100
+
+
+# ── ST6: journaled swap — copy+delete (s3a-style) crash recovery ──
+#
+# Hadoop object-store renames are copy+delete: the source is deleted only
+# after the whole copy succeeded.  The journal written by _swap_partition
+# (file-size manifests of both sides) lets _recover_partials decide which
+# side of a crashed swap is complete.  These tests construct every
+# mid-swap crash window on disk and assert recovery converges to a
+# consistent table with no staging residue.
+
+
+def _staging_residue(path):
+    return [
+        d
+        for d in os.listdir(path)
+        if d.startswith(("_trash_", "_tmp_", "_swapjournal_"))
+    ]
+
+
+def _snapshot_rows(spark, path, month):
+    return {
+        r["id"]
+        for r in spark.read.parquet(path).filter(F.col("month") == month).collect()
+    }
+
+
+def _stage_compaction(spark, path, part):
+    """Stage a compacted rewrite of ``part`` + write the swap journal,
+    stopping right before the first rename (the swap's point of no
+    return).  Returns (tmp_name, journal_name, orig_rows)."""
+    from outpost_spark.fsutil import maintenance_fs
+
+    fs = maintenance_fs(path)
+    df = spark.read.parquet(os.path.join(path, part))
+    tmp_name = f"_tmp_compact_{part}"
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, tmp_name))
+    journal = f"_swapjournal_{part}"
+    fs.write_text(
+        [journal],
+        json.dumps({"orig": fs.file_sizes(part), "new": fs.file_sizes(tmp_name)}),
+    )
+    return tmp_name, journal
+
+
+def _truncate_one_parquet(dirpath):
+    """Chop the tail off one data file — a mid-copy partial state."""
+    for f in sorted(os.listdir(dirpath)):
+        if f.endswith(".parquet"):
+            p = os.path.join(dirpath, f)
+            with open(p, "r+b") as fh:
+                fh.truncate(max(os.path.getsize(p) // 2, 1))
+            return
+    raise AssertionError("no parquet file to truncate")
+
+
+def test_swap_crash_between_renames_journaled(spark, tmpdir):
+    """Crash after rename #1 (partition renamed to trash, staging not yet
+    renamed in): recovery must restore the original partition."""
+    from outpost_spark.logstore.retention import _recover_partials
+
+    path = os.path.join(tmpdir, "t")
+    _write_months(spark, path)
+    part = "month=202401"
+    before = _snapshot_rows(spark, path, "202401")
+    tmp_name, journal = _stage_compaction(spark, path, part)
+    os.rename(os.path.join(path, part), os.path.join(path, f"_trash_{part}"))
+    _recover_partials(path)
+    assert _snapshot_rows(spark, path, "202401") == before
+    assert _staging_residue(path) == []
+
+
+def test_swap_crash_partial_trash_copy(spark, tmpdir):
+    """Crash mid-COPY of rename #1 on a copy+delete store: trash holds a
+    truncated copy, the live partition is still complete.  Recovery must
+    keep the live partition and drop the partial trash — restoring the
+    truncated trash over it would corrupt the table."""
+    from outpost_spark.logstore.retention import _recover_partials
+
+    path = os.path.join(tmpdir, "t")
+    _write_months(spark, path)
+    part = "month=202401"
+    before = _snapshot_rows(spark, path, "202401")
+    tmp_name, journal = _stage_compaction(spark, path, part)
+    shutil.copytree(os.path.join(path, part), os.path.join(path, f"_trash_{part}"))
+    _truncate_one_parquet(os.path.join(path, f"_trash_{part}"))
+    _recover_partials(path)
+    assert _snapshot_rows(spark, path, "202401") == before
+    assert _staging_residue(path) == []
+
+
+def test_swap_crash_partial_partition_copy(spark, tmpdir):
+    """Crash mid-COPY of rename #2 (or mid-DELETE of rename #1): trash
+    holds the complete original, the partition dir is a partial copy of
+    the staging data.  Pre-journal recovery deleted the complete trash
+    and kept the partial partition — silent data loss; the journal's
+    manifests must route recovery to the trash side."""
+    from outpost_spark.logstore.retention import _recover_partials
+
+    path = os.path.join(tmpdir, "t")
+    _write_months(spark, path)
+    part = "month=202401"
+    before = _snapshot_rows(spark, path, "202401")
+    tmp_name, journal = _stage_compaction(spark, path, part)
+    os.rename(os.path.join(path, part), os.path.join(path, f"_trash_{part}"))
+    # rename #2's copy phase dies halfway through
+    shutil.copytree(os.path.join(path, tmp_name), os.path.join(path, part))
+    _truncate_one_parquet(os.path.join(path, part))
+    shutil.rmtree(os.path.join(path, tmp_name))
+    _recover_partials(path)
+    assert _snapshot_rows(spark, path, "202401") == before
+    assert _staging_residue(path) == []
+
+
+def test_swap_completed_rolls_forward(spark, tmpdir):
+    """Crash after rename #2 but before the trash delete: both sides are
+    complete; the new data is live and recovery must keep it (rolling
+    back would undo a finished rewrite)."""
+    from outpost_spark.logstore.retention import _recover_partials
+
+    path = os.path.join(tmpdir, "t")
+    _write_months(spark, path)
+    part = "month=202401"
+    before = _snapshot_rows(spark, path, "202401")
+    tmp_name, journal = _stage_compaction(spark, path, part)
+    n_new_files = len(
+        [f for f in os.listdir(os.path.join(path, tmp_name)) if f.endswith(".parquet")]
+    )
+    os.rename(os.path.join(path, part), os.path.join(path, f"_trash_{part}"))
+    os.rename(os.path.join(path, tmp_name), os.path.join(path, part))
+    _recover_partials(path)
+    # same rows (compaction preserves content), now in the compacted layout
+    assert _snapshot_rows(spark, path, "202401") == before
+    data_files = [
+        f
+        for f in os.listdir(os.path.join(path, part))
+        if f.endswith(".parquet")
+    ]
+    assert len(data_files) == n_new_files == 1
+    assert _staging_residue(path) == []
+
+
+def test_swap_crash_injected_mid_flow_through_hadoop_fs(spark, tmpdir, monkeypatch):
+    """End-to-end injection through the real compact_partition flow: the
+    SECOND Hadoop-FS rename throws (executor lost mid-swap).  The next
+    maintenance entry point must recover and then complete its work."""
+    import outpost_spark.logstore.retention as retention_mod
+    from outpost_spark.fsutil import MaintenanceFS
+
+    path = os.path.join(tmpdir, "t")
+    _write_months(spark, path)
+    # fragment the partition so compaction has work to do
+    part_path = os.path.join(path, "month=202401")
+    df = spark.read.parquet(part_path)
+    df.repartition(4).write.mode("overwrite").parquet(os.path.join(tmpdir, "frag"))
+    shutil.rmtree(part_path)
+    os.rename(os.path.join(tmpdir, "frag"), part_path)
+    before = _snapshot_rows(spark, path, "202401")
+
+    real_rename = MaintenanceFS.rename
+    calls = {"n": 0}
+
+    def crashing_rename(self, src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("injected crash: executor lost mid-swap")
+        return real_rename(self, src, dst)
+
+    monkeypatch.setattr(MaintenanceFS, "rename", crashing_rename)
+    with pytest.raises(OSError, match="injected crash"):
+        compact_partition(spark, path, "202401", target_files=1)
+    monkeypatch.setattr(MaintenanceFS, "rename", real_rename)
+    # crashed between the renames: partition dir is gone, trash holds truth
+    assert not os.path.exists(part_path)
+    # the next maintenance run recovers, then compacts successfully
+    n = compact_partition(spark, path, "202401", target_files=1)
+    assert n >= 2  # AQE may coalesce the 4-way fragmentation write
+    assert _snapshot_rows(spark, path, "202401") == before
+    assert _staging_residue(path) == []
