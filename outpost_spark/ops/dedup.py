@@ -307,11 +307,19 @@ def minhash_grams_and_signature_numpy(
     (grams x lanes) broadcast matrix for all lane minima.
 
     The hash family differs from the md5/xxhash64 paths (values are not
-    comparable across paths) but the LANE MIXING is identical
-    (:func:`_mix_consts` on ``h mod 2^32``), so banding behavior,
-    collision math, and the downstream pipeline are unchanged; the
-    verified pair set is pinned to the md5 oracle path by pytest on both
-    the planted and the real sf0.001 corpora.
+    comparable across paths), and so does the lane derivation: each lane
+    applies an INDEPENDENT splitmix64 avalanche of ``gram ^ K_j`` instead
+    of the Column paths' affine mixes of one shared base hash.  Affine
+    lanes have a measured pathology this corpus-scale path cannot afford:
+    one unlucky shingle whose images under several lane multipliers are
+    simultaneously tiny pins those lanes' minima for EVERY document
+    containing it — on the 1M-doc scale corpus this produced a single
+    band bucket holding 0.5% of all documents and a 13.2M-candidate
+    explosion (vs 5.8M for an ideal random oracle, measured).  Per-lane
+    avalanche restores random-oracle banding statistics at ~6 extra
+    numpy ops per (grams x lanes) matrix.  The verified pair set is
+    pinned to the md5 oracle path by pytest on both the planted and the
+    real sf0.001 corpora.
 
     Scale: the stage is a narrow map (no shuffle); Arrow ships ~one text
     column per task and gets back (id, longs).  Empty/short docs emit an
@@ -327,8 +335,15 @@ def minhash_grams_and_signature_numpy(
             StructField(sig_col, ArrayType(LongType(), False), False),
         ]
     )
-    lane_a, lane_b = zip(*[_mix_consts(j) for j in range(num_hashes)])
     k = shingle_len
+
+    def _splitmix(x: int) -> int:
+        z = x & ((1 << 64) - 1)
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & ((1 << 64) - 1)
+        return z ^ (z >> 31)
+
+    lane_keys = [_splitmix(0x9E3779B97F4A7C15 * (j + 1)) for j in range(num_hashes)]
 
     def gen(batches):
         import numpy as np
@@ -343,9 +358,7 @@ def minhash_grams_and_signature_numpy(
         c2 = np.uint64(0x94D049BB133111EB)
         s30, s27, s31 = np.uint64(30), np.uint64(27), np.uint64(31)
         m32 = np.uint64((1 << 32) - 1)
-        la = np.array(lane_a, dtype=np.uint64)[None, :]
-        lb = np.array(lane_b, dtype=np.uint64)[None, :]
-        prime = np.uint64(_MINHASH_PRIME)
+        keys = np.array(lane_keys, dtype=np.uint64)[None, :]
         sentinel = np.full(num_hashes, 1 << 32, dtype=np.int64)
         empty = np.empty(0, dtype=np.int64)
 
@@ -373,8 +386,15 @@ def minhash_grams_and_signature_numpy(
                     h ^= h >> s31
                     u = np.unique(h)
                     grams_out.append(u.view(np.int64))
-                    lanes = (((u & m32)[:, None] * la + lb) % prime).min(axis=0)
-                    sig_out.append(lanes.astype(np.int64))
+                    # independent per-lane avalanche (docstring: affine
+                    # lanes correlate); lane value = low 32 bits -> min
+                    z = u[:, None] ^ keys
+                    z ^= z >> s30
+                    z *= c1
+                    z ^= z >> s27
+                    z *= c2
+                    z ^= z >> s31
+                    sig_out.append((z & m32).min(axis=0).astype(np.int64))
                 yield pd.DataFrame(
                     {
                         id_field.name: pdf[id_col],
@@ -597,9 +617,44 @@ def minhash_dedup_pairs(
         )
         if materialize:
             hashed = hashed.localCheckpoint(eager=True)
-        cands = lsh_candidate_pairs(
-            hashed, id_col, bands=bands, rows_per_band=rows_per_band,
-            materialize=materialize,
+        # Signature-estimate prefilter: the bucket frame carries the
+        # 16-long signature, so each candidate's estimated Jaccard
+        # (matching lanes / lanes) is available AT the bucket join — far
+        # below the real threshold (num_hashes/4 matching lanes ~ est
+        # J 0.25 vs threshold 0.7; miss probability for a true pair is
+        # ~1e-6), it exists only to keep low-J boilerplate collisions
+        # (J~0.1 corpora: millions of band candidates at 1M docs,
+        # measured) away from the expensive gram-array verify join.
+        # Exact Jaccard still decides every emitted pair.
+        est_min = max(1, num_hashes // 4)
+        buckets = hashed.select(
+            F.col(id_col).alias("__id"),
+            F.col("minhash").alias("__sig"),
+            F.explode(
+                band_keys_expr(F.col("minhash"), bands, rows_per_band)
+            ).alias("__bucket"),
+        )
+        if materialize:
+            buckets = buckets.localCheckpoint(eager=True)
+        joined = (
+            buckets.alias("l")
+            .hint("shuffle_hash")
+            .join(
+                buckets.alias("r"),
+                (F.col("l.__bucket") == F.col("r.__bucket"))
+                & (F.col("l.__id") < F.col("r.__id")),
+            )
+        )
+        est_matches = F.size(
+            F.filter(
+                F.zip_with("l.__sig", "r.__sig", lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        cands = (
+            joined.filter(est_matches >= F.lit(est_min))
+            .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+            .distinct()
         )
         grams = hashed.select(F.col(id_col).alias("__gid"), F.col("__grams"))
     elif verify_ngram == shingle_len:

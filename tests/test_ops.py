@@ -127,10 +127,13 @@ def test_dedup_substrings_global(spark):
 
 
 def test_minhash_fast_path_pairset_equality_on_real_corpus(spark, sf_dir):
-    """Pin the production path to the oracle-checked one on REAL data:
-    md5 and xxhash64 runs with the catalog's exact parameters must return
-    the identical verified pair set (not just recall on planted
-    fixtures) on the sf0.001 documents table."""
+    """Pin the production paths to the oracle-checked one on REAL data:
+    xxhash64 AND the numpy-stage path (the catalog's
+    dedup_minhash_lsh_pairs_fast configuration) must return the identical
+    verified pair set as md5 (not just recall on planted fixtures) on the
+    sf0.001 documents table.  The numpy path's jaccard values must ALSO
+    match exactly — both verify over distinct-gram sets, so any drift
+    means its character shingling diverged from substring semantics."""
     import os as _os
 
     docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).select(
@@ -149,6 +152,13 @@ def test_minhash_fast_path_pairset_equality_on_real_corpus(spark, sf_dir):
         ).collect()
     }
     assert {(a, b) for a, b, _ in fast_pairs} == {(a, b) for a, b, _ in md5_pairs}
+    numpy_pairs = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_dedup_pairs(
+            docs, "doc_id", "text", hash_fn="numpy", **kw
+        ).collect()
+    }
+    assert numpy_pairs == md5_pairs
     assert md5_pairs  # the corpus plants real near-dups — non-vacuous
     # verified Jaccard agrees across base hashes (same gram sets up to
     # hash identity; scores rounded to 6dp on both paths)
