@@ -239,6 +239,136 @@ def doc_cases(spark, path: str):
     }
 
 
+def routing_stream_case(
+    spark, root: str, *, n_batches: int = 6, events_per_batch: int = 100_000
+):
+    """Sustained micro-batch routing throughput (amortized-plan events/s).
+
+    The batch entry ``routing_match_fanout`` times ONE query including
+    plan compile; the streaming claim is that ``make_routing_sink``
+    amortizes that per micro-batch.  This measures it: a real Structured
+    Streaming file source delivers one 100k-event file per trigger into
+    ``make_routing_sink`` (per-batch destination reload + filter
+    recompile, zero-Python compiled_static plan).  Batch 0 pays Python
+    worker + codegen warm-up; the sustained figure is batches 1+.
+
+    Returns (sustained_events_per_sec, total_routed_rows, per_batch_secs).
+    """
+    import shutil
+
+    from outpost_spark.streaming.pipeline import make_routing_sink
+
+    evdir = os.path.join(root, "routing_stream_events")
+    ddir = os.path.join(root, "routing_stream_dests")
+    ckpt = os.path.join(root, "routing_stream_ckpt")
+    for d in (evdir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(evdir)
+
+    n_tenants = 1000
+    topic_arr = F.array(*[F.lit(t) for t in TOPICS])
+
+    def ev_frame(b: int):
+        return spark.range(events_per_batch).select(
+            F.concat(F.lit(f"evt_{b}_"), F.col("id")).alias("event_id"),
+            (F.col("id") % n_tenants).cast("string").alias("tenant_id"),
+            F.element_at(topic_arr, (F.col("id") % 3 + 1).cast("int")).alias("topic"),
+            F.lit(JAN).alias("event_time"),
+            F.create_map(F.lit("source"), F.lit("bench")).alias("metadata"),
+            F.concat(
+                F.lit('{"value": '), (F.col("id") % 100).cast("string"), F.lit("}")
+            ).alias("data"),
+        )
+
+    # one parquet FILE per micro-batch (maxFilesPerTrigger=1)
+    stage = os.path.join(root, "routing_stream_stage")
+    for b in range(n_batches):
+        shutil.rmtree(stage, ignore_errors=True)
+        ev_frame(b).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(os.path.join(stage, part), os.path.join(evdir, f"batch_{b}.parquet"))
+    shutil.rmtree(stage, ignore_errors=True)
+
+    # destination corpus: same shape as the routing_match_fanout entry —
+    # one exact-topic destination per (tenant, topic), a '*' wildcard
+    # disabled for even tenants, a '*' destination gated by a compiled
+    # JSON filter matching one topic (1/3 of events)
+    tenants = spark.range(n_tenants).select(F.col("id").cast("string").alias("tenant_id"))
+    nulls = [
+        F.lit(None).cast("string").alias("filter"),
+        F.lit(None).cast("timestamp").alias("disabled_at"),
+    ]
+    d_exact = (
+        tenants.crossJoin(spark.createDataFrame([(t,) for t in TOPICS], "topic string"))
+        .select(
+            F.concat(F.lit("d_"), F.col("topic")).alias("id"),
+            "tenant_id",
+            F.lit("webhook").alias("type"),
+            F.array(F.col("topic")).alias("topics"),
+            *nulls,
+        )
+    )
+    d_wild = tenants.select(
+        F.lit("d_wild").alias("id"),
+        "tenant_id",
+        F.lit("webhook").alias("type"),
+        F.array(F.lit("*")).alias("topics"),
+        F.lit(None).cast("string").alias("filter"),
+        F.when(
+            F.col("tenant_id").cast("bigint") % 2 == 0, F.lit(JAN)
+        ).alias("disabled_at"),
+    )
+    d_filtered = tenants.select(
+        F.lit("d_filtered").alias("id"),
+        "tenant_id",
+        F.lit("webhook").alias("type"),
+        F.array(F.lit("*")).alias("topics"),
+        F.lit(f'{{"topic": "{TOPICS[2]}"}}').alias("filter"),
+        F.lit(None).cast("timestamp").alias("disabled_at"),
+    )
+    d_exact.unionByName(d_wild).unionByName(d_filtered).write.mode(
+        "overwrite"
+    ).parquet(ddir)
+
+    marks: list[tuple[int, float, int]] = []
+
+    def process(routed, batch_id: int) -> None:
+        n = routed.count()
+        marks.append((batch_id, time.perf_counter(), n))
+
+    schema = (
+        "event_id string, tenant_id string, topic string, event_time timestamp,"
+        " metadata map<string,string>, data string"
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(evdir)
+    )
+    t_start = time.perf_counter()
+    q = (
+        src.writeStream.foreachBatch(
+            make_routing_sink(lambda s: s.read.parquet(ddir), process)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    marks.sort()
+    per_batch = [
+        round(t - (marks[i - 1][1] if i else t_start), 3)
+        for i, (_, t, _) in enumerate(marks)
+    ]
+    total_routed = sum(n for _, _, n in marks)
+    sustained = (
+        events_per_batch * (len(marks) - 1) / (marks[-1][1] - marks[0][1])
+        if len(marks) > 1
+        else 0.0
+    )
+    return round(sustained), total_routed, per_batch
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", 10_000_000)))
@@ -278,6 +408,16 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"{name}: {timings[name]}s ({rows_out[name]} rows)", file=sys.stderr)
 
+    t0 = time.perf_counter()
+    sustained, routed_rows, per_batch = routing_stream_case(spark, root)
+    timings["RoutingStreamSustained"] = round(time.perf_counter() - t0, 4)
+    rows_out["RoutingStreamSustained"] = routed_rows
+    print(
+        f"RoutingStreamSustained: {sustained} events/s (batches 1+;"
+        f" per-batch secs {per_batch})",
+        file=sys.stderr,
+    )
+
     result = {
         "metric": "scale_bench_total",
         "value": round(sum(timings.values()), 4),
@@ -287,6 +427,8 @@ def main() -> None:
         "events": args.events,
         "attempt_rows": n_rows,
         "doc_rows": args.docs,
+        "routing_stream_events_per_sec": sustained,
+        "routing_stream_per_batch_secs": per_batch,
         "cpus": int(cpus),
     }
     line = json.dumps(result)
