@@ -239,6 +239,125 @@ def doc_cases(spark, path: str):
     }
 
 
+def generate_embedding_corpus(spark, path: str, n_vecs: int, dims: int = 64) -> None:
+    """Deterministic 1M-scale embedding corpus with planted near-dup
+    clusters, pure-Column generation (xxhash64-derived pseudo-randoms).
+
+    Layout: ids < n_vecs/10 are clustered — ids (2c, 2c+1) share base
+    vector c with per-member noise ±0.05/dim (cosine ≈ 0.9975, well above
+    the 0.95 dedup threshold); the rest are independent uniform [-1,1]
+    vectors (random 64-dim cosines concentrate near 0, so cross-pair
+    false positives are ~impossible).  Planted ground truth: exactly
+    n_vecs/20 near-dup pairs, partner(id) = id XOR 1.
+    """
+    n_clustered = n_vecs // 10
+    dim_seq = F.sequence(F.lit(1), F.lit(dims))
+    base_seed = F.when(F.col("id") < n_clustered, F.floor(F.col("id") / 2) + n_vecs).otherwise(
+        F.col("id")
+    )
+
+    def u(seed_col, d, mod, scale, shift):
+        return (
+            F.pmod(F.xxhash64(F.lit("embcorpus"), seed_col, d), F.lit(mod)) / scale
+            + shift
+        )
+
+    emb = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            dim_seq,
+            lambda d: (
+                u(base_seed, d, 2000, 1000.0, -1.0)
+                + F.when(
+                    F.col("id") < n_clustered,
+                    u(F.col("id"), d + 100000, 100, 1000.0, -0.05),
+                ).otherwise(F.lit(0.0))
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    emb.write.mode("overwrite").parquet(path)
+
+
+def embedding_cases(spark, path: str, recall_out: dict):
+    """1M-embedding ANN/semantic-dedup operators at scale: BLAS-backed
+    bulk paths (ivf_assign_bulk + per-list applyInPandas scoring).
+
+    Planted recall is measured EXACTLY against the XOR-1 ground truth and
+    recorded in ``recall_out``; nprobe=4 (measured curve at 100k:
+    nprobe 2/4/8 -> knn recall@1 98.1/99.9/100 %, semantic-dedup removal
+    99.2/99.98/— % — the standard IVF compute-for-recall dial).  The
+    assertions bound recall (>=99 % knn, >=99.5 % dedup) and require
+    EXACT precision (a removed singleton or a non-partner rank-1 hit at
+    cosine>=0.95 would mean a scoring bug, not an IVF miss)."""
+    from outpost_spark.ops.similarity import knn_join_bulk, semantic_dedup_bulk
+
+    emb = spark.read.parquet(path)
+    n_vecs = emb.count()
+    n_clustered = n_vecs // 10
+    # centroids: every ~707th singleton (deterministic, K ~ sqrt(N·nprobe))
+    n_cents = max(64, int((2 * n_vecs) ** 0.5) // 2)
+    stride = max(1, (n_vecs - n_clustered) // n_cents)
+    cents = [
+        list(r["v"])
+        for r in emb.filter(
+            (F.col("vec_id") >= n_clustered)
+            & ((F.col("vec_id") - n_clustered) % stride == 0)
+        )
+        .orderBy("vec_id")
+        .limit(n_cents)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    ]
+
+    def knn_case():
+        knn = knn_join_bulk(emb, "embedding", cents, k=5, nprobe=4)
+        # recall@1 + precision in the same job as the row count
+        agg = knn.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(
+                (
+                    (F.col("src_id") < n_clustered)
+                    & (F.col("rank") == 1)
+                    & (F.col("neighbor_id") == F.col("src_id").bitwiseXOR(F.lit(1)))
+                ).cast("long")
+            ).alias("hits"),
+            F.sum(
+                (
+                    (F.col("rank") == 1)
+                    & (F.col("score") >= 0.95)
+                    & (F.col("neighbor_id") != F.col("src_id").bitwiseXOR(F.lit(1)))
+                ).cast("long")
+            ).alias("false_strong"),
+        ).collect()[0]
+        recall_out["knn_recall_at_1"] = round(agg["hits"] / n_clustered, 5)
+        if agg["hits"] < 0.99 * n_clustered:
+            raise AssertionError(f"recall@1 {agg['hits']}/{n_clustered} < 99%")
+        if agg["false_strong"]:
+            raise AssertionError(
+                f"{agg['false_strong']} non-partner rank-1 hits at cosine>=0.95"
+            )
+        return agg["rows"]
+
+    def semdedup_case():
+        survivors = semantic_dedup_bulk(
+            emb, "embedding", cents, threshold=0.95, nprobe=4
+        )
+        agg = survivors.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("vec_id") >= n_clustered).cast("long")).alias("singletons"),
+        ).collect()[0]
+        removed = n_vecs - agg["n"]
+        planted = n_clustered // 2
+        recall_out["semdedup_removed_frac"] = round(removed / planted, 5)
+        if agg["singletons"] != n_vecs - n_clustered:
+            raise AssertionError("semantic dedup removed a non-planted singleton")
+        if not 0.995 * planted <= removed <= planted:
+            raise AssertionError(f"removed {removed}, planted {planted}")
+        return agg["n"]
+
+    return {"KnnJoinBulk": knn_case, "SemanticDedupBulk": semdedup_case}
+
+
 def routing_stream_case(
     spark, root: str, *, n_batches: int = 6, events_per_batch: int = 100_000
 ):
@@ -408,6 +527,20 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"{name}: {timings[name]}s ({rows_out[name]} rows)", file=sys.stderr)
 
+    n_emb = int(os.environ.get("SPARK_GRAFT_SCALE_EMBEDDINGS", 1_000_000))
+    epath = os.path.join(root, f"embeddings_{n_emb}")
+    if not os.path.exists(os.path.join(epath, "_SUCCESS")):
+        t0 = time.perf_counter()
+        generate_embedding_corpus(spark, epath, n_emb)
+        print(f"embeddings generated in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    recall: dict = {}
+    for name, thunk in embedding_cases(spark, epath, recall).items():
+        t0 = time.perf_counter()
+        rows_out[name] = thunk()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"{name}: {timings[name]}s ({rows_out[name]} rows)", file=sys.stderr)
+    print(f"embedding planted recall: {recall}", file=sys.stderr)
+
     t0 = time.perf_counter()
     sustained, routed_rows, per_batch = routing_stream_case(spark, root)
     timings["RoutingStreamSustained"] = round(time.perf_counter() - t0, 4)
@@ -429,6 +562,8 @@ def main() -> None:
         "doc_rows": args.docs,
         "routing_stream_events_per_sec": sustained,
         "routing_stream_per_batch_secs": per_batch,
+        "embedding_rows": n_emb,
+        "embedding_planted_recall": recall,
         "cpus": int(cpus),
     }
     line = json.dumps(result)

@@ -32,10 +32,15 @@ from pyspark.sql import functions as F
 from outpost_spark.ops.dedup import (
     dedup_keep_canonical,
     dedup_paragraphs,
+    dedup_substrings,
     minhash_dedup_pairs,
 )
 from outpost_spark.ops.sampling import hash_split
-from outpost_spark.ops.text import language_id_expr, quality_score_expr
+from outpost_spark.ops.text import (
+    language_id_expr,
+    normalize_url_expr,
+    quality_score_expr,
+)
 
 DEFAULT_SPLITS = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
 DEFAULT_LANGS = ("en", "de", "fr", "es")
@@ -77,6 +82,76 @@ def curate_corpus(
     # exact canonical: min id per content digest.  The window shuffles the
     # surviving rows once by digest — text moves exactly once, and only
     # for documents that passed the gates.
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    exact = (
+        base.withColumn("__cmin", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__cmin"))
+        .drop("__cmin")
+    )
+    pairs = minhash_dedup_pairs(
+        exact, id_col, text_col, threshold=near_dup_threshold, hash_fn=hash_fn
+    )
+    survivors = dedup_keep_canonical(exact, pairs, id_col)
+    return hash_split(
+        survivors, id_col, splits or DEFAULT_SPLITS, seed=split_seed, hash_fn=hash_fn
+    ).select(id_col, "split")
+
+
+def curate_corpus_v3(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str | None = None,
+    quality_min: float = 0.5,
+    langs: tuple[str, ...] = DEFAULT_LANGS,
+    paragraph_sep: str = "\n",
+    substring_window: int = 40,
+    substring_stride: int = 1,
+    near_dup_threshold: float = 0.7,
+    splits: list[tuple[str, float]] | None = None,
+    split_seed: str = "curate",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """The full modern curation ordering — coarse-to-fine dedup
+    granularity, each stage shrinking the next stage's input:
+
+    URL dedup -> quality gate -> language gate -> global paragraph dedup
+    -> global substring dedup -> exact dedup -> MinHash near-dup collapse
+    -> split assignment.
+
+    Ordering rationale: URL dedup runs FIRST (the crawl-frontier step —
+    it needs no text, so duplicated fetches never even pay the gates);
+    paragraph dedup strips shared boilerplate so substring dedup sees it
+    once; substring dedup (Lee et al. granularity) cuts sub-paragraph
+    repetition so near-dup signatures are computed over genuinely novel
+    text; exact + MinHash run last on the strictly smallest corpus.
+    Documents emptied by paragraph or substring cutting drop out.
+
+    Returns (id_col, split) for the kept corpus.
+    """
+    base = docs
+    if url_col is not None:
+        uw = Window.partitionBy(normalize_url_expr(F.col(url_col)))
+        base = (
+            base.withColumn("__umin", F.min(id_col).over(uw))
+            .filter(F.col(id_col) == F.col("__umin"))
+            .drop("__umin")
+        )
+    base = base.filter(
+        (quality_score_expr(F.col(text_col)) >= quality_min)
+        & (language_id_expr(F.col(text_col)).isin(*langs))
+    ).select(id_col, text_col)
+    cleaned = dedup_paragraphs(base, text_col, id_col, sep=paragraph_sep)
+    base = cleaned.filter(F.col("text_clean") != "").select(
+        F.col(id_col), F.col("text_clean").alias(text_col)
+    )
+    cut = dedup_substrings(
+        base, text_col, id_col, window=substring_window, stride=substring_stride
+    )
+    base = cut.filter(F.col("text_clean") != "").select(
+        F.col(id_col), F.col("text_clean").alias(text_col)
+    )
     w = Window.partitionBy(F.md5(F.col(text_col)))
     exact = (
         base.withColumn("__cmin", F.min(id_col).over(w))

@@ -623,6 +623,7 @@ def semantic_dedup(
     nprobe: int = 2,
     score_decimals: int = 6,
     assign_col: str | None = None,
+    candidate_k: int | None = None,
 ) -> DataFrame:
     """Semantic dedup survivors (SemDeDup, Abbas et al. 2023 shape):
     cluster embedding near-dups (IVF-blocked pairs above ``threshold``,
@@ -633,20 +634,308 @@ def semantic_dedup(
     sparse relative to the corpus, components run on pairs only, and the
     survivor filter is a left-anti join against the small losers set.
     Returns the surviving ids (one column, ``id_col``).
+
+    ``candidate_k`` selects the alternative candidate generator: the
+    batched k-NN join's per-source top-k (``score >= threshold``)
+    instead of ALL in-list pairs above threshold.  Top-k bounds the pair
+    frame per node — the safety valve when a corpus has mega-clusters
+    (c copies -> c·k rows instead of c²/2) at the cost of possibly
+    splitting a component whose diameter exceeds the k-NN graph (the
+    transitive closure still merges anything connected through top-k
+    edges).  ``semantic_dedup_bulk`` is the corpus-scale twin.
     """
     from outpost_spark.ops.dedup import dedup_keep_canonical
 
-    pairs = embedding_near_dup_pairs_ivf(
-        df,
-        vec_col,
-        centroids,
-        id_col=id_col,
-        threshold=threshold,
-        nprobe=nprobe,
-        score_decimals=score_decimals,
-        assign_col=assign_col,
-    )
+    if candidate_k is not None:
+        knn = knn_join(
+            df,
+            vec_col,
+            centroids,
+            id_col=id_col,
+            k=candidate_k,
+            nprobe=nprobe,
+            score_decimals=score_decimals,
+            assign_col=assign_col,
+        )
+        pairs = (
+            knn.filter(F.col("score") >= threshold)
+            .select(
+                F.least("src_id", "neighbor_id").alias("id_a"),
+                F.greatest("src_id", "neighbor_id").alias("id_b"),
+            )
+            .distinct()
+        )
+    else:
+        pairs = embedding_near_dup_pairs_ivf(
+            df,
+            vec_col,
+            centroids,
+            id_col=id_col,
+            threshold=threshold,
+            nprobe=nprobe,
+            score_decimals=score_decimals,
+            assign_col=assign_col,
+        )
     return dedup_keep_canonical(df.select(id_col), pairs, id_col)
+
+
+def ivf_assign_bulk(
+    df: DataFrame,
+    vec_col: str,
+    centroids,
+    *,
+    id_col: str = "vec_id",
+    nprobe: int = 1,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """BLAS-backed IVF assignment: (id, vector, top-``nprobe`` list ids)
+    in one Arrow-batched ``mapInPandas`` pass.
+
+    The literal-SQL centroid scorers (:func:`assign_ivf_sql`) are the
+    right tool up to a few dozen centroids — each centroid is a plan-time
+    constant and Catalyst folds its norm.  A corpus-scale IVF needs
+    K ~ sqrt(N·nprobe) lists (1M vectors -> ~1400) to bound list sizes,
+    where per-row interpreted scoring is O(K·dim) and the generated SQL
+    text itself becomes the bottleneck.  Here each Arrow batch computes
+    ALL assignments as one (batch x K) matrix product — the FAISS shape,
+    ~100x the interpreted throughput at K=1400.
+
+    Selection is deterministic: scores round to ``score_decimals`` and
+    ties break to the LOWEST centroid id (the same contract as
+    ``assign_ivf_expr``), via an integer composite key.
+
+    Output: (id_col, ``__v`` array<double>, ``__cids`` array<int>,
+    ``__cids[0]`` is the assignment list).  ids must be integral.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cmat = [[float(x) for x in c] for c in centroids]
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("__v", ArrayType(DoubleType(), False), False),
+            StructField("__cids", ArrayType(IntegerType(), False), False),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cmat, dtype=np.float64)
+        cn = np.linalg.norm(C, axis=1)
+        cn[cn == 0] = 1.0
+        Cn = (C / cn[:, None]).T  # (dim, K)
+        K = C.shape[0]
+        scale = 10.0**score_decimals
+        take = min(nprobe, K)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+            vn = np.linalg.norm(V, axis=1)
+            nz = vn.copy()
+            nz[nz == 0] = 1.0
+            S = (V / nz[:, None]) @ Cn
+            S[vn == 0] = 0.0
+            # composite int key: rounded score desc, centroid id asc
+            comp = np.rint(S * scale).astype(np.int64) * (K + 1) - np.arange(K)
+            if take < K:
+                part = np.argpartition(-comp, take - 1, axis=1)[:, :take]
+                order = np.take_along_axis(-comp, part, axis=1).argsort(axis=1)
+                cids = np.take_along_axis(part, order, axis=1)
+            else:
+                cids = (-comp).argsort(axis=1)[:, :take]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "__v": list(V),
+                    "__cids": list(cids.astype(np.int32)),
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    return src.mapInPandas(gen, out_schema)
+
+
+def _bulk_scored_pairs(
+    assigned: DataFrame,
+    *,
+    id_col: str,
+    per_list_k: int | None = None,
+    threshold: float | None = None,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Per-list BLAS scoring over an :func:`ivf_assign_bulk` frame.
+
+    Each IVF list becomes one ``applyInPandas`` group holding its member
+    vectors (role 't': assignment list = ``__cids[0]``) and every vector
+    probing it (role 's': all ``nprobe`` lists); the group computes one
+    (sources x members) matrix product and emits either every pair with
+    ``score >= threshold`` or each source's top ``per_list_k`` members.
+    All O(N·nprobe·listsize·dim) flops run in BLAS; only (sid, tid,
+    score) candidate rows leave Python.
+
+    Scale: a group is one list (~N/K vectors) plus its probers
+    (~N·nprobe/K) — bounded by construction; hot lists are the standard
+    AQE skew case, and at extreme skew the answer is more centroids.
+    """
+    if (per_list_k is None) == (threshold is None):
+        raise ValueError("exactly one of per_list_k / threshold required")
+
+    union = assigned.select(
+        F.explode("__cids").alias("__cid"),
+        F.lit("s").alias("__role"),
+        F.col(id_col),
+        F.col("__v"),
+    ).unionByName(
+        assigned.select(
+            F.col("__cids")[0].alias("__cid"),
+            F.lit("t").alias("__role"),
+            F.col(id_col),
+            F.col("__v"),
+        )
+    )
+
+    def score_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        t = pdf[pdf["__role"] == "t"]
+        s = pdf[pdf["__role"] == "s"]
+        if not len(t) or not len(s):
+            return pd.DataFrame({"__sid": [], "__tid": [], "score": []}).astype(
+                {"__sid": "int64", "__tid": "int64", "score": "float64"}
+            )
+        T = np.vstack([np.asarray(v, dtype=np.float64) for v in t["__v"]])
+        S = np.vstack([np.asarray(v, dtype=np.float64) for v in s["__v"]])
+        tn = np.linalg.norm(T, axis=1)
+        sn = np.linalg.norm(S, axis=1)
+        tz, sz = tn.copy(), sn.copy()
+        tz[tz == 0] = 1.0
+        sz[sz == 0] = 1.0
+        M = (S / sz[:, None]) @ (T / tz[:, None]).T
+        M[sn == 0, :] = 0.0
+        M[:, tn == 0] = 0.0
+        M = np.round(M, score_decimals)
+        sids = s[id_col].to_numpy()
+        tids = t[id_col].to_numpy()
+        self_mask = sids[:, None] == tids[None, :]
+        if threshold is not None:
+            keep = (M >= threshold) & ~self_mask
+            si, ti = np.nonzero(keep)
+        else:
+            take = min(per_list_k, M.shape[1])
+            # composite key: score desc, neighbor id asc (deterministic)
+            comp = np.rint(M * 10.0**score_decimals).astype(np.int64) * len(
+                tids
+            ) - np.argsort(np.argsort(tids))
+            # min+1, NOT min: argpartition runs on -comp, and -int64.min
+            # overflows back to int64.min — the self row would then rank
+            # FIRST and silently steal a top-k slot before the ok-filter
+            comp[self_mask] = np.iinfo(np.int64).min + 1
+            idx = np.argpartition(-comp, take - 1, axis=1)[:, :take]
+            si = np.repeat(np.arange(len(sids)), take)
+            ti = idx.ravel()
+            ok = ~self_mask[si, ti]
+            si, ti = si[ok], ti[ok]
+        return pd.DataFrame(
+            {"__sid": sids[si], "__tid": tids[ti], "score": M[si, ti]}
+        )
+
+    return union.groupBy("__cid").applyInPandas(
+        score_group, "__sid long, __tid long, score double"
+    )
+
+
+def knn_join_bulk(
+    df: DataFrame,
+    vec_col: str,
+    centroids,
+    *,
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 2,
+    score_decimals: int = 6,
+    materialize: bool = True,
+) -> DataFrame:
+    """Corpus-scale batched k-NN join: :func:`knn_join` semantics with
+    BLAS assignment + per-list matrix scoring (see :func:`ivf_assign_bulk`
+    / :func:`_bulk_scored_pairs`).  The global top-k window still sees
+    (sid, tid, score) rows only; per-list top-k pre-truncation bounds its
+    input to ``nprobe·k`` rows per source.
+
+    Output: (src_id, neighbor_id, score, rank) — same shape as
+    :func:`knn_join` / :func:`knn_join_brute`.
+    """
+    assigned = ivf_assign_bulk(
+        df, vec_col, centroids, id_col=id_col, nprobe=nprobe,
+        score_decimals=score_decimals,
+    )
+    if materialize:
+        assigned = assigned.localCheckpoint(eager=True)
+    scored = _bulk_scored_pairs(
+        assigned, id_col=id_col, per_list_k=k, score_decimals=score_decimals
+    ).dropDuplicates(["__sid", "__tid"])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__sid").orderBy(F.col("score").desc(), F.col("__tid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__sid").alias("src_id"),
+            F.col("__tid").alias("neighbor_id"),
+            "score",
+            "rank",
+        )
+    )
+
+
+def semantic_dedup_bulk(
+    df: DataFrame,
+    vec_col: str,
+    centroids,
+    *,
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    nprobe: int = 2,
+    score_decimals: int = 6,
+    materialize: bool = True,
+) -> DataFrame:
+    """Corpus-scale :func:`semantic_dedup`: IVF-blocked near-dup pairs via
+    the BLAS per-list scorer, then the same components + min-id survivor
+    selection.  Returns surviving ids (one column, ``id_col``)."""
+    from outpost_spark.ops.dedup import dedup_keep_canonical
+
+    assigned = ivf_assign_bulk(
+        df, vec_col, centroids, id_col=id_col, nprobe=nprobe,
+        score_decimals=score_decimals,
+    )
+    if materialize:
+        assigned = assigned.localCheckpoint(eager=True)
+    pairs = (
+        _bulk_scored_pairs(
+            assigned, id_col=id_col, threshold=threshold,
+            score_decimals=score_decimals,
+        )
+        .select(
+            F.least("__sid", "__tid").alias("id_a"),
+            F.greatest("__sid", "__tid").alias("id_b"),
+        )
+        .distinct()
+    )
+    return dedup_keep_canonical(assigned.select(id_col), pairs, id_col)
 
 
 def embedding_near_dup_pairs(

@@ -2202,7 +2202,9 @@ def _build_langid_sql() -> str:
 _REGISTRY["text_language_id"] = (_REGISTRY["text_language_id"][0], _build_langid_sql())
 
 
-def _build_curate_sql(paragraphs: bool = False) -> str:
+def _build_curate_sql(
+    paragraphs: bool = False, substrings: bool = False, url: bool = False
+) -> str:
     """Composed oracle for pipeline_curate_corpus: quality + language gates
     (formulas identical to text_quality_score / text_language_id), exact
     dedup window, the near-dup pair graph + components over the deduped
@@ -2212,7 +2214,13 @@ def _build_curate_sql(paragraphs: bool = False) -> str:
     stage (same CTE structure as dedup_paragraphs_global, over the gated
     set g) runs between the gates and exact dedup, documents are rebuilt
     from surviving paragraphs, and emptied documents drop out — mirroring
-    ``curate_corpus(paragraph_sep=...)``."""
+    ``curate_corpus(paragraph_sep=...)``.
+
+    ``substrings=True`` adds the global substring-dedup stage (the
+    dedup_substrings_global CTE structure over the paragraph-rebuilt
+    docs) and ``url=True`` prepends URL-level dedup on the deterministic
+    url derivation of the v3 entry — together the v3 oracle mirroring
+    ``curate_corpus_v3``."""
     from outpost_spark.ops.text import STOPWORDS
 
     hit_cols = ",\n             ".join(
@@ -2238,6 +2246,42 @@ def _build_curate_sql(paragraphs: bool = False) -> str:
            ) / 4.0, 6)"""
     frac = _HASH_FRAC_SQL.format(seed="curate")
     src_text = "replace(text, ' table ', chr(10))" if paragraphs else "text"
+    t0_from = "documents"
+    url_ctes = ""
+    if url:
+        url_ctes = r"""
+    u0 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 20 < 2 THEN doc_id - (doc_id % 20) ELSE doc_id END AS pg
+      FROM documents
+    ),
+    u1 AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'https://www.example.com/page/' || CAST(pg AS VARCHAR) || '?utm_source=feed'
+               WHEN 1 THEN 'http://example.com/page/' || CAST(pg AS VARCHAR) || '/'
+               ELSE 'HTTPS://Example.COM/page/' || CAST(pg AS VARCHAR) || '#frag'
+             END AS url
+      FROM u0
+    ),
+    u2 AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   lower(regexp_replace(regexp_replace(url, '#.*$', ''), '\?.*$', '')),
+                   '^https?://', ''),
+                 '^www\.', ''),
+               '/+$', '') AS cu
+      FROM u1
+    ),
+    ukeep AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY cu) AS m FROM u2) uu
+      WHERE doc_id = m
+    ),
+    usrc AS (SELECT d.* FROM documents d JOIN ukeep USING (doc_id)),"""
+        t0_from = "usrc"
     para_ctes = ""
     x_src = "g"
     if paragraphs:
@@ -2262,7 +2306,7 @@ def _build_curate_sql(paragraphs: bool = False) -> str:
       WHERE ph.doc_id = pf1.fd AND ph.pos = pf2.fp
     ),
     pks AS (SELECT doc_id, list_sort(list(pos)) AS keep FROM pkept GROUP BY doc_id),
-    pdx AS (
+    pdx AS MATERIALIZED (
       SELECT doc_id, text FROM (
         SELECT p0.doc_id,
                coalesce(array_to_string(
@@ -2272,9 +2316,46 @@ def _build_curate_sql(paragraphs: bool = False) -> str:
       WHERE text <> ''
     ),"""
         x_src = "pdx"
+    sub_ctes = ""
+    if substrings:
+        if not paragraphs:
+            raise ValueError("substrings stage composes onto the paragraph stage")
+        sub_ctes = """
+    sw AS MATERIALIZED (
+      SELECT doc_id, CAST(i AS INT) AS pos, md5(substr(text, CAST(i AS INT), 40)) AS h
+      FROM pdx, unnest(range(1, greatest(length(text) - 40 + 1, 0) + 1)) AS t(i)
+    ),
+    sg1 AS (SELECT h, min(doc_id) AS fd FROM sw GROUP BY h),
+    sg2 AS (SELECT sw.h, min(sw.pos) AS fp
+            FROM sw JOIN sg1 ON sw.h = sg1.h AND sw.doc_id = sg1.fd GROUP BY sw.h),
+    srem AS (
+      SELECT DISTINCT sw.doc_id, CAST(p AS INT) AS p
+      FROM sw JOIN sg1 ON sw.h = sg1.h JOIN sg2 ON sw.h = sg2.h,
+           unnest(range(sw.pos, sw.pos + 40)) AS u(p)
+      WHERE NOT (sw.doc_id = sg1.fd AND sw.pos = sg2.fp)
+    ),
+    schars AS (
+      SELECT doc_id, CAST(i AS INT) AS i, substr(text, CAST(i AS INT), 1) AS ch
+      FROM pdx, unnest(range(1, length(text) + 1)) AS t(i)
+    ),
+    skept AS (
+      SELECT c.doc_id, c.i, c.ch
+      FROM schars c LEFT JOIN srem r ON c.doc_id = r.doc_id AND c.i = r.p
+      WHERE r.doc_id IS NULL
+    ),
+    sagg AS (
+      SELECT doc_id, string_agg(ch, '' ORDER BY i) AS text
+      FROM skept GROUP BY doc_id
+    ),
+    sdx AS MATERIALIZED (
+      SELECT p.doc_id, coalesce(s.text, '') AS text
+      FROM pdx p LEFT JOIN sagg s ON p.doc_id = s.doc_id
+      WHERE coalesce(s.text, '') <> ''
+    ),"""
+        x_src = "sdx"
     return rf"""
-    WITH RECURSIVE t0 AS (
-      SELECT doc_id, {src_text} AS text FROM documents
+    WITH RECURSIVE{url_ctes} t0 AS (
+      SELECT doc_id, {src_text} AS text FROM {t0_from}
     ),
     t1 AS (
       SELECT doc_id, text,
@@ -2290,12 +2371,12 @@ def _build_curate_sql(paragraphs: bool = False) -> str:
              {hit_cols}
       FROM t1
     ),
-    g AS (
+    g AS MATERIALIZED (
       SELECT doc_id, text FROM h
       WHERE {quality} >= 0.5
         AND ({lang_case}) IN ('en', 'de', 'fr', 'es')
-    ),{para_ctes}
-    x AS (
+    ),{para_ctes}{sub_ctes}
+    x AS MATERIALIZED (
       SELECT doc_id, text FROM (
         SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS cmin
         FROM {x_src}) tx
@@ -2341,6 +2422,52 @@ def pipeline_curate_corpus_v2(spark, sf_dir):
 _REGISTRY["pipeline_curate_corpus_v2"] = (
     _REGISTRY["pipeline_curate_corpus_v2"][0],
     _build_curate_sql(paragraphs=True),
+)
+
+
+@_register("pipeline_curate_corpus_v3", None)  # composed SQL attached below
+def pipeline_curate_corpus_v3(spark, sf_dir):
+    """The full modern curation ordering as ONE oracle-checked plan:
+    URL dedup (crawl frontier — before any text is read) -> quality gate
+    -> language gate -> global paragraph dedup -> global substring dedup
+    (Lee et al. 40-char windows) -> exact dedup -> MinHash near-dup
+    collapse -> 90/5/5 split.  The corpus has no URL column, so a
+    deterministic one is derived with ~10 % of documents sharing a
+    resource across scheme/www/case/query/fragment variants (every
+    normalization rule does real work); paragraph breaks derive as in
+    v2.  Coarse-to-fine granularity: each dedup stage strictly shrinks
+    the next stage's input."""
+    from outpost_spark.ops.pipeline import curate_corpus_v3
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace(F.col("text"), " table ", "\n")
+    )
+    pg = (
+        F.when(
+            F.col("doc_id") % 20 < 2, F.col("doc_id") - (F.col("doc_id") % 20)
+        )
+        .otherwise(F.col("doc_id"))
+        .cast("string")
+    )
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("https://www.example.com/page/"), pg, F.lit("?utm_source=feed")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("http://example.com/page/"), pg, F.lit("/")),
+        )
+        .otherwise(F.concat(F.lit("HTTPS://Example.COM/page/"), pg, F.lit("#frag")))
+    )
+    return curate_corpus_v3(
+        docs.withColumn("url", url), url_col="url", paragraph_sep="\n"
+    )
+
+
+_REGISTRY["pipeline_curate_corpus_v3"] = (
+    _REGISTRY["pipeline_curate_corpus_v3"][0],
+    _build_curate_sql(paragraphs=True, substrings=True, url=True),
 )
 
 

@@ -1265,6 +1265,80 @@ def test_semantic_dedup_collapses_planted_clusters(vectors):
     assert loose == {0, 2, 4}
 
 
+def test_knn_join_bulk_matches_brute_when_probing_everything(vectors):
+    """The BLAS-backed bulk path degenerates to exact when nprobe = nlist
+    — it must reproduce the brute-force top-k (ids, rounded scores,
+    ranks) for every source row."""
+    from outpost_spark.ops.similarity import knn_join_brute, knn_join_bulk
+
+    cents = [[1.0, 0.0, 0.5, 0.2] * 16, [-1.0, 0.3, -0.5, 0.1] * 16, [0.0, 1.0, -1.0, 0.7] * 16]
+    brute = {
+        (r["src_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in knn_join_brute(vectors, "embedding", k=2).collect()
+    }
+    bulk = {
+        (r["src_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in knn_join_bulk(
+            vectors, "embedding", cents, k=2, nprobe=len(cents)
+        ).collect()
+    }
+    assert bulk == brute
+    assert bulk[(0, 1)][0] == 1 and bulk[(1, 1)][0] == 0
+
+
+def test_bulk_paths_on_planted_corpus(spark):
+    """200-vector planted corpus (XOR-1 partner pairs + random
+    singletons): knn_join_bulk finds every partner at rank 1, and
+    semantic_dedup_bulk removes exactly one member per planted pair and
+    never a singleton.  Mirrors the 1M-scale bench's ground-truth checks
+    at pytest size."""
+    import numpy as np
+
+    from outpost_spark.ops.similarity import knn_join_bulk, semantic_dedup_bulk
+
+    rng = np.random.default_rng(7)
+    n, n_cl, dims = 200, 40, 32
+    base = rng.uniform(-1, 1, size=(n, dims))
+    for c in range(n_cl // 2):
+        base[2 * c + 1] = base[2 * c] + rng.uniform(-0.05, 0.05, size=dims)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = [[float(x) for x in base[i]] for i in range(n_cl, n_cl + 12)]
+
+    knn = knn_join_bulk(df, "embedding", cents, k=3, nprobe=4).collect()
+    rank1 = {r["src_id"]: r["neighbor_id"] for r in knn if r["rank"] == 1}
+    hits = sum(1 for s in range(n_cl) if rank1.get(s) == s ^ 1)
+    assert hits == n_cl  # every planted partner found at rank 1
+
+    survivors = {
+        r["vec_id"]
+        for r in semantic_dedup_bulk(
+            df, "embedding", cents, threshold=0.95, nprobe=4
+        ).collect()
+    }
+    assert survivors == {2 * c for c in range(n_cl // 2)} | set(range(n_cl, n))
+
+
+def test_semantic_dedup_knn_candidate_generator(vectors):
+    """candidate_k switches the pair source to the batched k-NN join's
+    top-k; on the fixture it must agree with the all-pairs generator."""
+    from outpost_spark.ops.similarity import semantic_dedup
+
+    cents = [[1.0, 0.0, 0.5, 0.2] * 16, [-1.0, 0.3, -0.5, 0.1] * 16, [0.0, 1.0, -1.0, 0.7] * 16]
+    for thr in (0.999, 0.99):
+        allpairs = {
+            r["vec_id"]
+            for r in semantic_dedup(vectors, "embedding", cents, threshold=thr).collect()
+        }
+        via_knn = {
+            r["vec_id"]
+            for r in semantic_dedup(
+                vectors, "embedding", cents, threshold=thr, candidate_k=3
+            ).collect()
+        }
+        assert via_knn == allpairs
+
+
 def test_minhash_cross_pairs_decontamination(spark):
     """Cross-corpus near-dup join: train docs matching ANY benchmark doc
     are flagged with exact-verified Jaccard; unrelated docs are not."""
