@@ -73,8 +73,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = queries_catalog.queries()
 
-    # warm-up: JVM + parquet footer caches
+    # warm-up: JVM + parquet footer caches, and the Python worker pool —
+    # otherwise the first Python-touching entry (the numpy MinHash path)
+    # absorbs ~10 s of one-time worker spin-up that belongs to no query
     registry["metrics_count_all"](spark, sf_dir).collect()
+    spark.range(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).repartition(
+        int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ).mapInPandas(lambda it: it, "id long").collect()
+
+    import gc
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
@@ -85,6 +92,11 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
+            # release localCheckpoint blocks promptly: the dedup family
+            # checkpoints (id, grams) frames, and two runs x 34 queries of
+            # lingering blocks otherwise pressure the block manager enough
+            # to inflate later queries' numbers
+            gc.collect()
         cold[name] = round(runs[0], 4)
         warm[name] = round(min(runs), 4)
     print(
