@@ -1951,6 +1951,45 @@ def embed_knn_join(spark, sf_dir):
     )
 
 
+@_register("embed_knn_join_bulk", None)
+def embed_knn_join_bulk(spark, sf_dir):
+    """Corpus-scale twin of ``embed_knn_join``: BLAS IVF assignment (one
+    mapInPandas matrix product) + per-list applyInPandas matmul scoring
+    (ops/similarity.py:ivf_assign_bulk/_bulk_scored_pairs) — the path
+    that still works when K ~ sqrt(N) centroids make literal-SQL scoring
+    impossible.  Rows-only by design: BLAS summation order flips
+    sub-1e-6 centroid near-ties vs the sequential-sum oracle, so the
+    exact row set is pinned by pytest instead (nprobe=nlist degeneracy
+    to brute force + planted-corpus recall; 1M-vector recall measured in
+    BENCH_SCALE)."""
+    from outpost_spark.ops.similarity import knn_join_bulk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join_bulk(
+        emb, "embedding", _ivf_seeds(spark, sf_dir, 24), id_col="vec_id", k=3, nprobe=2
+    )
+
+
+@_register("embed_semantic_dedup_bulk", None)
+def embed_semantic_dedup_bulk(spark, sf_dir):
+    """Corpus-scale twin of ``embed_semantic_dedup`` on the BLAS per-list
+    scorer (threshold pairs -> components -> min-id survivors).
+    Rows-only by design (same near-tie caveat as embed_knn_join_bulk);
+    the survivor set equals the literal-SQL path's on this corpus —
+    pytest-pinned — and planted precision/recall at 1M vectors is
+    asserted in BENCH_SCALE."""
+    from outpost_spark.ops.similarity import semantic_dedup_bulk
+
+    return semantic_dedup_bulk(
+        _perturbed_embeddings(spark, sf_dir),
+        "embedding",
+        _ivf_seeds(spark, sf_dir, 24),
+        id_col="vec_id",
+        threshold=0.95,
+        nprobe=2,
+    )
+
+
 @_register(
     "embed_knn_join_brute",
     f"""
@@ -2872,8 +2911,11 @@ _COST_RANK = [
     "dedup_cross_corpus_near_dups",
     "embed_semantic_dedup",
     "embed_knn_join",
+    "embed_knn_join_bulk",
+    "embed_semantic_dedup_bulk",
     "embed_knn_join_brute",
     "pipeline_curate_corpus_v2",
+    "pipeline_curate_corpus_v3",
     "dedup_canonical_survivors",
     "dedup_connected_components",
     "metrics_daily_by_topic",

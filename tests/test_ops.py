@@ -1339,6 +1339,37 @@ def test_semantic_dedup_knn_candidate_generator(vectors):
         assert via_knn == allpairs
 
 
+def test_bulk_catalog_twins_match_literal_path(spark, sf_dir):
+    """The rows-only bulk catalog entries must agree with their
+    oracle-checked literal-SQL twins on the test corpus: identical
+    semantic-dedup survivor set, and identical knn rows on ranks 1..k-1
+    (the rank-k tail may flip on sub-1e-6 BLAS-vs-sequential summation
+    near-ties — the documented caveat, bounded here at <5 %)."""
+    from outpost_spark.queries_catalog import _REGISTRY
+
+    s_lit = {
+        r["vec_id"] for r in _REGISTRY["embed_semantic_dedup"][0](spark, sf_dir).collect()
+    }
+    s_bulk = {
+        r["vec_id"]
+        for r in _REGISTRY["embed_semantic_dedup_bulk"][0](spark, sf_dir).collect()
+    }
+    assert s_bulk == s_lit
+
+    lit = {
+        (r["src_id"], r["neighbor_id"], r["score"], r["rank"])
+        for r in _REGISTRY["embed_knn_join"][0](spark, sf_dir).collect()
+    }
+    bulk = {
+        (r["src_id"], r["neighbor_id"], r["score"], r["rank"])
+        for r in _REGISTRY["embed_knn_join_bulk"][0](spark, sf_dir).collect()
+    }
+    head_lit = {t for t in lit if t[3] < 3}
+    head_bulk = {t for t in bulk if t[3] < 3}
+    assert head_bulk == head_lit
+    assert len(lit - bulk) / len(lit) < 0.05
+
+
 def test_minhash_cross_pairs_decontamination(spark):
     """Cross-corpus near-dup join: train docs matching ANY benchmark doc
     are flagged with exact-verified Jaccard; unrelated docs are not."""
