@@ -508,13 +508,44 @@ def main() -> None:
     att = spark.read.parquet(path)
     n_rows = att.count()
 
+    # Python worker pool warm-up: without it the first mapInPandas case
+    # (the numpy MinHash path) absorbs ~10 s of one-time spin-up
+    spark.range(int(cpus)).repartition(int(cpus)).mapInPandas(
+        lambda it: it, "id long"
+    ).collect()
+
     timings: dict[str, float] = {}
     rows_out: dict[str, int] = {}
+    import gc
+
     for name, req in bench_requests().items():
         t0 = time.perf_counter()
         rows_out[name] = len(query_attempt_metrics(att, req).collect())
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"{name}: {timings[name]}s ({rows_out[name]} rows)", file=sys.stderr)
+        gc.collect()
+
+    # skew probe: exact distinct event_ids per tenant (tenant_0 ~90% of
+    # ~12.6M rows).  Plain vs salted measure within noise — Spark's
+    # distinct rewrite already (k,x)-keys the heavy exchange, making the
+    # folklore salting fix redundant here (see ops/skew.py for the plan
+    # and the honest-negative-result discussion)
+    from outpost_spark.ops.skew import salted_count_distinct
+
+    t0 = time.perf_counter()
+    rows_out["DistinctByTenant_plain"] = len(
+        att.groupBy("tenant_id").agg(F.count_distinct("event_id").alias("n")).collect()
+    )
+    timings["DistinctByTenant_plain"] = round(time.perf_counter() - t0, 4)
+    print(f"DistinctByTenant_plain: {timings['DistinctByTenant_plain']}s", file=sys.stderr)
+    gc.collect()
+    t0 = time.perf_counter()
+    rows_out["DistinctByTenant_salted"] = len(
+        salted_count_distinct(att, ["tenant_id"], "event_id", salt_buckets=64).collect()
+    )
+    timings["DistinctByTenant_salted"] = round(time.perf_counter() - t0, 4)
+    print(f"DistinctByTenant_salted: {timings['DistinctByTenant_salted']}s", file=sys.stderr)
+    gc.collect()
 
     dpath = os.path.join(root, f"documents_{args.docs}")
     if not os.path.exists(os.path.join(dpath, "_SUCCESS")):
@@ -526,6 +557,7 @@ def main() -> None:
         rows_out[name] = thunk()
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"{name}: {timings[name]}s ({rows_out[name]} rows)", file=sys.stderr)
+        gc.collect()
 
     n_emb = int(os.environ.get("SPARK_GRAFT_SCALE_EMBEDDINGS", 1_000_000))
     epath = os.path.join(root, f"embeddings_{n_emb}")
@@ -539,6 +571,7 @@ def main() -> None:
         rows_out[name] = thunk()
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"{name}: {timings[name]}s ({rows_out[name]} rows)", file=sys.stderr)
+        gc.collect()
     print(f"embedding planted recall: {recall}", file=sys.stderr)
 
     t0 = time.perf_counter()

@@ -521,7 +521,9 @@ def minhash_cross_pairs(
         sigs = hashed.withColumn(
             "minhash", signature_from_basehash(basehash, num_hashes)
         )
-        buckets = sigs.select(
+        # sentinel-signature (gram-less) docs excluded from banding —
+        # they can never verify and would otherwise share one bucket
+        buckets = sigs.filter(F.size(f"__{side}_grams") > 0).select(
             f"__{side}",
             F.explode(
                 band_keys_expr(F.col("minhash"), bands, rows_per_band)
@@ -627,7 +629,12 @@ def minhash_dedup_pairs(
         # measured) away from the expensive gram-array verify join.
         # Exact Jaccard still decides every emitted pair.
         est_min = max(1, num_hashes // 4)
-        buckets = hashed.select(
+        # gram-less docs (shorter than the shingle) all carry the same
+        # all-sentinel signature: every one lands in ONE band bucket, a
+        # quadratic candidate hazard on corpora with many empty docs.
+        # They can never verify (Jaccard vs anything, incl. each other,
+        # is 0 < threshold), so excluding them changes no results.
+        buckets = hashed.filter(F.size("__grams") > 0).select(
             F.col(id_col).alias("__id"),
             F.col("minhash").alias("__sig"),
             F.explode(
@@ -683,8 +690,11 @@ def minhash_dedup_pairs(
         sigs = hashed.withColumn(
             "minhash", signature_from_basehash(basehash, num_hashes)
         )
+        # sentinel-signature docs excluded from banding (see the numpy
+        # branch note): no result change, kills the empty-doc mega-bucket
         cands = lsh_candidate_pairs(
-            sigs, id_col, bands=bands, rows_per_band=rows_per_band, materialize=materialize
+            sigs.filter(F.size("__grams") > 0), id_col,
+            bands=bands, rows_per_band=rows_per_band, materialize=materialize
         )
         grams = hashed.select(F.col(id_col).alias("__gid"), F.col("__grams"))
     else:

@@ -2113,6 +2113,27 @@ def embed_quantize_int8(spark, sf_dir):
 
 
 @_register(
+    "agg_count_distinct_salted",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT tenant_id, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM src GROUP BY tenant_id
+    """,
+)
+def agg_count_distinct_salted(spark, sf_dir):
+    """Two-stage salted exact distinct count (ops/skew.py): the skew-
+    robust form of A1's per-dimension distinct — a hot group key's
+    distinct set spreads across 16 salt buckets instead of one reducer
+    task (AQE's skew splitting does not cover aggregations).  Exact by
+    construction (salt partitions the DISTINCT domain), so the oracle is
+    the plain COUNT(DISTINCT)."""
+    from outpost_spark.ops.skew import salted_count_distinct
+
+    ev = _events(spark, sf_dir)
+    return salted_count_distinct(ev, ["tenant_id"], "event_id", salt_buckets=16)
+
+
+@_register(
     "embed_near_dup_pairs",
     f"""
     WITH {_PERT_SRC_SQL},
@@ -2896,6 +2917,7 @@ _COST_RANK = [
     "join_multiway_star",
     "metrics_retry_measures",
     "metrics_rate_whole_range",
+    "agg_count_distinct_salted",
     "dedup_simhash_pairs",
     "metrics_sunday_weekly",
     "sample_stratified_quota",

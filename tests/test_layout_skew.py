@@ -1,0 +1,125 @@
+"""Tests: bucketed write layout (co-located joins) + salted distinct."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from outpost_spark.logstore.layout import cobucketed_join, write_bucketed
+from outpost_spark.ops.skew import salted_count_distinct
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="outpost_layout_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cobucketed_join_has_no_exchange(spark, tmpdir):
+    """Two tables bucketed on the join key with the same bucket count
+    must join with ZERO Exchange on either side (the property that makes
+    the layout free at 100 TB); the same join over plain parquet paths
+    shuffles both sides."""
+    ev = spark.range(1000).select(
+        F.concat(F.lit("e"), F.col("id")).alias("event_id"),
+        (F.col("id") % 7).alias("tenant"),
+    )
+    att = spark.range(3000).select(
+        F.concat(F.lit("e"), (F.col("id") % 1000)).alias("event_id"),
+        F.col("id").alias("attempt_id"),
+    )
+    try:
+        write_bucketed(ev, "t_ev_b", bucket_col="event_id", num_buckets=4,
+                       path=os.path.join(tmpdir, "ev"))
+        write_bucketed(att, "t_att_b", bucket_col="event_id", num_buckets=4,
+                       path=os.path.join(tmpdir, "att"))
+        joined = cobucketed_join(spark, "t_ev_b", "t_att_b", on="event_id")
+        joined.collect()  # finalize AQE so the executed plan is real
+        plan = _plan(joined)
+        assert "Exchange" not in plan, f"co-bucketed join shuffled:\n{plan}"
+        assert joined.count() == 3000
+
+        # contrast: identical join over the same files WITHOUT the bucket
+        # spec (plain parquet read) must shuffle
+        pev = spark.read.parquet(os.path.join(tmpdir, "ev")).hint("merge")
+        patt = spark.read.parquet(os.path.join(tmpdir, "att"))
+        plain = pev.join(patt, "event_id")
+        plain.collect()
+        assert "Exchange" in _plan(plain)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ev_b")
+        spark.sql("DROP TABLE IF EXISTS t_att_b")
+
+
+def test_bucketed_scan_prunes_buckets(spark, tmpdir):
+    """An equality filter on the bucket column must prune the scan to
+    one bucket's files (SelectedBucketsCount in the scan node).
+
+    autoBucketedScan is pinned OFF for the assertion: Spark's planner
+    otherwise falls back to a plain file scan when no join/aggregate
+    exploits the bucketing, and plain scans cannot bucket-prune."""
+    df = spark.range(1000).select(
+        F.concat(F.lit("e"), F.col("id")).alias("event_id"),
+        F.col("id").alias("v"),
+    )
+    auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(auto, "true")
+    try:
+        write_bucketed(df, "t_prune_b", bucket_col="event_id", num_buckets=8,
+                       path=os.path.join(tmpdir, "p"))
+        spark.conf.set(auto, "false")
+        q = spark.table("t_prune_b").filter(F.col("event_id") == "e42")
+        assert q.count() == 1
+        plan = _plan(q)
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+    finally:
+        spark.conf.set(auto, prev)
+        spark.sql("DROP TABLE IF EXISTS t_prune_b")
+
+
+def test_salted_count_distinct_matches_plain(spark):
+    """Salted two-stage distinct must equal the plain aggregate exactly —
+    skewed keys, nulls, multiple salt widths, and the empty frame."""
+    rows = (
+        [("hot", f"x{i % 137}") for i in range(5000)]
+        + [("cold", f"y{i}") for i in range(20)]
+        + [("hot", None), ("cold", None), ("nullonly", None)]
+    )
+    df = spark.createDataFrame(rows, "k string, x string")
+    plain = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count_distinct("x").alias("n")).collect()
+    }
+    for buckets in (1, 7, 64):
+        salted = {
+            r["k"]: r["n_distinct"]
+            for r in salted_count_distinct(df, ["k"], "x", salt_buckets=buckets).collect()
+        }
+        assert salted == plain, f"salt_buckets={buckets}"
+    assert plain["hot"] == 137 and plain["cold"] == 20 and plain["nullonly"] == 0
+
+    empty = df.limit(0)
+    assert salted_count_distinct(empty, ["k"], "x").count() == 0
+
+
+def test_salted_distinct_spreads_the_hot_key(spark):
+    """The stage-1 aggregate must group by (key, salt) — the hot key's
+    distinct work lands in many partial groups, which is the whole
+    point.  Pinned structurally: stage 1 emits multiple rows for a key
+    whose distinct set spans salt buckets."""
+    df = spark.createDataFrame(
+        [("hot", f"x{i}") for i in range(200)], "k string, x string"
+    )
+    partial = df.groupBy(
+        "k", F.pmod(F.xxhash64(F.col("x")), F.lit(16)).alias("s")
+    ).agg(F.count_distinct("x").alias("c"))
+    assert partial.count() > 1  # spread across salt buckets
+    out = salted_count_distinct(df, ["k"], "x", salt_buckets=16).collect()
+    assert out[0]["n_distinct"] == 200

@@ -1370,6 +1370,27 @@ def test_bulk_catalog_twins_match_literal_path(spark, sf_dir):
     assert len(lit - bulk) / len(lit) < 0.05
 
 
+def test_minhash_short_docs_never_band_or_pair(spark):
+    """Docs shorter than the shingle carry the all-sentinel signature;
+    every such doc previously landed in ONE band bucket (a quadratic
+    candidate hazard on corpora with many empty docs).  They must never
+    pair — with each other or with real docs — on every hash path, and
+    real near-dups must still be found alongside them."""
+    rows = [
+        (1, ""), (2, "ab"), (3, "abc"), (4, ""),
+        (5, BASE), (6, BASE.replace("quick", "swift")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for fn in ("md5", "xxhash64", "numpy"):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_dedup_pairs(
+                df, "doc_id", "text", threshold=0.5, hash_fn=fn
+            ).collect()
+        }
+        assert got == {(5, 6)}, f"hash_fn={fn}: {got}"
+
+
 def test_minhash_cross_pairs_decontamination(spark):
     """Cross-corpus near-dup join: train docs matching ANY benchmark doc
     are flagged with exact-verified Jaccard; unrelated docs are not."""
