@@ -2113,6 +2113,40 @@ def embed_quantize_int8(spark, sf_dir):
 
 
 @_register(
+    "sink_format_kinesis",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT event_id,
+           'bench-stream' AS stream_name,
+           '{{"data":' || data || ',"metadata":{{"event-id":"' || event_id ||
+           '","timestamp":"2024-01-02T03:04:05Z","topic":"' || topic || '"}}}}' AS data,
+           event_id AS partition_key
+    FROM src
+    """,
+)
+def sink_format_kinesis(spark, sf_dir):
+    """S6 Format surface: the Kinesis PutRecord shape with metadata-in-
+    payload (routing/sinkformats.py) — Go-sorted envelope keys, merged
+    metadata marshaled key-sorted, event-id partition-key fallback.  The
+    oracle reconstructs the exact envelope bytes (event metadata is empty
+    here, so the merged map is the three system keys in sorted order).
+    Default-template path is zero-Python (plan-asserted in pytest)."""
+    from datetime import datetime, timezone
+
+    from outpost_spark.routing.sinkformats import format_kinesis
+
+    events = _events(spark, sf_dir).withColumn(
+        "metadata", F.create_map().cast("map<string,string>")
+    )
+    return format_kinesis(
+        events,
+        stream_name="bench-stream",
+        ts=F.lit(datetime(2024, 1, 2, 3, 4, 5, tzinfo=timezone.utc)),
+        metadata_in_payload=True,
+    )
+
+
+@_register(
     "agg_count_distinct_salted",
     f"""
     WITH src AS ({_EVENTS_SQL})
@@ -2918,6 +2952,7 @@ _COST_RANK = [
     "metrics_retry_measures",
     "metrics_rate_whole_range",
     "agg_count_distinct_salted",
+    "sink_format_kinesis",
     "dedup_simhash_pairs",
     "metrics_sunday_weekly",
     "sample_stratified_quota",
