@@ -1009,3 +1009,170 @@ def quantize_embeddings(
 def dequantize_expr(qvec: Column, scale: Column) -> Column:
     """Reconstruct the float vector: q[i] * scale (zero-scale safe)."""
     return F.transform(qvec, lambda x: x.cast("double") * scale)
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    sample_n: int = 2048,
+    iters: int = 8,
+) -> list:
+    """Train product-quantization codebooks: split the vector into ``m``
+    subspaces and k-means each to ``k`` centroids (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search").
+
+    Training runs driver-side numpy over a DETERMINISTIC sample (the
+    ``sample_n`` smallest ids — same convention as the IVF trainer):
+    codebooks are m*k*dsub floats, a plan-time constant like IVF
+    centroids, and PQ training is a fixed-size problem regardless of
+    corpus size (the corpus-scale work is encoding, which is
+    distributed).  Seeds are the first k sample rows per subspace; empty
+    clusters keep their previous centroid; ties break to the lowest code.
+
+    Returns ``codebooks``: list of m lists of k centroid lists.
+    """
+    import numpy as np
+
+    rows = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(sample_n)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    if X.ndim != 2 or X.shape[0] == 0:
+        raise ValueError("pq_train needs a non-empty vector sample")
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    kk = min(k, X.shape[0])
+    books = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[:kk].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(kk):
+                mask = assign == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+        books.append([[float(x) for x in c] for c in C])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list,
+    *,
+    id_col: str = "vec_id",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode vectors to ``m`` one-byte-ish codes (array<int>) — the
+    dim*4-byte -> m-byte storage format for embedding columns at corpus
+    scale (k=16, m=8 compresses a 64-float vector 32x).
+
+    One Arrow-batched numpy pass: per subspace, squared distances to all
+    k centroids via one matrix product, argmin (first-minimum = lowest
+    code, deterministic).  Narrow map, no shuffle.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    books = [[list(map(float, c)) for c in b] for b in codebooks]
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(out_col, ArrayType(IntegerType(), False), False),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        Cs = [np.asarray(b, dtype=np.float64) for b in books]
+        m = len(Cs)
+        dsub = Cs[0].shape[1]
+        cn = [(C**2).sum(axis=1) for C in Cs]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+            codes = np.empty((V.shape[0], m), dtype=np.int32)
+            for j in range(m):
+                S = V[:, j * dsub : (j + 1) * dsub]
+                d2 = (S**2).sum(axis=1)[:, None] - 2.0 * (S @ Cs[j].T) + cn[j][None, :]
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: list(codes)})
+
+    src = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    return src.mapInPandas(gen, out_schema)
+
+
+def pq_decode_expr(codes: Column, codebooks: list) -> Column:
+    """Reconstructed vector from PQ codes — pure Column lookup over the
+    literal codebooks (plan-time constants), no Python."""
+    parts = [
+        F.element_at(
+            F.lit([[float(x) for x in c] for c in codebooks[j]]), codes[j] + 1
+        )
+        for j in range(len(codebooks))
+    ]
+    return F.concat(*parts)
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    query_vec: list,
+    codebooks: list,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — ZERO Python at
+    query time: the m x k inner-product lookup table dot(q_j, C_j[c]) is
+    computed driver-side (a plan-time literal), each row's score is m
+    codegen `element_at` lookups summed (no vector math per row), and
+    top-k is a TakeOrderedAndProject heap — shuffle-free, like
+    :func:`cosine_topk`.
+
+    Score = dot(query, reconstruction(codes)) — inner product is
+    additive across subspaces, which is what makes ADC exact w.r.t. the
+    quantized vectors; recall vs exact search is bounded by quantization
+    error (k and m are the dials).
+    """
+    q = [float(x) for x in query_vec]
+    m = len(codebooks)
+    dsub = len(q) // m
+    luts = []
+    for j in range(m):
+        qj = q[j * dsub : (j + 1) * dsub]
+        luts.append(
+            [float(sum(a * b for a, b in zip(qj, c))) for c in codebooks[j]]
+        )
+    score = None
+    for j in range(m):
+        term = F.element_at(F.lit(luts[j]), F.col(codes_col)[j] + 1)
+        score = term if score is None else score + term
+    return (
+        codes_df.select(id_col, F.round(score, score_decimals).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

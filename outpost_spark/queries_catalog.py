@@ -2113,6 +2113,69 @@ def embed_quantize_int8(spark, sf_dir):
 
 
 @_register(
+    "embed_pq_topk",
+    """
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sub AS (
+      SELECT vec_id, CAST(j AS INT) AS j, v[j * 8 + 1 : j * 8 + 8] AS sv
+      FROM emb, unnest(range(0, 8)) AS t(j)
+    ),
+    cent AS (
+      SELECT CAST(vec_id AS INT) AS c, j, sv AS cv FROM sub WHERE vec_id < 16
+    ),
+    d2 AS (
+      SELECT s.vec_id, s.j, c.c,
+             list_sum(list_transform(range(1, 9), i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d
+      FROM sub s JOIN cent c ON s.j = c.j
+    ),
+    codes AS (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        FROM d2) t
+      WHERE rn = 1
+    ),
+    q AS (SELECT j, sv AS qv FROM sub WHERE vec_id = 0),
+    lut AS (
+      SELECT c.j, c.c, list_sum(list_transform(range(1, 9), i -> q.qv[i] * c.cv[i])) AS ip
+      FROM cent c JOIN q ON c.j = q.j
+    ),
+    scored AS (
+      SELECT codes.vec_id, round(sum(lut.ip), 6) AS score
+      FROM codes JOIN lut ON codes.j = lut.j AND codes.c = lut.c
+      GROUP BY codes.vec_id
+    )
+    SELECT vec_id, score FROM scored
+    ORDER BY score DESC, vec_id ASC LIMIT 10
+    """,
+)
+def embed_pq_topk(spark, sf_dir):
+    """Product quantization (Jegou et al.) end-to-end: 8 subspaces x 16
+    codes over the 64-dim embeddings (32x compression), ADC top-10 for
+    vector 0's query with ZERO Python at query time (the m x k
+    inner-product LUT is a plan-time literal; scoring is m element_at
+    lookups per row).
+
+    Codebooks here are the oracle-able degenerate of ``pq_train``:
+    iters=0 keeps the 16 deterministic sample rows as centroids, so the
+    DuckDB oracle reproduces training, encoding (argmin over subspace
+    distances, ties to the lowest code), LUT, and ADC ranking exactly.
+    Lloyd-refined codebooks (iters>0) are pytest-covered with planted
+    near-dup recall + reconstruction-error bounds (tests/test_ops.py).
+    """
+    from outpost_spark.ops.similarity import pq_encode, pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, "embedding", m=8, k=16, sample_n=16, iters=0)
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()[0][0]
+    ]
+    return pq_topk(pq_encode(emb, "embedding", books), q, books, k=10)
+
+
+@_register(
     "sink_format_kinesis",
     f"""
     WITH src AS ({_EVENTS_SQL})
@@ -2953,6 +3016,7 @@ _COST_RANK = [
     "metrics_rate_whole_range",
     "agg_count_distinct_salted",
     "sink_format_kinesis",
+    "embed_pq_topk",
     "dedup_simhash_pairs",
     "metrics_sunday_weekly",
     "sample_stratified_quota",

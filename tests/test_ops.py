@@ -1370,6 +1370,71 @@ def test_bulk_catalog_twins_match_literal_path(spark, sf_dir):
     assert len(lit - bulk) / len(lit) < 0.05
 
 
+def test_product_quantization_roundtrip_and_adc_search(spark):
+    """PQ (Jegou et al.): codebooks trained on a deterministic sample,
+    vectors encoded to m codes, reconstruction via literal-codebook
+    lookup, ADC top-k with zero Python at query time.  Planted near-dup
+    partners must be each other's top ADC hit, reconstruction must beat
+    the trivial zero baseline by a wide margin, and the search plan must
+    contain no Python nodes."""
+    import numpy as np
+
+    from outpost_spark.ops.similarity import (
+        pq_decode_expr,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dims = 400, 32
+    base = rng.uniform(-1, 1, size=(n, dims))
+    base[1] = base[0] + rng.uniform(-0.02, 0.02, size=dims)  # planted pair
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    )
+    books = pq_train(df, "embedding", m=8, k=16, sample_n=256, iters=6)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+
+    codes = pq_encode(df, "embedding", books)
+    rows = codes.collect()
+    assert len(rows) == n and all(len(r["pq_codes"]) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["pq_codes"])
+    # determinism
+    again = {r["vec_id"]: list(r["pq_codes"]) for r in pq_encode(df, "embedding", books).collect()}
+    assert all(again[r["vec_id"]] == list(r["pq_codes"]) for r in rows)
+
+    # reconstruction: mean squared error far below the vector's own energy
+    recon = codes.join(df, "vec_id").select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                pq_decode_expr(F.col("pq_codes"), books),
+                F.col("embedding"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("sq_err"),
+    )
+    mse = recon.agg(F.avg("sq_err")).collect()[0][0] / dims
+    assert mse < 0.12  # vs ~0.33 per-dim variance of U(-1,1)
+
+    # ADC: query with vector 0 -> itself rank 1, planted partner rank 2.
+    # Codes are checkpointed first — the deployment shape is a STORED
+    # codes table, and the zero-Python claim is about query time, not
+    # the (Arrow-batched) one-off encode.
+    codes = codes.localCheckpoint(eager=True)
+    top = pq_topk(codes, list(base[0]), books, k=2).collect()
+    assert [r["vec_id"] for r in top] == [0, 1]
+    plan = pq_topk(codes, list(base[0]), books, k=2)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF", "MapInPandas"):
+        assert marker not in plan, f"Python node in ADC plan:\n{plan}"
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(df, "embedding", m=5)
+
+
 def test_minhash_short_docs_never_band_or_pair(spark):
     """Docs shorter than the shingle carry the all-sentinel signature;
     every such doc previously landed in ONE band bucket (a quadratic
