@@ -75,3 +75,38 @@ def test_two_deployments_share_warehouse_without_collision(spark, tmp_path):
     names = sorted(os.listdir(root))
     assert "dep-a_events" in names and "dep-b_events" in names
     assert "events" not in names
+
+
+def test_emission_order_rotates_unwitnessed_first():
+    """The driver caps correctness rows (50/round); _emit_order must put
+    entries ABSENT from the latest CORRECTNESS round ahead of everything
+    witnessed there, never-witnessed entries first of all, and never
+    drop a registered entry (the rotation contract from round 4)."""
+    import json
+    import os
+
+    from outpost_spark import queries_catalog as qc
+
+    order = qc._emit_order()
+    assert set(order) == set(qc._REGISTRY)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(qc.__file__)))
+    hist = qc._witness_history()
+    latest = max(hist.values(), default=0)
+    if latest == 0:
+        return  # fresh checkout: pure cost order, nothing to rotate
+    latest_file = os.path.join(root, f"CORRECTNESS_r{latest:02d}.json")
+    with open(latest_file) as fh:
+        witnessed_latest = set(json.load(fh))
+    pos = {n: i for i, n in enumerate(order)}
+    stale = [n for n in order if hist.get(n, 0) < latest]
+    if stale and witnessed_latest & set(order):
+        max_stale = max(pos[n] for n in stale)
+        min_latest = min(pos[n] for n in order if n in witnessed_latest)
+        assert max_stale < min_latest, (
+            "a latest-round-witnessed entry outranks a stale one"
+        )
+    never = [n for n in order if n not in hist]
+    if never and stale != never:
+        seen_before = [n for n in stale if n in hist]
+        if seen_before:
+            assert max(pos[n] for n in never) < min(pos[n] for n in seen_before)

@@ -1,0 +1,152 @@
+"""Tests: incremental embedding ingestion with semantic-dup gating
+(the vector twin of streaming/ingest.py's text gate)."""
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from outpost_spark.streaming.embed_ingest import (
+    EmbedDedupIndex,
+    attach_embed_ingest_stream,
+)
+
+DIMS = 16
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="outpost_embed_ingest_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def _mk(seed=3, n=12):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-1, 1, size=(n, DIMS))
+
+
+def _cents(base):
+    return [[float(x) for x in base[i]] for i in range(4)]
+
+
+def test_gate_intra_batch_and_index_hits(spark, tmpdir):
+    base = _mk()
+    idx = EmbedDedupIndex(os.path.join(tmpdir, "idx"), _cents(base), threshold=0.95, nprobe=2)
+    corpus = _vecs(spark, [(i, [float(x) for x in base[i]]) for i in range(8)])
+    idx.build(corpus)
+
+    near_of_5 = base[5] + 0.01  # cosine ~1 to corpus vector 5
+    fresh = base[10]
+    fresh_dup = fresh + 0.01    # intra-batch near-dup of 100
+    batch = _vecs(
+        spark,
+        [
+            (100, [float(x) for x in fresh]),
+            (101, [float(x) for x in fresh_dup]),
+            (102, [float(x) for x in near_of_5]),
+            (103, [float(x) for x in base[11]]),
+        ],
+    )
+    admitted, rejected = idx.gate(batch)
+    assert {r["vec_id"] for r in admitted.collect()} == {100, 103}
+    rej = {r["vec_id"]: (r["matched_id"], r["cosine"]) for r in rejected.collect()}
+    assert rej[101][0] == 100 and rej[101][1] is None  # intra-batch collapse
+    assert rej[102][0] == 5 and rej[102][1] >= 0.95    # index hit
+
+
+def test_gate_rejects_replayed_batch_including_zero_vectors(spark, tmpdir):
+    """After a batch commits to the index, replaying it admits NOTHING —
+    each vector matches its own index row at cosine 1.0, and zero
+    vectors (cosine 0 to everything, themselves included) are caught by
+    the exact-equality clause."""
+    base = _mk(seed=9)
+    idx = EmbedDedupIndex(os.path.join(tmpdir, "idx"), _cents(base), threshold=0.95, nprobe=2)
+    batch = _vecs(
+        spark,
+        [(200, [float(x) for x in base[6]]), (201, [0.0] * DIMS)],
+    )
+    admitted, _ = idx.gate(batch)
+    assert {r["vec_id"] for r in admitted.collect()} == {200, 201}
+    idx.append(admitted)
+    replay_admitted, replay_rejected = idx.gate(batch)
+    assert replay_admitted.count() == 0
+    rej = {r["vec_id"]: r["matched_id"] for r in replay_rejected.collect()}
+    assert rej == {200: 200, 201: 201}
+
+
+def test_gate_zero_vector_pair_within_batch(spark, tmpdir):
+    """Two zero vectors in one batch collapse to the min id via the
+    equality clause (their cosine is 0, below any threshold)."""
+    base = _mk(seed=5)
+    idx = EmbedDedupIndex(os.path.join(tmpdir, "idx"), _cents(base))
+    batch = _vecs(spark, [(300, [0.0] * DIMS), (301, [0.0] * DIMS)])
+    admitted, rejected = idx.gate(batch)
+    assert {r["vec_id"] for r in admitted.collect()} == {300}
+    assert {(r["vec_id"], r["matched_id"]) for r in rejected.collect()} == {(301, 300)}
+
+
+def test_meta_rejects_different_centroids(spark, tmpdir):
+    base = _mk(seed=7)
+    path = os.path.join(tmpdir, "idx")
+    idx = EmbedDedupIndex(path, _cents(base))
+    idx.build(_vecs(spark, [(0, [float(x) for x in base[0]])]))
+    other = EmbedDedupIndex(path, _cents(base * 0.5))
+    with pytest.raises(ValueError, match="mismatch"):
+        other.gate(_vecs(spark, [(1, [float(x) for x in base[1]])]))
+
+
+def test_embed_ingest_stream_two_batches_end_to_end(spark, tmpdir):
+    """File-source stream through attach_embed_ingest_stream: batch 2's
+    near-dup of a batch-1 survivor is rejected by the index batch 1
+    appended — cross-batch dedup through the real streaming wiring."""
+    base = _mk(seed=13)
+    srcdir = os.path.join(tmpdir, "src")
+    os.makedirs(srcdir)
+    corpus_path = os.path.join(tmpdir, "corpus")
+    idx = EmbedDedupIndex(os.path.join(tmpdir, "idx"), _cents(base), nprobe=2)
+
+    def write_batch(name, rows):
+        stage = os.path.join(tmpdir, "stage")
+        _vecs(spark, rows).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(os.path.join(stage, part), os.path.join(srcdir, name))
+
+    write_batch("b1.parquet", [(400, [float(x) for x in base[4]])])
+    write_batch(
+        "b2.parquet",
+        [
+            (500, [float(x) for x in (base[4] + 0.01)]),  # near-dup of 400
+            (501, [float(x) for x in base[9]]),           # genuinely new
+        ],
+    )
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+    )
+    q = (
+        attach_embed_ingest_stream(
+            stream, idx, corpus_path, os.path.join(tmpdir, "ckpt"),
+            rejects_path=os.path.join(tmpdir, "rejects"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    corpus_ids = {
+        r["vec_id"] for r in spark.read.parquet(corpus_path).collect()
+    }
+    assert corpus_ids == {400, 501}
+    rejects = {
+        (r["vec_id"], r["matched_id"])
+        for r in spark.read.parquet(os.path.join(tmpdir, "rejects")).collect()
+    }
+    assert (500, 400) in rejects
