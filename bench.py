@@ -63,6 +63,13 @@ BENCH_QUERIES = [
     "dedup_cross_corpus_near_dups",
     "text_token_stats",
     "text_quality_score",
+    # round-5 operators
+    "pipeline_curate_corpus_v3",
+    "embed_knn_join_bulk",
+    "embed_semantic_dedup_bulk",
+    "embed_pq_topk",
+    "agg_count_distinct_salted",
+    "sink_format_kinesis",
 ]
 
 
