@@ -2175,6 +2175,20 @@ def embed_pq_topk(spark, sf_dir):
     return pq_topk(pq_encode(emb, "embedding", books), q, books, k=10)
 
 
+@_register("pack_training_sequences", None)
+def pack_training_sequences(spark, sf_dir):
+    """Sequence packing (ops/packing.py): documents best-fit-decreasing
+    packed into 2048-char training sequences by their n_chars.  Rows-only
+    by design — the packing ASSIGNMENT is algorithm-defined (BFD inside
+    hash groups), so the invariants live in pytest instead: every doc
+    packed exactly once, no pack exceeds max_len, optimal packs on
+    crafted inputs, >=90 % fill on lognormal lengths, determinism."""
+    from outpost_spark.ops.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "n_chars", max_len=2048, n_groups=8)
+
+
 @_register(
     "sink_format_kinesis",
     f"""
@@ -3016,6 +3030,7 @@ _COST_RANK = [
     "metrics_rate_whole_range",
     "agg_count_distinct_salted",
     "sink_format_kinesis",
+    "pack_training_sequences",
     "embed_pq_topk",
     "dedup_simhash_pairs",
     "metrics_sunday_weekly",

@@ -1505,3 +1505,48 @@ def test_url_normalization_and_dedup(spark):
     out = {r["canonical_url"]: (r["canonical_id"], r["copies"]) for r in dedup_by_url(df, "url", "doc_id").collect()}
     assert out["example.com/page/1"] == (1, 3)
     assert out["example.com/page/2"] == (4, 1)
+
+
+def test_pack_sequences_invariants_and_quality(spark):
+    """Best-fit-decreasing sequence packing: every doc packed exactly
+    once, no pack exceeds max_len, crafted inputs pack optimally,
+    realistic lengths reach >=90% fill, oversize docs error (or take
+    their own bin), and packing is deterministic."""
+    import numpy as np
+
+    from outpost_spark.ops.packing import pack_sequences, pack_stats
+
+    # crafted: lengths 60,40 + 50,50 + 70,30 pack into exactly 3 bins of 100
+    crafted = spark.createDataFrame(
+        [(1, 60), (2, 40), (3, 50), (4, 50), (5, 70), (6, 30)], "doc_id bigint, n bigint"
+    )
+    packed = pack_sequences(crafted, "doc_id", "n", max_len=100, n_groups=1)
+    rows = packed.collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 3, 4, 5, 6}
+    st = pack_stats(packed, max_len=100).collect()
+    assert len(st) == 3 and all(r["used"] == 100 for r in st)
+
+    # realistic: lognormal-ish lengths, 2000 docs
+    rng = np.random.default_rng(21)
+    lens = np.clip((rng.lognormal(5.5, 0.8, 2000)).astype(int), 10, 2048)
+    df = spark.createDataFrame(
+        [(i, int(l)) for i, l in enumerate(lens)], "doc_id bigint, n bigint"
+    )
+    packed = pack_sequences(df, "doc_id", "n", max_len=2048, n_groups=8)
+    assert packed.count() == 2000
+    st = pack_stats(packed, max_len=2048)
+    assert st.filter(F.col("used") > 2048).count() == 0
+    n_packs = st.count()
+    fill = sum(int(l) for l in lens) / (n_packs * 2048)
+    assert fill >= 0.90, f"fill ratio {fill:.3f} over {n_packs} packs"
+
+    # determinism
+    again = {(r["doc_id"], r["pack_id"]) for r in pack_sequences(df, "doc_id", "n", max_len=2048, n_groups=8).collect()}
+    assert again == {(r["doc_id"], r["pack_id"]) for r in packed.collect()}
+
+    # oversize handling
+    big = spark.createDataFrame([(1, 5000), (2, 100)], "doc_id bigint, n bigint")
+    with pytest.raises(Exception, match="exceeds max_len"):
+        pack_sequences(big, "doc_id", "n", max_len=2048, n_groups=1).collect()
+    own = pack_sequences(big, "doc_id", "n", max_len=2048, n_groups=1, oversize="own_bin")
+    assert own.count() == 2 and own.select("pack_id").distinct().count() == 2
