@@ -333,3 +333,91 @@ def dedup_by_url(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     return df.groupBy(
         normalize_url_expr(F.col(url_col)).alias("canonical_url")
     ).agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("copies"))
+
+
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, "Scaling
+    Language Models", Appendix A1.1) as pure Column expressions — the
+    document-level heuristic gate most modern pretraining pipelines
+    apply before dedup:
+
+    - word count in [50, 100_000];
+    - mean word length in [3, 10] characters;
+    - symbol-to-word ratio (``#`` or ``...``/ellipsis) < 0.1;
+    - < 90 % of lines starting with a bullet; < 30 % ending with an
+      ellipsis;
+    - >= 80 % of words containing at least one alphabetic character;
+    - >= 2 distinct members of the required-stopword set
+      {the, be, to, of, and, that, have, with}.
+
+    Emits every per-rule boolean plus ``passes_gopher`` (their AND) so
+    downstream curation can report WHICH rule rejected a document —
+    reject-reason histograms are how these thresholds get tuned on a
+    new corpus.  Empty/whitespace-only documents fail with every
+    word-based flag false.  Engine-portable formulas (integer counts,
+    non-overlapping replace semantics): exact DuckDB oracle.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    n_words = F.size(words).cast("long")
+    sum_word_chars = F.length(F.regexp_replace(t, r"\s", "")).cast("double")
+    mean_word_len = F.when(n_words > 0, sum_word_chars / n_words)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+        + F.length(t)
+        - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    )
+    symbol_ratio = F.when(n_words > 0, (n_hash + n_ellipsis) / n_words)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda x: x.startswith("-") | x.startswith("*") | x.startswith("•"),
+            )
+        )
+        / n_lines,
+    )
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda x: x.endswith("...") | x.endswith("…")))
+        / n_lines,
+    )
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words,
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, lambda w: F.lower(w)),
+            F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
+        )
+    )
+    flags = {
+        "ok_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "ok_mean_word_len": F.coalesce(
+            (mean_word_len >= 3) & (mean_word_len <= 10), F.lit(False)
+        ),
+        "ok_symbol_ratio": F.coalesce(symbol_ratio < 0.1, F.lit(False)),
+        "ok_bullet_lines": F.coalesce(bullet_frac < 0.9, F.lit(True)),
+        "ok_ellipsis_lines": F.coalesce(ellipsis_frac < 0.3, F.lit(True)),
+        "ok_alpha_words": F.coalesce(alpha_frac >= 0.8, F.lit(False)),
+        "ok_stopwords": stop_hits >= 2,
+    }
+    passes = None
+    for c in flags.values():
+        passes = c if passes is None else passes & c
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        *[v.alias(k) for k, v in flags.items()],
+        passes.alias("passes_gopher"),
+    )

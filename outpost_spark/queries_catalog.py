@@ -2175,6 +2175,62 @@ def embed_pq_topk(spark, sf_dir):
     return pq_topk(pq_encode(emb, "embedding", books), q, books, k=10)
 
 
+@_register(
+    "text_gopher_quality",
+    r"""
+    WITH s AS (SELECT doc_id, text FROM documents),
+    w AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words,
+             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                         x -> x <> '') AS lines
+      FROM s
+    ),
+    m AS (
+      SELECT doc_id,
+        CAST(len(words) AS BIGINT) AS n_words,
+        CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS swc,
+        (length(text) - length(replace(text, '#', ''))) AS n_hash,
+        (length(text) - length(replace(text, '...', ''))) / 3
+          + length(text) - length(replace(text, chr(8230), '')) AS n_ell,
+        len(lines) AS n_lines,
+        len(list_filter(lines, x -> starts_with(x, '-') OR starts_with(x, '*')
+                                    OR starts_with(x, chr(8226)))) AS n_bullet,
+        len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, chr(8230)))) AS n_ellline,
+        len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+        len(list_intersect(list_transform(words, x -> lower(x)),
+            ['the','be','to','of','and','that','have','with'])) AS stop_hits
+      FROM w
+    )
+    SELECT doc_id, n_words,
+      (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+      coalesce(n_words > 0 AND swc / n_words >= 3 AND swc / n_words <= 10, FALSE) AS ok_mean_word_len,
+      coalesce(n_words > 0 AND (n_hash + n_ell) / n_words < 0.1, FALSE) AS ok_symbol_ratio,
+      coalesce(NOT (n_lines > 0 AND n_bullet * 1.0 / n_lines >= 0.9), TRUE) AS ok_bullet_lines,
+      coalesce(NOT (n_lines > 0 AND n_ellline * 1.0 / n_lines >= 0.3), TRUE) AS ok_ellipsis_lines,
+      coalesce(n_words > 0 AND n_alpha * 1.0 / n_words >= 0.8, FALSE) AS ok_alpha_words,
+      (stop_hits >= 2) AS ok_stopwords,
+      ((n_words >= 50 AND n_words <= 100000)
+       AND coalesce(n_words > 0 AND swc / n_words >= 3 AND swc / n_words <= 10, FALSE)
+       AND coalesce(n_words > 0 AND (n_hash + n_ell) / n_words < 0.1, FALSE)
+       AND coalesce(NOT (n_lines > 0 AND n_bullet * 1.0 / n_lines >= 0.9), TRUE)
+       AND coalesce(NOT (n_lines > 0 AND n_ellline * 1.0 / n_lines >= 0.3), TRUE)
+       AND coalesce(n_words > 0 AND n_alpha * 1.0 / n_words >= 0.8, FALSE)
+       AND (stop_hits >= 2)) AS passes_gopher
+    FROM m
+    """,
+)
+def text_gopher_quality(spark, sf_dir):
+    """The Gopher document-quality rule set (Rae et al. 2021 App. A1.1)
+    as pure codegen Columns: word-count bounds, mean word length,
+    symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic-word
+    fraction, required-stopword hits — per-rule booleans plus the AND, so
+    curation can histogram WHICH rule rejects."""
+    from outpost_spark.ops.text import gopher_quality
+
+    return gopher_quality(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
 @_register("pack_training_sequences", None)
 def pack_training_sequences(spark, sf_dir):
     """Sequence packing (ops/packing.py): documents best-fit-decreasing
@@ -3030,6 +3086,7 @@ _COST_RANK = [
     "metrics_rate_whole_range",
     "agg_count_distinct_salted",
     "sink_format_kinesis",
+    "text_gopher_quality",
     "pack_training_sequences",
     "embed_pq_topk",
     "dedup_simhash_pairs",

@@ -1550,3 +1550,31 @@ def test_pack_sequences_invariants_and_quality(spark):
         pack_sequences(big, "doc_id", "n", max_len=2048, n_groups=1).collect()
     own = pack_sequences(big, "doc_id", "n", max_len=2048, n_groups=1, oversize="own_bin")
     assert own.count() == 2 and own.select("pack_id").distinct().count() == 2
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule (Rae et al. 2021 A1.1) must reject exactly the
+    crafted document that violates it, and a clean document passes."""
+    from outpost_spark.ops.text import gopher_quality
+
+    good = ("the quick brown fox jumps over the lazy dog and runs to have "
+            "fun with friends that play games every single afternoon be "
+            "cause sunny weather makes everyone smile widely today ") * 2
+    rows = [
+        (1, good),                                        # passes everything
+        (2, "the be to of"),                              # too few words
+        (3, ("a b c d " * 20) + "the be to of and that"),  # mean word len < 3
+        (4, good + " ###### " * 20),                      # symbol ratio
+        (5, "\n".join(["- " + w for w in good.split()][:60]) + "\nthe be"),  # bullets
+        (6, " ".join(["12345"] * 60) + " the be to"),     # alpha fraction
+        (7, " ".join(["zebra"] * 60)),                    # no required stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r.asDict() for r in gopher_quality(df, "text", "doc_id").collect()}
+    assert out[1]["passes_gopher"]
+    assert not out[2]["ok_word_count"] and not out[2]["passes_gopher"]
+    assert not out[3]["ok_mean_word_len"]
+    assert not out[4]["ok_symbol_ratio"]
+    assert not out[5]["ok_bullet_lines"]
+    assert not out[6]["ok_alpha_words"]
+    assert not out[7]["ok_stopwords"]
