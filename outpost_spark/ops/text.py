@@ -421,3 +421,79 @@ def gopher_quality(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         *[v.alias(k) for k, v in flags.items()],
         passes.alias("passes_gopher"),
     )
+
+
+def approx_top_tokens(
+    df: DataFrame,
+    text_col: str,
+    *,
+    k: int = 20,
+    summary_size: int = 4096,
+) -> DataFrame:
+    """Heavy-hitter top-k via Misra-Gries summaries + exact recount —
+    the single-pass scale path for :func:`top_tokens`.
+
+    The exact operator's explode+groupBy shuffles one row per DISTINCT
+    token; at 100 TB web text the long-tail vocabulary (typos, ids,
+    numbers) makes that shuffle vocabulary-sized in the worst way.  The
+    sketch path bounds it:
+
+    1. each partition streams its tokens through a Misra-Gries summary
+       of ``summary_size`` counters (the classical decrement algorithm:
+       undercounts by at most n_partition/(summary_size+1));
+    2. summaries merge by summed weight — any token with true frequency
+       > N/(summary_size+1) is guaranteed present (mergeable-summaries
+       property), so the candidate set covers the true top-k whenever
+       the k-th frequency clears that bound;
+    3. candidates' counts are then recounted EXACTLY (one semi-joined
+       explode+groupBy over a candidate set of <= summary_size tokens),
+       so emitted counts are never approximate — only candidate RECALL
+       depends on the sketch, and the guarantee is explicit.
+
+    Shuffle inventory: the summary stage moves <= partitions x
+    summary_size (token, weight) rows; the recount moves only candidate
+    tokens.  Output matches :func:`top_tokens` exactly when the
+    guarantee holds (pytest-pinned on testdata + a planted-heavy-hitter
+    adversarial corpus).
+    """
+    toks_df = df.select(tokens_expr(F.col(text_col)).alias("__toks"))
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for toks in pdf["__toks"]:
+                for t in toks:
+                    if t in counters:
+                        counters[t] += 1
+                    elif len(counters) < summary_size:
+                        counters[t] = 1
+                    else:
+                        # decrement-all: drop zeroed counters
+                        dead = []
+                        for key in counters:
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                dead.append(key)
+                        for key in dead:
+                            del counters[key]
+        yield pd.DataFrame(
+            {"token": list(counters), "w": list(counters.values())}
+        )
+
+    candidates = (
+        toks_df.mapInPandas(mg, "token string, w long")
+        .groupBy("token")
+        .agg(F.sum("w").alias("w"))
+        .orderBy(F.col("w").desc(), F.col("token").asc())
+        .limit(summary_size)
+        .select("token")
+    )
+    exact = (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("token"))
+        .join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return exact.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)

@@ -2231,6 +2231,32 @@ def text_gopher_quality(spark, sf_dir):
     return gopher_quality(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+@_register(
+    "text_top_tokens_approx",
+    r"""
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents) t
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 20
+    """,
+)
+def text_top_tokens_approx(spark, sf_dir):
+    """L21's single-pass scale path: Misra-Gries summaries per partition
+    -> merged candidates -> EXACT recount of candidates (ops/text.py:
+    approx_top_tokens).  Counts are never approximate — only candidate
+    recall depends on the sketch (guaranteed when the k-th frequency
+    exceeds N/(summary_size+1)), so the oracle is the same exact top-k
+    SQL as ``text_top_tokens``; the adversarial-tail behavior is
+    pytest-pinned."""
+    from outpost_spark.ops.text import approx_top_tokens
+
+    return approx_top_tokens(_t(spark, sf_dir, "documents"), "text", k=20)
+
+
 @_register("pack_training_sequences", None)
 def pack_training_sequences(spark, sf_dir):
     """Sequence packing (ops/packing.py): documents best-fit-decreasing
@@ -3087,6 +3113,7 @@ _COST_RANK = [
     "agg_count_distinct_salted",
     "sink_format_kinesis",
     "text_gopher_quality",
+    "text_top_tokens_approx",
     "pack_training_sequences",
     "embed_pq_topk",
     "dedup_simhash_pairs",

@@ -1578,3 +1578,25 @@ def test_gopher_quality_rules(spark):
     assert not out[5]["ok_bullet_lines"]
     assert not out[6]["ok_alpha_words"]
     assert not out[7]["ok_stopwords"]
+
+
+def test_approx_top_tokens_matches_exact_and_survives_adversarial_tail(spark, sf_dir):
+    """MG-sketch top-k == exact top-k on the real corpus, and on an
+    adversarial corpus where a huge distinct tail (every doc unique
+    tokens) tries to evict the planted heavy hitters from the summaries."""
+    import os as _os
+
+    from outpost_spark.ops.text import approx_top_tokens, top_tokens
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    exact = [(r["token"], r["n"]) for r in top_tokens(docs, "text", k=20).collect()]
+    approx = [(r["token"], r["n"]) for r in approx_top_tokens(docs, "text", k=20).collect()]
+    assert approx == exact
+
+    rows = [(i, f"u{i}a u{i}b u{i}c u{i}d heavy{i % 3}") for i in range(3000)]
+    adv = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = [
+        (r["token"], r["n"])
+        for r in approx_top_tokens(adv, "text", k=3, summary_size=64).collect()
+    ]
+    assert got == [("heavy0", 1000), ("heavy1", 1000), ("heavy2", 1000)]
