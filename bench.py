@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "embed_pq_topk",
     "agg_count_distinct_salted",
     "sink_format_kinesis",
+    "text_gopher_quality",
+    "text_top_tokens_approx",
+    "pack_training_sequences",
 ]
 
 
