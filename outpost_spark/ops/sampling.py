@@ -162,3 +162,78 @@ def sample_by_rates(
     return df.filter(
         hash_fraction(F.col(id_col), seed=seed, hash_fn=hash_fn) < rate_expr
     )
+
+
+def sample_by_token_budget(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    *,
+    seed: str = "budget",
+    hash_fn: str = "md5",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic ~``budget``-token subcorpus: keep each document
+    whose running total (ordered by a stable hash of its id) stays
+    within the budget — "give me 50B tokens of corpus X", the
+    token-weighted sibling of :func:`hash_sample`'s row-fraction cut.
+
+    Semantics (the oracle definition): order docs by (hash(id), id),
+    keep every doc whose cumulative ``weight_col`` INCLUDING itself is
+    <= budget.  A literal global cumulative-sum window would sort the
+    corpus; the plan here never does:
+
+    1. the hash's TOP bits split the order into ``n_buckets``
+       order-aligned ranges; per-bucket weight totals (one narrow
+       groupBy over n_buckets keys) drive a driver-side prefix sum —
+       n_buckets rows, O(1) per corpus;
+    2. buckets fully inside the budget pass with a FILTER (no sort,
+       no window — at scale this is ~all of the kept data);
+    3. only the single boundary bucket (~1/n_buckets of the corpus)
+       runs the exact cumulative window for the residual budget.
+
+    Deterministic and engine-portable with ``hash_fn="md5"`` (exact
+    DuckDB oracle); ``"xxhash64"`` is the cheaper Spark-native twin.
+    Output: (id_col, weight_col) of the kept docs.
+    """
+    s = F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
+    if hash_fn == "xxhash64":
+        key = F.pmod(F.xxhash64(s), F.lit(1 << 60)).cast("long")
+    else:
+        # 60-bit md5 prefix: inside BIGINT in both engines
+        key = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    bucket = F.floor(key / F.lit((1 << 60) // n_buckets)).cast("int")
+    src = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias(weight_col),
+        key.alias("__key"),
+        bucket.alias("__bkt"),
+    )
+    totals = {
+        r["__bkt"]: r["w"]
+        for r in src.groupBy("__bkt").agg(F.sum(weight_col).alias("w")).collect()
+    }
+    acc = 0
+    full_buckets = []
+    boundary = None
+    residual = budget
+    for b in sorted(totals):
+        if acc + totals[b] <= budget:
+            acc += totals[b]
+            full_buckets.append(b)
+        else:
+            boundary = b
+            residual = budget - acc
+            break
+    kept = src.filter(F.col("__bkt").isin(full_buckets)) if full_buckets else src.limit(0)
+    if boundary is not None and residual > 0:
+        w = Window.orderBy("__key", id_col)
+        edge = (
+            src.filter(F.col("__bkt") == boundary)
+            .withColumn("__c", F.sum(weight_col).over(w))
+            .filter(F.col("__c") <= residual)
+            .drop("__c")
+        )
+        kept = kept.unionByName(edge)
+    return kept.select(id_col, weight_col)

@@ -2257,6 +2257,32 @@ def text_top_tokens_approx(spark, sf_dir):
     return approx_top_tokens(_t(spark, sf_dir, "documents"), "text", k=20)
 
 
+@_register(
+    "sample_token_budget",
+    r"""
+    WITH t AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(('0x' || substr(md5('budget|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS k
+      FROM documents
+    )
+    SELECT doc_id, n_chars
+    FROM (SELECT doc_id, n_chars, sum(n_chars) OVER (ORDER BY k, doc_id) AS c FROM t) z
+    WHERE c <= 60000
+    """,
+)
+def sample_token_budget(spark, sf_dir):
+    """Token-budget sampling ("give me ~60k chars of this corpus"):
+    keep documents while the hash-ordered running total stays within
+    budget (ops/sampling.py:sample_by_token_budget).  The oracle is the
+    literal global cumulative window; the Spark plan never sorts the
+    corpus — order-aligned hash buckets pass whole via filter and only
+    the single boundary bucket runs the exact window."""
+    from outpost_spark.ops.sampling import sample_by_token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_by_token_budget(docs, "doc_id", "n_chars", 60000)
+
+
 @_register("pack_training_sequences", None)
 def pack_training_sequences(spark, sf_dir):
     """Sequence packing (ops/packing.py): documents best-fit-decreasing
@@ -3114,6 +3140,7 @@ _COST_RANK = [
     "sink_format_kinesis",
     "text_gopher_quality",
     "text_top_tokens_approx",
+    "sample_token_budget",
     "pack_training_sequences",
     "embed_pq_topk",
     "dedup_simhash_pairs",

@@ -1600,3 +1600,40 @@ def test_approx_top_tokens_matches_exact_and_survives_adversarial_tail(spark, sf
         for r in approx_top_tokens(adv, "text", k=3, summary_size=64).collect()
     ]
     assert got == [("heavy0", 1000), ("heavy1", 1000), ("heavy2", 1000)]
+
+
+def test_sample_by_token_budget_matches_global_window_definition(spark, sf_dir):
+    """The bucketed no-global-sort plan must select EXACTLY the docs the
+    literal global cumulative-sum window selects, for several budgets
+    including 0, a mid boundary, and beyond-total; selection is
+    deterministic and total weight never exceeds the budget."""
+    import os as _os
+
+    from pyspark.sql import Window
+
+    from outpost_spark.ops.sampling import hash_fraction, sample_by_token_budget
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    key = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("budget|"), F.col("doc_id").cast("string"))), 1, 15),
+            16, 10,
+        ).cast("long")
+    )
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    for budget in (0, 1, 60000, int(total), int(total) + 10):
+        ref = {
+            r["doc_id"]
+            for r in docs.withColumn("__k", key)
+            .withColumn("__c", F.sum("n_chars").over(Window.orderBy("__k", "doc_id")))
+            .filter(F.col("__c") <= budget)
+            .collect()
+        }
+        got_df = sample_by_token_budget(docs, "doc_id", "n_chars", budget)
+        got = {r["doc_id"] for r in got_df.collect()}
+        assert got == ref, f"budget={budget}"
+        used = got_df.agg(F.coalesce(F.sum("n_chars"), F.lit(0))).collect()[0][0]
+        assert used <= budget or budget >= total
+    # xxhash64 twin runs and respects the budget (different selection)
+    fast = sample_by_token_budget(docs, "doc_id", "n_chars", 60000, hash_fn="xxhash64")
+    assert fast.agg(F.sum("n_chars")).collect()[0][0] <= 60000
