@@ -80,3 +80,57 @@ def cobucketed_join(
     left = spark.table(left_table).hint("merge")
     right = spark.table(right_table)
     return left.join(right, on=on, how=how)
+
+
+def optimize_partition(
+    spark: SparkSession,
+    table_path: str,
+    month: str,
+    *,
+    sort_cols: list[str],
+    target_files: int = 1,
+    writer_options: dict | None = None,
+) -> int:
+    """Rewrite one month partition SORTED by ``sort_cols`` — the plain-
+    parquet analog of the reference's ClickHouse ``ORDER BY (tenant_id,
+    time)`` primary key (internal/logstore/chlogstore schema).
+
+    Parquet row-group min/max stats only prune when values are
+    CLUSTERED: a partition written from unsorted micro-batches has every
+    tenant in every row group, so a tenant-filtered scan reads all of
+    them.  After this rewrite each row group covers a tight, mostly
+    disjoint sort-key range and pushed equality/range filters skip
+    non-matching groups at footer time — measured in tests via pyarrow
+    row-group statistics (disjoint tenant ranges) rather than timing.
+
+    Uses the retention machinery's journaled crash-safe swap; combine
+    with ``compact_partition``'s scheduling (run after compaction, or
+    instead of it — this rewrite also compacts).  Returns the number of
+    input files rewritten (0 if the partition is absent).
+    """
+    from outpost_spark.logstore.retention import _recover_partials, _swap_partition
+
+    _recover_partials(table_path, spark)
+    from outpost_spark.fsutil import maintenance_fs
+
+    fs = maintenance_fs(table_path, spark)
+    part = f"month={month}"
+    if not fs.is_dir(part):
+        return 0
+    n_files = sum(
+        1
+        for f in fs.list_files(part)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    df = spark.read.parquet(fs.path_str(part))
+    tmp = fs.path_str(f"_tmp_optimize_{part}")
+    writer = (
+        df.repartition(target_files)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+    )
+    for k, v in (writer_options or {}).items():
+        writer = writer.option(k, v)
+    writer.parquet(tmp)
+    _swap_partition(table_path, part, tmp, spark)
+    return n_files

@@ -123,3 +123,65 @@ def test_salted_distinct_spreads_the_hot_key(spark):
     assert partial.count() > 1  # spread across salt buckets
     out = salted_count_distinct(df, ["k"], "x", salt_buckets=16).collect()
     assert out[0]["n_distinct"] == 200
+
+
+def test_optimize_partition_clusters_row_groups(spark, tmpdir):
+    """After the sorted rewrite, parquet row-group tenant_id min/max
+    ranges are tight (disjoint or touching), so a tenant-filtered scan
+    can skip groups; the unsorted original's groups all span the full
+    tenant range.  Content must survive byte-identically."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from outpost_spark.logstore.layout import optimize_partition
+
+    path = os.path.join(tmpdir, "tbl")
+    df = spark.range(40000).select(
+        (F.col("id") % 8).cast("string").alias("tenant_id"),
+        F.col("id").alias("v"),
+        F.lit("202401").alias("month"),
+    )
+    # small row groups so one partition has many; unsorted (round-robin)
+    df.repartition(4).write.option("parquet.block.size", 64 * 1024).partitionBy(
+        "month"
+    ).mode("overwrite").parquet(path)
+    before = {
+        (r["tenant_id"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+
+    def tenant_ranges():
+        part = os.path.join(path, "month=202401")
+        spans = []
+        for f in os.listdir(part):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(part, f)).metadata
+            for g in range(md.num_row_groups):
+                col = next(
+                    md.row_group(g).column(i)
+                    for i in range(md.row_group(g).num_columns)
+                    if md.row_group(g).column(i).path_in_schema == "tenant_id"
+                )
+                spans.append((col.statistics.min, col.statistics.max))
+        return spans
+
+    assert any(lo != hi for lo, hi in tenant_ranges())  # unsorted: wide spans
+
+    n = optimize_partition(
+        spark, path, "202401", sort_cols=["tenant_id", "v"], target_files=1,
+        writer_options={"parquet.block.size": 64 * 1024},
+    )
+    assert n >= 1
+    after_spans = tenant_ranges()
+    assert len(after_spans) > 1  # still multiple row groups to skip between
+    # every rewritten row group covers at most... a tight range: for an
+    # equality filter to skip, most groups must EXCLUDE most tenants —
+    # assert each group spans at most 2 adjacent tenant values
+    assert all(int(hi) - int(lo) <= 1 for lo, hi in after_spans)
+    assert {
+        (r["tenant_id"], r["v"]) for r in spark.read.parquet(path).collect()
+    } == before
+    assert not [
+        d for d in os.listdir(path)
+        if d.startswith(("_trash_", "_tmp_", "_swapjournal_"))
+    ]
