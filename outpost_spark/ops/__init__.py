@@ -17,6 +17,7 @@ from outpost_spark.ops.dedup import (  # noqa: F401
 from outpost_spark.ops.pipeline import curate_corpus, curate_corpus_v3  # noqa: F401
 from outpost_spark.ops.skew import salted_count_distinct  # noqa: F401
 from outpost_spark.ops.packing import pack_sequences, pack_stats  # noqa: F401
+from outpost_spark.ops.joins import asof_join, range_join  # noqa: F401
 from outpost_spark.ops.sampling import (  # noqa: F401
     hash_fraction,
     hash_sample,

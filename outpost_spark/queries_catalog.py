@@ -2283,6 +2283,117 @@ def sample_token_budget(spark, sf_dir):
     return sample_by_token_budget(docs, "doc_id", "n_chars", 60000)
 
 
+@_register(
+    "join_asof_checkpoint",
+    f"""
+    WITH src AS ({_EVENTS_SQL}),
+    t0 AS (SELECT date_trunc('hour', min(event_time)) AS t0 FROM src),
+    cps AS (
+      SELECT t.tenant_id,
+             t0.t0 + CAST(h AS INT) * INTERVAL 1 HOUR AS cp_time,
+             CAST(h * 37 + CAST(t.tenant_id AS BIGINT) % 100 AS BIGINT) AS cp_value
+      FROM (SELECT DISTINCT tenant_id FROM src) t, t0, unnest(range(0, 48)) AS u(h)
+    )
+    SELECT s.event_id,
+           CAST(floor(epoch(s.event_time)) AS BIGINT) AS ev_epoch,
+           c.cp_value AS asof_cp_value
+    FROM src s ASOF LEFT JOIN cps c
+      ON s.tenant_id = c.tenant_id AND s.event_time >= c.cp_time
+    """,
+)
+def join_asof_checkpoint(spark, sf_dir):
+    """As-of join (kdb+ aj / DuckDB ASOF / merge_asof) — an operator
+    Spark has no native node for, re-expressed as union + one per-key
+    window carrying the last right-side values forward (ops/joins.py:
+    no join node at all, one shuffle per side).  Each event picks up the
+    latest hourly tenant checkpoint at or before its time; the oracle is
+    DuckDB's NATIVE ASOF LEFT JOIN, so the tie/no-match semantics are
+    pinned against a reference implementation, not a mirror."""
+    from outpost_spark.ops.joins import asof_join
+
+    ev = _events(spark, sf_dir).select("event_id", "tenant_id", "event_time")
+    t0 = ev.agg(F.date_trunc("hour", F.min("event_time")).alias("t0"))
+    cps = (
+        ev.select("tenant_id").distinct()
+        .crossJoin(F.broadcast(t0))
+        .select(
+            "tenant_id",
+            F.explode(F.sequence(F.lit(0), F.lit(47))).alias("h"),
+            "t0",
+        )
+        .select(
+            "tenant_id",
+            F.timestamp_seconds(
+                F.unix_timestamp("t0") + F.col("h") * 3600
+            ).alias("cp_time"),
+            (F.col("h") * 37 + F.col("tenant_id").cast("bigint") % 100)
+            .cast("bigint")
+            .alias("cp_value"),
+        )
+    )
+    out = asof_join(
+        ev, cps, on="tenant_id", left_ts="event_time", right_ts="cp_time",
+        right_cols=["cp_value"],
+    )
+    return out.select(
+        "event_id",
+        F.floor(F.unix_timestamp("event_time")).cast("bigint").alias("ev_epoch"),
+        F.col("asof_cp_value"),
+    )
+
+
+@_register(
+    "join_range_windows",
+    f"""
+    WITH src AS ({_EVENTS_SQL}),
+    t0 AS (SELECT date_trunc('hour', min(event_time)) AS t0 FROM src),
+    iv AS (
+      SELECT t.tenant_id, CAST(i AS BIGINT) AS win,
+             t0.t0 + CAST(i * 6 AS INT) * INTERVAL 1 HOUR AS ws,
+             t0.t0 + CAST(i * 6 + 2 AS INT) * INTERVAL 1 HOUR AS we
+      FROM (SELECT DISTINCT tenant_id FROM src) t, t0, unnest(range(0, 4)) AS u(i)
+    )
+    SELECT s.event_id, iv.win
+    FROM src s JOIN iv
+      ON s.tenant_id = iv.tenant_id AND s.event_time >= iv.ws AND s.event_time <= iv.we
+    """,
+)
+def join_range_windows(spark, sf_dir):
+    """Range (interval-containment) join — naively a cartesian in Spark;
+    re-expressed as bin-and-verify (ops/joins.py): intervals explode to
+    their overlapped fixed-width bins, facts hash to one bin, an
+    equi-join on (tenant, bin) replaces the cross product, exact BETWEEN
+    verifies.  Events matched into per-tenant 2-hour maintenance windows
+    every 6 hours; oracle = the literal BETWEEN join."""
+    from outpost_spark.ops.joins import range_join
+
+    ev = _events(spark, sf_dir).select("event_id", "tenant_id", "event_time")
+    t0 = ev.agg(F.date_trunc("hour", F.min("event_time")).alias("t0"))
+    iv = (
+        ev.select("tenant_id").distinct()
+        .crossJoin(F.broadcast(t0))
+        .select(
+            "tenant_id",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+            "t0",
+        )
+        .select(
+            "tenant_id",
+            F.col("i").cast("bigint").alias("win"),
+            F.timestamp_seconds(F.unix_timestamp("t0") + F.col("i") * 21600).alias("ws"),
+            F.timestamp_seconds(
+                F.unix_timestamp("t0") + F.col("i") * 21600 + 7200
+            ).alias("we"),
+        )
+    )
+    out = range_join(
+        ev, iv.select("tenant_id", "win", "ws", "we"),
+        on="tenant_id", fact_ts="event_time", start_col="ws", end_col="we",
+        bin_width_seconds=3600,
+    )
+    return out.select("event_id", F.col("iv_win").alias("win"))
+
+
 @_register("pack_training_sequences", None)
 def pack_training_sequences(spark, sf_dir):
     """Sequence packing (ops/packing.py): documents best-fit-decreasing
@@ -3141,6 +3252,8 @@ _COST_RANK = [
     "text_gopher_quality",
     "text_top_tokens_approx",
     "sample_token_budget",
+    "join_asof_checkpoint",
+    "join_range_windows",
     "pack_training_sequences",
     "embed_pq_topk",
     "dedup_simhash_pairs",

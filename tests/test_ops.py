@@ -1637,3 +1637,67 @@ def test_sample_by_token_budget_matches_global_window_definition(spark, sf_dir):
     # xxhash64 twin runs and respects the budget (different selection)
     fast = sample_by_token_budget(docs, "doc_id", "n_chars", 60000, hash_fn="xxhash64")
     assert fast.agg(F.sum("n_chars")).collect()[0][0] <= 60000
+
+
+def test_asof_join_semantics(spark):
+    """As-of: latest right row with ts <= left ts per key; ties (equal
+    ts) MATCH (DuckDB ASOF `>=` semantics); no prior row -> nulls;
+    tolerance nulls out stale matches; one shuffle per side, no join
+    node in the plan."""
+    from datetime import datetime, timezone
+
+    from outpost_spark.ops.joins import asof_join
+
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+    left = spark.createDataFrame(
+        [(1, "a", T(10)), (2, "a", T(30)), (3, "a", T(5)), (4, "b", T(10)), (5, "c", T(50))],
+        "id bigint, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", T(10), 100), ("a", T(20), 200), ("b", T(11), 300)],
+        "k string, rts timestamp, val bigint",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts", right_cols=["val"]
+    )
+    got = {r["id"]: r["asof_val"] for r in out.collect()}
+    assert got == {1: 100, 2: 200, 3: None, 4: None, 5: None}
+    # tolerance: id=2 matched rts=20 (10s stale) — a 5s tolerance drops it
+    tol = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts", right_cols=["val"],
+        tolerance_seconds=5,
+    )
+    got_tol = {r["id"]: r["asof_val"] for r in tol.collect()}
+    assert got_tol[1] == 100 and got_tol[2] is None
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # union + window, never a join node
+
+
+def test_range_join_semantics(spark):
+    """Range join: inclusive bounds, intervals spanning many bins still
+    match, per-key isolation, and left-join keeps unmatched facts."""
+    from outpost_spark.ops.joins import range_join
+
+    facts = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 250), (3, "b", 100), (4, "a", 999)],
+        "id bigint, k string, ts bigint",
+    )
+    iv = spark.createDataFrame(
+        [("a", 10, 100, 260), ("b", 20, 90, 110), ("a", 30, 500, 600)],
+        "k string, win bigint, s bigint, e bigint",
+    )
+    inner = range_join(
+        facts, iv, on="k", fact_ts="ts", start_col="s", end_col="e",
+        bin_width_seconds=50,
+    )
+    got = {(r["id"], r["iv_win"]) for r in inner.collect()}
+    assert got == {(1, 10), (2, 10), (3, 20)}  # inclusive start, in-range, key-isolated
+    left = range_join(
+        facts, iv, on="k", fact_ts="ts", start_col="s", end_col="e",
+        bin_width_seconds=50, how="left",
+    )
+    lgot = {(r["id"], r["iv_win"]) for r in left.collect()}
+    assert lgot == {(1, 10), (2, 10), (3, 20), (4, None)}
+    with pytest.raises(ValueError, match="inner/left"):
+        range_join(facts, iv, on="k", fact_ts="ts", start_col="s", end_col="e",
+                   bin_width_seconds=50, how="outer")
