@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "text_gopher_quality",
     "text_top_tokens_approx",
     "pack_training_sequences",
+    "sample_token_budget",
+    "join_asof_checkpoint",
+    "join_range_windows",
 ]
 
 
