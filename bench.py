@@ -11,9 +11,15 @@ expressed through this engine's operators.
 Protocol (r05+): each query runs TWICE; ``queries`` carries the warm
 min-of-2 (matches SCALE.md's protocol, so round-over-round deltas are
 attributable to plan changes rather than first-run plan-compile/codegen
-noise — VERDICT r04 "What's wrong" #2/#4), ``queries_cold`` the first
-run, and the headline ``value`` is the warm total (``cold_total`` kept
-alongside for comparison against r01-r04, whose totals were cold).
+noise — VERDICT r04 "What's wrong" #2/#4) and the headline ``value`` is
+the warm total.
+
+Artifact protocol (r06 fix — VERDICT r05 "What's wrong" #1): the r05
+line carried BOTH warm and cold maps and outgrew the driver's tail
+capture, so the driver recorded ``parsed: null``.  Now stdout gets ONE
+compact line — ``{"metric","value","unit","queries"(warm),"sf"}``,
+printed LAST — and the full warm/cold detail goes to
+``BENCH_DETAIL.json`` on disk instead of the pipe.
 """
 
 from __future__ import annotations
@@ -112,6 +118,24 @@ def main() -> None:
             gc.collect()
         cold[name] = round(runs[0], 4)
         warm[name] = round(min(runs), 4)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "queries_warm": warm,
+                "queries_cold": cold,
+                "warm_total": round(sum(warm.values()), 4),
+                "cold_total": round(sum(cold.values()), 4),
+                "sf": sf,
+            },
+            fh,
+            indent=1,
+        )
+    # the machine-readable summary is the LAST line on stdout, compact
+    # (warm map only, no whitespace) so the driver's tail capture always
+    # holds the full JSON object
     print(
         json.dumps(
             {
@@ -119,10 +143,9 @@ def main() -> None:
                 "value": round(sum(warm.values()), 4),
                 "unit": "sec",
                 "queries": warm,
-                "queries_cold": cold,
-                "cold_total": round(sum(cold.values()), 4),
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -621,14 +621,18 @@ def minhash_dedup_pairs(
             hashed = hashed.localCheckpoint(eager=True)
         # Signature-estimate prefilter: the bucket frame carries the
         # 16-long signature, so each candidate's estimated Jaccard
-        # (matching lanes / lanes) is available AT the bucket join — far
-        # below the real threshold (num_hashes/4 matching lanes ~ est
-        # J 0.25 vs threshold 0.7; miss probability for a true pair is
-        # ~1e-6), it exists only to keep low-J boilerplate collisions
-        # (J~0.1 corpora: millions of band candidates at 1M docs,
-        # measured) away from the expensive gram-array verify join.
+        # (matching lanes / lanes) is available AT the bucket join.  The
+        # bar must sit STRICTLY above rows_per_band — a band collision
+        # already guarantees rows_per_band matching lanes, so any bar at
+        # or below that is a no-op (VERDICT r05 advice).  At
+        # rows_per_band+1 of 16 lanes (est J ~0.31 vs threshold 0.7) it
+        # sheds low-J boilerplate collisions (J~0.1 corpora: millions of
+        # band candidates at 1M docs, measured) before the expensive
+        # gram-array verify join.  Recall cost: a true J>=0.7 pair fails
+        # only with exactly rows_per_band matching lanes ALL forming the
+        # colliding band — P(Bin(16,0.7)=4) * P(4 aligned) ~ 5e-7.
         # Exact Jaccard still decides every emitted pair.
-        est_min = max(1, num_hashes // 4)
+        est_min = max(rows_per_band + 1, num_hashes // 4)
         # gram-less docs (shorter than the shingle) all carry the same
         # all-sentinel signature: every one lands in ONE band bucket, a
         # quadratic candidate hazard on corpora with many empty docs.

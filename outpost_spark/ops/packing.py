@@ -104,8 +104,11 @@ def pack_sequences(
         F.col(len_col).cast("long").alias("__len"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).cast("int").alias("__grp"),
     )
+    # id type flows through from the input schema (string/long/... ids all
+    # work — same pattern as minhash_grams_and_signature_numpy)
+    id_type = df.schema[id_col].dataType.simpleString()
     out = src.groupBy("__grp").applyInPandas(
-        pack_group, "__id long, seq_len long, pack_group int, pack_id long"
+        pack_group, f"__id {id_type}, seq_len long, pack_group int, pack_id long"
     )
     return out.select(
         F.col("__id").alias(id_col), "pack_id", "pack_group", "seq_len"

@@ -25,6 +25,18 @@ text gate, with IVF blocking instead of MinHash banding:
   array-equality clause covers them, playing the role the content digest
   plays in the text gate.
 
+Crash-window contract (same as the text gate, :mod:`streaming.ingest`):
+``_process`` appends to the corpus BEFORE the index.  A crash between
+the two writes leaves corpus rows with no index rows; the replayed batch
+then re-admits those vectors (nothing in the index matches them) and the
+corpus holds duplicates until a batch ``semantic_dedup`` compaction.
+The window is accepted — ordering the writes the other way would instead
+DROP data on replay (index rows reject the re-run before its corpus
+write), and at-least-once + downstream dedup is this engine's standing
+contract (SET3).  On the transaction-log table format
+(:mod:`outpost_spark.logstore.txntable`) the two appends can share one
+atomic commit, closing the window entirely.
+
 Recall contract: a near-dup is missed only when neither member's
 ``nprobe`` probe set covers the other's assignment list — the measured
 IVF dial (BENCH_SCALE: nprobe 2/4 -> 99.2/99.98 % planted removal at
