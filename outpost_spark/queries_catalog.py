@@ -2343,6 +2343,64 @@ def join_asof_checkpoint(spark, sf_dir):
 
 
 @_register(
+    "join_asof_bucketed",
+    f"""
+    WITH src AS ({_EVENTS_SQL}),
+    t0 AS (SELECT date_trunc('hour', min(event_time)) AS t0 FROM src),
+    cps AS (
+      SELECT t.tenant_id,
+             t0.t0 + CAST(h AS INT) * INTERVAL 1 HOUR AS cp_time,
+             CAST(h * 37 + CAST(t.tenant_id AS BIGINT) % 100 AS BIGINT) AS cp_value
+      FROM (SELECT DISTINCT tenant_id FROM src) t, t0, unnest(range(0, 48)) AS u(h)
+    )
+    SELECT s.event_id,
+           CAST(floor(epoch(s.event_time)) AS BIGINT) AS ev_epoch,
+           c.cp_value AS asof_cp_value
+    FROM src s ASOF LEFT JOIN cps c
+      ON s.tenant_id = c.tenant_id AND s.event_time >= c.cp_time
+    """,
+)
+def join_asof_bucketed(spark, sf_dir):
+    """The HOT-KEY carry mode of the as-of join: identical semantics to
+    ``join_asof_checkpoint`` (same DuckDB native ASOF LEFT JOIN oracle)
+    through the two-pass bucketed plan — pass 1 carries within (key,
+    2-hour bucket) sub-partitions so no single task owns a whole hot
+    key, pass 2 carries bucket boundaries via a per-key window over one
+    summary row per bucket (ops/joins.py:asof_join bucket_seconds)."""
+    from outpost_spark.ops.joins import asof_join
+
+    ev = _events(spark, sf_dir).select("event_id", "tenant_id", "event_time")
+    t0 = ev.agg(F.date_trunc("hour", F.min("event_time")).alias("t0"))
+    cps = (
+        ev.select("tenant_id").distinct()
+        .crossJoin(F.broadcast(t0))
+        .select(
+            "tenant_id",
+            F.explode(F.sequence(F.lit(0), F.lit(47))).alias("h"),
+            "t0",
+        )
+        .select(
+            "tenant_id",
+            F.timestamp_seconds(
+                F.unix_timestamp("t0") + F.col("h") * 3600
+            ).alias("cp_time"),
+            (F.col("h") * 37 + F.col("tenant_id").cast("bigint") % 100)
+            .cast("bigint")
+            .alias("cp_value"),
+        )
+    )
+    out = asof_join(
+        ev, cps, on="tenant_id", left_ts="event_time", right_ts="cp_time",
+        right_cols=["cp_value"], bucket_seconds=7200,
+    )
+    return out.select(
+        "event_id",
+        F.floor(F.unix_timestamp("event_time")).cast("bigint").alias("ev_epoch"),
+        F.col("asof_cp_value"),
+    )
+
+
+@_register(
     "join_range_windows",
     f"""
     WITH src AS ({_EVENTS_SQL}),

@@ -1701,3 +1701,82 @@ def test_range_join_semantics(spark):
     with pytest.raises(ValueError, match="inner/left"):
         range_join(facts, iv, on="k", fact_ts="ts", start_col="s", end_col="e",
                    bin_width_seconds=50, how="outer")
+
+
+def test_asof_join_bucketed_matches_single_pass(spark):
+    """The two-pass hot-key carry (bucket_seconds) returns EXACTLY the
+    single-pass result on a skewed corpus: one key holds 90 % of the
+    left rows and a right series dense enough that matches cross bucket
+    boundaries (empty buckets, right-only buckets, and the
+    prev-bucket carry all exercised)."""
+    import random
+
+    from outpost_spark.ops.joins import asof_join
+
+    rng = random.Random(7)
+    # hot key "h": 900 left rows over [0, 5000); cold keys 100 rows
+    left_rows = [(i, "h", rng.randrange(0, 5000)) for i in range(900)]
+    left_rows += [(1000 + i, f"c{i % 7}", rng.randrange(0, 5000)) for i in range(100)]
+    # right rows sparse for some keys, absent for c5/c6; hot key every ~40s
+    right_rows = [("h", t, t * 3) for t in range(0, 5000, 40)]
+    right_rows += [(f"c{i}", 100 * (i + 1), 7_000 + i) for i in range(5)]
+    left = spark.createDataFrame(left_rows, "id bigint, k string, ts bigint")
+    right = spark.createDataFrame(right_rows, "k string, rts bigint, val bigint")
+    kw = dict(on="k", left_ts="ts", right_ts="rts", right_cols=["val"])
+    base = asof_join(left, right, **kw)
+    ref = {r["id"]: r["asof_val"] for r in base.collect()}
+    for bucket in (64, 997, 10_000):  # many buckets / odd width / one bucket
+        got_df = asof_join(left, right, bucket_seconds=bucket, **kw)
+        got = {r["id"]: r["asof_val"] for r in got_df.collect()}
+        assert got == ref, f"bucket_seconds={bucket}"
+    # tolerance composes with the bucketed carry identically
+    tol_ref = {
+        r["id"]: r["asof_val"]
+        for r in asof_join(left, right, tolerance_seconds=25, **kw).collect()
+    }
+    tol_got = {
+        r["id"]: r["asof_val"]
+        for r in asof_join(
+            left, right, tolerance_seconds=25, bucket_seconds=64, **kw
+        ).collect()
+    }
+    assert tol_got == tol_ref
+    # the pass-1 window partitions by (key, bucket): the hot key's rows
+    # never all land in one window partition
+    plan = asof_join(left, right, bucket_seconds=64, **kw)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "__bkt" in plan
+
+
+def test_range_join_left_preserves_duplicate_facts(spark):
+    """Left-join multiplicity with byte-identical duplicate fact rows:
+    each instance emits its own output rows (matched instances once per
+    interval, unmatched once with nulls) — SQL LEFT JOIN semantics, not
+    a collapse (VERDICT r05)."""
+    from outpost_spark.ops.joins import range_join
+
+    facts = spark.createDataFrame(
+        # id 1 duplicated 3x (matches one interval), id 4 duplicated 2x
+        # (matches nothing), id 2 matches TWO overlapping intervals
+        [(1, "a", 100)] * 3 + [(4, "a", 999)] * 2 + [(2, "a", 250)],
+        "id bigint, k string, ts bigint",
+    )
+    iv = spark.createDataFrame(
+        [("a", 10, 100, 260), ("a", 11, 240, 300)],
+        "k string, win bigint, s bigint, e bigint",
+    )
+    left = range_join(
+        facts, iv, on="k", fact_ts="ts", start_col="s", end_col="e",
+        bin_width_seconds=50, how="left",
+    )
+    rows = sorted((r["id"], r["iv_win"]) for r in left.collect())
+    assert rows == sorted(
+        [(1, 10)] * 3 + [(4, None)] * 2 + [(2, 10), (2, 11)]
+    )
+    # inner path multiplicity agrees
+    inner = range_join(
+        facts, iv, on="k", fact_ts="ts", start_col="s", end_col="e",
+        bin_width_seconds=50,
+    )
+    irows = sorted((r["id"], r["iv_win"]) for r in inner.collect())
+    assert irows == sorted([(1, 10)] * 3 + [(2, 10), (2, 11)])
