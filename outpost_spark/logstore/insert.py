@@ -80,17 +80,39 @@ def insert_many(
     events_path: str,
     attempts_path: str,
     ordinal: str | None = None,
+    storage: str = "parquet",
 ) -> None:
     """Write one LogEntry micro-batch into the two partitioned tables.
 
     Append-only + read-side dedup mirrors the ReplacingMergeTree model
     (chlogstore/README.md:29-36): duplicates across batches are collapsed by
     ``countDistinct`` in metrics and ``dropDuplicates`` before list limits.
+
+    ``storage`` selects the table layout — the same rows through either:
+
+    - ``"parquet"``: Hive month-partitioned directories (retention =
+      directory drops guarded by the journaled swap).
+    - ``"txn"``: transaction-log tables (:mod:`.txntable`) — atomic
+      commits, concurrent-writer safety, time travel; the month column
+      becomes a regular clustered column with footer stats in the log
+      (pruning at plan time, retention as a log operation; no journaled
+      swap needed because there is no swap).
     """
     events, attempts = split_log_entries(entries, ordinal)
-    with_month_partition(events, "event_time").write.mode("append").partitionBy(
-        "month"
-    ).parquet(events_path)
-    with_month_partition(attempts, "attempt_time").write.mode("append").partitionBy(
-        "month"
-    ).parquet(attempts_path)
+    ev = with_month_partition(events, "event_time")
+    at = with_month_partition(attempts, "attempt_time")
+    if storage == "txn":
+        from outpost_spark.logstore.txntable import TxnTable
+
+        spark = entries.sparkSession
+        TxnTable.get_or_create(spark, events_path, ev.schema).append(
+            ev, cluster_by="month", stats_cols=("event_time",)
+        )
+        TxnTable.get_or_create(spark, attempts_path, at.schema).append(
+            at, cluster_by="month", stats_cols=("attempt_time",)
+        )
+        return
+    if storage != "parquet":
+        raise ValueError(f"storage must be 'parquet' or 'txn', got {storage!r}")
+    ev.write.mode("append").partitionBy("month").parquet(events_path)
+    at.write.mode("append").partitionBy("month").parquet(attempts_path)

@@ -175,6 +175,22 @@ def apply_retention(
     cutoff = now - timedelta(days=ttl_days)
     cutoff_month = cutoff.strftime("%Y%m")
 
+    from outpost_spark.logstore.txntable import TxnTable
+
+    if TxnTable.is_txn_table(table_path):
+        # table-format branch: retention is ONE atomic commit (removes
+        # for fully-expired files via footer stats — no data read —
+        # plus rewritten boundary files); the journaled swap and its
+        # crash-window recovery are structurally unnecessary here
+        dropped, rewritten, rows = TxnTable(spark, table_path).delete_where_time(
+            time_col, cutoff, keep_stats_cols=("month",)
+        )
+        return RetentionReport(
+            [f"{dropped} expired files"] if dropped else [],
+            f"{rewritten} boundary files" if rewritten else None,
+            rows,
+        )
+
     _recover_partials(table_path, spark)
     fs = maintenance_fs(table_path, spark)
     dropped: list[str] = []
@@ -212,6 +228,15 @@ def compact_partition(
     append a file per trigger per task; compaction keeps the file count
     (and thus scan/task overhead) bounded.
     """
+    from outpost_spark.logstore.txntable import TxnTable
+
+    if TxnTable.is_txn_table(table_path):
+        return TxnTable(spark, table_path).compact(
+            target_files=target_files,
+            stats_filter={"month": (month, month)},
+            stats_cols=("month",),
+        )
+
     _recover_partials(table_path, spark)
     fs = maintenance_fs(table_path, spark)
     part = f"month={month}"
