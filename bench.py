@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     "sample_token_budget",
     "join_asof_checkpoint",
     "join_range_windows",
+    # round-6 operators
+    "join_asof_bucketed",
+    "text_token_stats_bpe",
 ]
 
 

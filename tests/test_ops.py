@@ -1703,6 +1703,57 @@ def test_range_join_semantics(spark):
                    bin_width_seconds=50, how="outer")
 
 
+def test_bpe_token_counts_and_exact_encoder_plumbing(spark, sf_dir):
+    """bpe_token_count_expr: hand-checked piece arithmetic; composes with
+    sample_by_token_budget as the weight column; exact_token_counts runs
+    any injected encoder Arrow-batched and refuses cleanly without one."""
+    import os as _os
+
+    from outpost_spark.ops.sampling import sample_by_token_budget
+    from outpost_spark.ops.text import (
+        bpe_token_count_expr,
+        exact_token_counts,
+        token_stats_bpe,
+    )
+
+    rows = [
+        (1, "hello world"),        # 2 + 1 = ceil(5/4)*2 = 2+2 = 4
+        (2, "a 12,troglodytes!"),  # a=1, 1,2=2, ','=1, 11 letters=3, '!'=1 -> 8
+        (3, ""),                   # 0
+        (4, "    "),               # 0 pieces
+        (5, "don't"),              # don=1, '=1, t=1 -> 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", bpe_token_count_expr(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert got == {1: 4, 2: 8, 3: 0, 4: 0, 5: 3}
+    # budget sampling denominated in approximate BPE tokens: exactly the
+    # docs the cumulative definition keeps under that weight
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    weighted = docs.select(
+        "doc_id", bpe_token_count_expr(F.col("text")).alias("n_bpe_tokens")
+    )
+    kept = sample_by_token_budget(weighted, "doc_id", "n_bpe_tokens", 20000)
+    used = kept.agg(F.coalesce(F.sum("n_bpe_tokens"), F.lit(0))).collect()[0][0]
+    assert 0 < used <= 20000
+    # exact path: injected toy encoder (1 token per 3 chars)
+    exact = {
+        r["doc_id"]: r["n_exact_tokens"]
+        for r in exact_token_counts(
+            df, "text", "doc_id", encode=lambda s: list(range(0, len(s), 3))
+        ).collect()
+    }
+    assert exact == {1: 4, 2: 6, 3: 0, 4: 2, 5: 2}
+    with pytest.raises(NotImplementedError, match="tiktoken"):
+        exact_token_counts(df, "text", "doc_id")
+    cols = token_stats_bpe(df, "text", "doc_id").columns
+    assert cols == ["doc_id", "n_chars", "n_tokens", "n_bpe_tokens"]
+
+
 def test_asof_join_bucketed_matches_single_pass(spark):
     """The two-pass hot-key carry (bucket_seconds) returns EXACTLY the
     single-pass result on a skewed corpus: one key holds 90 % of the

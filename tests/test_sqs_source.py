@@ -1,0 +1,167 @@
+"""SQS queue source (sources/sqs_source.py): URL parsing, the Python
+Data Source stream against a real (moto-served) SQS endpoint, and the
+at-least-once delete-on-commit contract."""
+
+import json
+import os
+import time
+
+import pytest
+
+from outpost_spark.sources.readers import parse_queue_url
+
+moto = pytest.importorskip("moto")
+boto3 = pytest.importorskip("boto3")
+
+
+def test_parse_sqs_urls():
+    fmt, opts = parse_queue_url("sqs://publish-events?region=us-east-1")
+    assert fmt == "sqs"
+    assert opts == {"queueName": "publish-events", "region": "us-east-1"}
+    fmt, opts = parse_queue_url(
+        "sqs://q1?region=eu-west-1&endpoint=http://localhost:5999&maxMessagesPerBatch=50"
+    )
+    assert opts["endpoint"] == "http://localhost:5999"
+    assert opts["maxMessagesPerBatch"] == "50"
+    with pytest.raises(ValueError, match="unsupported queue scheme"):
+        parse_queue_url("pubsub://nope")
+
+
+@pytest.fixture(scope="module")
+def moto_sqs():
+    from moto.server import ThreadedMotoServer
+
+    server = ThreadedMotoServer(port=0, verbose=False)
+    server.start()
+    host, port = server.get_host_and_port()
+    endpoint = f"http://{host}:{port}"
+    os.environ.setdefault("AWS_ACCESS_KEY_ID", "test")
+    os.environ.setdefault("AWS_SECRET_ACCESS_KEY", "test")
+    yield endpoint
+    server.stop()
+
+
+def _sqs_client(endpoint):
+    return boto3.client(
+        "sqs",
+        region_name="us-east-1",
+        endpoint_url=endpoint,
+        aws_access_key_id="test",
+        aws_secret_access_key="test",
+    )
+
+
+def test_sqs_stream_end_to_end_and_delete_on_commit(spark, moto_sqs, tmp_path):
+    """25 PublishedEvent messages through the full pipeline: sqs:// URL ->
+    readStream -> decode/validate columns -> parquet sink.  After the
+    stream commits, the messages are DELETED from the queue (the
+    receive alone only hides them until the visibility timeout)."""
+    from outpost_spark.sources.readers import event_stream
+    from outpost_spark.sources.sqs_source import send_events
+
+    client = _sqs_client(moto_sqs)
+    client.create_queue(QueueName="pub-events")
+    events = [
+        {
+            "id": f"evt_{i}",
+            "tenant_id": f"t{i % 3}",
+            "destination_id": f"d{i % 2}",
+            "topic": "user.created" if i % 2 == 0 else "user.deleted",
+            "eligible_for_retry": True,
+            "time": "2024-01-02T03:04:05Z",
+            "metadata": {"k": str(i)},
+            "data": json.dumps({"n": i}),
+        }
+        for i in range(25)
+    ]
+    send_events({"region": "us-east-1", "endpoint": moto_sqs}, "pub-events", events)
+
+    url = f"sqs://pub-events?region=us-east-1&endpoint={moto_sqs}"
+    stream = event_stream(spark, url)
+    out = str(tmp_path / "out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 25:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+        got = spark.read.parquet(out)
+        assert got.count() == 25
+        rows = {r["event_id"]: r for r in got.collect()}
+        assert set(rows) == {f"evt_{i}" for i in range(25)}
+        assert rows["evt_3"]["topic"] == "user.deleted"
+        assert rows["evt_3"]["metadata"] == {"k": "3"}
+        assert rows["evt_3"]["tenant_id"] == "t0"
+        # commit deleted the messages: nothing redelivers even after the
+        # (default 30s, here effectively immediate) visibility timeout
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            attrs = client.get_queue_attributes(
+                QueueUrl=client.get_queue_url(QueueName="pub-events")["QueueUrl"],
+                AttributeNames=[
+                    "ApproximateNumberOfMessages",
+                    "ApproximateNumberOfMessagesNotVisible",
+                ],
+            )["Attributes"]
+            if (
+                attrs["ApproximateNumberOfMessages"] == "0"
+                and attrs["ApproximateNumberOfMessagesNotVisible"] == "0"
+            ):
+                break
+            time.sleep(1)
+        assert attrs["ApproximateNumberOfMessages"] == "0"
+        assert attrs["ApproximateNumberOfMessagesNotVisible"] == "0"
+    finally:
+        q.stop()
+
+
+def test_sqs_uncommitted_messages_redeliver(moto_sqs):
+    """The at-least-once window: a reader that receives but never
+    commits leaves messages invisible only until the visibility timeout;
+    SQS then redelivers them with a bumped receive count."""
+    from outpost_spark.sources.sqs_source import SqsStreamReader, send_events
+
+    client = _sqs_client(moto_sqs)
+    client.create_queue(
+        QueueName="crashy", Attributes={"VisibilityTimeout": "1"}
+    )
+    send_events(
+        {"region": "us-east-1", "endpoint": moto_sqs},
+        "crashy",
+        [{"id": "only", "data": "{}"}],
+    )
+    opts = {
+        "queuename": "crashy",
+        "region": "us-east-1",
+        "endpoint": moto_sqs,
+    }
+    r1 = SqsStreamReader(opts)
+    rows, nxt = r1.read(r1.initialOffset())
+    rows = list(rows)
+    assert len(rows) == 1 and nxt == {"batch": 1}
+    # replay of the formed batch serves from cache
+    assert len(list(r1.readBetweenOffsets({"batch": 0}, nxt))) == 1
+    # no commit -> reader "crashes"; a fresh reader sees the message
+    # again after the visibility timeout, receive_count incremented
+    time.sleep(1.5)
+    r2 = SqsStreamReader(opts)
+    rows2, _ = r2.read(r2.initialOffset())
+    rows2 = list(rows2)
+    assert len(rows2) == 1
+    assert rows2[0][0] == rows[0][0]  # same message id
+    assert rows2[0][3] >= 2  # ApproximateReceiveCount bumped
+    # commit now -> gone for good
+    r2.commit({"batch": 1})
+    time.sleep(1.5)
+    r3 = SqsStreamReader(opts)
+    assert list(r3.read(r3.initialOffset())[0]) == []
