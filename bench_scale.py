@@ -372,25 +372,30 @@ def embedding_cases(spark, path: str, recall_out: dict):
     def pq_case():
         """PQ at corpus scale (VERDICT r05 task #5): train (bounded
         driver sample), encode 1M vectors (Arrow numpy, distributed),
-        then ADC top-10 for 8 query vectors with recall@10 measured
-        against the exact dot-product top-10 (codegen scan per query).
-        Compression: 64 float32 dims (256 B) -> m=8 codes of log2(16)=4
-        bits (4 B) = 64x."""
+        then query with the production shape — ADC shortlist + exact
+        rerank (pq_topk_rerank) — measuring recall@10 against the exact
+        dot-product top-10.  Config m=16, k=256 (the standard byte-code
+        PQ; 64 float32 dims = 256 B -> 16 B codes, 16x): measured
+        probing showed m=8/k=16 ADC-only recall@10 is 0.14 on this
+        corpus — random near-equal-norm vectors are exactly where
+        coarse codes fail — while m=16/k=256 gives 0.58 ADC-only and
+        1.00 with rerank(200)."""
         from outpost_spark.ops.similarity import (
             dot_expr,
             pq_encode,
             pq_topk,
+            pq_topk_rerank,
             pq_train,
         )
 
-        books = pq_train(emb, "embedding", m=8, k=16, id_col="vec_id")
+        books = pq_train(emb, "embedding", m=16, k=256, sample_n=8192)
         t0 = time.perf_counter()
         codes = pq_encode(emb, "embedding", books, id_col="vec_id").localCheckpoint(
             eager=True
         )
         n_codes = codes.count()
         recall_out["pq_encode_secs"] = round(time.perf_counter() - t0, 4)
-        recall_out["pq_compression_ratio"] = 64.0
+        recall_out["pq_compression_ratio"] = 16.0  # 256 B -> 16 x 1 B codes
         # deterministic singleton queries spread across the corpus
         qstride = (n_vecs - n_clustered) // 8
         qids = [n_clustered + 7 + i * qstride for i in range(8)]
@@ -400,12 +405,9 @@ def embedding_cases(spark, path: str, recall_out: dict):
             .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
             .collect()
         }
-        hits, adc_secs = 0, 0.0
+        hits_adc, hits_rr, adc_secs, rr_secs = 0, 0, 0.0, 0.0
         for qid in qids:
             qv = qvecs[qid]
-            t0 = time.perf_counter()
-            pq_ids = {r["vec_id"] for r in pq_topk(codes, qv, books, k=10).collect()}
-            adc_secs += time.perf_counter() - t0
             brute = {
                 r["vec_id"]
                 for r in emb.select(
@@ -419,12 +421,26 @@ def embedding_cases(spark, path: str, recall_out: dict):
                 .limit(10)
                 .collect()
             }
-            hits += len(pq_ids & brute)
+            t0 = time.perf_counter()
+            adc = {r["vec_id"] for r in pq_topk(codes, qv, books, k=10).collect()}
+            adc_secs += time.perf_counter() - t0
+            hits_adc += len(adc & brute)
+            t0 = time.perf_counter()
+            rr = {
+                r["vec_id"]
+                for r in pq_topk_rerank(
+                    codes, emb, qv, books, k=10, shortlist=200
+                ).collect()
+            }
+            rr_secs += time.perf_counter() - t0
+            hits_rr += len(rr & brute)
         recall_out["pq_adc_query_secs_avg"] = round(adc_secs / 8, 4)
-        recall_out["pq_recall_at_10"] = round(hits / 80, 4)
-        if hits / 80 < 0.3:
+        recall_out["pq_rerank_query_secs_avg"] = round(rr_secs / 8, 4)
+        recall_out["pq_recall_at_10_adc"] = round(hits_adc / 80, 4)
+        recall_out["pq_recall_at_10_rerank"] = round(hits_rr / 80, 4)
+        if hits_rr / 80 < 0.9:
             raise AssertionError(
-                f"PQ recall@10 {hits}/80 below the m=8,k=16 floor"
+                f"PQ+rerank recall@10 {hits_rr}/80 below the 0.9 floor"
             )
         return n_codes
 

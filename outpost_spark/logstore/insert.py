@@ -81,6 +81,7 @@ def insert_many(
     attempts_path: str,
     ordinal: str | None = None,
     storage: str = "parquet",
+    app_txn: tuple[str, int] | None = None,
 ) -> None:
     """Write one LogEntry micro-batch into the two partitioned tables.
 
@@ -105,11 +106,20 @@ def insert_many(
         from outpost_spark.logstore.txntable import TxnTable
 
         spark = entries.sparkSession
+        # per-table writer transactions: each table is exactly-once
+        # independently, so a crash between the two appends replays into
+        # a no-op on the first and a fresh commit on the second
         TxnTable.get_or_create(spark, events_path, ev.schema).append(
-            ev, cluster_by="month", stats_cols=("event_time",)
+            ev,
+            cluster_by="month",
+            stats_cols=("event_time",),
+            app_txn=(f"{app_txn[0]}::events", app_txn[1]) if app_txn else None,
         )
         TxnTable.get_or_create(spark, attempts_path, at.schema).append(
-            at, cluster_by="month", stats_cols=("attempt_time",)
+            at,
+            cluster_by="month",
+            stats_cols=("attempt_time",),
+            app_txn=(f"{app_txn[0]}::attempts", app_txn[1]) if app_txn else None,
         )
         return
     if storage != "parquet":

@@ -168,7 +168,9 @@ class TxnTable:
             return cls(spark, path)
 
     # ---- log primitives ------------------------------------------------
-    def _log_entries(self) -> list[tuple[int, dict]]:
+    def _log_entries(
+        self, min_version: int = 0, max_version: int | None = None
+    ) -> list[tuple[int, dict]]:
         if not os.path.isdir(self.log_path):
             return []
         out = []
@@ -176,8 +178,11 @@ class TxnTable:
             m = _VERSION_RE.match(name)
             if not m:
                 continue
+            v = int(m.group(1))
+            if v < min_version or (max_version is not None and v > max_version):
+                continue
             with open(os.path.join(self.log_path, name)) as fh:
-                out.append((int(m.group(1)), json.load(fh)))
+                out.append((v, json.load(fh)))
         return out
 
     def version(self) -> int:
@@ -208,14 +213,70 @@ class TxnTable:
         finally:
             os.unlink(tmp)
 
+    # snapshot checkpointing (Delta `_last_checkpoint` analog): every
+    # CHECKPOINT_EVERY commits the full state is written once, so
+    # reconstruction parses O(CHECKPOINT_EVERY) commit files instead of
+    # the whole log — reads stay O(1) as the table ages.  Commit JSONs
+    # are never deleted, so time travel to any version still works
+    # (checkpoints are a pure read optimization).
+    CHECKPOINT_EVERY = 20
+
+    def _latest_checkpoint(self) -> tuple[int, dict] | None:
+        best = None
+        if not os.path.isdir(self.log_path):
+            return None
+        for name in os.listdir(self.log_path):
+            m = re.match(r"^_checkpoint-(\d{20})\.json$", name)
+            if not m:
+                continue
+            v = int(m.group(1))
+            if best is None or v > best[0]:
+                best = (v, name)
+        if best is None:
+            return None
+        try:
+            with open(os.path.join(self.log_path, best[1])) as fh:
+                return best[0], json.load(fh)
+        except (OSError, ValueError):
+            return None  # torn checkpoint: fall back to the full log
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        ckpt = self._latest_checkpoint()
+        last = ckpt[0] if ckpt else -1
+        if version - last < self.CHECKPOINT_EVERY:
+            return
+        schema_json, live, removed_at = self._state(version)
+        payload = {
+            "version": version,
+            "schema": schema_json,
+            "live": [
+                {"path": e.path, "size": e.size, "rows": e.rows, "stats": e.stats}
+                for e in live.values()
+            ],
+            "removed_at": removed_at,
+        }
+        tmp = os.path.join(self.log_path, f".ckpt-tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, os.path.join(self.log_path, f"_checkpoint-{version:020d}.json"))
+
     def _state(self, as_of_version: int | None = None):
         """(schema_json, {rel_path: FileEntry}, {rel_path: removed_at})."""
         schema_json = None
         live: dict[str, FileEntry] = {}
         removed_at: dict[str, int] = {}
-        for v, e in self._log_entries():
-            if as_of_version is not None and v > as_of_version:
-                break
+        start = 0
+        ckpt = self._latest_checkpoint()
+        if ckpt is not None and (as_of_version is None or as_of_version >= ckpt[0]):
+            cv, data = ckpt
+            schema_json = data.get("schema")
+            for a in data.get("live", []):
+                live[a["path"]] = FileEntry(
+                    a["path"], a.get("size", 0), a.get("rows", 0), a.get("stats", {})
+                )
+            removed_at = {k: int(v) for k, v in data.get("removed_at", {}).items()}
+            start = cv + 1
+        for v, e in self._log_entries(start, as_of_version):
             if e.get("schema"):
                 schema_json = e["schema"]
             for a in e.get("adds", []):
@@ -227,6 +288,18 @@ class TxnTable:
                 live.pop(r, None)
                 removed_at[r] = v
         return schema_json, live, removed_at
+
+    def app_txn_version(self, app_id: str) -> int | None:
+        """Highest committed writer-transaction version for ``app_id``
+        (Delta txnAppId/txnVersion analog) — how idempotent streaming
+        sinks detect replays without marker files."""
+        best = None
+        for _, e in self._log_entries():
+            txn = e.get("app_txn")
+            if txn and txn.get("app") == app_id:
+                v = int(txn["version"])
+                best = v if best is None or v > best else best
+        return best
 
     def schema(self) -> T.StructType:
         schema_json, _, _ = self._state()
@@ -303,21 +376,43 @@ class TxnTable:
         cluster_by: str | None = None,
         stats_cols: tuple[str, ...] = (),
         op: str = "append",
+        app_txn: tuple[str, int] | None = None,
     ) -> int:
         """Stage + commit; returns the committed version.  ``cluster_by``
         repartitions so each file covers ~one value of the column
         (tight footer stats = tight pruning); ``stats_cols`` selects the
-        footer stats recorded in the log."""
+        footer stats recorded in the log.
+
+        ``app_txn=(app_id, txn_version)`` makes the append IDEMPOTENT
+        per writer (Delta txnAppId/txnVersion): if the log already holds
+        a commit for (app_id, >= txn_version) the append is skipped —
+        this is how a replayed streaming micro-batch becomes a no-op
+        with NO marker files and NO crash window (the batch data and
+        its replay marker are the same atomic commit).  Assumes one
+        live writer per app_id, which Structured Streaming's
+        one-query-per-checkpoint already guarantees."""
         self._check_schema(df)
+        if app_txn is not None:
+            prev = self.app_txn_version(app_txn[0])
+            if prev is not None and prev >= app_txn[1]:
+                return self.version()  # replay: already committed
         if cluster_by and cluster_by not in stats_cols:
             stats_cols = tuple(stats_cols) + (cluster_by,)
         adds = self._stage(df, cluster_by, stats_cols)
-        return self._commit_with_retry({"op": op, "adds": adds, "removes": []})
+        payload = {"op": op, "adds": adds, "removes": []}
+        if app_txn is not None:
+            payload["app_txn"] = {"app": app_txn[0], "version": int(app_txn[1])}
+        return self._commit_with_retry(payload)
 
     def _commit_with_retry(self, payload: dict, *, max_retries: int = 50) -> int:
         removes = set(payload.get("removes", []))
+        txn = payload.get("app_txn")
         for _ in range(max_retries):
             v = self.version() + 1
+            if txn is not None:
+                prev = self.app_txn_version(txn["app"])
+                if prev is not None and prev >= txn["version"]:
+                    return self.version()  # lost a race to our own replay
             if removes:
                 # re-validate against the CURRENT snapshot: every file we
                 # remove must still be live, else a concurrent
@@ -331,6 +426,7 @@ class TxnTable:
                         else f"files removed concurrently: {sorted(gone)}"
                     )
             if self._try_commit(v, payload):
+                self._maybe_checkpoint(v)
                 return v
         raise RuntimeError(f"gave up after {max_retries} commit races")
 

@@ -81,8 +81,22 @@ def make_routing_sink(load_destinations, process):
     return _sink
 
 
-def make_log_sink(events_path: str, attempts_path: str, commits_path: str):
+def make_log_sink(
+    events_path: str,
+    attempts_path: str,
+    commits_path: str,
+    *,
+    storage: str = "parquet",
+):
     """Build the idempotent-replay foreachBatch sink function.
+
+    ``storage="txn"`` upgrades the contract to EXACTLY-ONCE per table:
+    the batch lands as one atomic transaction-log commit that carries
+    its own (appId, batch_id) writer-transaction record (Delta
+    txnAppId/txnVersion analog, logstore/txntable.py), so a replayed
+    micro-batch is a structural no-op — no marker files, and the
+    duplicate-row crash window described below does not exist because
+    the data and its replay marker are the same atomic commit.
 
     foreachBatch gives at-least-once: after a crash between the parquet
     append and the offset commit, the same batch_id is replayed and a
@@ -104,6 +118,19 @@ def make_log_sink(events_path: str, attempts_path: str, commits_path: str):
     Spark can reach — HDFS/S3/ABFS), not the driver's local disk, so they
     survive driver fail-over onto another node.
     """
+
+    if storage == "txn":
+
+        def _txn_sink(batch_df: DataFrame, batch_id: int) -> None:
+            insert_many(
+                batch_df,
+                events_path,
+                attempts_path,
+                storage="txn",
+                app_txn=("logsink", batch_id),
+            )
+
+        return _txn_sink
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

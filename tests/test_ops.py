@@ -1434,6 +1434,30 @@ def test_product_quantization_roundtrip_and_adc_search(spark):
     with pytest.raises(ValueError, match="divisible"):
         pq_train(df, "embedding", m=5)
 
+    # ADC + exact rerank (r06): with shortlist >= corpus the result IS
+    # the exact dot-product top-k (rerank sees every row); with a small
+    # shortlist it returns exactly k rows ordered by true score
+    from outpost_spark.ops.similarity import dot_expr, pq_topk_rerank
+
+    q = list(base[3])
+    exact = [
+        r["vec_id"]
+        for r in df.select(
+            "vec_id",
+            F.round(dot_expr(F.col("embedding"), F.lit(q)), 6).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), F.col("vec_id").asc())
+        .limit(5)
+        .collect()
+    ]
+    full = pq_topk_rerank(codes, df, q, books, k=5, shortlist=n).collect()
+    assert [r["vec_id"] for r in full] == exact
+    small = pq_topk_rerank(codes, df, q, books, k=5, shortlist=40).collect()
+    assert len(small) == 5
+    assert [r["score"] for r in small] == sorted(
+        (r["score"] for r in small), reverse=True
+    )
+
 
 def test_minhash_short_docs_never_band_or_pair(spark):
     """Docs shorter than the shingle carry the all-sentinel signature;

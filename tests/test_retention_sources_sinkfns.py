@@ -110,8 +110,11 @@ def test_parse_queue_url_kafka_and_file():
     assert opts["startingOffsets"] == "latest"
     fmt, opts = parse_queue_url("file:///tmp/q?maxFilesPerTrigger=5")
     assert fmt == "file" and opts == {"path": "/tmp/q", "maxFilesPerTrigger": "5"}
+    # sqs:// is a supported scheme since r06 (sources/sqs_source.py)
+    fmt, opts = parse_queue_url("sqs://queue-name?region=us-east-1")
+    assert fmt == "sqs" and opts["queueName"] == "queue-name"
     with pytest.raises(ValueError):
-        parse_queue_url("sqs://queue-url")
+        parse_queue_url("pubsub://projects/x/topics/y")
 
 
 def test_event_stream_decodes_and_defaults(spark, tmpdir):

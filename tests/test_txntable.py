@@ -216,6 +216,73 @@ def test_vacuum_respects_time_travel_window(spark, tmp_path):
     assert t.read().count() == 53  # current snapshot unaffected
 
 
+def test_app_txn_makes_appends_idempotent(spark, tmp_path):
+    """Delta txnAppId/txnVersion analog: a replayed (app, batch) append
+    is a structural no-op — the batch data and its replay marker are
+    the same atomic commit, so there is no duplicate-row crash window."""
+    p = str(tmp_path / "t")
+    df = _mk_df(spark, 20)
+    t = TxnTable.get_or_create(spark, p, df.schema)
+    t.append(df, app_txn=("sink", 0))
+    t.append(df, app_txn=("sink", 0))  # replay: skipped
+    assert t.read().count() == 20
+    assert t.app_txn_version("sink") == 0
+    t.append(df.withColumn("event_id", F.col("event_id") + 100), app_txn=("sink", 1))
+    assert t.read().count() == 40
+    assert t.app_txn_version("sink") == 1
+    # stale replay after progress: still a no-op
+    t.append(df, app_txn=("sink", 0))
+    assert t.read().count() == 40
+    # a different app id is independent
+    t.append(df.withColumn("event_id", F.col("event_id") + 200), app_txn=("other", 0))
+    assert t.read().count() == 60
+
+
+def test_exactly_once_log_sink_on_txn_storage(spark, tmp_path):
+    """make_log_sink(storage='txn'): calling the sink twice with the
+    same batch_id — foreachBatch's replay contract — inserts once, with
+    no marker files anywhere."""
+    from outpost_spark.streaming.pipeline import make_log_sink
+
+    ev_p, at_p = str(tmp_path / "ev"), str(tmp_path / "at")
+    sink = make_log_sink(ev_p, at_p, str(tmp_path / "commits"), storage="txn")
+    entries = _golden_entries_df(spark).limit(50)
+    sink(entries, 0)
+    sink(entries, 0)  # replayed micro-batch
+    at = load_table(spark, at_p)
+    assert at.count() == 50
+    assert not os.path.exists(str(tmp_path / "commits"))  # no marker files
+    # same rows under a NEW batch_id must append (idempotence is keyed
+    # on the writer transaction, not content)
+    sink(entries, 1)
+    assert load_table(spark, at_p).count() == 100
+
+
+def test_checkpoint_bounds_log_reconstruction(spark, tmp_path):
+    """After CHECKPOINT_EVERY commits a snapshot checkpoint exists;
+    state from checkpoint+tail equals state from the full log, and time
+    travel to pre-checkpoint versions still replays the full log."""
+    p = str(tmp_path / "t")
+    df = _mk_df(spark, 4)
+    t = TxnTable.get_or_create(spark, p, df.schema)
+    n = TxnTable.CHECKPOINT_EVERY + 3
+    for i in range(n):
+        t.append(df.withColumn("event_id", F.col("event_id") + 10 * i))
+    ckpts = [f for f in os.listdir(t.log_path) if f.startswith("_checkpoint-")]
+    assert ckpts, "no checkpoint written"
+    assert t.read().count() == 4 * n
+    # force the no-checkpoint path and compare states
+    schema_ck, live_ck, rem_ck = t._state()
+    for f in ckpts:
+        os.remove(os.path.join(t.log_path, f))
+    schema_full, live_full, rem_full = t._state()
+    assert schema_ck == schema_full
+    assert {e.path for e in live_ck.values()} == {e.path for e in live_full.values()}
+    assert rem_ck == rem_full
+    # pre-checkpoint time travel
+    assert t.read(as_of_version=1).count() == 4
+
+
 def _golden_entries_df(spark):
     from pyspark.sql import types as T
 
