@@ -440,23 +440,33 @@ class TxnTable:
         as_of_version: int | None = None,
         *,
         stats_filter: dict | None = None,
+        stats_isin: dict | None = None,
     ) -> DataFrame:
         """Snapshot DataFrame.  ``stats_filter`` = {col: (lo, hi)} prunes
-        files whose recorded [min,max] is disjoint from [lo, hi] —
-        data skipping at PLAN time from the log alone; files without the
-        stat are conservatively kept.  The caller's exact predicate must
-        still be applied (pruning is a superset guarantee)."""
+        files whose recorded [min,max] is disjoint from [lo, hi];
+        ``stats_isin`` = {col: values} keeps files whose [min,max] range
+        contains at least one of the values (exact for value-pure
+        ``cluster_by`` files) — data skipping at PLAN time from the log
+        alone; files without the stat are conservatively kept.  The
+        caller's exact predicate must still be applied (pruning is a
+        superset guarantee)."""
         schema = self.schema()
         entries = self.files(as_of_version)
-        if stats_filter:
+        if stats_filter or stats_isin:
             def overlaps(e: FileEntry) -> bool:
-                for col, (lo, hi) in stats_filter.items():
+                for col, (lo, hi) in (stats_filter or {}).items():
                     if col not in e.stats:
                         continue
                     fmin, fmax = e.stats[col]
                     if (hi is not None and fmin > hi) or (
                         lo is not None and fmax < lo
                     ):
+                        return False
+                for col, values in (stats_isin or {}).items():
+                    if col not in e.stats:
+                        continue
+                    fmin, fmax = e.stats[col]
+                    if not any(fmin <= v <= fmax for v in values):
                         return False
                 return True
 

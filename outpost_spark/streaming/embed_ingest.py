@@ -30,12 +30,15 @@ Crash-window contract (same as the text gate, :mod:`streaming.ingest`):
 the two writes leaves corpus rows with no index rows; the replayed batch
 then re-admits those vectors (nothing in the index matches them) and the
 corpus holds duplicates until a batch ``semantic_dedup`` compaction.
-The window is accepted — ordering the writes the other way would instead
-DROP data on replay (index rows reject the re-run before its corpus
-write), and at-least-once + downstream dedup is this engine's standing
-contract (SET3).  On the transaction-log table format
-(:mod:`outpost_spark.logstore.txntable`) the two appends can share one
-atomic commit, closing the window entirely.
+The window is accepted on PLAIN-PARQUET storage — ordering the writes
+the other way would instead DROP data on replay (index rows reject the
+re-run before its corpus write), and at-least-once + downstream dedup
+is this engine's standing contract (SET3).  With ``storage="txn"``
+(:mod:`outpost_spark.logstore.txntable`) the window is CLOSED: each
+table's append carries a per-batch writer transaction, so the replayed
+batch re-derives the same admitted set against the unchanged index,
+no-ops the already-committed corpus append, and completes the index
+append — pinned by a crash-replay pytest.
 
 Recall contract: a near-dup is missed only when neither member's
 ``nprobe`` probe set covers the other's assignment list — the measured
@@ -75,12 +78,23 @@ class EmbedDedupIndex:
         threshold: float = 0.95,
         nprobe: int = 2,
         score_decimals: int = 6,
+        storage: str = "parquet",
     ):
+        if storage not in ("parquet", "txn"):
+            raise ValueError(f"storage must be 'parquet' or 'txn', got {storage!r}")
         self.path = path
         self.centroids = [[float(x) for x in c] for c in centroids]
         self.threshold = threshold
         self.nprobe = nprobe
         self.score_decimals = score_decimals
+        self.storage = storage
+
+    def _txn(self, spark: SparkSession, schema=None):
+        from outpost_spark.logstore.txntable import TxnTable
+
+        if schema is not None:
+            return TxnTable.get_or_create(spark, self.path, schema)
+        return TxnTable(spark, self.path)
 
     def _assigned(self, vecs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         return ivf_assign_bulk(
@@ -113,6 +127,7 @@ class EmbedDedupIndex:
             "threshold": self.threshold,
             "nprobe": self.nprobe,
             "score_decimals": self.score_decimals,
+            "storage": self.storage,
         }
 
     def _meta_fs(self, spark: SparkSession):
@@ -154,25 +169,56 @@ class EmbedDedupIndex:
 
     def exists(self, spark: SparkSession | None = None) -> bool:
         spark = spark or SparkSession.getActiveSession()
+        if self.storage == "txn":
+            from outpost_spark.logstore.txntable import TxnTable
+
+            return TxnTable.is_txn_table(self.path) and bool(
+                self._txn(spark).files()
+            )
         jvm = spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(self.path)
         fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         return bool(fs.exists(p))
 
     def build(self, vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> None:
-        self._rows(vecs, id_col, vec_col).write.mode("overwrite").partitionBy(
-            "pfx"
-        ).parquet(self.path)
+        rows = self._rows(vecs, id_col, vec_col)
+        if self.storage == "txn":
+            t = self._txn(vecs.sparkSession, rows.schema)
+            # atomic rebuild: new files + removal of every live file in
+            # ONE commit — readers see the old or the new index, never a mix
+            adds = t._stage(rows, "pfx", ("pfx",))
+            t._commit_with_retry(
+                {
+                    "op": "rebuild",
+                    "adds": adds,
+                    "removes": [e.path for e in t.files()],
+                }
+            )
+        else:
+            rows.write.mode("overwrite").partitionBy("pfx").parquet(self.path)
         self._write_meta(vecs.sparkSession)
 
-    def append(self, vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    def append(
+        self,
+        vecs: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        *,
+        app_txn: tuple[str, int] | None = None,
+    ) -> None:
+        """``app_txn`` (txn storage only) makes the append idempotent per
+        writer transaction — the streaming gate's replay protection."""
         spark = vecs.sparkSession
         fresh = not self.exists(spark)
         if not fresh:
             self._check_meta(spark)
-        self._rows(vecs, id_col, vec_col).write.mode("append").partitionBy(
-            "pfx"
-        ).parquet(self.path)
+        rows = self._rows(vecs, id_col, vec_col)
+        if self.storage == "txn":
+            self._txn(spark, rows.schema).append(
+                rows, cluster_by="pfx", app_txn=app_txn
+            )
+        else:
+            rows.write.mode("append").partitionBy("pfx").parquet(self.path)
         if fresh:
             self._write_meta(spark)
 
@@ -256,7 +302,15 @@ class EmbedDedupIndex:
                 .distinct()
                 .collect()
             ]
-            index = spark.read.parquet(self.path).filter(F.col("pfx").isin(pfxs))
+            if self.storage == "txn":
+                # file pruning from the commit log's pfx stats (files are
+                # pfx-pure via cluster_by) — the txn twin of partition
+                # pruning; the exact filter still applies on top
+                index = self._txn(spark).read(
+                    stats_isin={"pfx": pfxs}
+                ).filter(F.col("pfx").isin(pfxs))
+            else:
+                index = spark.read.parquet(self.path).filter(F.col("pfx").isin(pfxs))
             # self-matches deliberately kept: they reject replayed batches
             cos = F.round(
                 cosine_expr(F.col("__bv"), F.col("__v")), self.score_decimals
@@ -307,11 +361,39 @@ def attach_embed_ingest_stream(
 ):
     """Wire the gate into foreachBatch: admitted vectors append to the
     corpus and to the index; rejected evidence optionally lands in an
-    audit table.  Returns the DataStreamWriter (caller starts it)."""
+    audit table.  Returns the DataStreamWriter (caller starts it).
+
+    With a ``storage="txn"`` index, every write carries a per-table
+    writer transaction (appId, batch_id) — logstore/txntable.py's Delta
+    txnAppId/txnVersion analog — which CLOSES the corpus-append /
+    index-append crash window documented in the module docstring: a
+    crash between the two appends replays the batch, the gate
+    re-derives the SAME admitted set (the index state is unchanged —
+    its append never committed), the corpus append no-ops on its
+    recorded transaction, and the index append commits.  The corpus
+    never holds duplicates."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         admitted, rejected = index.gate(batch, id_col=id_col, vec_col=vec_col)
         admitted = admitted.localCheckpoint(eager=True)
+        if index.storage == "txn":
+            from outpost_spark.logstore.txntable import TxnTable
+
+            spark = batch.sparkSession
+            TxnTable.get_or_create(spark, corpus_path, admitted.schema).append(
+                admitted, app_txn=("embedgate::corpus", batch_id)
+            )
+            index.append(
+                admitted,
+                id_col=id_col,
+                vec_col=vec_col,
+                app_txn=("embedgate::index", batch_id),
+            )
+            if rejects_path is not None:
+                TxnTable.get_or_create(spark, rejects_path, rejected.schema).append(
+                    rejected, app_txn=("embedgate::rejects", batch_id)
+                )
+            return
         admitted.write.mode("append").parquet(corpus_path)
         index.append(admitted, id_col=id_col, vec_col=vec_col)
         if rejects_path is not None:
