@@ -800,6 +800,50 @@ def dedup_keep_canonical(
     return df.join(losers, id_col, "left_anti")
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Quality-weighted fuzzy-dedup survivors: each near-dup component
+    keeps its HIGHEST-``score_col`` member (ties -> lowest id) instead
+    of :func:`dedup_keep_canonical`'s lowest-id member — the form
+    production curation pipelines want, since near-dup clusters usually
+    mix a clean original with mangled scrapes and "min id" keeps an
+    arbitrary one.
+
+    Shuffle shape matches keep-canonical: components only exist for
+    paired documents, so the member/winner frames are tiny relative to
+    the corpus; scores for just those members arrive via one semi-sized
+    join, the per-component argmax is a map-side-combining ``min_by``
+    aggregate (not a window), and the corpus is filtered with a
+    broadcast-friendly left-anti join.  Determinism: ``score_col``
+    values must be engine-stable (the quality scores here are exact
+    multiples of 1/4, so cross-engine equality is exact).
+    """
+    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    members = comp.join(
+        df.select(F.col(id_col).alias("node"), F.col(score_col).alias("__s")),
+        "node",
+    )
+    winners = members.groupBy("component").agg(
+        F.min_by(
+            F.col("node"),
+            F.struct((-F.col("__s")).alias("ns"), F.col("node").alias("n")),
+        ).alias("__winner")
+    )
+    losers = (
+        comp.join(winners, "component")
+        .filter(F.col("node") != F.col("__winner"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def tokens_expr(text: Column) -> Column:
     """Whitespace tokens of the lowercased text (empty-string safe)."""
     t = F.lower(F.trim(text))

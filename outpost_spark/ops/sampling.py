@@ -164,6 +164,48 @@ def sample_by_rates(
     )
 
 
+def assign_shuffled_shards(
+    df: DataFrame,
+    id_col: str,
+    *,
+    n_shards: int = 1024,
+    seed: str = "shuffle",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: every document
+    gets a (shard, pos) such that reading shards in order of pos yields
+    a corpus-wide pseudo-random order — the write-side prep for
+    dataloader sharding, without a global sort.
+
+    Two INDEPENDENT id hashes: one buckets into ``n_shards`` (the only
+    corpus-wide shuffle, a hash partition), the other orders within the
+    shard (a per-shard window over corpus/n_shards rows — bounded by
+    dialing n_shards, never corpus-sized).  Deterministic across
+    runs/engines/cluster layouts; re-running on a grown corpus keeps
+    every old document's shard (hash-stable) though positions shift.
+    ``hash_fn="md5"`` is the engine-portable oracle form,
+    ``"xxhash64"`` the cheap Spark-native twin.
+    """
+    s1 = F.concat(F.lit(f"{seed}|shard|"), F.col(id_col).cast("string"))
+    s2 = F.concat(F.lit(f"{seed}|pos|"), F.col(id_col).cast("string"))
+    if hash_fn == "xxhash64":
+        k1 = F.pmod(F.xxhash64(s1), F.lit(1 << 60)).cast("long")
+        k2 = F.pmod(F.xxhash64(s2), F.lit(1 << 60)).cast("long")
+    else:
+        k1 = F.conv(F.substring(F.md5(s1), 1, 15), 16, 10).cast("long")
+        k2 = F.conv(F.substring(F.md5(s2), 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy(F.col("__k2").asc(), F.col(id_col).asc())
+    return (
+        df.select(
+            F.col(id_col),
+            F.pmod(k1, F.lit(n_shards)).cast("int").alias("shard"),
+            k2.alias("__k2"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__k2")
+    )
+
+
 def sample_by_token_budget(
     df: DataFrame,
     id_col: str,

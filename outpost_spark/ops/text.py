@@ -78,6 +78,29 @@ def token_stats_bpe(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# classic UTF-8-decoded-as-Latin-1 artifacts: 'Ã'+continuation (é->Ã©),
+# 'â€¦'-family punctuation (’ -> â€™), and the non-breaking-space pair
+# 'Â '.  Literal codepoints, so Java regex and RE2 agree byte-for-byte.
+_MOJIBAKE_RE = "Ã.|â€.|Â "
+
+
+def mojibake_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Encoding-damage detection (ftfy's detection half as pure codegen):
+    count mojibake artifact sequences per document and flag documents
+    above zero — the standard pre-filter/repair hook in web-corpus
+    pipelines (OSCAR/C4 drop or fix such docs).  Repair itself is a
+    chained ``regexp_replace`` over the same table (or ftfy via Arrow
+    batch when available); detection is the query-engine part and is
+    exactly oracle-checkable."""
+    t = F.col(text_col)
+    n = F.coalesce(F.regexp_count(t, F.lit(_MOJIBAKE_RE)), F.lit(0)).cast("bigint")
+    return df.select(
+        id_col,
+        n.alias("n_mojibake"),
+        (n > 0).alias("has_mojibake"),
+    )
+
+
 def exact_token_counts(
     df: DataFrame,
     text_col: str,

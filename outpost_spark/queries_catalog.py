@@ -1289,10 +1289,124 @@ def dedup_canonical_survivors(spark, sf_dir):
     )
 
 
+_QUALITY_SQL = r"""
+      SELECT doc_id,
+             round((
+               CASE WHEN n_chars >= 50 AND n_chars <= 20000 THEN 1.0 ELSE 0.0 END +
+               CASE WHEN n_chars > 0 AND n_punct / n_chars > 0 AND n_punct / n_chars < 0.1
+                    THEN 1.0 ELSE 0.0 END +
+               CASE WHEN (CASE WHEN n_chars > 0 THEN n_digits / n_chars ELSE 0.0 END) < 0.2
+                    THEN 1.0 ELSE 0.0 END +
+               CASE WHEN n_tokens > 0 AND n_chars / n_tokens >= 3 AND n_chars / n_tokens <= 12
+                    THEN 1.0 ELSE 0.0 END
+             ) / 4.0, 6) AS q
+      FROM (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                    x -> x <> '')) AS DOUBLE) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digits
+        FROM documents
+      )
+"""
+
+
+@_register(
+    "dedup_best_quality_survivors",
+    f"""
+    WITH RECURSIVE {_PAIRS_CTE_SQL},
+    q AS ({_QUALITY_SQL}),
+    members AS (
+      SELECT c.doc_id, c.component, q.q FROM comp c JOIN q USING (doc_id)
+    ),
+    winners AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (
+                 PARTITION BY component ORDER BY q DESC, doc_id ASC
+               ) AS rn
+        FROM members
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR d.doc_id IN (SELECT doc_id FROM winners)
+    """,
+)
+def dedup_best_quality_survivors(spark, sf_dir):
+    """Quality-weighted fuzzy dedup (r06): each MinHash near-dup
+    component keeps its highest-quality-score member (ties -> lowest
+    id) rather than the arbitrary min-id canonical — production
+    curation semantics (clusters mix a clean original with mangled
+    scrapes).  Per-component argmax is a map-side min_by aggregate over
+    the tiny members frame, never a corpus window
+    (ops/dedup.py:dedup_keep_best)."""
+    from outpost_spark.ops.dedup import dedup_keep_best
+    from outpost_spark.ops.text import quality_score_expr
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__q", quality_score_expr(F.col("text"))
+    )
+    return dedup_keep_best(
+        docs, _minhash_pairs(spark, sf_dir), "doc_id", "__q"
+    ).select("doc_id")
+
+
 _HASH_FRAC_SQL = (
     "(CAST(('0x' || substr(md5('{seed}|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
     " / 4294967296.0)"
 )
+
+
+@_register(
+    "sample_shuffled_shards",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('shuffle|shard|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS k1,
+             CAST(('0x' || substr(md5('shuffle|pos|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS k2
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(k1 % 64 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY k1 % 64 ORDER BY k2, doc_id) AS BIGINT) AS pos
+    FROM t
+    """,
+)
+def sample_shuffled_shards(spark, sf_dir):
+    """Deterministic global shuffle into training shards (r06): two
+    independent id hashes — one buckets into shards (the only
+    corpus-wide movement, a hash partition), one orders WITHIN the
+    shard (a per-shard window over corpus/n_shards rows, bounded by
+    dialing n_shards — never a global sort).  Reading shards by pos
+    yields a corpus-wide pseudo-random order; hash-stable under corpus
+    growth (ops/sampling.py:assign_shuffled_shards)."""
+    from outpost_spark.ops.sampling import assign_shuffled_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_shuffled_shards(docs, "doc_id", n_shards=64)
+
+
+@_register(
+    "text_mojibake_stats",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'Ã.|â€.|Â ')) AS BIGINT) AS n_mojibake,
+           len(regexp_extract_all(text, 'Ã.|â€.|Â ')) > 0 AS has_mojibake
+    FROM documents
+    """,
+)
+def text_mojibake_stats(spark, sf_dir):
+    """Encoding-damage detection (r06): count classic
+    UTF-8-decoded-as-Latin-1 artifact sequences (Ã©-family, â€™-family,
+    Â +space) per document — the detection half of ftfy as a pure
+    codegen expression with an exact DuckDB oracle; planted-artifact
+    pytest carries the positive cases (ops/text.py:mojibake_stats)."""
+    from outpost_spark.ops.text import mojibake_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return mojibake_stats(docs, "text", "doc_id")
 
 
 @_register(

@@ -1727,6 +1727,99 @@ def test_range_join_semantics(spark):
                    bin_width_seconds=50, how="outer")
 
 
+def test_mojibake_detection_planted_artifacts(spark):
+    """Planted mojibake (the synthetic corpus is clean, so the oracle
+    row only pins zeros): classic \u00c3\u00a9 / \u00e2\u20ac\u2122 /
+    \u00c2+space artifact sequences count per occurrence; clean unicode
+    text -- including genuine accented words -- stays at zero."""
+    from outpost_spark.ops.text import mojibake_stats
+
+    # explicit codepoints so no editor/encoding step can re-mangle them:
+    # 'caf\u00e9' mojibake = 'caf' + U+00C3 U+00A9; '\u2019' (cp1252 path)
+    # = U+00E2 U+20AC U+2122; NBSP mojibake = U+00C2 + space
+    df = spark.createDataFrame(
+        [
+            (1, "caf\u00c3\u00a9 menu"),
+            (2, "it\u00e2\u20ac\u2122s fine"),
+            (3, "caf\u00c3\u00a9 and \u00c3\u00a8 twice"),
+            (4, "ok\u00c2 spaced"),
+            (5, "clean caf\u00e9, na\u00efve, em\u2014dash"),
+            (6, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_mojibake"], r["has_mojibake"])
+        for r in mojibake_stats(df, "text", "doc_id").collect()
+    }
+    assert got == {
+        1: (1, True),
+        2: (1, True),
+        3: (2, True),
+        4: (1, True),
+        5: (0, False),
+        6: (0, False),
+    }
+
+
+def test_assign_shuffled_shards_invariants(spark, sf_dir):
+    """Shard assignment: every doc exactly once, pos is a dense 1..n_s
+    sequence per shard, deterministic across runs, hash-stable under
+    corpus growth (old docs keep their shard), and the xxhash64 twin
+    holds the same invariants."""
+    import os as _os
+
+    from outpost_spark.ops.sampling import assign_shuffled_shards
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    out = assign_shuffled_shards(docs, "doc_id", n_shards=16)
+    rows = out.collect()
+    assert len(rows) == n and len({r["doc_id"] for r in rows}) == n
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(16))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense
+    # determinism
+    again = {(r["doc_id"], r["shard"], r["pos"]) for r in out.collect()}
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+    # growth stability: shard unchanged on the half-corpus
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    half_shards = {
+        r["doc_id"]: r["shard"]
+        for r in assign_shuffled_shards(half, "doc_id", n_shards=16).collect()
+    }
+    full_shards = {r["doc_id"]: r["shard"] for r in rows}
+    assert all(full_shards[d] == s for d, s in half_shards.items())
+    fast = assign_shuffled_shards(docs, "doc_id", n_shards=16, hash_fn="xxhash64")
+    assert fast.count() == n
+
+
+def test_dedup_keep_best_prefers_high_score_over_min_id(spark):
+    """Quality-weighted survivors: the component keeps its best-scored
+    member (NOT the min id), ties break to the lowest id, untouched
+    docs pass through, and multi-pair components collapse transitively."""
+    from outpost_spark.ops.dedup import dedup_keep_best, dedup_keep_canonical
+
+    docs = spark.createDataFrame(
+        [(1, 0.25), (2, 0.75), (3, 0.75), (4, 0.5), (5, 1.0), (9, 0.0)],
+        "doc_id bigint, q double",
+    )
+    # component {1,2,3} via chain 1-2, 2-3; component {4,5}; 9 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    best = {r["doc_id"] for r in dedup_keep_best(docs, pairs, "doc_id", "q").collect()}
+    # {1,2,3}: 2 and 3 tie at 0.75 -> 2 (lowest id of the best); {4,5} -> 5
+    assert best == {2, 5, 9}
+    canon = {
+        r["doc_id"] for r in dedup_keep_canonical(docs, pairs, "doc_id").collect()
+    }
+    assert canon == {1, 4, 9}  # min-id semantics, for contrast
+
+
 def test_bpe_token_counts_and_exact_encoder_plumbing(spark, sf_dir):
     """bpe_token_count_expr: hand-checked piece arithmetic; composes with
     sample_by_token_budget as the weight column; exact_token_counts runs
