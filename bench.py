@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     # round-6 operators
     "join_asof_bucketed",
     "text_token_stats_bpe",
+    "pipeline_curate_corpus_v4",
 ]
 
 

@@ -3066,6 +3066,84 @@ _REGISTRY["pipeline_curate_corpus_v3"] = (
 
 
 @_register(
+    "pipeline_curate_corpus_v4",
+    f"""
+    WITH RECURSIVE
+    q AS ({_QUALITY_SQL}),
+    g AS (
+      SELECT d.* FROM documents d JOIN q USING (doc_id) WHERE q.q >= 0.5
+    ),
+    {_pairs_cte_sql("g")},
+    members AS (
+      SELECT c.doc_id, c.component, q.q FROM comp c JOIN q USING (doc_id)
+    ),
+    winners AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (
+                 PARTITION BY component ORDER BY q DESC, doc_id ASC
+               ) AS rn
+        FROM members
+      ) WHERE rn = 1
+    ),
+    surv AS (
+      SELECT g.doc_id, CAST(g.n_chars AS BIGINT) AS w
+      FROM g LEFT JOIN comp c ON g.doc_id = c.doc_id
+      WHERE c.doc_id IS NULL OR g.doc_id IN (SELECT doc_id FROM winners)
+    ),
+    bk AS (
+      SELECT doc_id, w,
+             CAST(('0x' || substr(md5('budget|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS k
+      FROM surv
+    ),
+    kept AS (
+      SELECT doc_id
+      FROM (SELECT doc_id, w, sum(w) OVER (ORDER BY k, doc_id) AS c FROM bk) z
+      WHERE c <= 60000
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('shuffle|shard|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS k1,
+             CAST(('0x' || substr(md5('shuffle|pos|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS k2
+      FROM kept
+    )
+    SELECT doc_id,
+           CAST(k1 % 16 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY k1 % 16 ORDER BY k2, doc_id) AS BIGINT) AS pos
+    FROM sh
+    """,
+)
+def pipeline_curate_corpus_v4(spark, sf_dir):
+    """Training-set assembly as ONE oracle-checked plan (r06): quality
+    gate -> MinHash near-dup collapse keeping the BEST-quality member
+    of each cluster (not min-id) -> ~60k-char token-budget prefix (no
+    global sort: bucketed boundary window) -> deterministic shard
+    shuffle (two independent hashes, per-shard windows only).  Each
+    stage is an independently-oracled operator; this entry pins their
+    COMPOSITION end-to-end, the v3 lesson applied to the round's new
+    operators."""
+    from outpost_spark.ops.dedup import dedup_keep_best, minhash_dedup_pairs
+    from outpost_spark.ops.sampling import (
+        assign_shuffled_shards,
+        sample_by_token_budget,
+    )
+    from outpost_spark.ops.text import quality_score_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    gated = docs.withColumn("__q", quality_score_expr(F.col("text"))).filter(
+        F.col("__q") >= 0.5
+    )
+    pairs = minhash_dedup_pairs(
+        gated, "doc_id", "text",
+        num_hashes=16, bands=4, rows_per_band=4,
+        shingle_len=5, verify_ngram=5, threshold=0.7,
+    )
+    surv = dedup_keep_best(gated, pairs, "doc_id", "__q")
+    kept = sample_by_token_budget(surv, "doc_id", "n_chars", 60000)
+    return assign_shuffled_shards(kept.select("doc_id"), "doc_id", n_shards=16)
+
+
+@_register(
     "text_normalized_fingerprint",
     r"""
     SELECT doc_id,
