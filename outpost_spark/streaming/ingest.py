@@ -23,7 +23,11 @@ already-ingested corpus without rescanning it.  The pattern here:
   shingle, whose empty gram sets would otherwise self-match at J=0.0).
   A crash in the window between the corpus append and the index append
   can duplicate that one batch — the same eventual-dedup contract as the
-  log sink, hidden by read-side exact dedup.
+  log sink, hidden by read-side exact dedup.  With ``storage="txn"``
+  (r06) that window is CLOSED: both appends carry per-table writer
+  transactions (logstore/txntable.py), so the replayed batch no-ops the
+  committed corpus append and completes the index append — see
+  :mod:`outpost_spark.streaming.embed_ingest` for the replay argument.
 
 Scale notes: the per-batch index read is proportional to the batch's
 bucket fan-out, not the corpus; the join shuffles (bucket, id) pairs and
@@ -159,7 +163,10 @@ class DedupIndex:
         verify_ngram: int = 5,
         threshold: float = 0.7,
         hash_fn: str = "xxhash64",
+        storage: str = "parquet",
     ):
+        if storage not in ("parquet", "txn"):
+            raise ValueError(f"storage must be 'parquet' or 'txn', got {storage!r}")
         self.path = path
         self.num_hashes = num_hashes
         self.bands = bands
@@ -168,6 +175,14 @@ class DedupIndex:
         self.verify_ngram = verify_ngram
         self.threshold = threshold
         self.hash_fn = hash_fn
+        self.storage = storage
+
+    def _txn(self, spark: SparkSession, schema=None):
+        from outpost_spark.logstore.txntable import TxnTable
+
+        if schema is not None:
+            return TxnTable.get_or_create(spark, self.path, schema)
+        return TxnTable(spark, self.path)
 
     def _rows(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         return _bucketed_rows(
@@ -191,6 +206,7 @@ class DedupIndex:
             "shingle_len": self.shingle_len,
             "verify_ngram": self.verify_ngram,
             "hash_fn": self.hash_fn,
+            "storage": self.storage,
         }
 
     def _meta_fs(self, spark: SparkSession):
@@ -239,20 +255,44 @@ class DedupIndex:
             )
 
     def build(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
-        """Bootstrap the index from an existing corpus (overwrite)."""
-        self._rows(docs, id_col, text_col).write.mode("overwrite").partitionBy(
-            "pfx"
-        ).parquet(self.path)
+        """Bootstrap the index from an existing corpus (overwrite — on
+        txn storage an atomic rebuild commit)."""
+        rows = self._rows(docs, id_col, text_col)
+        if self.storage == "txn":
+            t = self._txn(docs.sparkSession, rows.schema)
+            adds = t._stage(rows, "pfx", ("pfx",))
+            t._commit_with_retry(
+                {
+                    "op": "rebuild",
+                    "adds": adds,
+                    "removes": [e.path for e in t.files()],
+                }
+            )
+        else:
+            rows.write.mode("overwrite").partitionBy("pfx").parquet(self.path)
         self._write_meta(docs.sparkSession)
 
-    def append(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
+    def append(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        *,
+        app_txn: tuple[str, int] | None = None,
+    ) -> None:
+        """``app_txn`` (txn storage only) makes the append idempotent per
+        writer transaction — the streaming gate's replay protection."""
         spark = docs.sparkSession
         fresh = not self.exists(spark)
         if not fresh:
             self._check_meta(spark)
-        self._rows(docs, id_col, text_col).write.mode("append").partitionBy(
-            "pfx"
-        ).parquet(self.path)
+        rows = self._rows(docs, id_col, text_col)
+        if self.storage == "txn":
+            self._txn(spark, rows.schema).append(
+                rows, cluster_by="pfx", app_txn=app_txn
+            )
+        else:
+            rows.write.mode("append").partitionBy("pfx").parquet(self.path)
         if fresh:
             # meta lands AFTER the first data write: a crash in between
             # leaves data-without-meta, which _check_meta rejects loudly
@@ -266,6 +306,12 @@ class DedupIndex:
         plain ``os.path`` only as a session-less local fallback.
         """
         spark = spark or SparkSession.getActiveSession()
+        if self.storage == "txn":
+            from outpost_spark.logstore.txntable import TxnTable
+
+            return TxnTable.is_txn_table(self.path) and bool(
+                self._txn(spark).files()
+            )
         if spark is None:
             return os.path.exists(self.path)
         jvm = spark._jvm
@@ -292,6 +338,28 @@ class DedupIndex:
         """
         from outpost_spark.fsutil import maintenance_fs
         from outpost_spark.logstore.retention import _recover_partials, _swap_partition
+
+        if self.storage == "txn":
+            # per-pfx atomic compaction commits; pfx purity preserved so
+            # the commit-log stats pruning stays exact
+            t = self._txn(spark)
+            report = {}
+            pfxs = sorted(
+                {
+                    e.stats["pfx"][0]
+                    for e in t.files()
+                    if "pfx" in e.stats and e.stats["pfx"][0] == e.stats["pfx"][1]
+                }
+            )
+            for p in pfxs:
+                n = t.compact(
+                    target_files=target_files,
+                    stats_filter={"pfx": (p, p)},
+                    stats_cols=("pfx",),
+                )
+                if n:
+                    report[f"pfx={p}"] = n
+            return report
 
         _recover_partials(self.path, spark)
         fs = maintenance_fs(self.path, spark)
@@ -374,7 +442,16 @@ class DedupIndex:
                 batch1.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
             )
             pfxs = [r["pfx"] for r in brows1.select("pfx").distinct().collect()]
-            index = spark.read.parquet(self.path).filter(F.col("pfx").isin(pfxs))
+            if self.storage == "txn":
+                # file pruning from the commit log's pfx stats (files are
+                # pfx-pure via cluster_by); exact filter still applies
+                index = self._txn(spark).read(
+                    stats_isin={"pfx": pfxs}
+                ).filter(F.col("pfx").isin(pfxs))
+            else:
+                index = spark.read.parquet(self.path).filter(
+                    F.col("pfx").isin(pfxs)
+                )
             # NOTE: self-matches (same doc_id already in the index) are NOT
             # filtered out — they are precisely what rejects a replayed
             # batch after a crash between the offset commit and here: the
@@ -432,11 +509,34 @@ def attach_ingest_stream(
 
     Returns the DataStreamWriter (caller starts/awaits it — tests use
     ``trigger(availableNow=True)``).
-    """
+
+    With a ``storage="txn"`` index, every write carries a per-table
+    writer transaction (appId, batch_id), closing the corpus/index
+    crash window exactly as the embedding twin does
+    (:mod:`outpost_spark.streaming.embed_ingest` — see its docstring
+    for the replay argument)."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         admitted, rejected = index.gate(batch, id_col=id_col, text_col=text_col)
         admitted = admitted.localCheckpoint(eager=True)
+        if index.storage == "txn":
+            from outpost_spark.logstore.txntable import TxnTable
+
+            spark = batch.sparkSession
+            TxnTable.get_or_create(spark, corpus_path, admitted.schema).append(
+                admitted, app_txn=("textgate::corpus", batch_id)
+            )
+            index.append(
+                admitted,
+                id_col=id_col,
+                text_col=text_col,
+                app_txn=("textgate::index", batch_id),
+            )
+            if rejects_path is not None:
+                TxnTable.get_or_create(spark, rejects_path, rejected.schema).append(
+                    rejected, app_txn=("textgate::rejects", batch_id)
+                )
+            return
         admitted.write.mode("append").parquet(corpus_path)
         index.append(admitted, id_col=id_col, text_col=text_col)
         if rejects_path is not None:

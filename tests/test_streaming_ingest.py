@@ -252,3 +252,109 @@ def test_index_compaction_through_file_scheme_uri(spark, tmpdir):
         sorted((r["doc_id"], r["matched_id"]) for r in after_rej.collect()),
     )
     assert before == after
+
+
+def test_text_gate_txn_storage_crash_window_closed(spark, tmpdir):
+    """storage='txn' twin of the embed gate's crash test: corpus append
+    committed, crash before the index append, replay through the real
+    foreachBatch closure -> no corpus duplicate, index completes, and
+    subsequent batches gate against the recovered index."""
+    from outpost_spark.logstore.txntable import TxnTable, load_table
+    from outpost_spark.streaming.ingest import attach_ingest_stream
+
+    corpus_path = os.path.join(tmpdir, "corpus")
+    idx = DedupIndex(os.path.join(tmpdir, "idx"), storage="txn")
+    idx.build(_docs(spark, [(1, BASE), (4, OTHER)]))
+    assert TxnTable.is_txn_table(idx.path) and idx.exists(spark)
+
+    captured = {}
+
+    def fake_stream():
+        class W:
+            def foreachBatch(self, fn):
+                captured["fn"] = fn
+                return self
+
+            def option(self, *a, **k):
+                return self
+
+        class S:
+            writeStream = W()
+
+        return S()
+
+    attach_ingest_stream(
+        fake_stream(), idx, corpus_path, os.path.join(tmpdir, "ck2")
+    )
+    process = captured["fn"]
+
+    fresh = "some brand new content about volcanoes and oceans under a winter sky"
+    b0 = _docs(spark, [(10, fresh)])
+    process(b0, 0)
+    assert {r["doc_id"] for r in load_table(spark, corpus_path).collect()} == {10}
+
+    # batch 1: one new doc + an exact dup of 10.  Crash between corpus
+    # and index appends: run only the corpus half with the sink's txn.
+    newdoc = "completely different prose regarding deserts, dunes and the midday heat"
+    b1 = _docs(spark, [(20, newdoc), (21, fresh)])
+    admitted, _ = idx.gate(b1)
+    admitted = admitted.localCheckpoint(eager=True)
+    assert sorted(r["doc_id"] for r in admitted.collect()) == [20]
+    TxnTable.get_or_create(spark, corpus_path, admitted.schema).append(
+        admitted, app_txn=("textgate::corpus", 1)
+    )
+    # CRASH: index append for batch 1 never ran.  Replay via the sink:
+    process(b1, 1)
+    corpus = load_table(spark, corpus_path)
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [10, 20]
+    assert corpus.count() == 2  # no duplicate from the replay
+    # index recovered: a dup of 20 now rejects
+    adm3, rej3 = idx.gate(_docs(spark, [(30, newdoc)]))
+    assert adm3.count() == 0
+    assert {(r["doc_id"], r["matched_id"]) for r in rej3.collect()} == {(30, 20)}
+    # txn compaction: pile up appends, compact per-pfx, gate unchanged
+    report = idx.compact(spark, target_files=1)
+    assert isinstance(report, dict)
+    adm4, _ = idx.gate(_docs(spark, [(40, fresh)]))
+    assert adm4.count() == 0
+
+
+def test_txntable_concurrent_thread_writers_all_commit(spark, tmpdir):
+    """Optimistic concurrency under real contention: 4 threads x 5
+    appends race on one table; every commit lands at a distinct version
+    and the snapshot holds every row exactly once."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from outpost_spark.logstore.txntable import TxnTable
+
+    path = os.path.join(tmpdir, "race")
+    df0 = spark.range(1).select(
+        F.col("id").alias("v"), F.lit(-1).cast("long").alias("w")
+    )
+    t = TxnTable.get_or_create(spark, path, df0.schema)
+    errs = []
+
+    def writer(tid):
+        try:
+            tt = TxnTable(spark, path)
+            for i in range(5):
+                tt.append(
+                    spark.range(1).select(
+                        F.lit(tid * 100 + i).cast("long").alias("v"),
+                        F.lit(tid).cast("long").alias("w"),
+                    )
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(k,)) for k in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert t.version() == 20  # create + 20 appends, no version collisions
+    rows = sorted(r["v"] for r in t.read().collect())
+    assert rows == sorted(tid * 100 + i for tid in range(4) for i in range(5))
