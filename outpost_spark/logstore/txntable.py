@@ -254,6 +254,7 @@ class TxnTable:
                 for e in live.values()
             ],
             "removed_at": removed_at,
+            "app_txns": self._app_txns(version),
         }
         tmp = os.path.join(self.log_path, f".ckpt-tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
@@ -289,17 +290,37 @@ class TxnTable:
                 removed_at[r] = v
         return schema_json, live, removed_at
 
+    def _app_txns(self, as_of_version: int | None = None) -> dict:
+        """{app_id: max committed txn version}, checkpoint-seeded so the
+        per-append replay check parses checkpoint + tail, not the whole
+        log (matters for long-lived streaming sinks: one commit per
+        micro-batch forever)."""
+        out: dict = {}
+        start = 0
+        ckpt = self._latest_checkpoint()
+        # only seed from checkpoints that RECORD app_txns — an older
+        # checkpoint without the key would silently hide pre-checkpoint
+        # transactions and re-admit a replayed batch
+        if (
+            ckpt is not None
+            and "app_txns" in ckpt[1]
+            and (as_of_version is None or as_of_version >= ckpt[0])
+        ):
+            out = {k: int(v) for k, v in ckpt[1]["app_txns"].items()}
+            start = ckpt[0] + 1
+        for _, e in self._log_entries(start, as_of_version):
+            txn = e.get("app_txn")
+            if txn:
+                app, v = txn.get("app"), int(txn["version"])
+                if app is not None and (app not in out or v > out[app]):
+                    out[app] = v
+        return out
+
     def app_txn_version(self, app_id: str) -> int | None:
         """Highest committed writer-transaction version for ``app_id``
         (Delta txnAppId/txnVersion analog) — how idempotent streaming
         sinks detect replays without marker files."""
-        best = None
-        for _, e in self._log_entries():
-            txn = e.get("app_txn")
-            if txn and txn.get("app") == app_id:
-                v = int(txn["version"])
-                best = v if best is None or v > best else best
-        return best
+        return self._app_txns().get(app_id)
 
     def schema(self) -> T.StructType:
         schema_json, _, _ = self._state()

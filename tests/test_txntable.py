@@ -283,6 +283,23 @@ def test_checkpoint_bounds_log_reconstruction(spark, tmp_path):
     assert t.read(as_of_version=1).count() == 4
 
 
+def test_app_txn_survives_checkpointing(spark, tmp_path):
+    """The replay check must see writer transactions recorded BEFORE a
+    checkpoint: app_txns fold into the checkpoint, and a stale replay of
+    a pre-checkpoint batch is still a no-op after many commits."""
+    p = str(tmp_path / "t")
+    df = _mk_df(spark, 5)
+    t = TxnTable.get_or_create(spark, p, df.schema)
+    t.append(df, app_txn=("sink", 0))
+    for i in range(TxnTable.CHECKPOINT_EVERY + 2):
+        t.append(df.withColumn("event_id", F.col("event_id") + 100 * (i + 1)))
+    assert any(f.startswith("_checkpoint-") for f in os.listdir(t.log_path))
+    assert t.app_txn_version("sink") == 0
+    before = t.read().count()
+    t.append(df, app_txn=("sink", 0))  # stale replay across the checkpoint
+    assert t.read().count() == before
+
+
 def _golden_entries_df(spark):
     from pyspark.sql import types as T
 
