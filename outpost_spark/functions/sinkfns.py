@@ -103,6 +103,37 @@ def verify(
     )
 
 
+def hmac_expr(key: str, content, *, algorithm: str = "hmac-sha256", encoding: str = "hex"):
+    """HMAC as a PURE codegen Column expression — Spark has no native
+    hmac, but the construction H((K^opad) || H((K^ipad) || m)) needs
+    only hash + binary concat, and the padded/xored key blocks are
+    PLAN-TIME byte literals (the key is a per-destination constant).
+    Webhook signing therefore stays zero-Python in the routing stream,
+    like the rest of the sink formatters.  Pinned byte-for-byte against
+    the Python :func:`sign` (itself pinned to the reference's
+    signature.go) and RFC 4231 vectors in tests."""
+    from pyspark.sql import functions as F
+
+    algos = {
+        "hmac-sha256": (lambda c: F.sha2(c, 256), hashlib.sha256, 64),
+        "hmac-sha1": (F.sha1, hashlib.sha1, 64),
+        "hmac-md5": (F.md5, hashlib.md5, 64),
+    }
+    if algorithm not in algos:
+        raise ValueError(f"unsupported algorithm {algorithm!r}")
+    hexfn, pyh, block = algos[algorithm]
+    kb = key.encode() if isinstance(key, str) else bytes(key)
+    if len(kb) > block:
+        kb = pyh(kb).digest()
+    kb = kb.ljust(block, b"\x00")
+    ipad = bytes(b ^ 0x36 for b in kb)
+    opad = bytes(b ^ 0x5C for b in kb)
+    cbin = F.encode(content, "UTF-8")
+    inner = F.unhex(hexfn(F.concat(F.lit(ipad), cbin)))
+    mac_hex = hexfn(F.concat(F.lit(opad), inner))
+    return F.base64(F.unhex(mac_hex)) if encoding == "base64" else mac_hex
+
+
 def signature_header(
     *,
     body: str,

@@ -2647,6 +2647,53 @@ def sink_format_kinesis(spark, sf_dir):
 
 
 @_register(
+    "sink_format_webhook",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT event_id,
+           data AS body,
+           'https://hooks.example.test/ep' AS url,
+           'application/json' AS content_type,
+           event_id AS event_id_header,
+           topic AS topic_header,
+           '2024-01-02T03:04:05Z' AS timestamp_header
+    FROM src
+    """,
+)
+def sink_format_webhook(spark, sf_dir):
+    """S6 Format surface, webhook family (r06 — closes the last
+    providers): body + merged-metadata headers under the x-outpost-
+    prefix (destwebhook.go:733-780).  The oracle pins the header
+    surface; the SIGNATURE column is a codegen HMAC (hmac_expr) that
+    DuckDB cannot express (its sha256 only hashes VARCHAR, and HMAC
+    needs binary pad blocks) — it is pinned instead by RFC 4231
+    vectors + stdlib-equality pytest across all algorithms/encodings
+    (tests/test_sinkformats.py)."""
+    from datetime import datetime, timezone
+
+    from outpost_spark.routing.sinkformats import format_webhook
+
+    events = _events(spark, sf_dir).withColumn(
+        "metadata", F.create_map().cast("map<string,string>")
+    )
+    out = format_webhook(
+        events,
+        url="https://hooks.example.test/ep",
+        ts=F.lit(datetime(2024, 1, 2, 3, 4, 5, tzinfo=timezone.utc)),
+        secrets=None,
+    )
+    return out.select(
+        "event_id",
+        "body",
+        "url",
+        F.col("headers")["content-type"].alias("content_type"),
+        F.col("headers")["x-outpost-event-id"].alias("event_id_header"),
+        F.col("headers")["x-outpost-topic"].alias("topic_header"),
+        F.col("headers")["x-outpost-timestamp"].alias("timestamp_header"),
+    )
+
+
+@_register(
     "agg_count_distinct_salted",
     f"""
     WITH src AS ({_EVENTS_SQL})

@@ -433,3 +433,309 @@ def format_kafka(
         F.col("data").alias("value"),
         headers.alias("headers"),
     )
+
+
+# ── webhook / webhook-standard / hookdeck (r06: the last 3 of 10) ──────
+
+
+def _sig_content_expr(template: str, *, body: Column, event_id: Column,
+                      topic: Column, ts: Column) -> Column:
+    """Plan-time expansion of the signature CONTENT template into a
+    concat of Columns (destwebhook/signature.go placeholder set)."""
+    import re as _re
+
+    reprs = {
+        "{{.Body}}": body,
+        "{{.EventID}}": event_id.cast("string"),
+        "{{.Topic}}": topic.cast("string"),
+        "{{.Timestamp.Unix}}": F.unix_timestamp(ts).cast("string"),
+        "{{.Timestamp.UnixMilli}}": F.floor(ts.cast("double") * 1000)
+        .cast("long")
+        .cast("string"),
+    }
+    pat = "|".join(_re.escape(k) for k in reprs)
+    parts: list[Column] = []
+    pos = 0
+    for m in _re.finditer(pat, template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos:m.start()]))
+        parts.append(reprs[m.group(0)])
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    return F.concat(*parts) if parts else F.lit("")
+
+
+def _sig_header_expr(template: str, sigs: list[Column]) -> Column:
+    """Plan-time expansion of the signature HEADER template over the
+    per-secret signature Columns.  Supports the two template families
+    the reference ships: ``...{{.Signatures | join "SEP"}}...`` (default
+    'v0=...') and the Standard Webhooks range form
+    ``v1,{{index .Signatures 0}}{{range slice .Signatures 1}} v1,{{.}}{{end}}``."""
+    import re as _re
+
+    m = _re.fullmatch(r'(.*)\{\{\.Signatures \| join "([^"]*)"\}\}(.*)', template)
+    if m:
+        joined: Column = sigs[0]
+        for s in sigs[1:]:
+            joined = F.concat(joined, F.lit(m.group(2)), s)
+        return F.concat(F.lit(m.group(1)), joined, F.lit(m.group(3)))
+    m = _re.fullmatch(
+        r"(.*)\{\{index \.Signatures 0\}\}"
+        r"\{\{range slice \.Signatures 1\}\}(.*)\{\{\.\}\}\{\{end\}\}",
+        template,
+    )
+    if m:
+        out = F.concat(F.lit(m.group(1)), sigs[0])
+        for s in sigs[1:]:
+            out = F.concat(out, F.lit(m.group(2)), s)
+        return out
+    raise ValueError(f"unsupported signature header template: {template!r}")
+
+
+def _signature_expr(
+    *,
+    body: Column,
+    event_id: Column,
+    topic: Column,
+    ts: Column,
+    secrets: list[str],
+    content_template: str = "{{.Body}}",
+    header_template: str = 'v0={{.Signatures | join ","}}',
+    algorithm: str = "hmac-sha256",
+    encoding: str = "hex",
+) -> Column:
+    from outpost_spark.functions.sinkfns import hmac_expr
+
+    content = _sig_content_expr(
+        content_template, body=body, event_id=event_id, topic=topic, ts=ts
+    )
+    sigs = [
+        hmac_expr(k, content, algorithm=algorithm, encoding=encoding)
+        for k in secrets
+    ]
+    return _sig_header_expr(header_template, sigs)
+
+
+_WEBHOOK_SYSTEM_KEYS = ("event-id", "timestamp", "topic")
+
+
+def _prefixed_meta_entries(meta: Column, prefix: str, overrides) -> Column:
+    """Metadata map -> header entries: unknown keys always get the
+    prefix; the three system keys follow their configured directive
+    (destwebhook.go resolveMetadataHeaderName — ``overrides`` maps a
+    system key to None (disabled) or a pinned header name)."""
+    for k in overrides or {}:
+        if k not in _WEBHOOK_SYSTEM_KEYS:
+            raise ValueError(f"only system keys {_WEBHOOK_SYSTEM_KEYS} take directives, got {k!r}")
+    disabled = [k for k, v in (overrides or {}).items() if v is None]
+    pinned = {k: v for k, v in (overrides or {}).items() if v is not None}
+
+    def name_of(e):
+        name = F.concat(F.lit(prefix), e["key"])
+        for k, v in pinned.items():
+            name = F.when(e["key"] == F.lit(k), F.lit(v)).otherwise(name)
+        return name
+
+    kept = F.filter(
+        F.map_entries(meta),
+        lambda e: ~e["key"].isin(disabled) if disabled else F.lit(True),
+    )
+    return F.transform(
+        kept,
+        lambda e: F.struct(
+            F.lower(name_of(e)).alias("key"), e["value"].alias("value")
+        ),
+    )
+
+
+def format_webhook(
+    df: DataFrame,
+    *,
+    url: str,
+    ts: Column,
+    secrets: list[str] | None = None,
+    header_prefix: str = "x-outpost-",
+    custom_headers: dict[str, str] | None = None,
+    header_overrides: dict[str, str | None] | None = None,
+    signature_content_template: str = "{{.Body}}",
+    signature_header_template: str = 'v0={{.Signatures | join ","}}',
+    algorithm: str = "hmac-sha256",
+    encoding: str = "hex",
+    delivery_metadata: dict[str, str] | None = None,
+    include_ms_timestamp: bool = False,
+) -> DataFrame:
+    """HTTP webhook request frame (destwebhook.go:733-780): body = raw
+    event data; headers = content-type < custom headers < prefixed
+    metadata (system keys honoring disable/pin directives) < signature.
+    Header names are emitted lowercase — Go's http.Header canonicalizes
+    on read, so case carries no information.  With the default
+    templates the whole row, signature included, is zero-Python
+    (hmac_expr is a codegen HMAC over plan-time key blocks)."""
+    meta = _meta(df, ts, delivery_metadata, include_ms_timestamp)
+    entries = F.array(
+        F.struct(
+            F.lit("content-type").alias("key"),
+            F.lit("application/json").alias("value"),
+        )
+    ).cast("array<struct<key:string,value:string>>")
+    if custom_headers:
+        entries = F.concat(
+            entries,
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k.lower()).alias("key"), F.lit(v).alias("value")
+                    )
+                    for k, v in custom_headers.items()
+                ]
+            ),
+        )
+    entries = F.concat(
+        entries, _prefixed_meta_entries(meta, header_prefix, header_overrides)
+    )
+    if secrets:
+        sig_name = (header_overrides or {}).get("signature")
+        sig = _signature_expr(
+            body=F.col("data"), event_id=F.col("event_id"),
+            topic=F.col("topic"), ts=ts, secrets=secrets,
+            content_template=signature_content_template,
+            header_template=signature_header_template,
+            algorithm=algorithm, encoding=encoding,
+        )
+        entries = F.concat(
+            entries,
+            F.array(
+                F.struct(
+                    F.lit((sig_name or f"{header_prefix}signature").lower()).alias("key"),
+                    sig.alias("value"),
+                )
+            ),
+        )
+    return df.select(
+        "event_id",
+        F.lit(url).alias("url"),
+        F.col("data").alias("body"),
+        F.map_from_entries(_sorted_entries_keep_last(entries)).alias("headers"),
+    )
+
+
+def format_webhook_standard(
+    df: DataFrame,
+    *,
+    url: str,
+    ts: Column,
+    secrets: list[str],
+    header_prefix: str = "webhook-",
+    custom_headers: dict[str, str] | None = None,
+    delivery_metadata: dict[str, str] | None = None,
+    include_ms_timestamp: bool = False,
+) -> DataFrame:
+    """Standard Webhooks request frame (destwebhookstandard.go:577-630):
+    <prefix>id = event id, <prefix>timestamp = unix seconds,
+    <prefix>signature = ``v1,<base64 hmac-sha256>`` over
+    ``id.timestamp.body`` (space-joined per rotated secret), merged
+    metadata under the prefix EXCEPT event-id/timestamp (replaced by the
+    standard headers), plus the raw event metadata un-prefixed."""
+    meta = _meta(df, ts, delivery_metadata, include_ms_timestamp)
+    entries = F.array(
+        F.struct(
+            F.lit("content-type").alias("key"),
+            F.lit("application/json").alias("value"),
+        )
+    ).cast("array<struct<key:string,value:string>>")
+    if custom_headers:
+        entries = F.concat(
+            entries,
+            F.array(
+                *[
+                    F.struct(F.lit(k.lower()).alias("key"), F.lit(v).alias("value"))
+                    for k, v in custom_headers.items()
+                ]
+            ),
+        )
+    unix = F.unix_timestamp(ts).cast("string")
+    sig = _signature_expr(
+        body=F.col("data"), event_id=F.col("event_id"), topic=F.col("topic"),
+        ts=ts, secrets=secrets,
+        content_template="{{.EventID}}.{{.Timestamp.Unix}}.{{.Body}}",
+        header_template=(
+            "v1,{{index .Signatures 0}}"
+            "{{range slice .Signatures 1}} v1,{{.}}{{end}}"
+        ),
+        algorithm="hmac-sha256", encoding="base64",
+    )
+    std = F.array(
+        F.struct(F.lit(f"{header_prefix}id").alias("key"),
+                 F.col("event_id").cast("string").alias("value")),
+        F.struct(F.lit(f"{header_prefix}timestamp").alias("key"),
+                 unix.alias("value")),
+        F.struct(F.lit(f"{header_prefix}signature").alias("key"),
+                 sig.alias("value")),
+    )
+    prefixed = F.transform(
+        F.filter(
+            F.map_entries(meta),
+            lambda e: ~e["key"].isin(["event-id", "timestamp"]),
+        ),
+        lambda e: F.struct(
+            F.lower(F.concat(F.lit(header_prefix), e["key"])).alias("key"),
+            e["value"].alias("value"),
+        ),
+    )
+    raw_meta = F.transform(
+        F.map_entries(
+            F.coalesce(F.col("metadata"), F.create_map().cast("map<string,string>"))
+        ),
+        lambda e: F.struct(F.lower(e["key"]).alias("key"), e["value"].alias("value")),
+    )
+    entries = F.concat(entries, std, prefixed, raw_meta)
+    return df.select(
+        "event_id",
+        F.lit(url).alias("url"),
+        F.col("data").alias("body"),
+        F.map_from_entries(_sorted_entries_keep_last(entries)).alias("headers"),
+    )
+
+
+def format_hookdeck(
+    df: DataFrame,
+    *,
+    token_id: str,
+    signing_key: str,
+    ts: Column,
+    delivery_metadata: dict[str, str] | None = None,
+    include_ms_timestamp: bool = False,
+) -> DataFrame:
+    """Hookdeck request frame (desthookdeck/hookdeck.go:108-135):
+    POST https://hkdk.events/<token>, body = raw data,
+    x-hookdeck-signature = ``v0=<base64 hmac-sha256(body)>``, merged
+    metadata under ``x-outpost-``."""
+    from outpost_spark.functions.sinkfns import hmac_expr
+
+    meta = _meta(df, ts, delivery_metadata, include_ms_timestamp)
+    sig = F.concat(
+        F.lit("v0="),
+        hmac_expr(signing_key, F.col("data"), algorithm="hmac-sha256", encoding="base64"),
+    )
+    entries = F.concat(
+        F.array(
+            F.struct(F.lit("content-type").alias("key"),
+                     F.lit("application/json").alias("value")),
+            F.struct(F.lit("x-hookdeck-signature").alias("key"),
+                     sig.alias("value")),
+        ),
+        F.transform(
+            F.map_entries(meta),
+            lambda e: F.struct(
+                F.lower(F.concat(F.lit("x-outpost-"), e["key"])).alias("key"),
+                e["value"].alias("value"),
+            ),
+        ),
+    )
+    return df.select(
+        "event_id",
+        F.lit(f"https://hkdk.events/{token_id}").alias("url"),
+        F.col("data").alias("body"),
+        F.map_from_entries(_sorted_entries_keep_last(entries)).alias("headers"),
+    )

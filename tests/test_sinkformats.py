@@ -202,3 +202,155 @@ def test_default_formats_are_zero_python(spark, routed):
         plan = fmt._jdf.queryExecution().executedPlan().toString()
         for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
             assert marker not in plan, f"Python node in default format plan:\n{plan}"
+
+
+def test_hmac_expr_matches_python_and_rfc4231(spark):
+    """Codegen HMAC == hmac stdlib for all algorithm/encoding combos,
+    including the long-key (pre-hash) branch and RFC 4231 case 2."""
+    from outpost_spark.functions.sinkfns import hmac_expr, sign
+
+    df = spark.createDataFrame(
+        [("what do ya want for nothing?",), ("",), ('{"a":1,"b":[2,3]}',)],
+        "content string",
+    )
+    keys = ["Jefe", "k" * 100]  # short and longer-than-block
+    for algorithm in ("hmac-sha256", "hmac-sha1", "hmac-md5"):
+        for encoding in ("hex", "base64"):
+            for key in keys:
+                got = [
+                    r["h"]
+                    for r in df.select(
+                        hmac_expr(
+                            key, F.col("content"),
+                            algorithm=algorithm, encoding=encoding,
+                        ).alias("h")
+                    ).collect()
+                ]
+                want = [
+                    sign(key, c, algorithm=algorithm, encoding=encoding)
+                    for c in ("what do ya want for nothing?", "", '{"a":1,"b":[2,3]}')
+                ]
+                assert got == want, (algorithm, encoding, key)
+    # RFC 4231 test case 2 (hmac-sha256, key="Jefe")
+    one = df.limit(1).select(
+        hmac_expr("Jefe", F.lit("what do ya want for nothing?")).alias("h")
+    ).collect()[0]["h"]
+    assert one == (
+        "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843"
+    )
+
+
+def test_webhook_format_headers_signature_and_directives(spark, routed):
+    from outpost_spark.functions.sinkfns import verify
+    from outpost_spark.routing.sinkformats import format_webhook
+
+    out = format_webhook(
+        routed,
+        url="https://example.test/hook",
+        ts=F.lit(TS),
+        secrets=["s3cret"],
+        custom_headers={"X-Custom": "yes", "x-outpost-topic": "to-be-overridden"},
+    )
+    r = _row(out)
+    h = r["headers"]
+    assert r["url"] == "https://example.test/hook"
+    assert r["body"].startswith('{"message":"Hello World"')
+    assert h["content-type"] == "application/json"
+    assert h["x-custom"] == "yes"
+    # metadata overrides custom headers on conflict (Set order)
+    assert h["x-outpost-topic"] == "test-topic"
+    assert h["x-outpost-event-id"] == "event-123"
+    assert h["x-outpost-timestamp"] == "2024-01-02T03:04:05Z"
+    assert h["x-outpost-custom_field"] == "custom_value"
+    # default templates: hex hmac-sha256 over the raw body, "v0=" header
+    assert h["x-outpost-signature"].startswith("v0=")
+    assert verify("s3cret", r["body"], h["x-outpost-signature"][3:])
+    # directives: disable topic, pin event-id to a custom name
+    out2 = format_webhook(
+        routed,
+        url="u", ts=F.lit(TS), secrets=None,
+        header_overrides={"topic": None, "event-id": "X-My-Id"},
+    )
+    h2 = _row(out2)["headers"]
+    assert "x-outpost-topic" not in h2
+    assert h2["x-my-id"] == "event-123"
+    assert "x-outpost-signature" not in h2  # no secrets -> no signature
+    # rotation: two secrets join with "," in the v0 header
+    h3 = _row(
+        format_webhook(routed, url="u", ts=F.lit(TS), secrets=["a", "b"])
+    )["headers"]
+    sigs = h3["x-outpost-signature"][3:].split(",")
+    assert len(sigs) == 2 and all(len(s) == 64 for s in sigs)
+
+
+def test_webhook_standard_format(spark, routed):
+    import hmac as hmac_mod
+
+    from outpost_spark.routing.sinkformats import format_webhook_standard
+
+    out = format_webhook_standard(
+        routed,
+        url="https://example.test/std",
+        ts=F.lit(TS),
+        secrets=["whsec-key", "old-key"],
+    )
+    r = _row(out)
+    h = r["headers"]
+    unix = str(int(TS.timestamp()))
+    assert h["webhook-id"] == "event-123"
+    assert h["webhook-timestamp"] == unix
+    content = f"event-123.{unix}." + r["body"]
+    expect = [
+        "v1,"
+        + base64.b64encode(
+            hmac_mod.new(k.encode(), content.encode(), hashlib.sha256).digest()
+        ).decode()
+        for k in ("whsec-key", "old-key")
+    ]
+    assert h["webhook-signature"] == " ".join(expect)
+    # metadata: event-id/timestamp replaced by the standard headers,
+    # topic still prefixed, raw event metadata un-prefixed
+    assert "webhook-event-id" not in h
+    assert "webhook-timestamp-ms" not in h
+    assert h["webhook-topic"] == "test-topic"
+    assert h["webhook-custom_field"] == "custom_value"
+    assert h["custom_field"] == "custom_value"
+
+
+def test_hookdeck_format(spark, routed):
+    import hmac as hmac_mod
+
+    from outpost_spark.routing.sinkformats import format_hookdeck
+
+    out = format_hookdeck(
+        routed, token_id="tok_123", signing_key="hk-sign", ts=F.lit(TS)
+    )
+    r = _row(out)
+    assert r["url"] == "https://hkdk.events/tok_123"
+    h = r["headers"]
+    expect = base64.b64encode(
+        hmac_mod.new(b"hk-sign", r["body"].encode(), hashlib.sha256).digest()
+    ).decode()
+    assert h["x-hookdeck-signature"] == "v0=" + expect
+    assert h["x-outpost-event-id"] == "event-123"
+    assert h["x-outpost-topic"] == "test-topic"
+    assert h["x-outpost-custom_field"] == "custom_value"
+    assert h["content-type"] == "application/json"
+
+
+def test_webhook_family_formats_are_zero_python(spark, routed):
+    from outpost_spark.routing.sinkformats import (
+        format_hookdeck,
+        format_webhook,
+        format_webhook_standard,
+    )
+
+    frames = [
+        format_webhook(routed, url="u", ts=F.lit(TS), secrets=["k1", "k2"]),
+        format_webhook_standard(routed, url="u", ts=F.lit(TS), secrets=["k"]),
+        format_hookdeck(routed, token_id="t", signing_key="k", ts=F.lit(TS)),
+    ]
+    for df in frames:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
