@@ -640,6 +640,50 @@ def main() -> None:
     print(f"DistinctByTenant_salted: {timings['DistinctByTenant_salted']}s", file=sys.stderr)
     gc.collect()
 
+    # storage layer: transaction-log table throughput at the full clone
+    # size — one append = one atomic commit; retention = metadata-only
+    # drops + boundary rewrite; snapshot read from the commit log
+    import shutil
+
+    from outpost_spark.logstore.insert import with_month_partition
+    from outpost_spark.logstore.txntable import TxnTable
+
+    tx_path = os.path.join(root, "txn_attempts_bench")
+    shutil.rmtree(tx_path, ignore_errors=True)
+    # the clone spans one month, so cluster by DAY to give retention the
+    # same file-granularity the month layout has at year scale: expired
+    # days drop metadata-only, the cutoff day rewrites
+    att_m = with_month_partition(att, "attempt_time").withColumn(
+        "day", F.date_format("attempt_time", "yyyyMMdd")
+    )
+    t0 = time.perf_counter()
+    tx = TxnTable.get_or_create(spark, tx_path, att_m.schema)
+    tx.append(att_m, cluster_by="day", stats_cols=("attempt_time",))
+    timings["TxnAppend"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    rows_out["TxnAppend"] = tx.read().count()
+    timings["TxnSnapshotCount"] = round(time.perf_counter() - t0, 4)
+    rows_out["TxnSnapshotCount"] = rows_out["TxnAppend"]
+    assert rows_out["TxnAppend"] == n_rows
+    import datetime as _dt
+
+    t0 = time.perf_counter()
+    dropped, rewritten, deleted = tx.delete_where_time(
+        "attempt_time",
+        _dt.datetime(2000, 1, 16, 12, 0, 0),
+        keep_stats_cols=("day",),
+    )
+    timings["TxnRetention"] = round(time.perf_counter() - t0, 4)
+    rows_out["TxnRetention"] = deleted
+    print(
+        f"TxnAppend: {timings['TxnAppend']}s ({n_rows} rows); snapshot count "
+        f"{timings['TxnSnapshotCount']}s; retention {timings['TxnRetention']}s "
+        f"(dropped {dropped} files metadata-only, rewrote {rewritten}, "
+        f"deleted {deleted} rows)",
+        file=sys.stderr,
+    )
+    gc.collect()
+
     dpath = os.path.join(root, f"documents_{args.docs}")
     if not os.path.exists(os.path.join(dpath, "_SUCCESS")):
         t0 = time.perf_counter()

@@ -2430,6 +2430,41 @@ def sample_token_budget(spark, sf_dir):
 
 
 @_register(
+    "sample_token_budget_bpe",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             coalesce(CAST(list_sum(list_transform(
+                 regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'),
+                 p -> CASE WHEN regexp_matches(p, '^[A-Za-z]+$')
+                           THEN CAST(ceil(length(p) / 4.0) AS BIGINT)
+                           ELSE 1 END)) AS BIGINT), 0) AS n_bpe_tokens,
+             CAST(('0x' || substr(md5('budget|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS k
+      FROM documents
+    )
+    SELECT doc_id, n_bpe_tokens
+    FROM (SELECT doc_id, n_bpe_tokens, k,
+                 sum(n_bpe_tokens) OVER (ORDER BY k, doc_id) AS c FROM t) z
+    WHERE c <= 30000
+    """,
+)
+def sample_token_budget_bpe(spark, sf_dir):
+    """Token-budget sampling denominated in (approximate) BPE tokens —
+    the combination modern budgets actually mean ("give me 50B tokens"):
+    the codegen BPE count (text_token_stats_bpe) feeds the bucketed
+    no-global-sort budget prefix (sample_token_budget).  Both pieces and
+    their composition are exact DuckDB oracles."""
+    from outpost_spark.ops.sampling import sample_by_token_budget
+    from outpost_spark.ops.text import bpe_token_count_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id", bpe_token_count_expr(F.col("text")).alias("n_bpe_tokens")
+    )
+    return sample_by_token_budget(weighted, "doc_id", "n_bpe_tokens", 30000)
+
+
+@_register(
     "join_asof_checkpoint",
     f"""
     WITH src AS ({_EVENTS_SQL}),
