@@ -165,3 +165,150 @@ def test_sqs_uncommitted_messages_redeliver(moto_sqs):
     time.sleep(1.5)
     r3 = SqsStreamReader(opts)
     assert list(r3.read(r3.initialOffset())[0]) == []
+
+
+def test_full_pipeline_sqs_to_txn_tables_and_metrics(spark, moto_sqs, tmp_path):
+    """Capstone for the round's three pieces together: SQS queue source
+    (Python Data Source) -> routing fan-out (zero-Python per-batch
+    compile) -> EXACTLY-ONCE txn log sink (no marker files) -> metrics +
+    list queries over load_table.  The reference's publish->fanout->
+    deliver->log lifecycle on one SparkSession, against a real
+    (moto-served) queue endpoint."""
+    from pyspark.sql import functions as F
+
+    from outpost_spark.logstore.lists import ListRequest, list_events
+    from outpost_spark.logstore.metrics import (
+        MetricsRequest,
+        TimeRange,
+        query_attempt_metrics,
+    )
+    from outpost_spark.logstore.txntable import TxnTable, load_table
+    from outpost_spark.sources.readers import event_stream
+    from outpost_spark.sources.sqs_source import send_events
+    from outpost_spark.streaming.pipeline import make_log_sink, make_routing_sink
+
+    client = _sqs_client(moto_sqs)
+    client.create_queue(QueueName="pipeline-events")
+    events = [
+        {
+            "id": f"ev_{i}",
+            "tenant_id": "t1",
+            "topic": "order.created" if i % 2 == 0 else "order.updated",
+            "time": f"2024-03-01T{10 + i}:00:00Z",
+            "metadata": {},
+            "data": json.dumps({"tier": "premium" if i < 2 else "basic"}),
+        }
+        for i in range(4)
+    ]
+    send_events(
+        {"region": "us-east-1", "endpoint": moto_sqs}, "pipeline-events", events
+    )
+
+    def load_destinations(s):
+        return s.createDataFrame(
+            [
+                ("d_orders", "t1", "webhook", ["order.*"], None, None),
+                ("d_premium", "t1", "webhook", ["*"],
+                 json.dumps({"data": {"tier": "premium"}}), None),
+            ],
+            "id string, tenant_id string, type string, topics array<string>, "
+            "filter string, disabled_at timestamp",
+        )
+
+    events_path = str(tmp_path / "events_t")
+    attempts_path = str(tmp_path / "attempts_t")
+    log_sink = make_log_sink(
+        events_path, attempts_path, str(tmp_path / "commits"), storage="txn"
+    )
+
+    def deliver_and_log(routed, batch_id):
+        if routed.isEmpty():
+            return
+        entries = routed.select(
+            F.concat(F.col("event_id"), F.lit(":"), F.col("destination_id")).alias(
+                "attempt_id"
+            ),
+            "event_id",
+            "tenant_id",
+            "destination_id",
+            "topic",
+            F.lit(True).alias("eligible_for_retry"),
+            F.col("event_time"),
+            F.col("event_time").alias("attempt_time"),
+            F.col("metadata"),
+            F.col("data"),
+            F.when(F.col("topic") == "order.updated", "failed")
+            .otherwise("success")
+            .alias("status"),
+            F.lit(False).alias("manual"),
+            F.col("attempt").alias("attempt_number"),
+        )
+        log_sink(entries, batch_id)
+
+    url = f"sqs://pipeline-events?region=us-east-1&endpoint={moto_sqs}"
+    stream = event_stream(spark, url).select(
+        "event_id", "tenant_id", "topic", "event_time", "metadata", "data"
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            make_routing_sink(load_destinations, deliver_and_log)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if load_table(spark, attempts_path).count() >= 6:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    attempts = load_table(spark, attempts_path)
+    got = {
+        (r["event_id"], r["destination_id"], r["status"])
+        for r in attempts.collect()
+    }
+    # ev_0/ev_2 order.created (d_orders; premium tier ev_0 also d_premium),
+    # ev_1/ev_3 order.updated (d_orders fails; ev_1 premium also d_premium)
+    assert got == {
+        ("ev_0", "d_orders", "success"),
+        ("ev_0", "d_premium", "success"),
+        ("ev_1", "d_orders", "failed"),
+        ("ev_1", "d_premium", "failed"),
+        ("ev_2", "d_orders", "success"),
+        ("ev_3", "d_orders", "failed"),
+    }
+    # exactly-once txn sink: no marker dir, every commit an append txn
+    assert not os.path.exists(str(tmp_path / "commits"))
+    hist = TxnTable(spark, attempts_path).history()
+    assert [h["op"] for h in hist][0] == "create"
+    assert all(h["op"] == "append" for h in hist[1:])
+    # the batch OLAP engine answers over the streamed txn tables
+    from datetime import datetime, timezone
+
+    out = query_attempt_metrics(
+        attempts.drop("month"),
+        MetricsRequest(
+            TimeRange(
+                datetime(2024, 3, 1, tzinfo=timezone.utc),
+                datetime(2024, 3, 2, tzinfo=timezone.utc),
+            ),
+            measures=["count", "error_rate"],
+            filters={"tenant_id": ["t1"]},
+        ),
+    ).collect()
+    assert out[0]["count"] == 6
+    assert abs(out[0]["error_rate"] - 0.5) < 1e-9
+    ev_t = load_table(spark, events_path).drop("month")
+    assert ev_t.count() == 4
+    page = list_events(ev_t, ListRequest(tenant_ids=["t1"], limit=2))
+    assert len(page.items) == 2 and page.next
+    page2 = list_events(ev_t, ListRequest(tenant_ids=["t1"], limit=2, next=page.next))
+    ids = [r["event_id"] for r in page.items + page2.items]
+    assert sorted(ids) == ["ev_0", "ev_1", "ev_2", "ev_3"]
