@@ -86,6 +86,10 @@ BENCH_QUERIES = [
     "join_asof_bucketed",
     "text_token_stats_bpe",
     "pipeline_curate_corpus_v4",
+    "sink_format_webhook",
+    "sample_token_budget_bpe",
+    "sample_shuffled_shards",
+    "text_mojibake_stats",
 ]
 
 

@@ -39,11 +39,18 @@ What it provides over raw parquet directories:
   ``keep_versions`` commits, plus never-committed staging orphans.
 
 Scale notes: data files are written ONCE under ``_staging/<txn>/`` and
-never renamed (object-store friendly); snapshot reconstruction is
-O(commits) driver-side JSON (checkpointable like Delta's
-``_last_checkpoint`` when logs grow long — out of scope at this
-table's commit rate); stats-based file pruning replaces Hive directory
-partitioning, so planning never lists directories.
+never renamed (object-store friendly); snapshot reconstruction parses
+the latest ``_checkpoint-<v>.json`` plus the commit tail (Delta's
+``_last_checkpoint`` analog, written every ``CHECKPOINT_EVERY``
+commits; writer-transaction maxima fold in too, so streaming-sink
+replay checks stay O(tail)); stats-based file pruning replaces Hive
+directory partitioning, so planning never lists directories.
+
+Also provided: **exactly-once writer transactions** —
+``append(app_txn=(app_id, version))`` is Delta's txnAppId/txnVersion:
+a replayed streaming micro-batch is a structural no-op because the
+batch data and its replay marker are one atomic commit (the log sink
+and both ingest gates use this; no marker files, no crash window).
 """
 
 from __future__ import annotations
@@ -186,7 +193,15 @@ class TxnTable:
         return out
 
     def version(self) -> int:
-        vs = [v for v, _ in self._log_entries()]
+        # names alone carry the version — no JSON parse (this runs in
+        # every optimistic-commit retry)
+        if not os.path.isdir(self.log_path):
+            return -1
+        vs = [
+            int(m.group(1))
+            for name in os.listdir(self.log_path)
+            if (m := _VERSION_RE.match(name))
+        ]
         return max(vs) if vs else -1
 
     def history(self) -> list[dict]:
