@@ -474,3 +474,95 @@ def test_streaming_foreachbatch_lands_atomic_txn_commits(spark, tmp_path):
     hist = TxnTable(spark, at_p).history()
     assert [h["op"] for h in hist][0] == "create"
     assert all(h["op"] == "append" for h in hist[1:])
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# operation descriptors for the interleaving property: (kind, parameter)
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(min_value=1, max_value=4)),
+        st.tuples(st.just("retention"), st.integers(min_value=0, max_value=120)),
+        st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("vacuum"), st.integers(min_value=0, max_value=2)),
+    ),
+    min_size=3,
+    max_size=7,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS)
+def test_txntable_random_interleavings_match_model(spark, tmp_path_factory, ops):
+    """Property: ANY interleaving of append / time-retention / compact /
+    vacuum leaves the snapshot equal to a trivial in-memory model (a set
+    of (id, day-offset) rows with retention = filter), the version count
+    equal to the number of committing operations, and time travel to
+    every post-op version consistent with the model's history."""
+    import pyspark.sql.functions as F
+
+    root = tmp_path_factory.mktemp("prop")
+    path = str(root / "t")
+    base = 1_700_000_000
+    df0 = spark.range(1).select(
+        F.lit(0).cast("long").alias("rid"),
+        F.timestamp_seconds(F.lit(base)).alias("ts"),
+    )
+    t = TxnTable.get_or_create(spark, path, df0.schema)
+    model: set[tuple[int, int]] = set()  # (rid, day_offset)
+    next_rid = 0
+    cutoff_floor = None  # retention high-water mark, in day offsets
+    history = [set()]  # model snapshot after each commit (index = version)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(rid, base + day * 86400) for rid, day in rows], "rid long, e long"
+        ).select("rid", F.timestamp_seconds(F.col("e")).alias("ts"))
+
+    for kind, arg in ops:
+        if kind == "append":
+            new = {(next_rid + i, (next_rid + i) % 9) for i in range(arg)}
+            next_rid += arg
+            # retention already applied must not resurrect: appends here
+            # are always "new data" with arbitrary days — the table holds
+            # whatever was appended minus later retentions, like the model
+            t.append(mk(new), cluster_by=None, stats_cols=("ts",))
+            model |= new
+            history.append(set(model))
+        elif kind == "retention":
+            cutoff_day = arg / 24.0  # sub-day cutoffs exercise rewrites
+            import datetime as dt
+
+            d, r, n = t.delete_where_time(
+                "ts", dt.datetime.utcfromtimestamp(base + int(cutoff_day * 86400))
+            )
+            expected_removed = {x for x in model if x[1] < cutoff_day}
+            assert n == len(expected_removed)
+            model -= expected_removed
+            if d or r or n:
+                history.append(set(model))
+        elif kind == "compact":
+            if t.compact(target_files=1, stats_cols=("ts",)):
+                history.append(set(model))
+        elif kind == "vacuum":
+            t.vacuum(keep_versions=arg, orphan_ttl_seconds=0.0)
+            # vacuum never commits and never changes the snapshot
+        got = {
+            (row["rid"], int((row["ts"].timestamp() - base) // 86400))
+            for row in t.read().collect()
+        }
+        assert got == model, f"after {kind}({arg})"
+    assert t.version() == len(history) - 1
+    # time travel: the latest two versions always replay exactly
+    # (earlier ones may reference vacuumed files when keep_versions=0)
+    for v in range(max(0, len(history) - 2), len(history)):
+        got_v = {
+            (row["rid"], int((row["ts"].timestamp() - base) // 86400))
+            for row in t.read(as_of_version=v).collect()
+        }
+        assert got_v == history[v], f"time travel to v{v}"
