@@ -653,10 +653,18 @@ class TxnTable:
         return deleted
 
 
-def load_table(spark: SparkSession, path: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, path: str, as_of_version: int | None = None
+) -> DataFrame:
     """Storage-dispatching reader: txn snapshot if a ``_txn_log`` exists,
     else plain (possibly Hive-partitioned) parquet — the single seam the
-    query layer goes through, so queries never know the format."""
+    query layer goes through, so queries never know the format.
+    ``as_of_version`` time-travels a txn table (error on plain parquet,
+    which keeps no history)."""
     if TxnTable.is_txn_table(path):
-        return TxnTable(spark, path).read()
+        return TxnTable(spark, path).read(as_of_version)
+    if as_of_version is not None:
+        raise ValueError(
+            f"{path} is plain parquet — time travel needs the txn layout"
+        )
     return spark.read.parquet(path)

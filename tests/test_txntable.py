@@ -558,9 +558,16 @@ def test_txntable_random_interleavings_match_model(spark, tmp_path_factory, ops)
         }
         assert got == model, f"after {kind}({arg})"
     assert t.version() == len(history) - 1
-    # time travel: the latest two versions always replay exactly
-    # (earlier ones may reference vacuumed files when keep_versions=0)
-    for v in range(max(0, len(history) - 2), len(history)):
+    # time travel: the CURRENT version always replays exactly; with no
+    # vacuum in the sequence every historical version does too (vacuum
+    # may legitimately delete files old snapshots reference — hypothesis
+    # found exactly that interleaving on its second run)
+    check = (
+        range(len(history))
+        if not any(k == "vacuum" for k, _ in ops)
+        else [len(history) - 1]
+    )
+    for v in check:
         got_v = {
             (row["rid"], int((row["ts"].timestamp() - base) // 86400))
             for row in t.read(as_of_version=v).collect()
