@@ -1,0 +1,171 @@
+"""Corpus-trained n-gram language-model scoring — the CCNet-style
+perplexity gate (Wenzek et al. 2020): train token statistics on a
+reference slice of the corpus, score every document by its average
+bigram log-probability, and filter/stratify on the score.
+
+Spark-first shape: the model IS a DataFrame (token and bigram count
+tables), scoring is three equi-joins on token keys plus one per-doc
+aggregation — no Python anywhere, and the model never has to fit on
+one machine (CCNet's KenLM does; a 100 TB corpus' bigram table does
+not).  Hot-token join skew ("the" joins against half the corpus) is
+the classic AQE skew-join case — these are real joins, so adaptive
+splitting applies (unlike window skew, cf. ops/joins.py).
+
+Determinism/parity: log-probs are rounded to a fixed scale and summed
+as DECIMAL, so per-doc scores are independent of partition/accumulation
+order and reproduce bit-for-bit in any engine with ln() — the DuckDB
+oracle recomputes the whole model in SQL CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from outpost_spark.ops.dedup import tokens_expr
+
+# fixed rounding scales shared with the SQL oracle: 6 decimals on each
+# bigram log-prob (kills sub-ulp ln() differences between engines),
+# DECIMAL sums keep the per-doc aggregation order-independent.
+_LP_SCALE = 6
+_LP_DECIMAL = "decimal(24,6)"
+
+
+def doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per adjacent token pair, whitespace
+    tokenization (lowercased).  Pure codegen: transform + posexplode;
+    documents with < 2 tokens contribute no rows."""
+    toks = tokens_expr(F.col(text_col))
+    pairs = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda w, i: F.struct(
+            w.alias("w1"), F.element_at(toks, i + 2).alias("w2")
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+
+
+def train_bigram_counts(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """Token and bigram count tables from a training slice.
+
+    Returns (unigrams(w, c1), bigrams(w1, w2, c12), n_tokens_total).
+    Both aggregations are partial-combined map-side, so the shuffles are
+    vocabulary-sized (distinct tokens / distinct pairs), never
+    corpus-sized.  ``n_tokens_total`` is the only driver-side scalar.
+    """
+    toks = df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
+    unigrams = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    bigrams = doc_bigrams(df, text_col, id_col).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    n_total = toks.count()
+    return unigrams, bigrams, n_total
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    train_df: DataFrame | None = None,
+    alpha: float = 0.4,
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Per-document average bigram log-probability under a
+    stupid-backoff LM (Brants et al. 2007) trained on ``train_df``
+    (default: ``df`` itself — self-scoring, the CCNet bootstrap):
+
+        S(w2 | w1) = c(w1,w2) / c(w1)          if c(w1,w2) > 0
+                   = alpha * c(w2) / N          otherwise
+        score(d)  = avg over d's bigrams of ln S;  ppl-like = -score
+
+    Output: (id, n_bigrams, lm_score, lm_ppl) where lm_score is the
+    rounded average log-prob (NULL for docs with < 2 tokens) and
+    lm_ppl = -lm_score (higher = more surprising = more likely junk).
+    Unseen w2 (zero corpus count) floors at ln(alpha * 1 / N) — the
+    standard OOV clamp, shared by the oracle.
+
+    Scale shape: the doc-bigram stream joins the count tables on token
+    keys — shuffle joins by default (the model at web scale is far past
+    broadcast size; pass ``broadcast_model=True`` for small reference
+    models) with AQE skew splitting on hot tokens; the per-doc
+    aggregation sums fixed-scale DECIMALs, so the score is independent
+    of accumulation order.  Text is dropped before the first shuffle —
+    only (id, w1, w2) triples move.
+    """
+    src = train_df if train_df is not None else df
+    unigrams, bigrams, n_total = train_bigram_counts(src, text_col, id_col)
+    if broadcast_model:
+        unigrams, bigrams = F.broadcast(unigrams), F.broadcast(bigrams)
+    n_lit = F.lit(float(n_total))
+
+    db = doc_bigrams(df, text_col, id_col)
+    joined = (
+        db.join(bigrams, ["w1", "w2"], "left")
+        .join(unigrams.withColumnRenamed("w", "w1").withColumnRenamed("c1", "c_w1"), "w1", "left")
+        .join(
+            unigrams.withColumnRenamed("w", "w2").withColumnRenamed("c1", "c_w2"),
+            "w2",
+            "left",
+        )
+    )
+    backoff = F.lit(alpha) * F.greatest(
+        F.coalesce(F.col("c_w2").cast("double"), F.lit(0.0)), F.lit(1.0)
+    ) / n_lit
+    s = F.when(
+        F.col("c12").isNotNull() & F.col("c_w1").isNotNull(),
+        F.col("c12").cast("double") / F.col("c_w1").cast("double"),
+    ).otherwise(backoff)
+    lp = F.round(F.log(s), _LP_SCALE).cast(_LP_DECIMAL)
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum(lp).alias("__lp_sum")
+    )
+    # cast the exact DECIMAL sum to double BEFORE dividing: decimal/int
+    # result scales differ across engines, double division does not
+    score = F.round(
+        F.col("__lp_sum").cast("double") / F.col("n_bigrams"), _LP_SCALE
+    )
+    scored = per_doc.select(
+        id_col,
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        score.alias("lm_score"),
+        (-score).alias("lm_ppl"),
+    )
+    # docs with < 2 tokens have no bigram rows: re-attach with NULL score
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("bigint")).alias("n_bigrams"),
+            "lm_score",
+            "lm_ppl",
+        )
+    )
+
+
+def perplexity_gate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    train_df: DataFrame | None = None,
+    max_ppl: float,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Filter documents whose LM surprise exceeds ``max_ppl`` — CCNet's
+    head/middle/tail cut reduced to its filtering core.  Documents too
+    short to score (no bigrams) are kept, as CCNet does; tune with the
+    histogram of ``bigram_lm_score`` output."""
+    scored = bigram_lm_score(
+        df, text_col, id_col, train_df=train_df, alpha=alpha
+    ).select(id_col, "lm_ppl")
+    return (
+        df.join(scored, id_col, "left")
+        .filter(F.col("lm_ppl").isNull() | (F.col("lm_ppl") <= max_ppl))
+        .drop("lm_ppl")
+    )

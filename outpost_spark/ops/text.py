@@ -532,6 +532,91 @@ def gopher_quality(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# A placeholder slice of the "bad words" blocklist C4 applies (the full
+# list ships separately in real deployments; the operator takes an
+# override).  Substring membership on the lowercased text, as C4 does.
+_C4_BADWORDS = ["lorem ipsum", "click here to subscribe", "viagra"]
+
+_C4_TERMINAL = ('.', '!', '?', '"')
+
+
+def c4_filters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    badwords: list[str] | None = None,
+) -> DataFrame:
+    """The C4 cleaning rule set (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning", §2.2) as pure Column expressions —
+    the line-level sibling of :func:`gopher_quality`'s document-level
+    gate:
+
+    - keep only lines ending in a terminal punctuation mark
+      (``.``, ``!``, ``?``, ``"``);
+    - keep only lines with >= ``min_words_per_line`` words;
+    - drop lines containing the word "javascript" (boilerplate cookie /
+      enable-JS banners);
+    - drop the whole page if it contains ``{`` (leaked code/JSON), any
+      blocklist phrase, or fewer than ``min_sentences`` sentences after
+      line filtering (sentences counted as ``.!?`` marks in kept lines).
+
+    Emits the cleaned text (kept lines re-joined), the per-rule page
+    flags, and ``passes_c4`` so curation can histogram reject reasons —
+    the same contract as the Gopher entry.  Everything is one
+    whole-stage-codegen projection (split -> nested filter -> array_join);
+    no shuffle, no Python, and the text crosses the wire once.  The
+    formulas are integer/ASCII-portable: exact DuckDB oracle.
+
+    Reference analog: this engine's quality gates live where the
+    reference validates payloads at ingest (publishmq handlers); the
+    rule content is from the public C4 paper, not the reference.
+    """
+    t = F.col(text_col)
+    low = F.lower(t)
+    bads = badwords if badwords is not None else _C4_BADWORDS
+    lines = F.transform(F.split(t, "\n"), lambda x: F.trim(x))
+
+    def _line_ok(x: Column) -> Column:
+        term = None
+        for ch in _C4_TERMINAL:
+            c = x.endswith(ch)
+            term = c if term is None else term | c
+        n_words = F.size(F.filter(F.split(x, r"\s+"), lambda w: w != ""))
+        return term & (n_words >= min_words_per_line) & ~F.lower(x).contains(
+            "javascript"
+        )
+
+    kept = F.filter(lines, _line_ok)
+    clean = F.array_join(kept, "\n")
+    n_sentences = F.length(F.regexp_replace(clean, r"[^.!?]", "")).cast("bigint")
+    has_brace = t.contains("{")
+    has_bad = None
+    for b in bads:
+        c = low.contains(b.lower())
+        has_bad = c if has_bad is None else has_bad | c
+    flags = {
+        "ok_no_brace": ~has_brace,
+        "ok_no_badwords": ~has_bad,
+        "ok_min_sentences": n_sentences >= min_sentences,
+        "ok_has_lines": F.size(kept) > 0,
+    }
+    passes = None
+    for c in flags.values():
+        passes = c if passes is None else passes & c
+    return df.select(
+        id_col,
+        F.size(F.filter(lines, lambda x: x != "")).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        *[v.alias(k) for k, v in flags.items()],
+        passes.alias("passes_c4"),
+        clean.alias("clean_text"),
+    )
+
+
 def approx_top_tokens(
     df: DataFrame,
     text_col: str,
