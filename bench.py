@@ -90,6 +90,10 @@ BENCH_QUERIES = [
     "sample_token_budget_bpe",
     "sample_shuffled_shards",
     "text_mojibake_stats",
+    # round-7 operators
+    "lm_bigram_score",
+    "text_c4_filters",
+    "text_fix_mojibake",
 ]
 
 

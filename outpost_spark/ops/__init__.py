@@ -48,14 +48,24 @@ from outpost_spark.ops.similarity import (  # noqa: F401
     train_centroids_kmeans,
 )
 from outpost_spark.ops.text import (  # noqa: F401
+    approx_top_tokens,
+    c4_filters,
     chunk_documents,
     fingerprint,
+    fix_mojibake,
+    gopher_quality,
     language_id,
     length_histogram,
     length_percentiles,
+    mojibake_stats,
     pii_redact,
     quality_score,
     repetition_stats,
     token_stats,
     top_tokens,
+)
+from outpost_spark.ops.lm import (  # noqa: F401
+    bigram_lm_score,
+    perplexity_gate,
+    train_bigram_counts,
 )

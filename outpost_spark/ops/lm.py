@@ -62,7 +62,16 @@ def train_bigram_counts(
     bigrams = doc_bigrams(df, text_col, id_col).groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c12")
     )
-    n_total = toks.count()
+    # N from the unigram table's own aggregate — one job, and one fewer
+    # tokenization pass than a separate toks.count() (ADVICE r06)
+    row = unigrams.agg(F.sum("c1")).first()
+    n_total = int(row[0] or 0)
+    if n_total == 0:
+        raise ValueError(
+            "LM training slice has zero tokens — the backoff term would "
+            "divide by N=0 (NULL scores non-ANSI, runtime error ANSI); "
+            "pass a non-empty train_df"
+        )
     return unigrams, bigrams, n_total
 
 
@@ -85,7 +94,11 @@ def bigram_lm_score(
 
     Output: (id, n_bigrams, lm_score, lm_ppl) where lm_score is the
     rounded average log-prob (NULL for docs with < 2 tokens) and
-    lm_ppl = -lm_score (higher = more surprising = more likely junk).
+    lm_ppl = exp(-lm_score) — TRUE perplexity, the geometric-mean
+    inverse probability per bigram (higher = more surprising = more
+    likely junk; same units as CCNet's published KenLM thresholds, so
+    ``perplexity_gate(max_ppl=...)`` is tuned on the familiar scale —
+    ADVICE r06 renamed this from the misleading negated-log value).
     Unseen w2 (zero corpus count) floors at ln(alpha * 1 / N) — the
     standard OOV clamp, shared by the oracle.
 
@@ -129,11 +142,14 @@ def bigram_lm_score(
     score = F.round(
         F.col("__lp_sum").cast("double") / F.col("n_bigrams"), _LP_SCALE
     )
+    # true perplexity from the already-rounded score, re-rounded at the
+    # same scale: both engines exponentiate the identical rounded double
+    ppl = F.round(F.exp(-score), _LP_SCALE)
     scored = per_doc.select(
         id_col,
         F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
         score.alias("lm_score"),
-        (-score).alias("lm_ppl"),
+        ppl.alias("lm_ppl"),
     )
     # docs with < 2 tokens have no bigram rows: re-attach with NULL score
     return (
@@ -157,10 +173,13 @@ def perplexity_gate(
     max_ppl: float,
     alpha: float = 0.4,
 ) -> DataFrame:
-    """Filter documents whose LM surprise exceeds ``max_ppl`` — CCNet's
-    head/middle/tail cut reduced to its filtering core.  Documents too
-    short to score (no bigrams) are kept, as CCNet does; tune with the
-    histogram of ``bigram_lm_score`` output."""
+    """Filter documents whose LM perplexity exceeds ``max_ppl`` — CCNet's
+    head/middle/tail cut reduced to its filtering core.  ``max_ppl`` is
+    denominated in TRUE perplexity units (``exp`` of the negated average
+    bigram log-prob — dimensionally what CCNet thresholds KenLM scores
+    in), NOT a raw log value.  Documents too short to score (no bigrams)
+    are kept, as CCNet does; tune with the histogram of
+    ``bigram_lm_score``'s ``lm_ppl`` output."""
     scored = bigram_lm_score(
         df, text_col, id_col, train_df=train_df, alpha=alpha
     ).select(id_col, "lm_ppl")

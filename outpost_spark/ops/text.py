@@ -101,6 +101,60 @@ def mojibake_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _cp1252_mojibake(s: str) -> str:
+    """What ``s`` looks like after the classic corruption: UTF-8 bytes
+    re-decoded as windows-1252 (bytes cp1252 leaves undefined fall back
+    to their Latin-1 codepoint, ftfy's convention)."""
+    out = []
+    for byte in s.encode("utf-8"):
+        try:
+            out.append(bytes([byte]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(byte))
+    return "".join(out)
+
+
+# repair table for the most common single-encoding artifacts: generated
+# from the intended character, so every (bad, good) pair is correct by
+# construction.  First characters differ per family (Ã / Â / â), outputs
+# never re-match an input, so the replace chain is order-independent;
+# DOUBLE-encoded text needs an iterated pass and is out of scope.
+_MOJIBAKE_CHARS = "’‘“”–—…€" \
+    "éèêëáâàäîïíóôöúûüñçß«»°\xa0"
+_MOJIBAKE_FIXES = [(_cp1252_mojibake(ch), ch) for ch in _MOJIBAKE_CHARS] + [
+    # NBSP whose second byte was later flattened to a plain space
+    # (detector's 'Â ' case): the stray Â collapses into the space
+    ("Â ", " "),
+]
+
+
+def fix_mojibake(
+    df: DataFrame, text_col: str, id_col: str, *, out_col: str = "fixed_text"
+) -> DataFrame:
+    """Encoding-damage REPAIR (the fix half of ftfy's fix_encoding for
+    the dominant single-pass UTF-8-as-cp1252 case): a chain of literal
+    ``replace`` calls — pure whole-stage codegen, no regex backtracking,
+    no Python — emitting the repaired text plus before/after artifact
+    counts so curation can measure both coverage (counts drop) and the
+    residue the literal table doesn't cover.  Exactly portable SQL
+    (``replace`` chains), hence oracle-checkable; composes with
+    ``pipeline_curate_corpus`` as a pre-quality stage (mojibake inflates
+    symbol ratios and deflates stopword hits, biasing Gopher/C4 gates).
+    """
+    t = F.col(text_col)
+    fixed = t
+    for bad, good in _MOJIBAKE_FIXES:
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    n_before = F.coalesce(F.regexp_count(t, F.lit(_MOJIBAKE_RE)), F.lit(0))
+    n_after = F.coalesce(F.regexp_count(fixed, F.lit(_MOJIBAKE_RE)), F.lit(0))
+    return df.select(
+        id_col,
+        fixed.alias(out_col),
+        n_before.cast("bigint").alias("n_mojibake_before"),
+        n_after.cast("bigint").alias("n_mojibake_after"),
+    )
+
+
 def exact_token_counts(
     df: DataFrame,
     text_col: str,
@@ -593,10 +647,11 @@ def c4_filters(
     clean = F.array_join(kept, "\n")
     n_sentences = F.length(F.regexp_replace(clean, r"[^.!?]", "")).cast("bigint")
     has_brace = t.contains("{")
-    has_bad = None
+    # seeded with lit(False) so badwords=[] ("disable the blocklist")
+    # degrades to ok_no_badwords == TRUE instead of a NoneType crash
+    has_bad = F.lit(False)
     for b in bads:
-        c = low.contains(b.lower())
-        has_bad = c if has_bad is None else has_bad | c
+        has_bad = has_bad | low.contains(b.lower())
     flags = {
         "ok_no_brace": ~has_brace,
         "ok_no_badwords": ~has_bad,

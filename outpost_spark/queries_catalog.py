@@ -3540,6 +3540,171 @@ def attempt_record_flat(spark, sf_dir):
     )
 
 
+# CCNet-style bigram LM model + scoring as SQL CTEs, parameterized by the
+# training/scoring source CTE name (must expose doc_id, text).  Mirrors
+# ops/lm.py::bigram_lm_score exactly: stupid-backoff, 6-decimal-rounded
+# log-probs summed as DECIMAL(24,6), true perplexity = exp(-score).
+def _lm_ctes(src: str) -> str:
+    return rf"""
+    __toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS ws
+      FROM {src}
+    ),
+    __uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(ws) AS w FROM __toks) GROUP BY w
+    ),
+    __n AS (SELECT CAST(sum(c1) AS DOUBLE) AS n_total FROM __uni),
+    __bgi AS (
+      SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM __toks
+    ),
+    __bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM __bgi),
+    __bgc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM __bg GROUP BY w1, w2
+    ),
+    __lp AS (
+      SELECT b.doc_id,
+        CAST(round(ln(
+          CASE WHEN bc.c12 IS NOT NULL AND u1.c1 IS NOT NULL
+               THEN CAST(bc.c12 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
+               ELSE 0.4 * greatest(CAST(coalesce(u2.c1, 0) AS DOUBLE), 1.0)
+                    / (SELECT n_total FROM __n)
+          END), 6) AS DECIMAL(24,6)) AS lp
+      FROM __bg b
+      LEFT JOIN __bgc bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+      LEFT JOIN __uni u1 ON b.w1 = u1.w
+      LEFT JOIN __uni u2 ON b.w2 = u2.w
+    ),
+    __pd AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lm_score
+      FROM __lp GROUP BY doc_id
+    )
+"""
+
+
+@_register(
+    "lm_bigram_score",
+    f"""
+    WITH src AS (SELECT doc_id, text FROM documents),
+    {_lm_ctes("src")}
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           p.lm_score,
+           round(exp(-p.lm_score), 6) AS lm_ppl
+    FROM documents d LEFT JOIN __pd p ON d.doc_id = p.doc_id
+    """,
+)
+def lm_bigram_score(spark, sf_dir):
+    """L-family LM scoring (CCNet, Wenzek et al. 2020): self-trained
+    stupid-backoff bigram model, per-doc average log-prob + true
+    perplexity — the model IS a pair of count DataFrames, scoring is
+    three equi-joins, the per-doc sum is order-independent DECIMAL, and
+    the whole thing (model training included) is recomputed by the
+    DuckDB oracle in CTEs (ops/lm.py:69)."""
+    from outpost_spark.ops.lm import bigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, "text", "doc_id")
+
+
+@_register(
+    "text_c4_filters",
+    r"""
+    WITH l AS (
+      SELECT doc_id, text,
+             list_transform(string_split(text, chr(10)), x -> trim(x)) AS lines
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, text, lines,
+             list_filter(lines, x ->
+                (ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?')
+                 OR ends_with(x, '"'))
+                AND len(list_filter(string_split_regex(x, '\s+'), w -> w <> '')) >= 5
+                AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM l
+    ),
+    c AS (
+      SELECT doc_id, text, lines, kept,
+             coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+      FROM k
+    ),
+    m AS (
+      SELECT *,
+             CAST(length(regexp_replace(clean_text, '[^.!?]', '', 'g')) AS BIGINT)
+               AS n_sentences,
+             NOT contains(text, chr(123)) AS ok_no_brace,
+             NOT (contains(lower(text), 'lorem ipsum')
+                  OR contains(lower(text), 'click here to subscribe')
+                  OR contains(lower(text), 'viagra')) AS ok_no_badwords,
+             len(kept) > 0 AS ok_has_lines
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(lines, x -> x <> '')) AS INT) AS n_lines,
+           CAST(len(kept) AS INT) AS n_kept_lines,
+           n_sentences,
+           ok_no_brace,
+           ok_no_badwords,
+           n_sentences >= 3 AS ok_min_sentences,
+           ok_has_lines,
+           (ok_no_brace AND ok_no_badwords AND n_sentences >= 3 AND ok_has_lines)
+             AS passes_c4,
+           clean_text
+    FROM m
+    """,
+)
+def text_c4_filters(spark, sf_dir):
+    """The C4 cleaning rule set (Raffel et al. 2020 §2.2) — terminal-
+    punctuation / min-words / javascript line filters plus brace,
+    blocklist, and min-sentence page gates — as one whole-stage-codegen
+    projection emitting per-rule flags, the cleaned text, and the AND
+    (ops/text.py:c4_filters); rule formulas are integer/ASCII-portable,
+    so the oracle is exact."""
+    from outpost_spark.ops.text import c4_filters
+
+    docs = _t(spark, sf_dir, "documents")
+    return c4_filters(docs, "text", "doc_id")
+
+
+def _fix_mojibake_sql(col: str) -> str:
+    from outpost_spark.ops.text import _MOJIBAKE_FIXES
+
+    expr = col
+    for bad, good in _MOJIBAKE_FIXES:
+        expr = f"replace({expr}, '{bad}', '{good}')"
+    return expr
+
+
+@_register(
+    "text_fix_mojibake",
+    f"""
+    SELECT doc_id,
+           {_fix_mojibake_sql("text")} AS fixed_text,
+           CAST(len(regexp_extract_all(text, 'Ã.|â€.|Â ')) AS BIGINT)
+             AS n_mojibake_before,
+           CAST(len(regexp_extract_all({_fix_mojibake_sql("text")}, 'Ã.|â€.|Â ')) AS BIGINT)
+             AS n_mojibake_after
+    FROM documents
+    """,
+)
+def text_fix_mojibake(spark, sf_dir):
+    """Encoding-damage REPAIR (r07, completing r06's detection-only
+    entry): literal ``replace`` chain over the generated
+    UTF-8-as-cp1252 artifact table — pure codegen, exactly portable —
+    plus before/after artifact counts so curation can measure repair
+    coverage (ops/text.py:fix_mojibake); planted-artifact pytest pins
+    the positive cases, this entry pins corpus-wide parity."""
+    from outpost_spark.ops.text import fix_mojibake
+
+    docs = _t(spark, sf_dir, "documents")
+    return fix_mojibake(docs, "text", "doc_id")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics_error_rate_daily(spark, sf_dir)
 
