@@ -14,6 +14,14 @@ attributable to plan changes rather than first-run plan-compile/codegen
 noise — VERDICT r04 "What's wrong" #2/#4) and the headline ``value`` is
 the warm total.
 
+A/B protocol (r07 — VERDICT r06 "What's wrong" #2): after the main loop,
+``run_ab`` replays a fixed query subset against the PREVIOUS round's code
+(git-archived, module-swapped, same Spark session, interleaved
+ref/head/ref/head) and emits per-query head/ref warm ratios in the
+summary's ``ab`` key — so a round-over-round delta is attributable:
+ratio ~ 1.0 on unchanged queries means the cross-round movement was
+session/environment drift, not a plan change.
+
 Artifact protocol (r06 fix — VERDICT r05 "What's wrong" #1): the r05
 line carried BOTH warm and cold maps and outgrew the driver's tail
 capture, so the driver recorded ``parsed: null``.  Now stdout gets ONE
@@ -97,6 +105,196 @@ BENCH_QUERIES = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# A/B mode (VERDICT r06 "What's wrong" #2): the r05->r06 sf0.1 numbers moved
+# 1.19x with the regressions concentrated in UNCHANGED code — round-over-round
+# deltas measured in different sessions are confounded by environment drift.
+# The fix: run the PREVIOUS round's code and HEAD interleaved in ONE Spark
+# session (ref,head,ref,head per query, min-of-2 each) and report per-query
+# ratios.  ratio ~ 1.0 on unchanged queries = the cross-round delta was
+# session drift; ratio != 1.0 names a real plan change.
+#
+# Mechanics: the ref revision's outpost_spark/ tree is materialized via
+# ``git archive`` into a temp dir and imported under a swapped module
+# namespace; each side's full module dict is captured once and swapped
+# wholesale around each timed call, so lazy in-function imports resolve to
+# the right side.  Ref-side Python UDFs are registered with cloudpickle's
+# pickle-by-value so workers execute ref bytecode, not whatever
+# ``import outpost_spark`` resolves to on their path.
+AB_QUERIES = [
+    # the queries VERDICT r06 flagged as uniformly-regressed-but-unchanged,
+    # plus cheap anchors — a drift-vs-plan-change verdict needs both
+    "metrics_count_all",
+    "list_events_first_page",
+    "text_token_stats",
+    "text_gopher_quality",
+    "text_quality_score",
+    "agg_count_distinct_salted",
+    "join_asof_checkpoint",
+    "pack_training_sequences",
+    "dedup_substrings_global",
+    "embed_pq_topk",
+    "embed_knn_join_bulk",
+    "pipeline_curate_corpus_v3",
+]
+
+
+class _Side:
+    """One code version's importable module set."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.modules: dict | None = None
+
+    def _purge(self) -> dict:
+        import sys as _sys
+
+        out = {}
+        for m in list(_sys.modules):
+            if m == "outpost_spark" or m.startswith("outpost_spark."):
+                out[m] = _sys.modules.pop(m)
+        return out
+
+    def load(self):
+        """Import this side's catalog (capturing its module dict) and
+        return its query registry.  Leaves sys.modules as found."""
+        import sys as _sys
+
+        saved = self._purge()
+        _sys.path.insert(0, self.root)
+        try:
+            import outpost_spark.queries_catalog as qc  # noqa: F401
+
+            self.registry = qc.queries()
+            self.modules = self._purge()
+        finally:
+            _sys.path.remove(self.root)
+            _sys.modules.update(saved)
+        return self.registry
+
+    def activate(self):
+        import sys as _sys
+
+        self._purge()
+        _sys.modules.update(self.modules)
+
+    def register_by_value(self):
+        try:
+            from pyspark import cloudpickle
+        except ImportError:
+            return
+        for mod in self.modules.values():
+            try:
+                cloudpickle.register_pickle_by_value(mod)
+            except Exception:
+                pass
+
+    def unregister_by_value(self):
+        try:
+            from pyspark import cloudpickle
+        except ImportError:
+            return
+        for mod in self.modules.values():
+            try:
+                cloudpickle.unregister_pickle_by_value(mod)
+            except Exception:
+                pass
+
+
+def _resolve_ab_ref() -> str | None:
+    import subprocess
+
+    env = os.environ.get("SPARK_GRAFT_AB_REF")
+    if env == "off":
+        return None
+    if env:
+        return env
+    try:
+        out = subprocess.run(
+            ["git", "log", "-n1", "--grep", r"^round [0-9]*: verdict",
+             "--format=%H"],
+            capture_output=True, text=True, timeout=30,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        rev = out.stdout.strip().splitlines()
+        return rev[0] if rev else None
+    except Exception:
+        return None
+
+
+def _materialize_rev(rev: str) -> str | None:
+    """git-archive ``outpost_spark/`` at ``rev`` into a temp dir."""
+    import io
+    import subprocess
+    import tarfile
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            ["git", "archive", rev, "outpost_spark"],
+            capture_output=True, timeout=60, cwd=repo,
+        )
+        if out.returncode != 0:
+            return None
+        dest = tempfile.mkdtemp(prefix="bench-ab-")
+        with tarfile.open(fileobj=io.BytesIO(out.stdout)) as tf:
+            tf.extractall(dest)
+        return dest
+    except Exception:
+        return None
+
+
+def run_ab(spark, sf_dir: str) -> dict | None:
+    rev = _resolve_ab_ref()
+    if rev is None:
+        return None
+    root = _materialize_rev(rev)
+    if root is None:
+        return None
+    import gc
+    import sys as _sys
+
+    head = _Side(os.path.dirname(os.path.abspath(__file__)))
+    ref = _Side(root)
+    try:
+        ref_reg = ref.load()
+    except Exception:
+        return None
+    head_reg = head.load()
+    ratios: dict[str, float] = {}
+    detail: dict[str, dict] = {}
+    for name in AB_QUERIES:
+        if name not in ref_reg or name not in head_reg:
+            continue  # new this round: no ref twin
+        times = {"ref": [], "head": []}
+        try:
+            for _ in range(2):
+                for side_name, side, reg in (
+                    ("ref", ref, ref_reg), ("head", head, head_reg)
+                ):
+                    side.activate()
+                    if side_name == "ref":
+                        side.register_by_value()
+                    try:
+                        t0 = time.perf_counter()
+                        reg[name](spark, sf_dir).collect()
+                        times[side_name].append(time.perf_counter() - t0)
+                    finally:
+                        if side_name == "ref":
+                            side.unregister_by_value()
+                    gc.collect()
+        except Exception as e:
+            detail[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+            continue
+        r, h = min(times["ref"]), min(times["head"])
+        ratios[name] = round(h / r, 3) if r > 0 else float("nan")
+        detail[name] = {"ref": round(r, 4), "head": round(h, 4)}
+    head.activate()  # leave HEAD modules installed
+    _sys.path[:] = [p for p in _sys.path if p != root]
+    return {"ref_rev": rev, "ratios": ratios, "detail": detail}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -130,6 +328,11 @@ def main() -> None:
             gc.collect()
         cold[name] = round(runs[0], 4)
         warm[name] = round(min(runs), 4)
+    ab = None
+    try:
+        ab = run_ab(spark, sf_dir)
+    except Exception:
+        ab = None
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -141,6 +344,7 @@ def main() -> None:
                 "warm_total": round(sum(warm.values()), 4),
                 "cold_total": round(sum(cold.values()), 4),
                 "sf": sf,
+                "ab": ab,
             },
             fh,
             indent=1,
@@ -148,18 +352,18 @@ def main() -> None:
     # the machine-readable summary is the LAST line on stdout, compact
     # (warm map only, no whitespace) so the driver's tail capture always
     # holds the full JSON object
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_bench_total",
-                "value": round(sum(warm.values()), 4),
-                "unit": "sec",
-                "queries": warm,
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        )
-    )
+    summary = {
+        "metric": "catalog_bench_total",
+        "value": round(sum(warm.values()), 4),
+        "unit": "sec",
+        "queries": warm,
+        "sf": sf,
+    }
+    if ab is not None:
+        # ratios only (head/ref warm min-of-2, interleaved same-session) —
+        # full per-side timings live in BENCH_DETAIL.json
+        summary["ab"] = {"ref_rev": ab["ref_rev"][:12], "ratios": ab["ratios"]}
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":
