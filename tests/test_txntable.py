@@ -34,6 +34,25 @@ from outpost_spark.logstore.txntable import (
 )
 
 
+def _local(path: str) -> str:
+    """OS-path part of a possibly file://-prefixed table path."""
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return path
+
+
+@pytest.fixture(params=["local", "hadoopfs"])
+def txn_path(request, tmp_path):
+    """Table root under both commit backends: plain OS path (hard-link
+    exclusive create) and file:// through HadoopTableFS
+    (FileSystem.create(path, overwrite=false) via the JVM gateway) —
+    the r07 pluggable LogStore seam (VERDICT r06 'Next round' #2)."""
+    p = str(tmp_path / "t")
+    return p if request.param == "local" else "file://" + p
+
+
 def _mk_df(spark, n=100, t0=1704067200):
     return (
         spark.range(n)
@@ -45,8 +64,8 @@ def _mk_df(spark, n=100, t0=1704067200):
     )
 
 
-def test_append_read_timetravel_and_schema_gate(spark, tmp_path):
-    p = str(tmp_path / "t")
+def test_append_read_timetravel_and_schema_gate(spark, txn_path):
+    p = txn_path
     df = _mk_df(spark)
     t = TxnTable.get_or_create(spark, p, df.schema)
     assert t.read().count() == 0  # empty snapshot with schema
@@ -65,8 +84,8 @@ def test_append_read_timetravel_and_schema_gate(spark, tmp_path):
         t.append(bad)
 
 
-def test_commit_is_exclusive_and_losers_retry(spark, tmp_path):
-    p = str(tmp_path / "t")
+def test_commit_is_exclusive_and_losers_retry(spark, txn_path):
+    p = txn_path
     df = _mk_df(spark, 10)
     t = TxnTable.get_or_create(spark, p, df.schema)
     # two writers race for version 1: exactly one exclusive-create wins
@@ -76,13 +95,13 @@ def test_commit_is_exclusive_and_losers_retry(spark, tmp_path):
     v = t.append(df)
     assert v == 2 and t.read().count() == 10
     # a leftover tmp file (crash before link) is ignored by the log
-    with open(os.path.join(t.log_path, ".tmp-dead"), "w") as fh:
+    with open(os.path.join(_local(t.log_path), ".tmp-dead"), "w") as fh:
         fh.write("{notjson")
     assert t.version() == 2 and t.read().count() == 10
 
 
-def test_remove_commits_conflict_on_concurrent_removal(spark, tmp_path):
-    p = str(tmp_path / "t")
+def test_remove_commits_conflict_on_concurrent_removal(spark, txn_path):
+    p = txn_path
     df = _mk_df(spark, 40)
     t = TxnTable.get_or_create(spark, p, df.schema)
     t.append(df, cluster_by="month", stats_cols=("event_time",))
@@ -96,8 +115,8 @@ def test_remove_commits_conflict_on_concurrent_removal(spark, tmp_path):
     assert t.append(df.limit(1)) > 0
 
 
-def test_crash_before_commit_is_invisible_and_vacuumable(spark, tmp_path):
-    p = str(tmp_path / "t")
+def test_crash_before_commit_is_invisible_and_vacuumable(spark, txn_path):
+    p = txn_path
     df = _mk_df(spark, 30)
     t = TxnTable.get_or_create(spark, p, df.schema)
     t.append(df)
@@ -111,11 +130,11 @@ def test_crash_before_commit_is_invisible_and_vacuumable(spark, tmp_path):
     assert deleted > 0
     assert t.read().count() == before
     for a in orphan_adds:
-        assert not os.path.exists(os.path.join(t.path, a["path"]))
+        assert not os.path.exists(os.path.join(_local(t.path), a["path"]))
 
 
-def test_stats_pruning_is_exact_superset(spark, tmp_path):
-    p = str(tmp_path / "t")
+def test_stats_pruning_is_exact_superset(spark, txn_path):
+    p = txn_path
     df = _mk_df(spark)  # Jan..Apr 2024
     t = TxnTable.get_or_create(spark, p, df.schema)
     t.append(df, cluster_by="month", stats_cols=("event_time",))
@@ -216,11 +235,11 @@ def test_vacuum_respects_time_travel_window(spark, tmp_path):
     assert t.read().count() == 53  # current snapshot unaffected
 
 
-def test_app_txn_makes_appends_idempotent(spark, tmp_path):
+def test_app_txn_makes_appends_idempotent(spark, txn_path):
     """Delta txnAppId/txnVersion analog: a replayed (app, batch) append
     is a structural no-op — the batch data and its replay marker are
     the same atomic commit, so there is no duplicate-row crash window."""
-    p = str(tmp_path / "t")
+    p = txn_path
     df = _mk_df(spark, 20)
     t = TxnTable.get_or_create(spark, p, df.schema)
     t.append(df, app_txn=("sink", 0))
@@ -258,23 +277,23 @@ def test_exactly_once_log_sink_on_txn_storage(spark, tmp_path):
     assert load_table(spark, at_p).count() == 100
 
 
-def test_checkpoint_bounds_log_reconstruction(spark, tmp_path):
+def test_checkpoint_bounds_log_reconstruction(spark, txn_path):
     """After CHECKPOINT_EVERY commits a snapshot checkpoint exists;
     state from checkpoint+tail equals state from the full log, and time
     travel to pre-checkpoint versions still replays the full log."""
-    p = str(tmp_path / "t")
+    p = txn_path
     df = _mk_df(spark, 4)
     t = TxnTable.get_or_create(spark, p, df.schema)
     n = TxnTable.CHECKPOINT_EVERY + 3
     for i in range(n):
         t.append(df.withColumn("event_id", F.col("event_id") + 10 * i))
-    ckpts = [f for f in os.listdir(t.log_path) if f.startswith("_checkpoint-")]
+    ckpts = [f for f in os.listdir(_local(t.log_path)) if f.startswith("_checkpoint-")]
     assert ckpts, "no checkpoint written"
     assert t.read().count() == 4 * n
     # force the no-checkpoint path and compare states
     schema_ck, live_ck, rem_ck = t._state()
     for f in ckpts:
-        os.remove(os.path.join(t.log_path, f))
+        os.remove(os.path.join(_local(t.log_path), f))
     schema_full, live_full, rem_full = t._state()
     assert schema_ck == schema_full
     assert {e.path for e in live_ck.values()} == {e.path for e in live_full.values()}
@@ -497,8 +516,9 @@ _OPS = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.parametrize("scheme", ["", "file://"])
 @given(ops=_OPS)
-def test_txntable_random_interleavings_match_model(spark, tmp_path_factory, ops):
+def test_txntable_random_interleavings_match_model(spark, tmp_path_factory, scheme, ops):
     """Property: ANY interleaving of append / time-retention / compact /
     vacuum leaves the snapshot equal to a trivial in-memory model (a set
     of (id, day-offset) rows with retention = filter), the version count
@@ -507,7 +527,7 @@ def test_txntable_random_interleavings_match_model(spark, tmp_path_factory, ops)
     import pyspark.sql.functions as F
 
     root = tmp_path_factory.mktemp("prop")
-    path = str(root / "t")
+    path = scheme + str(root / "t")
     base = 1_700_000_000
     df0 = spark.range(1).select(
         F.lit(0).cast("long").alias("rid"),
