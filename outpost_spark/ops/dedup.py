@@ -631,7 +631,11 @@ def minhash_dedup_pairs(
         # gram-array verify join.  Recall cost: a true J>=0.7 pair fails
         # only with exactly rows_per_band matching lanes ALL forming the
         # colliding band — P(Bin(16,0.7)=4) * P(4 aligned) ~ 5e-7.
-        # Exact Jaccard still decides every emitted pair.
+        # Exact Jaccard still decides every emitted pair.  The contract
+        # is pinned adversarially: tests/test_minhash_recall.py
+        # CONSTRUCTS a J~0.88 pair agreeing in exactly one band with no
+        # extra lane and asserts it is dropped here but emitted by the
+        # prefilter-less md5/xxhash64 paths (plain-LSH recall).
         est_min = max(rows_per_band + 1, num_hashes // 4)
         # gram-less docs (shorter than the shingle) all carry the same
         # all-sentinel signature: every one lands in ONE band bucket, a
