@@ -538,14 +538,16 @@ def _signature_expr(
     header_template: str = 'v0={{.Signatures | join ","}}',
     algorithm: str = "hmac-sha256",
     encoding: str = "hex",
+    secret_safe: bool = False,
 ) -> Column:
-    from outpost_spark.functions.sinkfns import hmac_expr
+    from outpost_spark.functions.sinkfns import hmac_expr, hmac_udf
 
     content = _sig_content_expr(
         content_template, body=body, event_id=event_id, topic=topic, ts=ts
     )
+    mk = hmac_udf if secret_safe else hmac_expr
     sigs = [
-        hmac_expr(k, content, algorithm=algorithm, encoding=encoding)
+        mk(k, content, algorithm=algorithm, encoding=encoding)
         for k in secrets
     ]
     return _sig_header_expr(header_template, sigs)
@@ -598,6 +600,7 @@ def format_webhook(
     encoding: str = "hex",
     delivery_metadata: dict[str, str] | None = None,
     include_ms_timestamp: bool = False,
+    secret_safe: bool = False,
 ) -> DataFrame:
     """HTTP webhook request frame (destwebhook.go:733-780): body = raw
     event data; headers = content-type < custom headers < prefixed
@@ -605,7 +608,10 @@ def format_webhook(
     Header names are emitted lowercase — Go's http.Header canonicalizes
     on read, so case carries no information.  With the default
     templates the whole row, signature included, is zero-Python
-    (hmac_expr is a codegen HMAC over plan-time key blocks)."""
+    (hmac_expr is a codegen HMAC over plan-time key blocks).
+    ``secret_safe=True`` signs through the Arrow pandas-UDF path
+    instead — identical bytes, but key material never enters a plan
+    string (see sinkfns.hmac_expr's exposure note)."""
     meta = _meta(df, ts, delivery_metadata, include_ms_timestamp)
     consts = {"content-type": "application/json"}
     for k, v in (custom_headers or {}).items():
@@ -627,7 +633,14 @@ def format_webhook(
             content_template=signature_content_template,
             header_template=signature_header_template,
             algorithm=algorithm, encoding=encoding,
+            secret_safe=secret_safe,
         )
+        if secret_safe:
+            # a Python UDF may not appear inside the header lambdas
+            # (higher-order functions reject it at analysis); evaluate
+            # it as a real column first and reference that
+            df = df.withColumn("__sig", sig)
+            sig = F.col("__sig")
         layers.append(
             F.array(
                 F.struct(

@@ -354,3 +354,51 @@ def test_webhook_family_formats_are_zero_python(spark, routed):
         plan = df._jdf.queryExecution().executedPlan().toString()
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan
+
+
+def test_hmac_key_exposure_documented_and_mitigated(spark, routed):
+    """VERDICT r06 "What's wrong" #3: hmac_expr's XORed key blocks are
+    plan-time literals.  Pin all three facts: (1) the exposure is real
+    (the ipad hex appears in the rendered plan), (2) the documented
+    redaction conf scrubs it from every plan string Spark renders,
+    (3) the secret_safe pandas-UDF path keeps plans clean while
+    producing byte-identical signatures."""
+    from outpost_spark.functions.sinkfns import hmac_expr, hmac_udf, sign
+    from outpost_spark.routing.sinkformats import format_webhook
+
+    key = "whsec_sekrit"
+    kb = key.encode().ljust(64, b"\x00")
+    ipad_hex = bytes(b ^ 0x36 for b in kb).hex()
+    df = spark.createDataFrame([("e1", "t", '{"x":1}')], ["event_id", "topic", "data"])
+
+    codegen = df.select(hmac_expr(key, F.col("data")).alias("sig"))
+    plan = codegen._jdf.queryExecution().toString().lower()
+    assert ipad_hex[:24] in plan  # the exposure hmac_expr's docstring documents
+
+    # mitigation 1: spark.sql.redaction.string.regex scrubs rendered plans
+    spark.conf.set("spark.sql.redaction.string.regex", "(?i)" + ipad_hex[:24])
+    try:
+        redacted = codegen._jdf.queryExecution().toString().lower()
+        assert ipad_hex[:24] not in redacted and "redacted" in redacted
+    finally:
+        spark.conf.unset("spark.sql.redaction.string.regex")
+
+    # mitigation 2: the pandas-UDF signer — no key material in the plan,
+    # byte-identical output, selectable on the formatter
+    udf_df = df.select(hmac_udf(key, F.col("data")).alias("sig"))
+    udf_plan = udf_df._jdf.queryExecution().toString().lower()
+    assert ipad_hex[:24] not in udf_plan
+    assert key.encode().hex() not in udf_plan and "sekrit" not in udf_plan
+    expected = sign(key, '{"x":1}')
+    assert codegen.first()["sig"] == expected
+    assert udf_df.first()["sig"] == expected
+
+    safe = format_webhook(
+        routed, url="u", ts=F.lit(TS), secrets=[key], secret_safe=True
+    )
+    fast = format_webhook(routed, url="u", ts=F.lit(TS), secrets=[key])
+    srow = {r["event_id"]: r["headers"] for r in safe.collect()}
+    frow = {r["event_id"]: r["headers"] for r in fast.collect()}
+    assert srow == frow  # identical headers, signature included
+    safe_plan = safe._jdf.queryExecution().toString().lower()
+    assert ipad_hex[:24] not in safe_plan
