@@ -2097,33 +2097,77 @@ def embed_knn_join(spark, sf_dir):
     )
 
 
-@_register("embed_knn_join_bulk", None)
+@_register(
+    "embed_knn_join_bulk",
+    f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cs AS (
+      SELECT s.vec_id AS sid, t.vec_id AS tid, {{_COS}} AS score
+      FROM emb s JOIN emb t ON s.vec_id <> t.vec_id
+    )
+    SELECT sid AS src_id, tid AS neighbor_id, score, CAST(rank AS INT) AS rank
+    FROM (SELECT sid, tid, score,
+                 row_number() OVER (PARTITION BY sid ORDER BY score DESC, tid ASC) AS rank
+          FROM cs) t
+    WHERE rank <= 3
+    """.replace("{_COS}", _cos_sql("s.v", "t.v")),
+)
 def embed_knn_join_bulk(spark, sf_dir):
     """Corpus-scale twin of ``embed_knn_join``: BLAS IVF assignment (one
     mapInPandas matrix product) + per-list applyInPandas matmul scoring
     (ops/similarity.py:ivf_assign_bulk/_bulk_scored_pairs) — the path
     that still works when K ~ sqrt(N) centroids make literal-SQL scoring
-    impossible.  Rows-only by design: BLAS summation order flips
-    sub-1e-6 centroid near-ties vs the sequential-sum oracle, so the
-    exact row set is pinned by pytest instead (nprobe=nlist degeneracy
-    to brute force + planted-corpus recall; 1M-vector recall measured in
-    BENCH_SCALE)."""
+    impossible.  Run here in the nprobe = nlist DEGENERATE config: every
+    list is probed, so IVF pruning cannot drop a candidate, the BLAS
+    near-tie assignment ambiguity is irrelevant, and the result provably
+    equals brute-force top-k on 6-decimal-rounded scores — giving the
+    whole bulk machinery (assignment matrix product, per-list group
+    scoring, deterministic composite-key truncation) an EXACT value
+    oracle (r07, VERDICT r06 "Next round" #8).  The realistic-nprobe
+    config stays pinned by pytest (bulk == expression path) and by the
+    1M-vector recall rows in BENCH_SCALE."""
     from outpost_spark.ops.similarity import knn_join_bulk
 
     emb = _t(spark, sf_dir, "embeddings")
     return knn_join_bulk(
-        emb, "embedding", _ivf_seeds(spark, sf_dir, 24), id_col="vec_id", k=3, nprobe=2
+        emb, "embedding", _ivf_seeds(spark, sf_dir, 24), id_col="vec_id",
+        k=3, nprobe=24,
     )
 
 
-@_register("embed_semantic_dedup_bulk", None)
+@_register(
+    "embed_semantic_dedup_bulk",
+    f"""
+    WITH RECURSIVE {{_PERT}},
+    pairs AS (
+      SELECT s1.vec_id AS id_a, s2.vec_id AS id_b
+      FROM src s1 JOIN src s2 ON s1.vec_id < s2.vec_id
+      WHERE {{_COS}} >= 0.95
+    ),
+    edges AS (SELECT id_a AS eu, id_b AS ev FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(ru, rv) AS (
+      SELECT eu, eu FROM edges
+      UNION
+      SELECT r.ru, e.ev FROM reach r JOIN edges e ON r.rv = e.eu
+    ),
+    comp AS (SELECT ru AS vid, min(rv) AS component FROM reach GROUP BY ru)
+    SELECT s.vec_id FROM src s LEFT JOIN comp c ON s.vec_id = c.vid
+    WHERE c.vid IS NULL OR c.vid = c.component
+    """.replace("{_PERT}", _PERT_SRC_SQL).replace(
+        "{_COS}", _cos_sql("s1.v", "s2.v")
+    ),
+)
 def embed_semantic_dedup_bulk(spark, sf_dir):
     """Corpus-scale twin of ``embed_semantic_dedup`` on the BLAS per-list
-    scorer (threshold pairs -> components -> min-id survivors).
-    Rows-only by design (same near-tie caveat as embed_knn_join_bulk);
-    the survivor set equals the literal-SQL path's on this corpus —
-    pytest-pinned — and planted precision/recall at 1M vectors is
-    asserted in BENCH_SCALE."""
+    scorer (threshold pairs -> components -> min-id survivors).  Run in
+    the nprobe = nlist DEGENERATE config (every list probed, so IVF
+    pruning and BLAS assignment near-ties cannot change the pair set):
+    the threshold pairs provably equal the all-pairs cosine >= 0.95 set
+    on 6-decimal-rounded scores, so the whole bulk machinery gets an
+    EXACT survivor-set oracle (r07, VERDICT r06 "Next round" #8).  The
+    realistic-nprobe config stays pytest-pinned, with planted
+    precision/recall at 1M vectors asserted in BENCH_SCALE."""
     from outpost_spark.ops.similarity import semantic_dedup_bulk
 
     return semantic_dedup_bulk(
@@ -2132,7 +2176,7 @@ def embed_semantic_dedup_bulk(spark, sf_dir):
         _ivf_seeds(spark, sf_dir, 24),
         id_col="vec_id",
         threshold=0.95,
-        nprobe=2,
+        nprobe=24,
     )
 
 
@@ -2633,18 +2677,43 @@ def join_range_windows(spark, sf_dir):
     return out.select("event_id", F.col("iv_win").alias("win"))
 
 
-@_register("pack_training_sequences", None)
+@_register(
+    "pack_training_sequences",
+    r"""
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS n_assignments,
+           TRUE AS pack_within_budget,
+           CAST(n_chars AS BIGINT) AS seq_len
+    FROM documents
+    """,
+)
 def pack_training_sequences(spark, sf_dir):
     """Sequence packing (ops/packing.py): documents best-fit-decreasing
-    packed into 2048-char training sequences by their n_chars.  Rows-only
-    by design — the packing ASSIGNMENT is algorithm-defined (BFD inside
-    hash groups), so the invariants live in pytest instead: every doc
-    packed exactly once, no pack exceeds max_len, optimal packs on
-    crafted inputs, >=90 % fill on lognormal lengths, determinism."""
+    packed into 2048-char training sequences by their n_chars.  The
+    packing ASSIGNMENT is algorithm-defined (BFD inside hash groups) and
+    not SQL-expressible, so the entry emits the per-doc INVARIANT
+    projection derived from the actual packing — every doc assigned
+    exactly once, its pack's total within budget, its length conserved —
+    which an oracle CAN check by value (r07, VERDICT r06 "Next round"
+    #8; a violated invariant surfaces as a value mismatch, e.g.
+    n_assignments=2 or pack_within_budget=false).  The raw assignment
+    (optimality, fill ratio, determinism) stays pytest-pinned."""
     from outpost_spark.ops.packing import pack_sequences
 
     docs = _t(spark, sf_dir, "documents")
-    return pack_sequences(docs, "doc_id", "n_chars", max_len=2048, n_groups=8)
+    packed = pack_sequences(docs, "doc_id", "n_chars", max_len=2048, n_groups=8)
+    totals = packed.groupBy("pack_group", "pack_id").agg(
+        F.sum("seq_len").alias("__tot")
+    )
+    return (
+        packed.join(totals, ["pack_group", "pack_id"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assignments"),
+            F.min(F.col("__tot") <= 2048).alias("pack_within_budget"),
+            F.max("seq_len").cast("bigint").alias("seq_len"),
+        )
+    )
 
 
 @_register(

