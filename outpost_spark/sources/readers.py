@@ -64,9 +64,25 @@ def parse_queue_url(url: str) -> tuple[str, dict[str, str]]:
         out = {"queueName": u.netloc or u.path.lstrip("/")}
         out.update(opts)
         return "sqs", out
+    if u.scheme in ("gcppubsub", "pubsub"):
+        # gocloud style: gcppubsub://projects/<p>/subscriptions/<s>[?endpoint=...]
+        parts = [p for p in (u.netloc + u.path).split("/") if p]
+        if (
+            len(parts) != 4
+            or parts[0] != "projects"
+            or parts[2] != "subscriptions"
+        ):
+            raise ValueError(
+                f"pubsub URL must be gcppubsub://projects/<p>/subscriptions/<s>,"
+                f" got {url!r}"
+            )
+        out = {"project": parts[1], "subscription": parts[3]}
+        out.update(opts)
+        return "pubsub", out
     raise ValueError(
         f"unsupported queue scheme {u.scheme!r}: supported here are kafka://, "
-        "file:// and sqs:// (PubSub/ServiceBus need their connector package)"
+        "file://, sqs:// and gcppubsub:// (ServiceBus/Rabbit need their "
+        "connector package)"
     )
 
 
@@ -91,6 +107,16 @@ def event_stream(spark: SparkSession, url: str) -> DataFrame:
         register_sqs_source(spark)
         raw = (
             spark.readStream.format("sqs")
+            .options(**opts)
+            .load()
+            .select(F.col("body"))
+        )
+    elif fmt == "pubsub":
+        from outpost_spark.sources.pubsub_source import register_pubsub_source
+
+        register_pubsub_source(spark)
+        raw = (
+            spark.readStream.format("pubsub")
             .options(**opts)
             .load()
             .select(F.col("body"))

@@ -24,6 +24,9 @@ def test_parse_sqs_urls():
     assert opts["endpoint"] == "http://localhost:5999"
     assert opts["maxMessagesPerBatch"] == "50"
     with pytest.raises(ValueError, match="unsupported queue scheme"):
+        parse_queue_url("rabbitmq://nope")
+    # pubsub graduated from "unsupported" to a first-class format (r07)
+    with pytest.raises(ValueError, match="gcppubsub://projects"):
         parse_queue_url("pubsub://nope")
 
 
