@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "lm_bigram_score",
     "text_c4_filters",
     "text_fix_mojibake",
+    "pipeline_curate_corpus_v5",
 ]
 
 

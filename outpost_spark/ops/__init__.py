@@ -14,7 +14,11 @@ from outpost_spark.ops.dedup import (  # noqa: F401
     simhash,
     simhash_pairs,
 )
-from outpost_spark.ops.pipeline import curate_corpus, curate_corpus_v3  # noqa: F401
+from outpost_spark.ops.pipeline import (  # noqa: F401
+    curate_corpus,
+    curate_corpus_v3,
+    curate_corpus_v5,
+)
 from outpost_spark.ops.skew import salted_count_distinct  # noqa: F401
 from outpost_spark.ops.packing import pack_sequences, pack_stats  # noqa: F401
 from outpost_spark.ops.joins import asof_join, range_join  # noqa: F401

@@ -165,3 +165,57 @@ def curate_corpus_v3(
     return hash_split(
         survivors, id_col, splits or DEFAULT_SPLITS, seed=split_seed, hash_fn=hash_fn
     ).select(id_col, "split")
+
+
+def curate_corpus_v5(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_min: float = 0.5,
+    max_ppl: float = 31.0,
+    alpha: float = 0.4,
+    splits: list[tuple[str, float]] | None = None,
+    split_seed: str = "curate",
+) -> DataFrame:
+    """The CCNet-ordered curation chain (Wenzek et al. 2020), r07's
+    completion of the v-series with the statistical LM gate:
+
+    mojibake repair -> quality gate -> bigram-LM perplexity gate
+    (self-trained on the quality-passing slice, true-perplexity
+    threshold) -> exact dedup -> deterministic split assignment.
+
+    Ordering rationale: encoding repair runs FIRST (mojibake inflates
+    symbol ratios and token lengths, biasing every later gate and
+    inflating the LM's vocabulary with corrupt tokens); the LM trains on
+    the quality-passing slice only (CCNet trains on a trusted corpus —
+    junk in the training slice would teach the model that junk is
+    normal, cf. the self-scoring pathology pinned in tests/test_lm_c4);
+    dedup runs after the gates on the strictly smallest corpus; the
+    split stamp is a pure map.  Returns (id_col, split).
+
+    Every stage is an independently-oracled operator (text_fix_mojibake,
+    text_quality_score, lm_bigram_score, dedup_exact_documents,
+    sample_hash_split); the catalog entry pins the COMPOSITION
+    end-to-end against one DuckDB oracle, v3/v4's lesson applied to the
+    round's LM operators.
+    """
+    from outpost_spark.ops.lm import perplexity_gate
+    from outpost_spark.ops.text import fix_mojibake
+
+    fixed = fix_mojibake(docs, text_col, id_col).select(
+        F.col(id_col), F.col("fixed_text").alias(text_col)
+    )
+    base = fixed.filter(quality_score_expr(F.col(text_col)) >= quality_min)
+    gated = perplexity_gate(
+        base, text_col, id_col, max_ppl=max_ppl, alpha=alpha
+    )
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    exact = (
+        gated.withColumn("__cmin", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__cmin"))
+        .drop("__cmin")
+    )
+    return hash_split(
+        exact, id_col, splits or DEFAULT_SPLITS, seed=split_seed
+    ).select(id_col, "split")

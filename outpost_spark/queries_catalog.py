@@ -3774,6 +3774,78 @@ def text_fix_mojibake(spark, sf_dir):
     return fix_mojibake(docs, "text", "doc_id")
 
 
+def _build_curate_v5_sql() -> str:
+    """Composed oracle for pipeline_curate_corpus_v5: mojibake replace
+    chain -> quality gate (formula identical to _QUALITY_SQL, over the
+    REPAIRED text) -> self-trained bigram-LM perplexity gate (the
+    lm_bigram_score CTEs over the quality-passing slice, true-ppl
+    threshold, short docs kept) -> exact-dedup window -> 90/5/5 hash
+    split."""
+    frac = _HASH_FRAC_SQL.format(seed="curate")
+    return f"""
+    WITH fx AS (SELECT doc_id, {_fix_mojibake_sql("text")} AS text FROM documents),
+    qm AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                  x -> x <> '')) AS DOUBLE) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digits
+      FROM fx
+    ),
+    q AS (
+      SELECT doc_id,
+             round((
+               CASE WHEN n_chars >= 50 AND n_chars <= 20000 THEN 1.0 ELSE 0.0 END +
+               CASE WHEN n_chars > 0 AND n_punct / n_chars > 0 AND n_punct / n_chars < 0.1
+                    THEN 1.0 ELSE 0.0 END +
+               CASE WHEN (CASE WHEN n_chars > 0 THEN n_digits / n_chars ELSE 0.0 END) < 0.2
+                    THEN 1.0 ELSE 0.0 END +
+               CASE WHEN n_tokens > 0 AND n_chars / n_tokens >= 3 AND n_chars / n_tokens <= 12
+                    THEN 1.0 ELSE 0.0 END
+             ) / 4.0, 6) AS q
+      FROM qm
+    ),
+    src AS (
+      SELECT f.doc_id, f.text FROM fx f JOIN q USING (doc_id) WHERE q.q >= 0.5
+    ),
+    {_lm_ctes("src")},
+    gated AS (
+      SELECT s.doc_id, s.text
+      FROM src s LEFT JOIN __pd p USING (doc_id)
+      WHERE p.lm_score IS NULL OR round(exp(-p.lm_score), 6) <= 31.0
+    ),
+    ex AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cmin
+        FROM gated
+      ) WHERE doc_id = cmin
+    )
+    SELECT doc_id,
+           CASE WHEN {frac} < 0.9 THEN 'train'
+                WHEN {frac} < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM ex
+    """
+
+
+@_register("pipeline_curate_corpus_v5", _build_curate_v5_sql())
+def pipeline_curate_corpus_v5(spark, sf_dir):
+    """The CCNet-ordered curation chain (r07): mojibake repair ->
+    quality gate -> self-trained bigram-LM perplexity gate (true-ppl
+    threshold 31.0, ~the corpus' 90th percentile; short docs kept) ->
+    exact dedup -> 90/5/5 split.  Every stage is an independently-
+    oracled operator (text_fix_mojibake, text_quality_score,
+    lm_bigram_score, dedup_exact_documents, sample_hash_split); this
+    entry pins their COMPOSITION — including retraining the LM on the
+    gate's own output slice — against one DuckDB oracle
+    (ops/pipeline.py:curate_corpus_v5)."""
+    from outpost_spark.ops.pipeline import curate_corpus_v5
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate_corpus_v5(docs, max_ppl=31.0)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics_error_rate_daily(spark, sf_dir)
 
