@@ -1340,19 +1340,37 @@ def test_semantic_dedup_knn_candidate_generator(vectors):
 
 
 def test_bulk_catalog_twins_match_literal_path(spark, sf_dir):
-    """The rows-only bulk catalog entries must agree with their
+    """The BLAS bulk ops at REALISTIC nprobe must agree with their
     oracle-checked literal-SQL twins on the test corpus: identical
     semantic-dedup survivor set, and identical knn rows on ranks 1..k-1
     (the rank-k tail may flip on sub-1e-6 BLAS-vs-sequential summation
-    near-ties — the documented caveat, bounded here at <5 %)."""
-    from outpost_spark.queries_catalog import _REGISTRY
+    near-ties — the documented caveat, bounded here at <5 %).
+
+    r07 note: the CATALOG bulk entries now run the nprobe=nlist
+    degenerate config with exact brute-force oracles, so this test pins
+    the realistic-nprobe config (nprobe=2, the one users deploy) by
+    invoking the ops directly with the literal entries' geometry."""
+    from outpost_spark.ops.similarity import knn_join_bulk, semantic_dedup_bulk
+    from outpost_spark.queries_catalog import (
+        _REGISTRY,
+        _ivf_seeds,
+        _perturbed_embeddings,
+        _t,
+    )
 
     s_lit = {
         r["vec_id"] for r in _REGISTRY["embed_semantic_dedup"][0](spark, sf_dir).collect()
     }
     s_bulk = {
         r["vec_id"]
-        for r in _REGISTRY["embed_semantic_dedup_bulk"][0](spark, sf_dir).collect()
+        for r in semantic_dedup_bulk(
+            _perturbed_embeddings(spark, sf_dir),
+            "embedding",
+            _ivf_seeds(spark, sf_dir, 24),
+            id_col="vec_id",
+            threshold=0.95,
+            nprobe=2,
+        ).collect()
     }
     assert s_bulk == s_lit
 
@@ -1362,7 +1380,14 @@ def test_bulk_catalog_twins_match_literal_path(spark, sf_dir):
     }
     bulk = {
         (r["src_id"], r["neighbor_id"], r["score"], r["rank"])
-        for r in _REGISTRY["embed_knn_join_bulk"][0](spark, sf_dir).collect()
+        for r in knn_join_bulk(
+            _t(spark, sf_dir, "embeddings"),
+            "embedding",
+            _ivf_seeds(spark, sf_dir, 24),
+            id_col="vec_id",
+            k=3,
+            nprobe=2,
+        ).collect()
     }
     head_lit = {t for t in lit if t[3] < 3}
     head_bulk = {t for t in bulk if t[3] < 3}
