@@ -79,10 +79,15 @@ def parse_queue_url(url: str) -> tuple[str, dict[str, str]]:
         out = {"project": parts[1], "subscription": parts[3]}
         out.update(opts)
         return "pubsub", out
+    if u.scheme == "azuresb":
+        # gocloud style: azuresb://<queue>?namespace=...|endpoint=...
+        out = {"queue": u.netloc or u.path.lstrip("/")}
+        out.update(opts)
+        return "azuresb", out
     raise ValueError(
         f"unsupported queue scheme {u.scheme!r}: supported here are kafka://, "
-        "file://, sqs:// and gcppubsub:// (ServiceBus/Rabbit need their "
-        "connector package)"
+        "file://, sqs://, gcppubsub:// and azuresb:// (RabbitMQ needs an AMQP "
+        "client library; its Format surface is covered in routing/sinkformats)"
     )
 
 
@@ -117,6 +122,16 @@ def event_stream(spark: SparkSession, url: str) -> DataFrame:
         register_pubsub_source(spark)
         raw = (
             spark.readStream.format("pubsub")
+            .options(**opts)
+            .load()
+            .select(F.col("body"))
+        )
+    elif fmt == "azuresb":
+        from outpost_spark.sources.azuresb_source import register_azuresb_source
+
+        register_azuresb_source(spark)
+        raw = (
+            spark.readStream.format("azuresb")
             .options(**opts)
             .load()
             .select(F.col("body"))
