@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "text_c4_filters",
     "text_fix_mojibake",
     "pipeline_curate_corpus_v5",
+    "sample_temperature_mix",
 ]
 
 

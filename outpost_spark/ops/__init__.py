@@ -26,6 +26,7 @@ from outpost_spark.ops.sampling import (  # noqa: F401
     hash_fraction,
     hash_sample,
     hash_split,
+    sample_temperature_mix,
     stratified_quota,
 )
 from outpost_spark.ops.similarity import (  # noqa: F401

@@ -164,6 +164,69 @@ def sample_by_rates(
     )
 
 
+def sample_temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    *,
+    target_total: float,
+    alpha: float = 0.5,
+    weight_col: str | None = None,
+    seed: str = "temp",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Temperature-flattened domain mixing (the multilingual-LM sampling
+    rule, mT5/XLM-R style): domain ``d`` with mass ``n_d`` (row count,
+    or ``sum(weight_col)`` for token-denominated mixing) is sampled with
+    probability proportional to ``n_d**alpha`` — ``alpha < 1`` boosts
+    low-resource domains, ``alpha = 1`` is proportional (uniform keep
+    rate), ``alpha = 0`` equalizes domains.  Per-domain keep rate::
+
+        r_d = min(1, target_total * n_d**alpha / sum_e(n_e**alpha) / n_d)
+
+    so the expected kept mass is ~``target_total`` (exactly, when no
+    domain saturates at rate 1).  Membership is the same deterministic
+    id-hash fraction as :func:`sample_by_rates` — reproducible across
+    engines and stable as the corpus grows.
+
+    Scale shape: one partial-aggregated groupBy over (group, weight)
+    computes the domain masses (output = #domains rows), the rate table
+    broadcasts back, and the filter is codegen against the scan — the
+    corpus itself never shuffles.  Rates are rounded to 9 decimals so
+    the engine-portable oracle reproduces the cut exactly.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    mass = (
+        F.sum(F.col(weight_col)).cast("double")
+        if weight_col
+        else F.count(F.lit(1)).cast("double")
+    )
+    stats = df.groupBy(group_col).agg(mass.alias("__n"))
+    z = stats.agg(F.sum(F.pow(F.col("__n"), F.lit(alpha))).alias("__z"))
+    rates = stats.crossJoin(F.broadcast(z)).select(
+        group_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_total))
+                * F.pow(F.col("__n"), F.lit(alpha))
+                / F.col("__z")
+                / F.col("__n"),
+            ),
+            9,
+        ).alias("__rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(
+            hash_fraction(F.col(id_col), seed=seed, hash_fn=hash_fn)
+            < F.col("__rate")
+        )
+        .drop("__rate")
+    )
+
+
 def assign_shuffled_shards(
     df: DataFrame,
     id_col: str,

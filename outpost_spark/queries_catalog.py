@@ -1466,6 +1466,38 @@ def sample_mix_by_rates(spark, sf_dir):
 
 
 @_register(
+    "sample_temperature_mix",
+    f"""
+    WITH s AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+    ),
+    z AS (SELECT sum(pow(n, 0.5)) AS z FROM s),
+    r AS (
+      SELECT lang,
+             round(least(1.0, 200.0 * pow(n, 0.5) / (SELECT z FROM z) / n), 9)
+               AS rate
+      FROM s
+    )
+    SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+    WHERE {_HASH_FRAC_SQL.format(seed="temp")} < r.rate
+    """,
+)
+def sample_temperature_mix(spark, sf_dir):
+    """Temperature-flattened domain mixing (mT5/XLM-R sampling rule,
+    alpha=0.5, ~200-doc target): per-language keep rates derived from
+    the language masses IN-PLAN (one tiny groupBy + broadcast rate
+    table + codegen filter — the corpus never shuffles), low-resource
+    languages boosted relative to proportional sampling
+    (ops/sampling.py:sample_temperature_mix)."""
+    from outpost_spark.ops.sampling import sample_temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_temperature_mix(
+        docs, "lang", "doc_id", target_total=200, alpha=0.5
+    ).select("doc_id", "lang")
+
+
+@_register(
     "sample_stratified_quota",
     f"""
     SELECT lang, doc_id FROM (

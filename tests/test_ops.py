@@ -1973,3 +1973,68 @@ def test_range_join_left_preserves_duplicate_facts(spark):
     )
     irows = sorted((r["id"], r["iv_win"]) for r in inner.collect())
     assert irows == sorted([(1, 10)] * 3 + [(2, 10), (2, 11)])
+
+
+def test_temperature_mix_flattening_properties(spark):
+    """alpha<1 boosts low-resource domains: the small domain's keep rate
+    must exceed the big one's; alpha=1 degenerates to one uniform rate
+    T/N; expected kept mass ~ target when nothing saturates."""
+    from outpost_spark.ops.sampling import sample_temperature_mix
+
+    rows = [(i, "big") for i in range(900)] + [
+        (i + 1000, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "dom"])
+
+    kept = sample_temperature_mix(
+        df, "dom", "doc_id", target_total=500, alpha=0.5
+    )
+    by_dom = {
+        r["dom"]: r["n"]
+        for r in kept.groupBy("dom").agg(F.count("*").alias("n")).collect()
+    }
+    # implied rates: z = 30+10 = 40; r_big = 500*30/40/900 = 0.4167,
+    # r_small = 500*10/40/100 = 1.0 (saturates) — small kept entirely
+    assert by_dom["small"] == 100
+    assert 0.30 < by_dom["big"] / 900 < 0.55  # ~0.4167 +/- hash noise
+    # alpha=1: uniform rate 500/1000 for every domain
+    kept1 = sample_temperature_mix(
+        df, "dom", "doc_id", target_total=500, alpha=1.0
+    )
+    n1 = kept1.count()
+    assert 400 < n1 < 600
+    # determinism: same seed, same membership
+    a = {r["doc_id"] for r in kept.collect()}
+    b = {
+        r["doc_id"]
+        for r in sample_temperature_mix(
+            df, "dom", "doc_id", target_total=500, alpha=0.5
+        ).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError, match="alpha"):
+        sample_temperature_mix(df, "dom", "doc_id", target_total=10, alpha=-1)
+
+
+def test_temperature_mix_weighted_by_tokens(spark):
+    """weight_col switches the domain mass to sum(weight) — token-
+    denominated mixing; a domain with few huge docs is treated as
+    high-resource."""
+    from outpost_spark.ops.sampling import sample_temperature_mix
+
+    rows = [(i, "fat", 1000) for i in range(10)] + [
+        (i + 100, "thin", 10) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "dom", "n_tok"])
+    kept = sample_temperature_mix(
+        df, "dom", "doc_id", target_total=5000, alpha=0.5,
+        weight_col="n_tok",
+    )
+    by_dom = {
+        r["dom"]: r["n"]
+        for r in kept.groupBy("dom").agg(F.count("*").alias("n")).collect()
+    }
+    # masses: fat 10000, thin 100 -> z = 100+10 = 110;
+    # r_fat = 5000*100/110/10000 = 0.4545; r_thin = 5000*10/110/100 = 4.5 -> 1
+    assert by_dom.get("thin", 0) == 10  # saturated: all kept
+    assert 1 <= by_dom.get("fat", 0) <= 9  # ~45% of 10 docs
