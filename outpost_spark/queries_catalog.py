@@ -2732,13 +2732,16 @@ def pack_training_sequences(spark, sf_dir):
     (optimality, fill ratio, determinism) stays pytest-pinned."""
     from outpost_spark.ops.packing import pack_sequences
 
+    from pyspark.sql import Window
+
     docs = _t(spark, sf_dir, "documents")
     packed = pack_sequences(docs, "doc_id", "n_chars", max_len=2048, n_groups=8)
-    totals = packed.groupBy("pack_group", "pack_id").agg(
-        F.sum("seq_len").alias("__tot")
-    )
+    # pack totals via a window over the SAME frame — a join against
+    # packed's own lineage would evaluate the Python packing stage twice
+    # (measured 2.2x in the r07 A/B)
+    tot = F.sum("seq_len").over(Window.partitionBy("pack_group", "pack_id"))
     return (
-        packed.join(totals, ["pack_group", "pack_id"])
+        packed.withColumn("__tot", tot)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_assignments"),
@@ -3969,6 +3972,10 @@ _COST_RANK = [
     "dedup_substrings_global",
     "routing_match_fanout",
     "dedup_url_canonical",
+    # r07 entries, placed by their measured sf0.1 warm cost
+    "text_c4_filters",
+    "text_fix_mojibake",
+    "sample_temperature_mix",
     # the heavy tail — multi-second at sf0.01 even tuned
     "dedup_cross_corpus_near_dups",
     "embed_semantic_dedup",
@@ -3987,6 +3994,8 @@ _COST_RANK = [
     "dedup_minhash_lsh_pairs_fast",
     "dedup_minhash_lsh_pairs",
     "text_top_tokens",
+    "lm_bigram_score",
+    "pipeline_curate_corpus_v5",
 ]
 
 

@@ -185,3 +185,88 @@ def test_optimize_partition_clusters_row_groups(spark, tmpdir):
         d for d in os.listdir(path)
         if d.startswith(("_trash_", "_tmp_", "_swapjournal_"))
     ]
+
+
+def test_zorder_partition_prunes_on_both_columns(spark, tmpdir):
+    """Z-order clustering (layout.py::zorder_partition, Delta OPTIMIZE
+    ZORDER analog): after the rewrite, row-group stats prune on EVERY
+    listed column — measured here as the fraction of row groups an
+    equality filter on tenant_id and a range filter on ts can each
+    skip — while a single-key sort serves only its first column.
+    Content must survive exactly."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from outpost_spark.logstore.layout import optimize_partition, zorder_partition
+
+    path = os.path.join(tmpdir, "ztbl")
+    # tenant and ts deliberately uncorrelated
+    df = spark.range(40000).select(
+        F.concat(F.lit("t"), (F.col("id") % 16).cast("string")).alias("tenant_id"),
+        ((F.col("id") * 7919) % 40000).cast("long").alias("ts"),
+        F.col("id").alias("v"),
+        F.lit("202401").alias("month"),
+    )
+    df.repartition(4).write.option("parquet.block.size", 64 * 1024).partitionBy(
+        "month"
+    ).mode("overwrite").parquet(path)
+    before = {
+        (r["tenant_id"], r["ts"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+    def spans(col_name):
+        part = os.path.join(path, "month=202401")
+        out = []
+        for f in os.listdir(part):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(part, f)).metadata
+            for g in range(md.num_row_groups):
+                col = next(
+                    md.row_group(g).column(i)
+                    for i in range(md.row_group(g).num_columns)
+                    if md.row_group(g).column(i).path_in_schema == col_name
+                )
+                out.append((col.statistics.min, col.statistics.max))
+        return out
+
+    def skip_fraction_tenant(target="t3"):
+        sp = spans("tenant_id")
+        return sum(1 for lo, hi in sp if not (lo <= target <= hi)) / len(sp)
+
+    def skip_fraction_ts(lo_q=10000, hi_q=12000):
+        sp = spans("ts")
+        return sum(1 for lo, hi in sp if hi < lo_q or lo > hi_q) / len(sp)
+
+    # single-key sort on tenant: tenant prunes, ts does NOT
+    optimize_partition(
+        spark, path, "202401", sort_cols=["tenant_id", "ts"], target_files=1,
+        writer_options={"parquet.block.size": 64 * 1024},
+    )
+    assert skip_fraction_tenant() > 0.5
+    assert skip_fraction_ts() < 0.2  # ts ranges stay wide under tenant sort
+    single_sort_ts = skip_fraction_ts()
+
+    # z-order on (tenant, ts): BOTH columns prune most groups
+    n = zorder_partition(
+        spark, path, "202401", zorder_cols=["tenant_id", "ts"], bits=8,
+        target_files=1, writer_options={"parquet.block.size": 64 * 1024},
+    )
+    assert n >= 1
+    assert len(spans("ts")) > 8  # multiple row groups to skip between
+    # with ~10 row groups over the 2-D Morton space each group covers
+    # ~1/3 of each dimension, so ~0.45-0.7 of groups exclude a given
+    # tenant / 5%-ts-window — the claim is BOTH columns prune (vs the
+    # single-key sort where ts pruned < 0.2)
+    assert skip_fraction_tenant() > 0.4
+    assert skip_fraction_ts() > 0.4
+    assert skip_fraction_ts() > single_sort_ts + 0.25
+    assert {
+        (r["tenant_id"], r["ts"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    } == before
+    assert not [
+        d for d in os.listdir(path)
+        if d.startswith(("_trash_", "_tmp_", "_swapjournal_"))
+    ]
