@@ -194,6 +194,10 @@ def sample_temperature_mix(
     broadcasts back, and the filter is codegen against the scan — the
     corpus itself never shuffles.  Rates are rounded to 9 decimals so
     the engine-portable oracle reproduces the cut exactly.
+
+    NULL ``group_col`` rows are DROPPED (the rate join is null-strict) —
+    matching SQL semantics and the oracle; assign a sentinel domain
+    first if unlabeled rows should participate in the mix.
     """
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
