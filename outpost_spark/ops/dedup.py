@@ -185,13 +185,26 @@ def shingle_seq(text: Column, k: int = 5) -> Column:
     (minhash lanes) need no dedup at all.  Texts shorter than k yield an
     empty array — guarded explicitly because ``sequence(1, 0)`` in Spark
     generates a DESCENDING sequence, not an empty one.
+
+    The lowered text is BOUND as a lambda variable through a one-element
+    outer ``transform`` before the sliding window runs: a directly
+    captured ``lower(text)`` expression would re-evaluate inside the
+    interpreted per-element lambda — O(len^2) character work per
+    document (same pathology as ops/lm.py::doc_bigrams; measured 5.6 ->
+    1.6 s for the sf0.1 shingle stage, byte-identical output).
     """
-    t = F.lower(text)
-    n = F.length(t) - (k - 1)
-    return F.when(
-        n >= 1,
-        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(t, i.cast("int"), k)),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def gen(tt: Column) -> Column:
+        n = F.length(tt) - (k - 1)
+        return F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.substring(tt, i.cast("int"), k),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(F.lower(text)), gen), 1)
 
 
 def shingle_set(text: Column, k: int = 5) -> Column:
