@@ -307,13 +307,21 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     toks = tokens_expr(t)
     n_toks = F.size(toks).cast("double")
 
-    dup_line_chars = F.aggregate(
-        F.filter(
-            lines,
-            lambda l: F.size(F.filter(lines, lambda x: x == l)) > 1,
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, l: acc + F.length(l),
+    # the line array is BOUND as a lambda variable before the quadratic
+    # membership pass: a captured `lines` expression would re-split the
+    # whole text per compared element (O(lines^2 * len), the shingle_seq
+    # pathology) instead of the documented O(lines^2) compares
+    def _dup_chars(ls: Column) -> Column:
+        return F.aggregate(
+            F.filter(
+                ls, lambda l: F.size(F.filter(ls, lambda x: x == l)) > 1
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, l: acc + F.length(l),
+        )
+
+    dup_line_chars = F.element_at(
+        F.transform(F.array(lines), _dup_chars), 1
     ).cast("double")
     line_chars = F.aggregate(
         lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
