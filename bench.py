@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "text_fix_mojibake",
     "pipeline_curate_corpus_v5",
     "sample_temperature_mix",
+    "sample_shard_manifest",
 ]
 
 

@@ -27,6 +27,7 @@ from outpost_spark.ops.sampling import (  # noqa: F401
     hash_sample,
     hash_split,
     sample_temperature_mix,
+    shard_manifest,
     stratified_quota,
 )
 from outpost_spark.ops.similarity import (  # noqa: F401

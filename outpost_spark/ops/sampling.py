@@ -346,3 +346,38 @@ def sample_by_token_budget(
         )
         kept = kept.unionByName(edge)
     return kept.select(id_col, weight_col)
+
+
+def shard_manifest(
+    df: DataFrame,
+    shard_col: str,
+    id_col: str,
+    *,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-shard manifest — the data-card / reproducibility record a
+    training job stores next to its shards: document count, optional
+    mass (token/char sum), and a CONTENT CHECKSUM over the shard's
+    sorted id list, so any later rebuild (different cluster, different
+    engine, different partitioning) can verify it produced byte-for-byte
+    the same shard membership before training starts.
+
+    Output: (shard, n_docs, [mass,] ids_checksum) where ids_checksum =
+    md5 over the ','-joined ascending id strings — order-canonicalized,
+    so the checksum is independent of partition/arrival order.  One
+    groupBy; per-shard state is the collected id list (corpus/n_shards
+    ids — bounded by dialing n_shards, the same contract as
+    ``assign_shuffled_shards``'s window).
+    """
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    if weight_col:
+        aggs.append(F.sum(F.col(weight_col)).cast("bigint").alias("mass"))
+    aggs.append(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.sort_array(F.collect_list(F.col(id_col).cast("string"))),
+            )
+        ).alias("ids_checksum")
+    )
+    return df.groupBy(shard_col).agg(*aggs)

@@ -1498,6 +1498,39 @@ def sample_temperature_mix(spark, sf_dir):
 
 
 @_register(
+    "sample_shard_manifest",
+    r"""
+    WITH sh AS (
+      SELECT doc_id, n_chars,
+             CAST(CAST(('0x' || substr(md5('shuffle|shard|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 16 AS INT) AS shard
+      FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS mass,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+               ORDER BY CAST(doc_id AS VARCHAR))) AS ids_checksum
+    FROM sh
+    GROUP BY shard
+    """,
+)
+def sample_shard_manifest(spark, sf_dir):
+    """Per-shard reproducibility manifest (r07): doc count, token/char
+    mass, and an order-canonicalized md5 over the shard's sorted id list
+    — the record a training job stores next to its shards so any later
+    rebuild can verify byte-for-byte membership before training
+    (ops/sampling.py:shard_manifest, composed over the deterministic
+    shard assignment)."""
+    from outpost_spark.ops.sampling import assign_shuffled_shards, shard_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    sharded = assign_shuffled_shards(
+        docs.select("doc_id", "n_chars"), "doc_id", n_shards=16
+    ).join(docs.select("doc_id", "n_chars"), "doc_id")
+    return shard_manifest(sharded, "shard", "doc_id", weight_col="n_chars")
+
+
+@_register(
     "sample_stratified_quota",
     f"""
     SELECT lang, doc_id FROM (
@@ -3976,6 +4009,7 @@ _COST_RANK = [
     "text_c4_filters",
     "text_fix_mojibake",
     "sample_temperature_mix",
+    "sample_shard_manifest",
     # the heavy tail — multi-second at sf0.01 even tuned
     "dedup_cross_corpus_near_dups",
     "embed_semantic_dedup",
