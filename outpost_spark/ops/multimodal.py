@@ -103,6 +103,25 @@ def decode_image(content: bytes) -> dict:
     if bit_depth != 8 or interlace or color_type == 3 or not idat or not height:
         return out  # header-only decode for the unsupported pixel layouts
 
+    rows = _png_unfilter(idat, width, height, channels)
+    if rows is None:
+        return out  # bomb guard tripped: dims reported, luminance skipped
+    import numpy as np
+
+    lum_w = (
+        np.array([0.299, 0.587, 0.114, 0.0][:channels])
+        if channels >= 3
+        else np.array([1.0, 0.0][:channels])
+    )
+    px = rows.reshape(height * width, channels).astype(np.float64)
+    out["mean_luminance"] = float((px @ lum_w).sum()) / (width * height)
+    return out
+
+
+def _png_unfilter(idat, width, height, channels):
+    """Inflate + unfilter PNG scanlines -> (height, width*channels) uint8
+    array; None when the bomb guard declines to allocate.  Shared by
+    decode_image (luminance) and resize_image (pixel access)."""
     import numpy as np
 
     stride = width * channels
@@ -111,7 +130,7 @@ def decode_image(content: bytes) -> dict:
         # decompression-bomb guard: a crafted IHDR can declare absurd dims;
         # never allocate past the ceiling — dims still reported, luminance
         # skipped (decode_ok stays true downstream)
-        return out
+        return None
     # bound the inflate by the exact raw size the declared dims imply, so a
     # bomb whose IDAT expands far beyond its IHDR can't allocate gigabytes
     dec = zlib.decompressobj()
@@ -166,14 +185,7 @@ def decode_image(content: bytes) -> dict:
         # keep the int twin in sync only when the NEXT row might need it
         if y + 1 < height and ftypes[y + 1] >= 3:
             prev_list = cur.tolist()
-    lum_w = (
-        np.array([0.299, 0.587, 0.114, 0.0][:channels])
-        if channels >= 3
-        else np.array([1.0, 0.0][:channels])
-    )
-    px = rows.reshape(height * width, channels).astype(np.float64)
-    out["mean_luminance"] = float((px @ lum_w).sum()) / (width * height)
-    return out
+    return rows
 
 
 def decode_audio(content: bytes) -> dict:
@@ -311,3 +323,208 @@ def documents_as_multimodal(documents: DataFrame) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("content"),
         F.create_map(F.lit("source"), source).alias("meta"),
     )
+
+
+# ---- resize (real, stdlib PNG round-trip) ---------------------------------
+
+def encode_png(arr) -> bytes:
+    """Minimal PNG writer (8-bit, filter None, one IDAT) — the re-encode
+    half of the stdlib round-trip ``resize_image`` needs."""
+    h, w, c = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_image(content: bytes, scale: float) -> bytes:
+    """Nearest-neighbor resize of an 8-bit non-interlaced PNG, returned
+    as a PNG — decode (shared bounded unfilter), index-sample, re-encode.
+    Raises ValueError for non-PNG / unsupported layouts (palette,
+    16-bit, interlaced) and for images past the bomb-guard ceiling."""
+    import numpy as np
+
+    meta = decode_image(content)  # validates + returns dims
+    if meta["bit_depth"] != 8:
+        raise ValueError("resize supports 8-bit PNGs only")
+    # re-walk the chunks for the pixel pass
+    pos = 8
+    idat = bytearray()
+    interlace = 0
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            interlace = data[12]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if interlace or meta["channels"] is None:
+        raise ValueError("resize supports non-interlaced PNGs only")
+    w, h, c = meta["width"], meta["height"], meta["channels"]
+    rows = _png_unfilter(idat, w, h, c)
+    if rows is None:
+        raise ValueError("image exceeds the decode size ceiling")
+    px = rows.reshape(h, w, c)
+    ow = max(1, int(w * scale))
+    oh = max(1, int(h * scale))
+    ys = (np.arange(oh) * (h / oh)).astype(int).clip(0, h - 1)
+    xs = (np.arange(ow) * (w / ow)).astype(int).clip(0, w - 1)
+    return encode_png(px[ys][:, xs])
+
+
+RESIZED_SCHEMA = (
+    "id long, width int, height int, out_width int, out_height int, "
+    "resize_ok boolean, content binary"
+)
+
+
+def resize_images(multimodal_df: DataFrame, *, scale: float = 0.5) -> DataFrame:
+    """Corpus resize stage: binary PNGs in, resized binary PNGs out, via
+    Arrow-batched ``mapInPandas`` — the thumbnail/tile prep step of an
+    image-training pipeline.  Rows the decoder rejects come back
+    ``resize_ok=false`` with null content (a corpus-scale job must
+    survive corrupt members); the binary never leaves the stage except
+    as its resized successor."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "id": pdf["id"], "width": [], "height": [],
+                "out_width": [], "out_height": [], "resize_ok": [],
+                "content": [],
+            }
+            for b in pdf["content"]:
+                try:
+                    meta = decode_image(b)
+                    resized = resize_image(b, scale)
+                    out_meta = decode_image(resized)
+                    out["width"].append(meta["width"])
+                    out["height"].append(meta["height"])
+                    out["out_width"].append(out_meta["width"])
+                    out["out_height"].append(out_meta["height"])
+                    out["resize_ok"].append(True)
+                    out["content"].append(resized)
+                except (ValueError, KeyError, struct.error):
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["out_width"].append(None)
+                    out["out_height"].append(None)
+                    out["resize_ok"].append(False)
+                    out["content"].append(None)
+            yield pd.DataFrame(out)
+
+    return multimodal_df.select("id", "content").mapInPandas(gen, RESIZED_SCHEMA)
+
+
+# ---- video frame sampling --------------------------------------------------
+
+_RVID_MAGIC = b"RVID"
+
+
+def encode_rawvideo(frames) -> bytes:
+    """Pack (n, h, w, 3) uint8 frames into the minimal RVID container —
+    magic + dims + frame count + concatenated raw RGB24.  The in-tree
+    stand-in for a real codec (see :func:`sample_frames`)."""
+    n, h, w, c = frames.shape
+    assert c == 3
+    return (
+        _RVID_MAGIC
+        + struct.pack(">III", w, h, n)
+        + frames.tobytes()
+    )
+
+
+def decode_rawvideo(content: bytes):
+    """(width, height, n_frames, frames ndarray) from an RVID container;
+    ValueError on anything else (foreign/corrupt blobs), with the same
+    allocation ceiling as the PNG path."""
+    import numpy as np
+
+    if len(content) < 16 or content[:4] != _RVID_MAGIC:
+        raise ValueError("not an RVID container")
+    w, h, n = struct.unpack(">III", content[4:16])
+    need = w * h * 3 * n
+    if need > _MAX_RAW_BYTES:
+        raise ValueError("video exceeds the decode size ceiling")
+    if len(content) - 16 < need:
+        raise ValueError("truncated RVID payload")
+    frames = np.frombuffer(content, dtype=np.uint8, count=need, offset=16)
+    return w, h, n, frames.reshape(n, h, w, 3)
+
+
+FRAMES_SCHEMA = (
+    "id long, frame_idx int, width int, height int, n_frames int, "
+    "decode_ok boolean, frame binary"
+)
+
+
+def sample_frames(
+    multimodal_df: DataFrame,
+    *,
+    every_k: int = 10,
+    decoder=None,
+) -> DataFrame:
+    """Uniform frame sampling over a video column: one output row per
+    kept frame (idx % every_k == 0), frame payload re-encoded as PNG so
+    every downstream image op (resize, decode, featurize) composes.
+
+    ``decoder`` is any ``bytes -> (w, h, n_frames, frames ndarray)``
+    callable — inject the real codec (pyav/ffmpeg) in deployments; the
+    default parses the RVID raw container (a REAL bounds-checked parser,
+    per the no-silent-stubs rule — real video codecs don't ship in this
+    environment, so the Spark-side plumbing is what's under test:
+    schema, Arrow batching, per-row fan-out, corrupt-member tolerance).
+    Undecodable rows emit ONE row with ``decode_ok=false``.
+
+    Scale shape: the row explosion happens INSIDE the Arrow stage (the
+    fat source blob never duplicates per frame in the plan); output
+    carries n/every_k compressed frames per video.
+    """
+    dec = decoder or decode_rawvideo
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "id", "frame_idx", "width", "height", "n_frames",
+                "decode_ok", "frame",
+            )}
+            for vid, b in zip(pdf["id"], pdf["content"]):
+                try:
+                    w, h, n, frames = dec(b)
+                except (ValueError, KeyError, struct.error):
+                    rows["id"].append(vid)
+                    rows["frame_idx"].append(None)
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["n_frames"].append(None)
+                    rows["decode_ok"].append(False)
+                    rows["frame"].append(None)
+                    continue
+                for idx in range(0, n, every_k):
+                    rows["id"].append(vid)
+                    rows["frame_idx"].append(idx)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_frames"].append(n)
+                    rows["decode_ok"].append(True)
+                    rows["frame"].append(encode_png(frames[idx]))
+            yield pd.DataFrame(rows)
+
+    return multimodal_df.select("id", "content").mapInPandas(gen, FRAMES_SCHEMA)

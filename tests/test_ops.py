@@ -2038,3 +2038,83 @@ def test_temperature_mix_weighted_by_tokens(spark):
     # r_fat = 5000*100/110/10000 = 0.4545; r_thin = 5000*10/110/100 = 4.5 -> 1
     assert by_dom.get("thin", 0) == 10  # saturated: all kept
     assert 1 <= by_dom.get("fat", 0) <= 9  # ~45% of 10 docs
+
+
+def test_resize_images_roundtrip(spark):
+    """Real stdlib PNG resize: decode -> nearest-neighbor -> re-encode.
+    Output PNGs decode with the in-tree decoder at the scaled dims;
+    corrupt members come back resize_ok=false instead of failing the
+    stage (corpus-scale tolerance)."""
+    import numpy as np
+
+    from outpost_spark.ops.multimodal import (
+        decode_image,
+        encode_png,
+        resize_image,
+        resize_images,
+    )
+
+    # 8x6 RGB gradient via the op's own encoder (decoder-verified below)
+    px = np.zeros((6, 8, 3), dtype=np.uint8)
+    px[:, :, 0] = np.arange(8)[None, :] * 30
+    px[:, :, 1] = np.arange(6)[:, None] * 40
+    png = encode_png(px)
+    meta = decode_image(png)
+    assert (meta["width"], meta["height"], meta["channels"]) == (8, 6, 3)
+
+    half = resize_image(png, 0.5)
+    m2 = decode_image(half)
+    assert (m2["width"], m2["height"]) == (4, 3)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"not a png"))], "id long, content binary"
+    )
+    out = {r["id"]: r for r in resize_images(df, scale=0.5).collect()}
+    assert out[1]["resize_ok"] and (out[1]["out_width"], out[1]["out_height"]) == (4, 3)
+    assert decode_image(bytes(out[1]["content"]))["width"] == 4
+    assert not out[2]["resize_ok"] and out[2]["content"] is None
+
+
+def test_sample_frames_uniform_stride_and_tolerance(spark):
+    """Frame sampling: every_k-th frame emitted as a decodable PNG, the
+    fan-out happening inside the Arrow stage; undecodable members emit
+    one decode_ok=false row; an injected decoder overrides the RVID
+    default (the real-codec seam)."""
+    import numpy as np
+
+    from outpost_spark.ops.multimodal import (
+        decode_image,
+        decode_rawvideo,
+        encode_rawvideo,
+        sample_frames,
+    )
+
+    frames = np.zeros((25, 4, 5, 3), dtype=np.uint8)
+    for i in range(25):
+        frames[i, :, :, 0] = i * 10  # distinguishable per-frame red level
+    vid = encode_rawvideo(frames)
+    w, h, n, back = decode_rawvideo(vid)
+    assert (w, h, n) == (5, 4, 25) and (back == frames).all()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(vid)), (2, bytearray(b"junk"))], "id long, content binary"
+    )
+    rows = sample_frames(df, every_k=10).collect()
+    good = sorted(
+        [r for r in rows if r["id"] == 1], key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in good] == [0, 10, 20]
+    assert all(r["decode_ok"] and (r["width"], r["height"]) == (5, 4) for r in good)
+    # each sampled frame is a real PNG whose luminance tracks the
+    # planted red level (0.299 * i*10)
+    lums = [decode_image(bytes(r["frame"]))["mean_luminance"] for r in good]
+    assert lums[0] < lums[1] < lums[2]
+    bad = [r for r in rows if r["id"] == 2]
+    assert len(bad) == 1 and not bad[0]["decode_ok"]
+    # injectable decoder seam: a fake codec yielding one black frame
+    rows2 = sample_frames(
+        df.filter("id = 1"),
+        every_k=1,
+        decoder=lambda b: (2, 2, 1, np.zeros((1, 2, 2, 3), dtype=np.uint8)),
+    ).collect()
+    assert len(rows2) == 1 and rows2[0]["n_frames"] == 1
