@@ -139,6 +139,9 @@ AB_QUERIES = [
     "embed_pq_topk",
     "embed_knn_join_bulk",
     "pipeline_curate_corpus_v3",
+    # r07 heavy entries — next round's deltas on these must be attributable
+    "lm_bigram_score",
+    "pipeline_curate_corpus_v5",
 ]
 
 

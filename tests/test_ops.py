@@ -2118,3 +2118,43 @@ def test_sample_frames_uniform_stride_and_tolerance(spark):
         decoder=lambda b: (2, 2, 1, np.zeros((1, 2, 2, 3), dtype=np.uint8)),
     ).collect()
     assert len(rows2) == 1 and rows2[0]["n_frames"] == 1
+
+
+def test_temperature_mix_plan_broadcasts_rates(spark):
+    """Scale claim of sample_temperature_mix: the corpus never shuffles —
+    the only exchange feeds the tiny domain-mass aggregate, and the rate
+    table comes back as a BroadcastHashJoin."""
+    from outpost_spark.ops.sampling import sample_temperature_mix
+
+    df = spark.range(5000).selectExpr(
+        "id as doc_id", "concat('d', id % 7) as dom"
+    )
+    plan = (
+        sample_temperature_mix(df, "dom", "doc_id", target_total=1000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan  # the corpus side never sorts/shuffles
+
+
+def test_shard_manifest_is_one_aggregation(spark):
+    """shard_manifest = one groupBy over the shard assignment: exactly
+    one round of exchanges above the scan (partial/final agg), no joins,
+    no windows."""
+    from outpost_spark.ops.sampling import shard_manifest
+
+    df = spark.range(5000).selectExpr(
+        "id as doc_id", "cast(id % 8 as int) as shard", "id % 100 as n_tok"
+    )
+    out = shard_manifest(df, "shard", "doc_id", weight_col="n_tok")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan
+    # checksum is order-canonicalized: repartitioned input, same output
+    a = sorted((r["shard"], r["ids_checksum"]) for r in out.collect())
+    b = sorted(
+        (r["shard"], r["ids_checksum"])
+        for r in shard_manifest(
+            df.repartition(13), "shard", "doc_id", weight_col="n_tok"
+        ).collect()
+    )
+    assert a == b
