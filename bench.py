@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "pipeline_curate_corpus_v5",
     "sample_temperature_mix",
     "sample_shard_manifest",
+    "text_ngram_repetition",
 ]
 
 

@@ -64,6 +64,7 @@ from outpost_spark.ops.text import (  # noqa: F401
     length_histogram,
     length_percentiles,
     mojibake_stats,
+    ngram_repetition_stats,
     pii_redact,
     quality_score,
     repetition_stats,

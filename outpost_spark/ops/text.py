@@ -818,3 +818,66 @@ def approx_top_tokens(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return exact.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+
+
+def ngram_repetition_stats(
+    df: DataFrame, text_col: str, id_col: str, *, n: int = 5
+) -> DataFrame:
+    """Gopher's duplicate word-n-gram character fraction (Rae et al.
+    2021 App. A1.1, the n in 5..10 family): the fraction of n-gram
+    characters sitting in n-grams that occur more than once in the
+    document — the strongest single predictor of degenerate repetition
+    loops in web text.
+
+    n-grams build by CHAINED ``zip_with`` joins over the token array
+    (each step pairs the running (k)-gram with the k-shifted token
+    slice), so the tokenization evaluates once per row — never inside a
+    per-element lambda (the shingle_seq pathology).  The NULL-padded
+    tails zip_with produces drop before the explode.
+
+    Shuffle shape: one explode -> groupBy (id, gram) -> groupBy id
+    chain; gram rows are (id, n words) pairs and both aggregations
+    partial-combine map-side, so the exchange is distinct-gram-sized
+    per doc, never corpus-char-sized.  Exact DuckDB oracle (pure
+    count/length arithmetic).
+
+    Output: (id, n_ngrams, dup_ngram_char_frac) — frac NULL for docs
+    with fewer than n tokens.
+    """
+    from outpost_spark.ops.dedup import tokens_expr
+
+    toks = tokens_expr(F.col(text_col))
+    gram = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        gram = F.zip_with(gram, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    # zip_with pads with NULL; concat_ws skips NULLs, so a padded tail
+    # yields a SHORTER (k<n)-gram, not NULL — cut to the exact window
+    # count instead
+    grams = F.slice(
+        gram, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    )
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+    per_gram = exploded.groupBy(id_col, "__g").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum("__cnt").cast("bigint").alias("n_ngrams"),
+        F.sum(F.col("__cnt") * F.length("__g")).alias("__total_chars"),
+        F.sum(
+            F.when(F.col("__cnt") > 1, F.col("__cnt") * F.length("__g")).otherwise(0)
+        ).alias("__dup_chars"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_ngrams"), F.lit(0).cast("bigint")).alias("n_ngrams"),
+            F.round(
+                F.col("__dup_chars").cast("double")
+                / F.col("__total_chars").cast("double"),
+                6,
+            ).alias("dup_ngram_char_frac"),
+        )
+    )

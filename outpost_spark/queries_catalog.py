@@ -1466,6 +1466,45 @@ def sample_mix_by_rates(spark, sf_dir):
 
 
 @_register(
+    "text_ngram_repetition",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(list_slice(ws, i, i + 1), ' ') AS g
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks)
+    ),
+    pg AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY doc_id, g),
+    pd AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_ngrams,
+             round(sum(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) * 1.0
+                   / sum(cnt * length(g)), 6) AS dup_ngram_char_frac
+      FROM pg GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(pd.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           pd.dup_ngram_char_frac
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    """,
+)
+def text_ngram_repetition(spark, sf_dir):
+    """Gopher's duplicate word-n-gram character fraction (Rae et al.
+    2021 App. A1.1) at n=2 — the strongest single predictor of
+    degenerate repetition loops; n-grams build by chained zip_with (one
+    tokenization per row), aggregate per (doc, gram) then per doc
+    (ops/text.py:ngram_repetition_stats).  The n=5 planted-loop
+    behavior is pytest-pinned."""
+    from outpost_spark.ops.text import ngram_repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_repetition_stats(docs, "text", "doc_id", n=2)
+
+
+@_register(
     "sample_temperature_mix",
     f"""
     WITH s AS (
@@ -4010,6 +4049,7 @@ _COST_RANK = [
     "text_fix_mojibake",
     "sample_temperature_mix",
     "sample_shard_manifest",
+    "text_ngram_repetition",
     # the heavy tail — multi-second at sf0.01 even tuned
     "dedup_cross_corpus_near_dups",
     "embed_semantic_dedup",

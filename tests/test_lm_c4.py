@@ -166,3 +166,38 @@ def test_fix_mojibake_planted(spark):
         "doc_id",
     ).filter(F.col("has_mojibake")).count()
     assert n == 0
+
+
+def test_ngram_repetition_planted_loops(spark):
+    """Duplicate n-gram char fraction: a pure repetition loop scores
+    1.0, unique text 0.0, a half-repeated doc in between; docs shorter
+    than n score NULL; n=5 catches a planted 5-gram loop."""
+    from outpost_spark.ops.text import ngram_repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),              # all bigrams duplicated
+            (2, "q w e r t y u"),            # all unique
+            (3, "x y x y unique tail here"), # mixed
+            (4, "single"),                   # too short for n=2
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in ngram_repetition_stats(df, "text", "doc_id", n=2).collect()}
+    assert out[1]["dup_ngram_char_frac"] == 1.0
+    assert out[2]["dup_ngram_char_frac"] == 0.0
+    assert 0.0 < out[3]["dup_ngram_char_frac"] < 1.0
+    assert out[4]["n_ngrams"] == 0 and out[4]["dup_ngram_char_frac"] is None
+
+    loop = " ".join(["one two three four five"] * 4)
+    df5 = spark.createDataFrame(
+        [(1, loop), (2, "totally fresh words never repeating at all ok")],
+        ["doc_id", "text"],
+    )
+    out5 = {
+        r["doc_id"]: r
+        for r in ngram_repetition_stats(df5, "text", "doc_id", n=5).collect()
+    }
+    # 20 tokens -> 16 five-gram windows; the loop makes most duplicated
+    assert out5[1]["dup_ngram_char_frac"] > 0.4
+    assert out5[2]["dup_ngram_char_frac"] == 0.0
