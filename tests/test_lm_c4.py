@@ -201,3 +201,36 @@ def test_ngram_repetition_planted_loops(spark):
     # 20 tokens -> 16 five-gram windows; the loop makes most duplicated
     assert out5[1]["dup_ngram_char_frac"] > 0.4
     assert out5[2]["dup_ngram_char_frac"] == 0.0
+
+
+def test_fix_mojibake_roundtrip_property():
+    """Property (hypothesis): for any text over printable ASCII + the
+    repair table's characters, corrupt -> fix is the identity — the
+    repair table inverts the UTF-8-as-cp1252 corruption it was generated
+    from, including adjacent-artifact boundaries and the NBSP family.
+    Pure-Python twin of the Column replace chain (same literals, same
+    order, same replace-all semantics)."""
+    import string
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from outpost_spark.ops.text import (
+        _MOJIBAKE_CHARS,
+        _MOJIBAKE_FIXES,
+        _cp1252_mojibake,
+    )
+
+    def fix_py(s: str) -> str:
+        for bad, good in _MOJIBAKE_FIXES:
+            s = s.replace(bad, good)
+        return s
+
+    alphabet = string.printable[:-6] + " \n" + _MOJIBAKE_CHARS  # printable + space/newline
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=60))
+    def prop(clean):
+        assert fix_py(_cp1252_mojibake(clean)) == clean
+
+    prop()
