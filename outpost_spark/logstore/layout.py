@@ -210,7 +210,19 @@ def zorder_expr(df: DataFrame, cols: list[str], *, bits: int = 8):
             # power, its values would barely cluster at all (measured:
             # 16 tenants at ranks 0-15 -> tenant skip fraction 0.0)
             arr = F.array(*[F.lit(float(b)) for b in bounds])
-            rank = F.size(F.filter(arr, lambda b: num > b))
+            # bind num as a lambda VARIABLE via a one-element transform
+            # (dedup.py:189's idiom): a lambda that captures the outer
+            # EXPRESSION re-evaluates it per boundary element in the
+            # interpreted HOF — for the string rank proxy that's the
+            # 8-term ascii chain × up to 2**bits-1 boundaries per row
+            # (ADVICE r07)
+            rank = F.element_at(
+                F.transform(
+                    F.array(num),
+                    lambda v: F.size(F.filter(arr, lambda b: v > b)),
+                ),
+                1,
+            )
             scale = n / float(len(bounds) + 1)
             rank = F.floor(rank.cast("double") * F.lit(scale)).cast("long")
             ranks.append(

@@ -13,12 +13,14 @@ implementations behind one duck-typed interface:
 - :class:`HadoopTableFS` — any scheme Spark's Hadoop client can reach
   (``file://``, ``hdfs://``, ``s3a://`` with a conditional-write-capable
   committer, ``abfs://`` ...), driven through the JVM gateway of the
-  live SparkSession.  The exclusive create is
-  ``FileSystem.create(path, overwrite=false)`` — ATOMIC on HDFS (the
-  namenode serializes the create), which is exactly the primitive
-  Delta's HDFSLogStore relies on.  On ``file://`` Hadoop's
-  RawLocalFileSystem implements it as exists-check + create (a
-  microscopic race window), so LOCAL paths should keep using
+  live SparkSession.  The exclusive create is write-to-tmp +
+  ``FileContext.rename(tmp, dst, Rename.NONE)`` — ATOMIC on HDFS (the
+  namenode serializes the rename and throws
+  ``FileAlreadyExistsException`` on a lost race), which is exactly the
+  primitive Delta's HDFSLogStore relies on; the destination only ever
+  appears with full content.  On ``file://`` Hadoop implements the
+  exclusivity check as exists-check + rename (a microscopic race
+  window), so LOCAL paths should keep using
   :class:`LocalTableFS`'s hard-link (the default dispatch does); the
   ``file://`` route exists to exercise the Hadoop code path in-tree.
   Reference analog: the reference delegates this layer to ClickHouse/PG
@@ -171,17 +173,33 @@ class _JStreamFile(io.RawIOBase):
 class HadoopTableFS:
     """Hadoop-FileSystem backend through the SparkSession's JVM gateway.
 
-    ``put_if_absent`` maps to ``FileSystem.create(path, overwrite=false)``
-    — the namenode-serialized atomic create on HDFS (Delta HDFSLogStore's
-    primitive).  Object stores without a conditional create (plain S3)
-    need a coordinating LogStore exactly as Delta does; S3A's
-    conditional-write support or a DynamoDB-style lock service plugs in
-    here, not in TxnTable.
+    ``put_if_absent`` maps to write-tmp + ``FileContext.rename(tmp, dst,
+    Rename.NONE)`` — the namenode-serialized atomic claim on HDFS (Delta
+    HDFSLogStore's primitive), with the full payload durable before the
+    destination becomes visible.  Object stores without a conditional
+    create (plain S3 through s3a://) need a coordinating LogStore exactly
+    as Delta does; :class:`S3TableFS` (conditional PUT) or a
+    DynamoDB-style lock service plugs in here, not in TxnTable.
     """
+
+    #: Java exception classes that mean "the destination already exists"
+    #: — i.e. a lost commit race, NOT a write failure.  Matched by class
+    #: name while walking the cause chain (never by message text: FS
+    #: implementations phrase messages differently, and a genuine write
+    #: failure whose message happens to contain "already exists" must
+    #: re-raise, not masquerade as a retryable conflict).
+    _EXISTS_CLASSES = frozenset(
+        {
+            "org.apache.hadoop.fs.FileAlreadyExistsException",
+            "org.apache.hadoop.fs.PathExistsException",
+            "java.nio.file.FileAlreadyExistsException",
+        }
+    )
 
     def __init__(self, spark):
         self._spark = spark
         self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway
         self._conf = spark._jsc.hadoopConfiguration()
 
     def _jpath(self, path: str):
@@ -236,31 +254,85 @@ class HadoopTableFS:
         with _JStreamFile(self._jvm, fs, jp, size) as fh:
             return json.loads(fh.read().decode("utf-8"))
 
-    def put_if_absent(self, path: str, data: bytes) -> bool:
-        fs = self._fs(path)
-        try:
-            out = fs.create(self._jpath(path), False)
-        except Exception as e:  # FileAlreadyExistsException via py4j
-            if "ExistsException" in str(e) or "already exists" in str(e):
+    def _rename_none_opts(self):
+        """1-element ``Options.Rename[] {NONE}`` for the varargs call."""
+        rename_cls = self._jvm.org.apache.hadoop.fs.Options.Rename
+        arr = self._gateway.new_array(rename_cls, 1)
+        arr[0] = rename_cls.NONE
+        return arr
+
+    def _is_exists_exception(self, exc) -> bool:
+        """True iff the py4j error's Java exception (or any cause in its
+        chain) IS one of the known already-exists classes.  Class-name
+        match only — message text is never consulted."""
+        je = getattr(exc, "java_exception", None)
+        hops = 0
+        while je is not None and hops < 16:
+            try:
+                if je.getClass().getName() in self._EXISTS_CLASSES:
+                    return True
+                je = je.getCause()
+            except Exception:
                 return False
-            raise
+            hops += 1
+        return False
+
+    def _write_tmp(self, fs, parent: str, data: bytes):
+        tmp = self.join(parent, f".tmp-{uuid.uuid4().hex}")
+        jtmp = self._jpath(tmp)
+        out = fs.create(jtmp, True)
         try:
             out.write(bytearray(data))
             out.hflush()
         finally:
             out.close()
-        return True
+        return jtmp
 
-    def put_atomic(self, path: str, data: bytes) -> None:
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        """Atomic exclusive create with FULL content.
+
+        The payload is written to a hidden tmp file first, then the
+        version slot is claimed with ``FileContext.rename(src, dst,
+        Rename.NONE)`` — atomic on HDFS and throwing
+        ``FileAlreadyExistsException`` on a lost race, exactly Delta
+        HDFSLogStore's primitive.  The destination therefore only ever
+        becomes visible with complete content: a committer crash leaves
+        an orphan ``.tmp-*`` file, never a torn ``NNNN.json`` that would
+        wedge every subsequent read.
+        """
         fs = self._fs(path)
         parent = path.rsplit("/", 1)[0]
-        tmp = self.join(parent, f".tmp-{uuid.uuid4().hex}")
-        out = fs.create(self._jpath(tmp), True)
+        jdst = self._jpath(path)
+        jtmp = self._write_tmp(fs, parent, data)
+        ctx = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            jdst.toUri(), self._conf
+        )
         try:
-            out.write(bytearray(data))
-        finally:
-            out.close()
-        fs.rename(self._jpath(tmp), self._jpath(path))
+            ctx.rename(jtmp, jdst, self._rename_none_opts())
+            return True
+        except Exception as e:
+            if self._is_exists_exception(e):
+                fs.delete(jtmp, False)
+                return False
+            raise
+
+    def put_atomic(self, path: str, data: bytes) -> None:
+        """Atomic overwrite (checkpoints — a pure read optimization, so
+        last-writer-wins is fine, but a FAILED write must be loud, not a
+        silently-dropped checkpoint + orphaned tmp)."""
+        fs = self._fs(path)
+        parent = path.rsplit("/", 1)[0]
+        jdst = self._jpath(path)
+        jtmp = self._write_tmp(fs, parent, data)
+        if not fs.rename(jtmp, jdst):
+            # Hadoop rename returns false (no exception) when dst exists
+            # on some FS implementations; retry once after a delete.
+            fs.delete(jdst, False)
+            if not fs.rename(jtmp, jdst):
+                fs.delete(jtmp, False)
+                raise IOError(
+                    f"checkpoint rename failed: {jtmp} -> {path}"
+                )
 
     def delete(self, path: str) -> None:
         self._fs(path).delete(self._jpath(path), False)

@@ -57,6 +57,13 @@ def doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+class EmptyTrainingSliceError(ValueError):
+    """The LM training slice produced zero tokens — no model can be
+    built.  Raised (not NULL-propagated) so callers choose a policy:
+    :func:`perplexity_gate` passes every document through, matching its
+    own "unscoreable docs are kept" contract (ADVICE r07)."""
+
+
 def train_bigram_counts(
     df: DataFrame, text_col: str, id_col: str, *, materialize: bool = True
 ) -> tuple[DataFrame, DataFrame, int]:
@@ -88,7 +95,7 @@ def train_bigram_counts(
     row = unigrams.agg(F.sum("c1")).first()
     n_total = int(row[0] or 0)
     if n_total == 0:
-        raise ValueError(
+        raise EmptyTrainingSliceError(
             "LM training slice has zero tokens — the backoff term would "
             "divide by N=0 (NULL scores non-ANSI, runtime error ANSI); "
             "pass a non-empty train_df"
@@ -200,10 +207,20 @@ def perplexity_gate(
     bigram log-prob — dimensionally what CCNet thresholds KenLM scores
     in), NOT a raw log value.  Documents too short to score (no bigrams)
     are kept, as CCNet does; tune with the histogram of
-    ``bigram_lm_score``'s ``lm_ppl`` output."""
-    scored = bigram_lm_score(
-        df, text_col, id_col, train_df=train_df, alpha=alpha
-    ).select(id_col, "lm_ppl")
+    ``bigram_lm_score``'s ``lm_ppl`` output.
+
+    An EMPTY training slice (e.g. curate_corpus_v5 self-training on a
+    quality-passing slice that passed nothing) is the degenerate case of
+    "nothing is scoreable": every document passes through ungated, the
+    same policy as too-short docs — instead of propagating
+    :class:`EmptyTrainingSliceError` and crashing the pipeline on a
+    corpus the earlier gates emptied (ADVICE r07)."""
+    try:
+        scored = bigram_lm_score(
+            df, text_col, id_col, train_df=train_df, alpha=alpha
+        ).select(id_col, "lm_ppl")
+    except EmptyTrainingSliceError:
+        return df
     return (
         df.join(scored, id_col, "left")
         .filter(F.col("lm_ppl").isNull() | (F.col("lm_ppl") <= max_ppl))

@@ -129,6 +129,34 @@ class AzureSbStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter(self._cache.get(int(start["batch"]), []))
 
+    def _complete_best_effort(self, mid: str, token: str) -> None:
+        """Complete (unlock-delete) one message, best-effort.
+
+        Under at-least-once semantics a FAILED complete is already
+        covered: the peek-lock expires and the broker redelivers, so a
+        transient failure (5xx, throttle, timeout) must not raise out of
+        ``commit`` and kill the streaming query — that would wedge the
+        whole stream on one flaky complete while buying nothing
+        (ADVICE r07).  One bounded retry for the common blip, then log
+        and move on; 404/410 (lock already expired) is handled inside
+        ``_request``."""
+        for attempt in (0, 1):
+            try:
+                self._request(
+                    "DELETE", f"/{self.queue}/messages/{mid}/{token}"
+                )
+                return
+            except Exception as e:  # noqa: BLE001 — redelivery covers it
+                if attempt == 1:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "azuresb: complete failed for message %s "
+                        "(will redeliver on lock expiry): %s",
+                        mid,
+                        e,
+                    )
+
     def commit(self, end: dict):
         done = int(end["batch"])
         for idx in sorted(self._pending):
@@ -137,9 +165,7 @@ class AzureSbStreamReader(SimpleDataSourceStreamReader):
             locks = self._pending.pop(idx)
             self._cache.pop(idx, None)
             for mid, token in locks:
-                self._request(
-                    "DELETE", f"/{self.queue}/messages/{mid}/{token}"
-                )
+                self._complete_best_effort(mid, token)
 
 
 class AzureSbDataSource(DataSource):

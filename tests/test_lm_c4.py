@@ -73,6 +73,30 @@ def test_train_empty_corpus_raises(spark):
         )
 
 
+def test_perplexity_gate_passes_through_on_empty_training_slice(spark):
+    # ADVICE r07: the gate (and curate_corpus_v5, which self-trains on
+    # the quality-passing slice) must NOT crash when the training slice
+    # is empty — every doc passes ungated, same policy as too-short docs
+    docs = spark.createDataFrame([(1, "a b c"), (2, "x y")], ["doc_id", "text"])
+    empty = spark.createDataFrame([(9, "")], ["doc_id", "text"])
+    out = perplexity_gate(docs, "text", "doc_id", train_df=empty, max_ppl=5.0)
+    assert {r["doc_id"] for r in out.collect()} == {1, 2}
+    assert out.columns == docs.columns
+
+
+def test_curate_v5_empty_quality_slice_returns_empty_not_crash(spark):
+    # a corpus where the quality gate passes NOTHING: v5 must return an
+    # empty (doc_id, split) frame like v3 would, not raise (ADVICE r07)
+    from outpost_spark.ops.pipeline import curate_corpus_v5
+
+    junk = spark.createDataFrame(
+        [(i, "@@@@ #### $$$$ %%%%") for i in range(5)], ["doc_id", "text"]
+    )
+    out = curate_corpus_v5(junk, quality_min=0.99)
+    assert out.columns == ["doc_id", "split"]
+    assert out.count() == 0
+
+
 def test_doc_bigrams_adjacency(spark):
     df = spark.createDataFrame([(1, "w x y")], ["doc_id", "text"])
     rows = {(r["w1"], r["w2"]) for r in doc_bigrams(df, "text", "doc_id").collect()}
