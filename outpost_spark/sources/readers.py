@@ -84,10 +84,16 @@ def parse_queue_url(url: str) -> tuple[str, dict[str, str]]:
         out = {"queue": u.netloc or u.path.lstrip("/")}
         out.update(opts)
         return "azuresb", out
+    if u.scheme in ("rabbit", "rabbitmq"):
+        # gocloud style: rabbit://<queue>[?serverUrl=amqp://...] — gocloud
+        # takes the server from RABBIT_SERVER_URL, which the reader also
+        # honors when serverUrl is absent (rabbitmq_source.py)
+        out = {"queue": u.netloc or u.path.lstrip("/")}
+        out.update(opts)
+        return "rabbitmq", out
     raise ValueError(
         f"unsupported queue scheme {u.scheme!r}: supported here are kafka://, "
-        "file://, sqs://, gcppubsub:// and azuresb:// (RabbitMQ needs an AMQP "
-        "client library; its Format surface is covered in routing/sinkformats)"
+        "file://, sqs://, gcppubsub://, azuresb:// and rabbit://"
     )
 
 
@@ -132,6 +138,16 @@ def event_stream(spark: SparkSession, url: str) -> DataFrame:
         register_azuresb_source(spark)
         raw = (
             spark.readStream.format("azuresb")
+            .options(**opts)
+            .load()
+            .select(F.col("body"))
+        )
+    elif fmt == "rabbitmq":
+        from outpost_spark.sources.rabbitmq_source import register_rabbitmq_source
+
+        register_rabbitmq_source(spark)
+        raw = (
+            spark.readStream.format("rabbitmq")
             .options(**opts)
             .load()
             .select(F.col("body"))

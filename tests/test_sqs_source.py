@@ -23,9 +23,11 @@ def test_parse_sqs_urls():
     )
     assert opts["endpoint"] == "http://localhost:5999"
     assert opts["maxMessagesPerBatch"] == "50"
+    # rabbitmq graduated from "unsupported" to a first-class format (r08)
+    fmt, opts = parse_queue_url("rabbitmq://nope")
+    assert (fmt, opts) == ("rabbitmq", {"queue": "nope"})
     with pytest.raises(ValueError, match="unsupported queue scheme"):
-        parse_queue_url("rabbitmq://nope")
-    # pubsub graduated from "unsupported" to a first-class format (r07)
+        parse_queue_url("zeromq://nope")
     with pytest.raises(ValueError, match="gcppubsub://projects"):
         parse_queue_url("pubsub://nope")
 
