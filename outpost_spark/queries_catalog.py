@@ -1543,21 +1543,33 @@ def sample_temperature_mix(spark, sf_dir):
       SELECT doc_id, n_chars,
              CAST(CAST(('0x' || substr(md5('shuffle|shard|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 16 AS INT) AS shard
       FROM documents
+    ),
+    sub AS (
+      SELECT shard,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS sb,
+             count(*) AS n_docs,
+             sum(n_chars) AS mass,
+             md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                 ORDER BY CAST(doc_id AS VARCHAR))) AS sub_md5
+      FROM sh
+      GROUP BY shard, sb
     )
     SELECT shard,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS mass,
-           md5(string_agg(CAST(doc_id AS VARCHAR), ','
-               ORDER BY CAST(doc_id AS VARCHAR))) AS ids_checksum
-    FROM sh
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(mass) AS BIGINT) AS mass,
+           md5(string_agg(sub_md5, ',' ORDER BY sub_md5)) AS ids_checksum
+    FROM sub
     GROUP BY shard
     """,
 )
 def sample_shard_manifest(spark, sf_dir):
-    """Per-shard reproducibility manifest (r07): doc count, token/char
-    mass, and an order-canonicalized md5 over the shard's sorted id list
-    — the record a training job stores next to its shards so any later
-    rebuild can verify byte-for-byte membership before training
+    """Per-shard reproducibility manifest (r07, bounded r08): doc count,
+    token/char mass, and a TWO-LEVEL order-canonical checksum — md5 per
+    (shard, id-hash sub-bucket) over the sorted sub-list, then md5 over
+    the sorted sub-checksums — the record a training job stores next to
+    its shards so any later rebuild can verify byte-for-byte membership
+    before training, with per-group aggregation state bounded by the
+    sub-bucket size instead of the whole shard's id list
     (ops/sampling.py:shard_manifest, composed over the deterministic
     shard assignment)."""
     from outpost_spark.ops.sampling import assign_shuffled_shards, shard_manifest
@@ -1566,7 +1578,9 @@ def sample_shard_manifest(spark, sf_dir):
     sharded = assign_shuffled_shards(
         docs.select("doc_id", "n_chars"), "doc_id", n_shards=16
     ).join(docs.select("doc_id", "n_chars"), "doc_id")
-    return shard_manifest(sharded, "shard", "doc_id", weight_col="n_chars")
+    return shard_manifest(
+        sharded, "shard", "doc_id", weight_col="n_chars", sub_buckets=64
+    )
 
 
 @_register(

