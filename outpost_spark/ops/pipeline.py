@@ -219,3 +219,79 @@ def curate_corpus_v5(
     return hash_split(
         exact, id_col, splits or DEFAULT_SPLITS, seed=split_seed
     ).select(id_col, "split")
+
+
+def curate_corpus_v6(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    weight_col: str = "n_chars",
+    quality_min: float = 0.5,
+    max_ppl: float = 31.0,
+    alpha: float = 0.4,
+    split_seed: str = "curate",
+    mix_target: float = 300.0,
+    mix_alpha: float = 0.5,
+    token_budget: int = 120_000,
+    n_shards: int = 8,
+    sub_buckets: int = 64,
+) -> DataFrame:
+    """The full training-set assembly capstone (r08): v5's CCNet-ordered
+    cleaning cascade, then the sampling/packaging chain a training job
+    runs on the cleaned corpus —
+
+    mojibake repair -> quality gate -> self-trained bigram-LM
+    perplexity gate -> exact dedup -> 90/5/5 split -> KEEP train ->
+    temperature-flattened language mixing (mT5/XLM-R rule) ->
+    token-budget prefix cut -> deterministic shard shuffle ->
+    per-shard bounded two-level manifests.
+
+    Returns the MANIFEST table (shard, n_docs, mass, ids_checksum) —
+    the artifact a training job actually consumes to verify its shards
+    before the first step.  Every stage is an independently-oracled
+    operator; the catalog entry pins the COMPOSITION end-to-end in one
+    DuckDB oracle (the v3/v4/v5 lesson applied to the whole chain).
+
+    Scale shape: the cascade's gates fuse into the scan, the LM model
+    is a pair of vocabulary-sized count tables, the mix rate table is
+    #languages rows broadcast back, the budget cut sorts only its
+    boundary bucket, the shard stamp is a pure map, and the manifest's
+    aggregation state is bounded by ``sub_buckets`` — no stage holds
+    corpus-sized state anywhere.
+    """
+    from outpost_spark.ops.sampling import (
+        assign_shuffled_shards,
+        sample_by_token_budget,
+        sample_temperature_mix,
+        shard_manifest,
+    )
+
+    cleaned = curate_corpus_v5(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        quality_min=quality_min,
+        max_ppl=max_ppl,
+        alpha=alpha,
+        split_seed=split_seed,
+    )
+    train = cleaned.filter(F.col("split") == "train").select(id_col)
+    enriched = train.join(
+        docs.select(id_col, lang_col, weight_col), id_col
+    )
+    mixed = sample_temperature_mix(
+        enriched, lang_col, id_col, target_total=mix_target, alpha=mix_alpha
+    )
+    kept = sample_by_token_budget(mixed, id_col, weight_col, token_budget)
+    sharded = assign_shuffled_shards(
+        kept.select(id_col), id_col, n_shards=n_shards
+    ).join(kept, id_col)
+    return shard_manifest(
+        sharded,
+        "shard",
+        id_col,
+        weight_col=weight_col,
+        sub_buckets=sub_buckets,
+    )

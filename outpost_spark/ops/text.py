@@ -820,6 +820,21 @@ def approx_top_tokens(
     return exact.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
 
 
+def _word_ngrams_expr(toks, n: int):
+    """' '-joined word n-grams of a token-array Column, built by CHAINED
+    ``zip_with`` joins (each step pairs the running (k)-gram with the
+    k-shifted token slice) so the tokenization evaluates ONCE per row —
+    never inside a per-element lambda (the shingle_seq O(n²) pathology).
+    zip_with pads with NULL and concat_ws skips NULLs, so padded tails
+    yield SHORTER (k<n)-grams — the final slice cuts to the exact
+    window count instead."""
+    gram = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        gram = F.zip_with(gram, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(gram, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+
+
 def ngram_repetition_stats(
     df: DataFrame, text_col: str, id_col: str, *, n: int = 5
 ) -> DataFrame:
@@ -846,17 +861,7 @@ def ngram_repetition_stats(
     """
     from outpost_spark.ops.dedup import tokens_expr
 
-    toks = tokens_expr(F.col(text_col))
-    gram = toks
-    for k in range(1, n):
-        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
-        gram = F.zip_with(gram, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    # zip_with pads with NULL; concat_ws skips NULLs, so a padded tail
-    # yields a SHORTER (k<n)-gram, not NULL — cut to the exact window
-    # count instead
-    grams = F.slice(
-        gram, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    )
+    grams = _word_ngrams_expr(tokens_expr(F.col(text_col)), n)
     exploded = df.select(F.col(id_col), F.explode(grams).alias("__g"))
     per_gram = exploded.groupBy(id_col, "__g").agg(
         F.count(F.lit(1)).alias("__cnt")
@@ -879,5 +884,62 @@ def ngram_repetition_stats(
                 / F.col("__total_chars").cast("double"),
                 6,
             ).alias("dup_ngram_char_frac"),
+        )
+    )
+
+
+def top_ngram_fraction(
+    df: DataFrame, text_col: str, id_col: str, *, n: int = 2
+) -> DataFrame:
+    """Gopher's TOP-n-gram character fraction (Rae et al. 2021 App.
+    A1.1, the n in 2..4 family, completing the repetition rule set next
+    to :func:`ngram_repetition_stats`'s duplicate-n-gram form): the
+    fraction of n-gram characters contained in occurrences of the
+    SINGLE most frequent n-gram of the document — the canonical catch
+    for boilerplate loops ("click here click here ...") that a
+    duplicate fraction under-weights when one gram dominates.
+
+    The champion gram is chosen deterministically: highest count, then
+    longest, then lexicographically greatest — a total order both
+    engines implement as a max over a (count, length, gram) struct, so
+    the DuckDB oracle reproduces ties exactly.
+
+    Shuffle shape: identical to the dup-fraction op — one explode ->
+    groupBy (id, gram) -> groupBy id, everything partial-combining
+    map-side; per-doc state is one running (count, length, gram) champion
+    plus two sums, never a gram list.
+
+    Output: (id, n_ngrams, top_ngram_char_frac) — frac NULL for docs
+    with fewer than n tokens.
+    """
+    from outpost_spark.ops.dedup import tokens_expr
+
+    grams = _word_ngrams_expr(tokens_expr(F.col(text_col)), n)
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+    per_gram = exploded.groupBy(id_col, "__g").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum("__cnt").cast("bigint").alias("n_ngrams"),
+        F.sum(F.col("__cnt") * F.length("__g")).alias("__total_chars"),
+        F.max(
+            F.struct(
+                F.col("__cnt").alias("c"),
+                F.length("__g").alias("l"),
+                F.col("__g").alias("g"),
+            )
+        ).alias("__top"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_ngrams"), F.lit(0).cast("bigint")).alias("n_ngrams"),
+            F.round(
+                (F.col("__top.c") * F.col("__top.l")).cast("double")
+                / F.col("__total_chars").cast("double"),
+                6,
+            ).alias("top_ngram_char_frac"),
         )
     )

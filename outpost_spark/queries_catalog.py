@@ -1505,6 +1505,47 @@ def text_ngram_repetition(spark, sf_dir):
 
 
 @_register(
+    "text_top_ngram_fraction",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(list_slice(ws, i, i + 2), ' ') AS g
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM toks)
+    ),
+    pg AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY doc_id, g),
+    pd AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_ngrams,
+             sum(cnt * length(g)) AS total_chars,
+             max(struct_pack(c := cnt, l := length(g), g := g)) AS top
+      FROM pg GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(pd.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           round((pd.top.c * pd.top.l) * 1.0 / pd.total_chars, 6)
+             AS top_ngram_char_frac
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    """,
+)
+def text_top_ngram_fraction(spark, sf_dir):
+    """Gopher's TOP-n-gram character fraction (Rae et al. 2021 App.
+    A1.1, n in 2..4) at n=3 — the fraction of n-gram characters inside
+    the document's single most frequent n-gram, champion chosen by the
+    (count, length, gram) total order in both engines
+    (ops/text.py:top_ngram_fraction); completes the A1.1 repetition
+    family next to text_ngram_repetition's duplicate fraction
+    (VERDICT r07 'Next round' #7)."""
+    from outpost_spark.ops.text import top_ngram_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_ngram_fraction(docs, "text", "doc_id", n=3)
+
+
+@_register(
     "sample_temperature_mix",
     f"""
     WITH s AS (
@@ -3679,14 +3720,58 @@ def publish_validation(spark, sf_dir):
     )
 
 
-@_register("attempt_record_include", None)  # struct output — rows-only check
+@_register(
+    "attempt_record_include",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT attempt_id, event_id, tenant_id, destination_id,
+           'webhook' AS destination_type, status, attempt_number, manual,
+           attempt_time,
+           to_json(struct_pack(
+             event_id := event_id,
+             tenant_id := tenant_id,
+             destination_id := destination_id,
+             topic := topic,
+             time_us := epoch_us(event_time),
+             data := data)) AS event_json
+    FROM src
+    """,
+)
 def attempt_record_include(spark, sf_dir):
     """J2/P2: AttemptRecord{attempt, event} struct packing with include[]
-    expansions (driver/driver.go:82-85) — no runtime join, single-row shape."""
+    expansions (driver/driver.go:82-85) — no runtime join, single-row
+    shape.  The nested event struct is serialized to CANONICAL JSON for
+    the value hash (key order = struct order, nulls kept, timestamps as
+    epoch micros), which Spark's ``to_json`` and DuckDB's
+    ``to_json(struct_pack(...))`` produce byte-identically — graduating
+    this entry from the rows-only check to a full value oracle
+    (VERDICT r07 'Next round' #6)."""
     from outpost_spark.tenantstore import attempt_record
 
     df = _events(spark, sf_dir).withColumn("destination_type", F.lit("webhook"))
-    return attempt_record(df, include=("event", "event.data"))
+    rec = attempt_record(df, include=("event", "event.data"))
+    return rec.select(
+        "attempt_id",
+        "event_id",
+        "tenant_id",
+        "destination_id",
+        "destination_type",
+        "status",
+        "attempt_number",
+        "manual",
+        "attempt_time",
+        F.to_json(
+            F.struct(
+                F.col("event.event_id").alias("event_id"),
+                F.col("event.tenant_id").alias("tenant_id"),
+                F.col("event.destination_id").alias("destination_id"),
+                F.col("event.topic").alias("topic"),
+                F.unix_micros(F.col("event.time")).alias("time_us"),
+                F.col("event.data").alias("data"),
+            ),
+            {"ignoreNullFields": "false"},
+        ).alias("event_json"),
+    )
 
 
 @_register(
@@ -3895,16 +3980,12 @@ def text_fix_mojibake(spark, sf_dir):
     return fix_mojibake(docs, "text", "doc_id")
 
 
-def _build_curate_v5_sql() -> str:
-    """Composed oracle for pipeline_curate_corpus_v5: mojibake replace
-    chain -> quality gate (formula identical to _QUALITY_SQL, over the
-    REPAIRED text) -> self-trained bigram-LM perplexity gate (the
-    lm_bigram_score CTEs over the quality-passing slice, true-ppl
-    threshold, short docs kept) -> exact-dedup window -> 90/5/5 hash
-    split."""
-    frac = _HASH_FRAC_SQL.format(seed="curate")
-    return f"""
-    WITH fx AS (SELECT doc_id, {_fix_mojibake_sql("text")} AS text FROM documents),
+def _curate_v5_ctes() -> str:
+    """The v5 cleaning-cascade CTE chain up to the exact-deduped
+    survivor set ``ex`` — shared by the v5 oracle (which stamps splits)
+    and the v6 capstone oracle (which filters to train and keeps
+    sampling/packaging)."""
+    return f"""fx AS (SELECT doc_id, {_fix_mojibake_sql("text")} AS text FROM documents),
     qm AS (
       SELECT doc_id,
              CAST(length(text) AS DOUBLE) AS n_chars,
@@ -3941,12 +4022,87 @@ def _build_curate_v5_sql() -> str:
         SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cmin
         FROM gated
       ) WHERE doc_id = cmin
-    )
+    )"""
+
+
+def _build_curate_v5_sql() -> str:
+    """Composed oracle for pipeline_curate_corpus_v5: mojibake replace
+    chain -> quality gate (formula identical to _QUALITY_SQL, over the
+    REPAIRED text) -> self-trained bigram-LM perplexity gate (the
+    lm_bigram_score CTEs over the quality-passing slice, true-ppl
+    threshold, short docs kept) -> exact-dedup window -> 90/5/5 hash
+    split."""
+    frac = _HASH_FRAC_SQL.format(seed="curate")
+    return f"""
+    WITH {_curate_v5_ctes()}
     SELECT doc_id,
            CASE WHEN {frac} < 0.9 THEN 'train'
                 WHEN {frac} < 0.95 THEN 'val'
                 ELSE 'test' END AS split
     FROM ex
+    """
+
+
+def _build_curate_v6_sql() -> str:
+    """Composed oracle for pipeline_curate_corpus_v6 — the capstone:
+    the full v5 cascade, train split only, then temperature mixing
+    (alpha=0.5, target 300), a 120k-char token-budget prefix, the
+    deterministic 8-way shard shuffle, and the bounded two-level
+    per-shard manifests.  Every sub-chain is copied verbatim from its
+    standalone entry's oracle, so this pins the COMPOSITION."""
+    split_frac = _HASH_FRAC_SQL.format(seed="curate")
+    mix_frac = _HASH_FRAC_SQL.format(seed="temp")
+    return f"""
+    WITH {_curate_v5_ctes()},
+    tr AS (SELECT doc_id FROM ex WHERE {split_frac} < 0.9),
+    m AS (
+      SELECT t.doc_id, d.lang, d.n_chars
+      FROM tr t JOIN documents d USING (doc_id)
+    ),
+    s AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM m GROUP BY lang),
+    z AS (SELECT sum(pow(n, 0.5)) AS z FROM s),
+    r AS (
+      SELECT lang,
+             round(least(1.0, 300.0 * pow(n, 0.5) / (SELECT z FROM z) / n), 9)
+               AS rate
+      FROM s
+    ),
+    mx AS (
+      SELECT m.doc_id, m.n_chars
+      FROM m JOIN r USING (lang)
+      WHERE {mix_frac} < r.rate
+    ),
+    bk AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             CAST(('0x' || substr(md5('budget|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS k
+      FROM mx
+    ),
+    kept AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, w, sum(w) OVER (ORDER BY k, doc_id) AS c FROM bk) z2
+      WHERE c <= 120000
+    ),
+    sh AS (
+      SELECT doc_id, w,
+             CAST(CAST(('0x' || substr(md5('shuffle|shard|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INT) AS shard
+      FROM kept
+    ),
+    sub AS (
+      SELECT shard,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS sb,
+             count(*) AS n_docs,
+             sum(w) AS mass,
+             md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                 ORDER BY CAST(doc_id AS VARCHAR))) AS sub_md5
+      FROM sh
+      GROUP BY shard, sb
+    )
+    SELECT shard,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(mass) AS BIGINT) AS mass,
+           md5(string_agg(sub_md5, ',' ORDER BY sub_md5)) AS ids_checksum
+    FROM sub
+    GROUP BY shard
     """
 
 
@@ -3965,6 +4121,22 @@ def pipeline_curate_corpus_v5(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return curate_corpus_v5(docs, max_ppl=31.0)
+
+
+@_register("pipeline_curate_corpus_v6", _build_curate_v6_sql())
+def pipeline_curate_corpus_v6(spark, sf_dir):
+    """The training-set assembly capstone (r08): the v5 cleaning
+    cascade, train split only, then temperature-flattened language
+    mixing (alpha=0.5, target 300) -> 120k-char token-budget prefix ->
+    deterministic 8-way shard shuffle -> bounded two-level per-shard
+    manifests — the single entry a training-data team would actually
+    run, returning the manifest table its job verifies before step one.
+    One composed DuckDB oracle re-derives the whole chain, LM
+    retraining included (ops/pipeline.py:curate_corpus_v6)."""
+    from outpost_spark.ops.pipeline import curate_corpus_v6
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate_corpus_v6(docs, max_ppl=31.0)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

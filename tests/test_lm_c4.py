@@ -227,6 +227,42 @@ def test_ngram_repetition_planted_loops(spark):
     assert out5[2]["dup_ngram_char_frac"] == 0.0
 
 
+def test_top_ngram_fraction_planted_champion(spark):
+    """Top-n-gram char fraction: a doc dominated by one repeated
+    trigram scores near its mass share; uniform text scores one
+    window's share; ties resolve by the (count, length, gram) order;
+    short docs are NULL (Rae et al. 2021 App. A1.1)."""
+    from outpost_spark.ops.text import top_ngram_fraction
+
+    df = spark.createDataFrame(
+        [
+            # "click here now" ×4 -> champion trigram dominates
+            (1, " ".join(["click here now"] * 4) + " unrelated tail"),
+            (2, "q w e r t y u"),     # all trigrams unique
+            (3, "a b"),               # too short for n=3
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in top_ngram_fraction(df, "text", "doc_id", n=3).collect()
+    }
+    # doc 1: champion "click here now" occurs 4x (len 14); windows=12
+    mass1 = sum(
+        len(" ".join(t))
+        for t in zip(*[
+            (" ".join(["click", "here", "now"] * 4) + " unrelated tail").split()[k:]
+            for k in range(3)
+        ])
+    )
+    assert out[1]["top_ngram_char_frac"] == pytest.approx(4 * 14 / mass1, abs=1e-6)
+    # doc 2: 5 windows, all count 1 -> champion by (len, lex): "r t y"
+    # and "t y u" tie on count+len -> lexicographically greatest wins;
+    # every window has length 5, so frac = 5 / 25
+    assert out[2]["top_ngram_char_frac"] == pytest.approx(5 / 25, abs=1e-6)
+    assert out[3]["n_ngrams"] == 0 and out[3]["top_ngram_char_frac"] is None
+
+
 def test_fix_mojibake_roundtrip_property():
     """Property (hypothesis): for any text over printable ASCII + the
     repair table's characters, corrupt -> fix is the identity — the
