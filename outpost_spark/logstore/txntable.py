@@ -580,10 +580,24 @@ class TxnTable:
         target_files: int = 1,
         stats_filter: dict | None = None,
         stats_cols: tuple[str, ...] = (),
+        zorder_cols: tuple[str, ...] | list[str] | None = None,
+        zorder_bits: int = 8,
     ) -> int:
         """Rewrite the (optionally stats-restricted) live files into
         ``target_files`` files in one atomic commit; returns input file
-        count (0 = nothing to do)."""
+        count (0 = nothing to do).
+
+        ``zorder_cols`` turns the rewrite into OPTIMIZE ZORDER behind
+        the commit log (r08, VERDICT r07 stretch #9): rows re-cluster by
+        the Morton key of the listed columns (``layout.zorder_expr`` —
+        equi-depth ranks + codegen bit-interleave), files are disjoint
+        z-slabs via ``repartitionByRange``, and the listed columns are
+        folded into ``stats_cols`` so the txn read path's file-level
+        stats pruning works on EVERY z-ordered column immediately after
+        the rewrite.  Unlike plain compaction, a z-order rewrite is
+        useful even when the file count already matches
+        ``target_files`` (the point is layout, not count), so only an
+        empty table short-circuits."""
         entries = self.files()
         if stats_filter:
             def overlaps(e):
@@ -596,13 +610,26 @@ class TxnTable:
                 return True
 
             entries = [e for e in entries if overlaps(e)]
-        if len(entries) <= target_files:
+        if len(entries) <= (0 if zorder_cols else target_files):
             return 0
         schema = self.schema()
         src = self.spark.read.schema(schema).parquet(
             *[self.fs.join(self.path, e.path) for e in entries]
         )
-        adds = self._stage(src.coalesce(target_files), None, tuple(stats_cols))
+        if zorder_cols:
+            from outpost_spark.logstore.layout import zorder_expr
+
+            z = zorder_expr(src, list(zorder_cols), bits=zorder_bits)
+            out = (
+                src.withColumn("__z", z)
+                .repartitionByRange(target_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+            stats_cols = tuple(dict.fromkeys(tuple(stats_cols) + tuple(zorder_cols)))
+        else:
+            out = src.coalesce(target_files)
+        adds = self._stage(out, None, tuple(stats_cols))
         self._commit_with_retry(
             {"op": "compact", "adds": adds, "removes": [e.path for e in entries]}
         )

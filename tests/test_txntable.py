@@ -218,6 +218,56 @@ def test_compact_txn_branch_atomic_and_month_scoped(spark, tmp_path):
     assert compact_partition(spark, p, "202401", target_files=1) == 0
 
 
+def test_compact_zorder_prunes_both_columns_through_log(spark, tmp_path):
+    """OPTIMIZE ZORDER behind the commit log (r08): compact(zorder_cols)
+    re-clusters by the Morton key in ONE atomic commit; afterwards the
+    txn read path's file-level stats pruning drops files for filters on
+    EACH z-ordered column, content survives exactly, and time travel to
+    the pre-compact version still sees the old layout."""
+    p = str(tmp_path / "zt")
+    # two deliberately uncorrelated columns
+    df = spark.range(40000).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("t"), (F.col("id") % 16).cast("string")).alias("tenant_id"),
+        ((F.col("id") * 7919) % 40000).cast("long").alias("ts"),
+    )
+    t = TxnTable.get_or_create(spark, p, df.schema)
+    # several appends -> several files with interleaved key ranges
+    for i in range(4):
+        t.append(df.filter(F.col("event_id") % 4 == i))
+    v_before = t.version()
+    before = {r["event_id"] for r in t.read().collect()}
+
+    n = t.compact(
+        target_files=8, zorder_cols=("tenant_id", "ts"), zorder_bits=8
+    )
+    assert n >= 4
+    # content identical, single commit, time travel intact
+    assert {r["event_id"] for r in t.read().collect()} == before
+    assert t.version() == v_before + 1
+    assert len(t.files(v_before)) == n
+
+    # file-level pruning from the LOG alone, on BOTH columns
+    entries = t.files()
+    assert len(entries) == 8
+    assert all("tenant_id" in e.stats and "ts" in e.stats for e in entries)
+
+    pruned_tenant = t.read(stats_isin={"tenant_id": ["t3"]})
+    pruned_ts = t.read(stats_filter={"ts": (10000, 12000)})
+    full_files = len(t.read().inputFiles())
+    assert len(pruned_tenant.inputFiles()) < full_files
+    assert len(pruned_ts.inputFiles()) < full_files
+    # pruning is a superset guarantee: exact predicate on top matches
+    assert (
+        pruned_tenant.filter(F.col("tenant_id") == "t3").count()
+        == df.filter(F.col("tenant_id") == "t3").count()
+    )
+    assert (
+        pruned_ts.filter(F.col("ts").between(10000, 12000)).count()
+        == df.filter(F.col("ts").between(10000, 12000)).count()
+    )
+
+
 def test_vacuum_respects_time_travel_window(spark, tmp_path):
     p = str(tmp_path / "t")
     df = _mk_df(spark, 50)
