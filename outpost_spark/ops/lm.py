@@ -226,3 +226,51 @@ def perplexity_gate(
         .filter(F.col("lm_ppl").isNull() | (F.col("lm_ppl") <= max_ppl))
         .drop("lm_ppl")
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    train_df: DataFrame | None = None,
+    alpha: float = 0.4,
+    cuts: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet's head/middle/tail split proper (Wenzek et al. 2020 §4.4):
+    documents bucketed by LM perplexity percentile — "head" is the most
+    fluent third, "tail" the most surprising, and downstream training
+    mixes sample the buckets at different rates.  Completes the CCNet
+    surface next to :func:`perplexity_gate`'s single-threshold cut.
+
+    Scale shape — deliberately NOT a global ``ntile`` (a single-
+    partition window is a serial bottleneck at corpus scale): the cut
+    THRESHOLDS come from one exact-percentile aggregate over the
+    (id, ppl) frame (CCNet itself computes cutoffs once, on a sample),
+    rounded to the same 6-decimal scale the scores carry so the
+    DuckDB oracle lands every boundary document in the same bucket;
+    assignment is then a broadcast-free codegen comparison.  Documents
+    too short to score get the explicit ``unscored`` bucket (CCNet
+    keeps them out of the percentile basis).
+
+    Output: (id, lm_ppl, ppl_bucket).
+    """
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(
+            f"need len(cuts)+1 labels, got {len(cuts)} cuts / {len(labels)} labels"
+        )
+    scored = bigram_lm_score(
+        df, text_col, id_col, train_df=train_df, alpha=alpha
+    ).select(id_col, "lm_ppl")
+    scored = scored.localCheckpoint(eager=True)  # scoring runs ONCE, not per use
+    pcts = ", ".join(repr(c) for c in cuts)
+    row = scored.filter(F.col("lm_ppl").isNotNull()).agg(
+        F.expr(f"percentile(lm_ppl, array({pcts}))").alias("t")
+    ).first()
+    thresholds = [round(float(t), _LP_SCALE) for t in (row["t"] or [])]
+    bucket = F.when(F.col("lm_ppl").isNull(), F.lit("unscored"))
+    for t, lab in zip(thresholds, labels):
+        bucket = bucket.when(F.col("lm_ppl") <= F.lit(t), F.lit(lab))
+    bucket = bucket.otherwise(F.lit(labels[-1]))
+    return scored.select(id_col, "lm_ppl", bucket.alias("ppl_bucket"))

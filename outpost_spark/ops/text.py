@@ -943,3 +943,49 @@ def top_ngram_fraction(
             ).alias("top_ngram_char_frac"),
         )
     )
+
+
+# PII patterns, ordered: each stage must run on the PREVIOUS stage's
+# output (an email contains digit runs a phone pattern could mangle;
+# an IPv4 is dotted digits a phone pattern would half-match), so the
+# replace chain is email -> ipv4 -> phone.  Kept to syntax both Java
+# regex (Spark) and RE2 (DuckDB) evaluate identically: no lookaround,
+# no backreferences.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"(?:\+\d{1,3}[-. ]?)?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]\d{3,4}\b"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """PII scrubbing — the pre-training redaction pass every public
+    corpus pipeline runs (C4 removed pages on badwords; modern
+    pipelines redact in place, cf. BigScience ROOTS / RedPajama-v2 PII
+    tagging): emails, IPv4 addresses, and phone-shaped numbers are
+    replaced with typed placeholders, and per-type match counts are
+    kept so downstream filters can drop PII-dense documents instead of
+    just cleaning them.
+
+    Output: (id, redacted_text, n_emails, n_ipv4, n_phones).
+
+    Entirely whole-stage-codegen: three chained ``regexp_replace`` +
+    three ``regexp_extract_all`` counts over the scan, zero shuffles,
+    zero Python — the patterns avoid lookaround/backreferences so
+    Java regex and RE2 (the DuckDB oracle) agree byte-for-byte.
+    """
+    text = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        .cast("bigint")
+        .alias(f"n_{name}s" if name != "ipv4" else "n_ipv4")
+        for name, pat in PII_PATTERNS
+    ]
+    red = text
+    for name, pat in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return df.select(
+        F.col(id_col),
+        red.alias("redacted_text"),
+        *counts,
+    )

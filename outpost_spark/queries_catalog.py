@@ -1625,6 +1625,72 @@ def sample_shard_manifest(spark, sf_dir):
 
 
 @_register(
+    "text_redact_pii",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN ' contact bob' || CAST(doc_id AS VARCHAR) || '@example.com now'
+               WHEN 1 THEN ' server 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 down'
+               WHEN 2 THEN ' call +1 555-123-4567 today'
+               ELSE ''
+             END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+             '(?:\+\d{1,3}[-. ]?)?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]\d{3,4}\b', '<PHONE>', 'g')
+             AS redacted_text,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text,
+             '(?:\+\d{1,3}[-. ]?)?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]\d{3,4}\b')) AS BIGINT) AS n_phones
+    FROM d
+    """,
+)
+def text_redact_pii(spark, sf_dir):
+    """PII redaction (r08, L68): emails / IPv4s / phone-shaped numbers
+    replaced with typed placeholders plus per-type match counts — the
+    in-place scrubbing pass (ROOTS/RedPajama-v2 style) a pre-training
+    pipeline runs where C4 would drop the whole page.  Deterministic
+    PII is synthesized onto the corpus (the dedup_url_canonical
+    pattern) so the entry exercises every pattern; three chained
+    regexp_replace + three counts, all codegen, RE2-portable
+    (ops/text.py:redact_pii)."""
+    from outpost_spark.ops.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" contact bob"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(
+                    F.lit(" server 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1 down"),
+                ),
+            )
+            .when(F.col("doc_id") % 4 == 2, F.lit(" call +1 555-123-4567 today"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(docs, "text", "doc_id")
+
+
+@_register(
     "sample_stratified_quota",
     f"""
     SELECT lang, doc_id FROM (
@@ -3884,6 +3950,41 @@ def lm_bigram_score(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return bigram_lm_score(docs, "text", "doc_id")
+
+
+@_register(
+    "lm_ppl_buckets",
+    f"""
+    WITH src AS (SELECT doc_id, text FROM documents),
+    {_lm_ctes("src")},
+    sc AS (
+      SELECT d.doc_id, round(exp(-p.lm_score), 6) AS lm_ppl
+      FROM documents d LEFT JOIN __pd p ON d.doc_id = p.doc_id
+    ),
+    th AS (
+      SELECT round(quantile_cont(lm_ppl, 1.0/3.0), 6) AS t1,
+             round(quantile_cont(lm_ppl, 2.0/3.0), 6) AS t2
+      FROM sc WHERE lm_ppl IS NOT NULL
+    )
+    SELECT doc_id, lm_ppl,
+           CASE WHEN lm_ppl IS NULL THEN 'unscored'
+                WHEN lm_ppl <= (SELECT t1 FROM th) THEN 'head'
+                WHEN lm_ppl <= (SELECT t2 FROM th) THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM sc
+    """,
+)
+def lm_ppl_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail perplexity split proper (Wenzek et al.
+    2020 §4.4, L70): exact-percentile cut thresholds (one tiny
+    aggregate, rounded to the shared 6-decimal scale) + a codegen
+    comparison — deliberately NOT a global ntile window, which would
+    serialize the corpus through one partition; unscoreable docs get an
+    explicit bucket (ops/lm.py:perplexity_buckets)."""
+    from outpost_spark.ops.lm import perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, "text", "doc_id")
 
 
 @_register(

@@ -227,6 +227,30 @@ def test_ngram_repetition_planted_loops(spark):
     assert out5[2]["dup_ngram_char_frac"] == 0.0
 
 
+def test_perplexity_buckets_tiers_and_unscored(spark):
+    """head/middle/tail split: a corpus with one dominant fluent
+    pattern puts conforming docs in head, rarer phrasing in later
+    buckets, docs too short to score in 'unscored'; thresholds are
+    percentiles, so the scored docs split ~evenly."""
+    from outpost_spark.ops.lm import perplexity_buckets
+
+    # three tiers sharing the hot token "the" with continuation
+    # frequencies 6 / 3 / 1 — self-scoring makes singleton bigrams
+    # perfectly predictable, so the tiers must CONTEND on w1
+    rows = [(i, "the cat sat on the mat") for i in range(6)]
+    rows += [(10 + i, "the dog sat on the rug") for i in range(3)]
+    rows += [(20, "the zebra the quokka the vortex"), (21, "x")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in perplexity_buckets(df, "text", "doc_id").collect()}
+    assert out[21]["ppl_bucket"] == "unscored" and out[21]["lm_ppl"] is None
+    # dominant pattern = most predictable -> head (all 6, tied ppl)
+    assert all(out[i]["ppl_bucket"] == "head" for i in range(6))
+    assert all(out[10 + i]["ppl_bucket"] == "middle" for i in range(3))
+    # the rare-continuation doc is the most surprising -> tail
+    assert out[20]["ppl_bucket"] == "tail"
+    assert out[0]["lm_ppl"] < out[10]["lm_ppl"] < out[20]["lm_ppl"]
+
+
 def test_top_ngram_fraction_planted_champion(spark):
     """Top-n-gram char fraction: a doc dominated by one repeated
     trigram scores near its mass share; uniform text scores one

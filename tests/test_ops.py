@@ -1601,6 +1601,36 @@ def test_pack_sequences_invariants_and_quality(spark):
     assert own.count() == 2 and own.select("pack_id").distinct().count() == 2
 
 
+def test_redact_pii_planted(spark):
+    """PII scrubbing: each pattern redacts its plant, the chain order
+    protects emails/IPs from the phone pattern, counts are per-type on
+    the original text, and clean text passes through untouched."""
+    from outpost_spark.ops.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail alice.smith+x@sub.example.co.uk and bob@ex.io ok"),
+            (2, "host 192.168.1.254 then 10.0.0.1 up"),
+            (3, "call +1 555-123-4567 or (089) 123-4567 now"),
+            (4, "no pii here at all"),
+            (5, "mixed a@b.com via 8.8.8.8 dial +49 30 1234-567"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df, "text", "doc_id").collect()}
+    assert out[1]["redacted_text"] == "mail <EMAIL> and <EMAIL> ok"
+    assert out[1]["n_emails"] == 2 and out[1]["n_phones"] == 0
+    assert out[2]["redacted_text"] == "host <IPV4> then <IPV4> up"
+    assert out[2]["n_ipv4"] == 2
+    assert out[3]["redacted_text"] == "call <PHONE> or <PHONE> now"
+    assert out[3]["n_phones"] == 2
+    assert out[4]["redacted_text"] == "no pii here at all"
+    assert (out[4]["n_emails"], out[4]["n_ipv4"], out[4]["n_phones"]) == (0, 0, 0)
+    # ordering: the IP is consumed by the IPv4 stage, never half-eaten
+    # by the phone pattern
+    assert out[5]["redacted_text"] == "mixed <EMAIL> via <IPV4> dial <PHONE>"
+
+
 def test_gopher_quality_rules(spark):
     """Each Gopher rule (Rae et al. 2021 A1.1) must reject exactly the
     crafted document that violates it, and a clean document passes."""
