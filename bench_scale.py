@@ -921,6 +921,17 @@ def run_only_case(case: str, args) -> None:
     )
     _warm_python_workers(spark, cpus)
     recall: dict = {}
+    reqs = bench_requests()
+    if case in reqs:
+        path = os.path.join(root, f"attempts_{args.events}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            generate(spark, path, args.events)
+        att = spark.read.parquet(path)
+        t0 = time.perf_counter()
+        rows = len(query_attempt_metrics(att, reqs[case]).collect())
+        secs = round(time.perf_counter() - t0, 4)
+        print(json.dumps({"case": case, "secs": secs, "rows": rows, "recall": {}}))
+        return
     dpath = os.path.join(root, f"documents_{args.docs}")
     if not os.path.exists(os.path.join(dpath, "_SUCCESS")):
         generate_documents(spark, dpath, args.docs)
@@ -954,18 +965,29 @@ def _run_case_isolated(case: str, args) -> dict:
         "--docs",
         str(args.docs),
     ]
-    proc = subprocess.run(cmd, capture_output=True, text=True, check=False)
-    for line in reversed(proc.stdout.strip().splitlines()):
-        try:
-            out = json.loads(line)
-            if out.get("case") == case:
-                return out
-        except ValueError:
-            continue
-    raise RuntimeError(
-        f"isolated case {case} produced no JSON (rc={proc.returncode}):\n"
-        f"{proc.stderr[-2000:]}"
-    )
+    last = None
+    for attempt in (0, 1):  # one retry: a fresh JVM can die transiently
+        proc = subprocess.run(cmd, capture_output=True, text=True, check=False)
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                out = json.loads(line)
+                if out.get("case") == case:
+                    if attempt:
+                        out["retried"] = True
+                    return out
+            except ValueError:
+                continue
+        errpath = f"/tmp/bench_scale_only_{case}.stderr"
+        with open(errpath, "w") as fh:
+            fh.write(proc.stderr)
+        last = RuntimeError(
+            f"isolated case {case} produced no JSON "
+            f"(rc={proc.returncode}, full stderr at {errpath}):\n"
+            f"{proc.stderr[-4000:]}"
+        )
+        print(f"isolated {case} attempt {attempt} failed, rc={proc.returncode}",
+              file=sys.stderr)
+    raise last
 
 
 def main() -> None:
