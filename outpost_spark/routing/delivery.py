@@ -183,3 +183,366 @@ def deliver_sqs(
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+def deliver_rabbitmq(
+    df: DataFrame,
+    *,
+    server_url: str,
+    declare_queue: str | None = None,
+) -> DataFrame:
+    """Publish ``format_rabbitmq`` frames (exchange, routing_key,
+    content_type, headers, body) over the stdlib AMQP 0-9-1 client —
+    the reference's destrabbitmq provider.  One connection per
+    PARTITION, reused across its rows; metadata headers and
+    content-type ride in the basic properties.
+
+    AMQP publish is fire-and-forget (publisher confirms are out of
+    scope, like the reference's amqp091 default): a row is 'success'
+    once its frames are written and the connection is still healthy at
+    partition end (a broker-side error closes the channel, which the
+    closing handshake surfaces); transport failures mark the remaining
+    rows failed.  Appends the same (status, response_code,
+    response_data) triple — code 200 on publish, 0 on failure."""
+    schema = _result_schema(df)
+
+    def run(batches):
+        from outpost_spark.sources.rabbitmq_source import AmqpClient
+
+        client = None
+        broken: str | None = None
+
+        def conn():
+            nonlocal client
+            if client is None or not client.connected:
+                c = AmqpClient(server_url).connect()
+                if declare_queue:
+                    c.declare_queue(declare_queue)
+                client = c
+            return client
+
+        for pdf in batches:
+            n = len(pdf)
+            status, codes, resp = ["failed"] * n, [0] * n, [""] * n
+            for i in range(n):
+                if broken:
+                    resp[i] = broken
+                    continue
+                try:
+                    conn().publish(
+                        pdf["routing_key"].iloc[i],
+                        pdf["body"].iloc[i].encode("utf-8"),
+                        exchange=pdf["exchange"].iloc[i],
+                        content_type=pdf["content_type"].iloc[i],
+                        headers=dict(pdf["headers"].iloc[i] or {}),
+                    )
+                    status[i], codes[i], resp[i] = "success", 200, "published"
+                except Exception as e:
+                    broken = f"{type(e).__name__}: {e}"
+                    resp[i] = broken
+            pdf = pdf.copy()
+            pdf["status"] = status
+            pdf["response_code"] = codes
+            pdf["response_data"] = resp
+            yield pdf
+        if client is not None:
+            client.close()
+
+    return df.mapInPandas(run, schema)
+
+
+def deliver_pubsub(
+    df: DataFrame,
+    *,
+    project: str,
+    topic: str,
+    endpoint: str = "https://pubsub.googleapis.com",
+    token: str | None = None,
+    api_batch: int = 100,
+) -> DataFrame:
+    """Publish ``format_pubsub`` frames (data + attributes) via the
+    public REST ``topics:publish`` in ``api_batch``-message calls — the
+    reference's destgcppubsub provider.  Per-row response_data carries
+    the server-assigned messageId; an HTTP failure marks that call's
+    rows failed with the status code."""
+    import base64 as _b64
+
+    schema = _result_schema(df)
+    url = f"{endpoint.rstrip('/')}/v1/projects/{project}/topics/{topic}:publish"
+
+    def run(batches):
+        import json as _json
+        import urllib.error
+        import urllib.request
+
+        def post(msgs):
+            req = urllib.request.Request(
+                url,
+                data=_json.dumps({"messages": msgs}).encode("utf-8"),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            if token:
+                req.add_header("Authorization", f"Bearer {token}")
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return _json.loads(r.read().decode("utf-8")).get("messageIds", [])
+
+        for pdf in batches:
+            n = len(pdf)
+            status, codes, resp = ["failed"] * n, [0] * n, [""] * n
+            for lo in range(0, n, api_batch):
+                idx = range(lo, min(lo + api_batch, n))
+                msgs = [
+                    {
+                        "data": _b64.b64encode(
+                            pdf["data"].iloc[i].encode("utf-8")
+                        ).decode("ascii"),
+                        "attributes": dict(pdf["attributes"].iloc[i] or {}),
+                    }
+                    for i in idx
+                ]
+                try:
+                    ids = post(msgs)
+                except urllib.error.HTTPError as e:
+                    body = e.read(2048).decode("utf-8", "replace")
+                    for i in idx:
+                        codes[i], resp[i] = int(e.code), body
+                    continue
+                except Exception as e:
+                    for i in idx:
+                        resp[i] = f"{type(e).__name__}: {e}"
+                    continue
+                for j, i in enumerate(idx):
+                    status[i], codes[i] = "success", 200
+                    resp[i] = ids[j] if j < len(ids) else ""
+            pdf = pdf.copy()
+            pdf["status"] = status
+            pdf["response_code"] = codes
+            pdf["response_data"] = resp
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def deliver_azuresb(
+    df: DataFrame,
+    *,
+    endpoint: str,
+    queue: str,
+    sas_token: str | None = None,
+) -> DataFrame:
+    """Send ``format_azure_servicebus`` frames (body + application
+    properties) with the public REST send operation (POST
+    /{queue}/messages; custom properties as HTTP headers) — the
+    reference's destazureservicebus provider."""
+    schema = _result_schema(df)
+    url = f"{endpoint.rstrip('/')}/{queue}/messages"
+
+    def run(batches):
+        import urllib.error
+        import urllib.request
+
+        for pdf in batches:
+            n = len(pdf)
+            status, codes, resp = ["failed"] * n, [0] * n, [""] * n
+            for i in range(n):
+                req = urllib.request.Request(
+                    url,
+                    data=pdf["body"].iloc[i].encode("utf-8"),
+                    headers={"Content-Type": "application/json"},
+                    method="POST",
+                )
+                for k, v in dict(pdf["application_properties"].iloc[i] or {}).items():
+                    req.add_header(k, v)
+                if sas_token:
+                    req.add_header("Authorization", sas_token)
+                try:
+                    with urllib.request.urlopen(req, timeout=30) as r:
+                        status[i], codes[i] = "success", int(r.status)
+                except urllib.error.HTTPError as e:
+                    codes[i] = int(e.code)
+                    resp[i] = e.read(2048).decode("utf-8", "replace")
+                except Exception as e:
+                    resp[i] = f"{type(e).__name__}: {e}"
+            pdf = pdf.copy()
+            pdf["status"] = status
+            pdf["response_code"] = codes
+            pdf["response_data"] = resp
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def deliver_kinesis(
+    df: DataFrame,
+    *,
+    stream_name: str,
+    endpoint_url: str | None = None,
+    region: str | None = None,
+    client_kwargs: dict | None = None,
+) -> DataFrame:
+    """Publish ``format_kinesis`` frames (data + partition_key) with
+    ``put_records`` in 500-record API batches — destawskinesis's
+    publish surface.  Per-record failures (the API succeeds partially
+    by design) map onto rows as failed attempts with the error code;
+    successes carry the shard id + sequence number."""
+    schema = _result_schema(df)
+
+    def run(batches):
+        import boto3
+
+        kw = dict(client_kwargs or {})
+        if endpoint_url:
+            kw["endpoint_url"] = endpoint_url
+        if region:
+            kw["region_name"] = region
+        client = boto3.client("kinesis", **kw)
+
+        for pdf in batches:
+            n = len(pdf)
+            status, codes, resp = ["failed"] * n, [0] * n, [""] * n
+            for lo in range(0, n, 500):
+                idx = list(range(lo, min(lo + 500, n)))
+                recs = [
+                    {
+                        "Data": pdf["data"].iloc[i].encode("utf-8"),
+                        "PartitionKey": pdf["partition_key"].iloc[i],
+                    }
+                    for i in idx
+                ]
+                try:
+                    out = client.put_records(
+                        StreamName=stream_name, Records=recs
+                    )
+                except Exception as e:
+                    for i in idx:
+                        resp[i] = f"{type(e).__name__}: {e}"
+                    continue
+                for j, rec in enumerate(out.get("Records", [])):
+                    i = idx[j]
+                    if "SequenceNumber" in rec:
+                        status[i], codes[i] = "success", 200
+                        resp[i] = f"{rec.get('ShardId', '')}/{rec['SequenceNumber']}"
+                    else:
+                        codes[i] = 500
+                        resp[i] = f"{rec.get('ErrorCode', '')}: {rec.get('ErrorMessage', '')}"
+            pdf = pdf.copy()
+            pdf["status"] = status
+            pdf["response_code"] = codes
+            pdf["response_data"] = resp
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def deliver_s3(
+    df: DataFrame,
+    *,
+    endpoint_url: str | None = None,
+    region: str | None = None,
+    client_kwargs: dict | None = None,
+) -> DataFrame:
+    """Put ``format_s3`` frames (bucket, key, body, metadata,
+    content_type, checksum_sha256, storage_class) as objects —
+    destawss3's publish surface, checksum enforced server-side via
+    ``ChecksumSHA256`` so a corrupted payload is rejected by S3 itself,
+    exactly the provider's integrity contract."""
+    schema = _result_schema(df)
+
+    def run(batches):
+        import boto3
+
+        kw = dict(client_kwargs or {})
+        if endpoint_url:
+            kw["endpoint_url"] = endpoint_url
+        if region:
+            kw["region_name"] = region
+        client = boto3.client("s3", **kw)
+
+        for pdf in batches:
+            n = len(pdf)
+            status, codes, resp = ["failed"] * n, [0] * n, [""] * n
+            for i in range(n):
+                try:
+                    out = client.put_object(
+                        Bucket=pdf["bucket"].iloc[i],
+                        Key=pdf["key"].iloc[i],
+                        Body=pdf["body"].iloc[i].encode("utf-8"),
+                        Metadata=dict(pdf["metadata"].iloc[i] or {}),
+                        ContentType=pdf["content_type"].iloc[i],
+                        ChecksumSHA256=pdf["checksum_sha256"].iloc[i],
+                        StorageClass=pdf["storage_class"].iloc[i],
+                    )
+                    status[i], codes[i] = "success", 200
+                    resp[i] = out.get("ETag", "")
+                except Exception as e:
+                    code = getattr(e, "response", {}).get(
+                        "ResponseMetadata", {}
+                    ).get("HTTPStatusCode", 0)
+                    codes[i] = int(code or 0)
+                    resp[i] = f"{type(e).__name__}: {e}"
+            pdf = pdf.copy()
+            pdf["status"] = status
+            pdf["response_code"] = codes
+            pdf["response_data"] = resp
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def attempt_records(
+    results: DataFrame,
+    *,
+    attempt_time=None,
+    attempt_number_col: str = "attempt_number",
+    manual: bool = False,
+) -> DataFrame:
+    """Delivery-result rows -> denormalized LogEntry rows, ready for
+    ``logstore.insert.insert_many`` and the retry stream — the glue that
+    closes the reference's loop publish -> route -> deliver -> attempt
+    log -> retry (models/tasks.go:99-103 carries exactly this
+    denormalized shape between the delivery and log tiers).
+
+    The input must keep the event columns alongside the executor's
+    (status, response_code, response_data) — run the formatter on a
+    frame that retains them, or join back on event_id.  ``attempt_id``
+    is deterministic (md5 over event/destination/attempt_number), so a
+    re-delivered at-least-once duplicate collapses in the write-side
+    dedup instead of double-counting.
+    """
+    from pyspark.sql import functions as F
+
+    n = (
+        F.col(attempt_number_col).cast("int")
+        if attempt_number_col in results.columns
+        else F.lit(1)
+    )
+    at = attempt_time if attempt_time is not None else F.current_timestamp()
+    cols = [
+        F.md5(
+            F.concat_ws(
+                "|", F.col("event_id"), F.col("destination_id"), n.cast("string")
+            )
+        ).alias("attempt_id"),
+        "event_id",
+        "tenant_id",
+        "destination_id",
+        "topic",
+        F.coalesce(F.col("eligible_for_retry"), F.lit(True)).alias(
+            "eligible_for_retry"
+        )
+        if "eligible_for_retry" in results.columns
+        else F.lit(True).alias("eligible_for_retry"),
+        F.col("event_time")
+        if "event_time" in results.columns
+        else at.alias("event_time"),
+        "metadata",
+        "data",
+        "status",
+        at.alias("attempt_time"),
+        F.col("response_code").cast("string").alias("code"),
+        "response_data",
+        F.lit(manual).alias("manual"),
+        n.alias("attempt_number"),
+    ]
+    return results.select(*cols)

@@ -101,6 +101,32 @@ def empty_table() -> bytes:
     return struct.pack(">I", 0)
 
 
+def encode_table(d: dict) -> bytes:
+    """AMQP field table with long-string values (type 'S') — enough for
+    the metadata-headers map the publish path carries."""
+    body = b"".join(
+        shortstr(k) + b"S" + longstr(str(v).encode("utf-8"))
+        for k, v in d.items()
+    )
+    return struct.pack(">I", len(body)) + body
+
+
+def decode_table(data: bytes) -> dict:
+    """Inverse of :func:`encode_table` (string values only)."""
+    cur = Cursor(data)
+    out: dict = {}
+    while cur.pos < len(data):
+        k = cur.shortstr()
+        t = cur.octet()
+        if t == ord("S"):
+            out[k] = cur.longstr().decode("utf-8")
+        elif t == ord("t"):
+            out[k] = bool(cur.octet())
+        else:
+            raise AmqpError(f"unsupported field-table value type {chr(t)!r}")
+    return out
+
+
 class Cursor:
     """Sequential decoder over one frame payload."""
 
@@ -170,9 +196,42 @@ def _recv_exact(sock, n: int) -> bytes:
     return buf
 
 
-def content_header_payload(body_size: int, class_id: int = 60) -> bytes:
-    # class, weight(0), body size, property-flags 0x0000 (no properties)
-    return struct.pack(">HHQH", class_id, 0, body_size, 0)
+def content_header_payload(
+    body_size: int,
+    class_id: int = 60,
+    *,
+    content_type: str | None = None,
+    headers: dict | None = None,
+) -> bytes:
+    """class, weight(0), body size, property flags, properties.
+    Supported basic properties: content-type (flag bit 15) and the
+    headers field table (bit 13) — what ``format_rabbitmq`` frames
+    carry; everything else stays unset."""
+    flags = 0
+    props = b""
+    if content_type:
+        flags |= 0x8000
+        props += shortstr(content_type)
+    if headers:
+        flags |= 0x2000
+        props += encode_table(headers)
+    return struct.pack(">HHQH", class_id, 0, body_size, flags) + props
+
+
+def parse_content_header(payload: bytes) -> tuple[int, str | None, dict]:
+    """(body_size, content_type, headers) from a content HEADER frame
+    payload — the consumer-side inverse of
+    :func:`content_header_payload`."""
+    cur = Cursor(payload)
+    cur.short()  # class
+    cur.short()  # weight
+    size = cur.longlong()
+    flags = cur.short()
+    content_type = cur.shortstr() if flags & 0x8000 else None
+    if flags & 0x4000:
+        cur.shortstr()  # content-encoding
+    headers = decode_table(cur.longstr()) if flags & 0x2000 else {}
+    return size, content_type, headers
 
 
 def parse_amqp_url(url: str) -> dict:
@@ -314,17 +373,31 @@ class AmqpClient:
             struct.pack(">Q", delivery_tag) + (b"\x01" if multiple else b"\x00"),
         )
 
-    def publish(self, routing_key: str, body: bytes, *, exchange: str = "") -> None:
+    def publish(
+        self,
+        routing_key: str,
+        body: bytes,
+        *,
+        exchange: str = "",
+        content_type: str | None = None,
+        headers: dict | None = None,
+    ) -> None:
         """basic.publish through ``exchange`` (default: the nameless
         direct exchange, where routing key == queue name — gocloud
-        rabbitpubsub's KeyName=Queue mapping, queue_rabbitmq.go:96-99)."""
+        rabbitpubsub's KeyName=Queue mapping, queue_rabbitmq.go:96-99);
+        ``content_type``/``headers`` ride in the basic properties."""
         self._send_method(
             self.CHANNEL,
             BASIC_PUBLISH,
             struct.pack(">H", 0) + shortstr(exchange) + shortstr(routing_key) + b"\x00",
         )
         write_frame(
-            self._sock, FRAME_HEADER, self.CHANNEL, content_header_payload(len(body))
+            self._sock,
+            FRAME_HEADER,
+            self.CHANNEL,
+            content_header_payload(
+                len(body), content_type=content_type, headers=headers
+            ),
         )
         chunk = self.frame_max - 8  # frame overhead: 7-byte head + end marker
         for i in range(0, len(body), chunk) or [0]:
