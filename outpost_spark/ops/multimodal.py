@@ -528,3 +528,151 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return multimodal_df.select("id", "content").mapInPandas(gen, FRAMES_SCHEMA)
+
+
+# ---- audio: silence trim + resample ----------------------------------------
+
+def encode_wav(samples, rate: int, channels: int = 1) -> bytes:
+    """16-bit PCM WAV from an int16-valued numpy array / iterable —
+    decode_audio's inverse, so audio stages re-emit the same container
+    they consume (the encode_png/decode_image convention)."""
+    import wave
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def _wav_samples(content: bytes):
+    """(samples int16 ndarray [n_frames, channels], rate) of a 16-bit
+    PCM WAV; ValueError on anything else."""
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(content), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise ValueError(
+                    f"only 16-bit PCM supported, width={w.getsampwidth()}"
+                )
+            rate = w.getframerate()
+            ch = w.getnchannels()
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"not a WAV: {e}") from e
+    arr = np.frombuffer(frames, dtype="<i2").reshape(-1, ch)
+    return arr, rate
+
+
+def trim_silence_wav(
+    content: bytes, *, threshold: float = 0.01, frame_ms: int = 20
+) -> tuple[bytes, float, float]:
+    """Strip leading/trailing frames whose RMS (normalized to [0,1]) is
+    below ``threshold``; returns (trimmed_wav, leading_s, trailing_s).
+    An all-silent clip trims to zero frames (still a valid WAV)."""
+    import numpy as np
+
+    arr, rate = _wav_samples(content)
+    n = len(arr)
+    step = max(int(rate * frame_ms / 1000), 1)
+    norm = arr.astype(np.float64) / 32768.0
+    loud = []
+    for lo in range(0, n, step):
+        seg = norm[lo : lo + step]
+        loud.append(float(np.sqrt(np.mean(seg * seg))) >= threshold)
+    first = next((i for i, x in enumerate(loud) if x), len(loud))
+    last = next((i for i in range(len(loud) - 1, -1, -1) if loud[i]), -1)
+    lo, hi = first * step, min((last + 1) * step, n)
+    if lo >= hi:
+        lo = hi = 0
+    trimmed = encode_wav(arr[lo:hi].reshape(-1), rate, channels=arr.shape[1])
+    return trimmed, lo / rate, (n - hi) / rate
+
+
+def resample_wav(content: bytes, *, target_rate: int) -> bytes:
+    """Linear-interpolation resample to ``target_rate`` (the audio
+    analog of the nearest-neighbor image resize: real arithmetic, no
+    codec library) — per channel over 16-bit PCM."""
+    import numpy as np
+
+    arr, rate = _wav_samples(content)
+    if rate == target_rate or len(arr) == 0:
+        return encode_wav(arr.reshape(-1), target_rate, channels=arr.shape[1])
+    n_out = max(int(round(len(arr) * target_rate / rate)), 1)
+    x_out = np.linspace(0.0, len(arr) - 1, n_out)
+    x_in = np.arange(len(arr))
+    chans = [
+        np.interp(x_out, x_in, arr[:, c].astype(np.float64))
+        for c in range(arr.shape[1])
+    ]
+    out = np.stack(chans, axis=1).round().clip(-32768, 32767).astype("<i2")
+    return encode_wav(out.reshape(-1), target_rate, channels=arr.shape[1])
+
+
+AUDIO_CLEAN_SCHEMA = (
+    "id long, sample_rate int, duration_s double, out_duration_s double, "
+    "leading_trim_s double, trailing_trim_s double, rms double, "
+    "audio_ok boolean, content binary"
+)
+
+
+def clean_audio(
+    multimodal_df: DataFrame,
+    *,
+    target_rate: int | None = None,
+    silence_threshold: float = 0.01,
+    frame_ms: int = 20,
+) -> DataFrame:
+    """Corpus audio-prep stage: WAVs in, silence-trimmed (and optionally
+    resampled) WAVs out via Arrow-batched ``mapInPandas`` — the
+    standard speech-pipeline normalization before feature extraction.
+    Rows the decoder rejects come back ``audio_ok=false`` with null
+    content (corrupt members must not kill a corpus-scale job); stats
+    columns carry before/after durations and post-trim RMS so a
+    downstream gate can drop clips that are all silence or too short.
+    """
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "id": pdf["id"], "sample_rate": [], "duration_s": [],
+                "out_duration_s": [], "leading_trim_s": [],
+                "trailing_trim_s": [], "rms": [], "audio_ok": [],
+                "content": [],
+            }
+            for b in pdf["content"]:
+                try:
+                    meta = decode_audio(b)
+                    trimmed, lead, trail = trim_silence_wav(
+                        b, threshold=silence_threshold, frame_ms=frame_ms
+                    )
+                    if target_rate is not None:
+                        trimmed = resample_wav(trimmed, target_rate=target_rate)
+                    out_meta = decode_audio(trimmed)
+                    out["sample_rate"].append(out_meta["sample_rate"])
+                    out["duration_s"].append(meta["duration_s"])
+                    out["out_duration_s"].append(out_meta["duration_s"])
+                    out["leading_trim_s"].append(lead)
+                    out["trailing_trim_s"].append(trail)
+                    out["rms"].append(out_meta["rms"])
+                    out["audio_ok"].append(True)
+                    out["content"].append(trimmed)
+                except (ValueError, KeyError, struct.error):
+                    for k in (
+                        "sample_rate", "duration_s", "out_duration_s",
+                        "leading_trim_s", "trailing_trim_s", "rms", "content",
+                    ):
+                        out[k].append(None)
+                    out["audio_ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return multimodal_df.select("id", "content").mapInPandas(
+        gen, AUDIO_CLEAN_SCHEMA
+    )

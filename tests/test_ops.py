@@ -2232,3 +2232,62 @@ def test_shard_manifest_two_level_checksum_contract(spark):
         ).collect()
     )
     assert fast1 == fast2
+
+
+def test_trim_silence_and_resample_wav():
+    """Audio prep primitives: silence trim removes exactly the planted
+    lead/tail padding, resample preserves duration and shape, an
+    all-silent clip trims to empty but stays a valid WAV."""
+    from outpost_spark.ops.multimodal import (
+        decode_audio,
+        resample_wav,
+        trim_silence_wav,
+    )
+
+    rate = 8000
+    lead = [0] * (rate // 2)              # 0.5 s silence
+    tone = [8000, -8000] * (rate // 2)    # 1.0 s loud square-ish tone
+    tail = [0] * (rate // 4)              # 0.25 s silence
+    wav = _encode_wav(lead + tone + tail, rate=rate)
+
+    trimmed, lead_s, trail_s = trim_silence_wav(wav, threshold=0.01)
+    assert lead_s == pytest.approx(0.5, abs=0.05)
+    assert trail_s == pytest.approx(0.25, abs=0.05)
+    meta = decode_audio(trimmed)
+    assert meta["duration_s"] == pytest.approx(1.0, abs=0.1)
+    assert meta["rms"] > 0.2  # padding gone, loud content kept
+
+    down = resample_wav(trimmed, target_rate=4000)
+    dmeta = decode_audio(down)
+    assert dmeta["sample_rate"] == 4000
+    assert dmeta["duration_s"] == pytest.approx(meta["duration_s"], abs=0.01)
+
+    silent, l_s, t_s = trim_silence_wav(_encode_wav([0] * rate, rate=rate))
+    smeta = decode_audio(silent)
+    assert smeta["n_frames"] == 0
+    assert l_s + t_s == pytest.approx(1.0, abs=0.05)
+
+
+def test_clean_audio_stage(spark):
+    """clean_audio over a mixed corpus: good clips come back trimmed +
+    resampled with stats, corrupt members flag audio_ok=false instead
+    of failing the job."""
+    from outpost_spark.ops.multimodal import clean_audio, decode_audio
+
+    rate = 8000
+    good = _encode_wav([0] * rate + [9000, -9000] * rate + [0] * rate, rate=rate)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not audio at all"))],
+        "id long, content binary",
+    )
+    out = {r["id"]: r for r in clean_audio(df, target_rate=4000).collect()}
+    g = out[1]
+    assert g["audio_ok"] is True
+    assert g["sample_rate"] == 4000
+    assert g["duration_s"] == pytest.approx(4.0, abs=0.05)
+    assert g["out_duration_s"] == pytest.approx(2.0, abs=0.1)
+    assert g["leading_trim_s"] == pytest.approx(1.0, abs=0.05)
+    assert g["trailing_trim_s"] == pytest.approx(1.0, abs=0.05)
+    meta = decode_audio(bytes(g["content"]))
+    assert meta["sample_rate"] == 4000
+    assert out[2]["audio_ok"] is False and out[2]["content"] is None
