@@ -451,6 +451,84 @@ def embedding_cases(spark, path: str, recall_out: dict):
     }
 
 
+def webhook_delivery_case(spark, n_events: int = 20_000) -> dict:
+    """Delivery-executor throughput: format_webhook (HMAC signed) ->
+    deliver_http against an in-process multi-threaded 200-receiver,
+    32 partitions of concurrent senders.  Like the moto SQS row, the
+    receiver's own ceiling is measured first and reported alongside —
+    the engine-side number is honest only relative to it."""
+    import threading
+    import urllib.request
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from pyspark.sql import functions as F
+
+    from outpost_spark.routing.delivery import deliver_http
+    from outpost_spark.routing.sinkformats import format_webhook
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            self.rfile.read(n)
+            self.send_response(200)
+            self.send_header("Content-Length", "2")
+            self.end_headers()
+            self.wfile.write(b"ok")
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/hook"
+
+    # receiver ceiling: raw sequential urllib POSTs from 16 threads
+    probe_n, probe_done = 2000, []
+
+    def probe(k):
+        for _ in range(probe_n // 16):
+            req = urllib.request.Request(url, data=b"{}", method="POST")
+            urllib.request.urlopen(req, timeout=10).read()
+        probe_done.append(k)
+
+    t0 = time.perf_counter()
+    ts = [threading.Thread(target=probe, args=(i,)) for i in range(16)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    ceiling = round(probe_n / (time.perf_counter() - t0), 1)
+
+    ev = spark.range(n_events).select(
+        F.concat(F.lit("evt_"), F.col("id")).alias("event_id"),
+        F.lit("user.created").alias("topic"),
+        F.create_map(F.lit("k"), F.col("id").cast("string")).alias("metadata"),
+        F.concat(F.lit('{"n": '), F.col("id").cast("string"), F.lit("}")).alias("data"),
+    )
+    frame = format_webhook(
+        ev, url=url, ts=F.current_timestamp(), secrets=["whsec_bench"]
+    ).repartition(32)
+    t0 = time.perf_counter()
+    agg = (
+        deliver_http(frame, timeout=10.0)
+        .groupBy("status")
+        .count()
+        .collect()
+    )
+    secs = round(time.perf_counter() - t0, 4)
+    srv.shutdown()
+    counts = {r["status"]: r["count"] for r in agg}
+    return {
+        "secs": secs,
+        "rows": int(counts.get("success", 0)),
+        "failed": int(counts.get("failed", 0)),
+        "deliveries_per_sec": round(counts.get("success", 0) / secs, 1),
+        "receiver_ceiling_req_per_sec": ceiling,
+    }
+
+
 def retry_timer_case(spark, root: str) -> dict:
     """Stateful retry-timer layer throughput (VERDICT r07 stretch #10):
     a rate-source stream of attempt outcomes drives
@@ -1154,6 +1232,16 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    wd = webhook_delivery_case(spark)
+    timings["WebhookDelivery"] = wd["secs"]
+    rows_out["WebhookDelivery"] = wd["rows"]
+    print(
+        f"WebhookDelivery: {wd['deliveries_per_sec']} deliveries/s signed "
+        f"({wd['rows']} ok, {wd['failed']} failed; receiver ceiling "
+        f"{wd['receiver_ceiling_req_per_sec']} req/s)",
+        file=sys.stderr,
+    )
+
     rt = retry_timer_case(spark, root)
     timings["RetryTimerStream"] = rt["secs"]
     rows_out["RetryTimerStream"] = rt["rows"]
@@ -1188,6 +1276,7 @@ def main() -> None:
         "embedding_planted_recall": recall,
         "isolated_cases": sorted(deferred),
         "retry_timer": rt,
+        "webhook_delivery": wd,
         "cpus": int(cpus),
     }
     line = json.dumps(result)

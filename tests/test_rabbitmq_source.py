@@ -413,3 +413,42 @@ def test_rabbitmq_stream_end_to_end_ack_on_commit(spark, broker, tmp_path):
         assert broker.counts("publish") == 0
     finally:
         q.stop()
+
+
+# ---- wire-format properties -------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+if _HAVE_HYPOTHESIS:
+    _table_keys = st.text(
+        min_size=1, max_size=60
+    ).filter(lambda s: len(s.encode("utf-8")) <= 255)
+    _tables = st.dictionaries(_table_keys, st.text(max_size=200), max_size=8)
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        body_size=st.integers(min_value=0, max_value=2**40),
+        content_type=st.one_of(st.none(), st.just("application/json")),
+        headers=_tables,
+    )
+    def test_content_header_roundtrip_property(body_size, content_type, headers):
+        """encode/parse of the content header is an exact inverse over
+        arbitrary unicode header tables and any body size."""
+        payload = content_header_payload(
+            body_size, content_type=content_type, headers=headers or None
+        )
+        size, ctype, got = parse_content_header(payload)
+        assert size == body_size
+        assert ctype == content_type
+        assert got == (headers or {})
+
+    @settings(max_examples=150, deadline=None)
+    @given(s=st.text(max_size=80).filter(lambda s: len(s.encode()) <= 255))
+    def test_shortstr_roundtrip_property(s):
+        assert Cursor(shortstr(s)).shortstr() == s
