@@ -989,3 +989,56 @@ def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         red.alias("redacted_text"),
         *counts,
     )
+
+
+def line_repetition_stats(
+    df: DataFrame, text_col: str, id_col: str, *, sep: str = "\n"
+) -> DataFrame:
+    """Gopher's duplicate line / paragraph fractions (Rae et al. 2021
+    App. A1.1, the remaining half of the repetition rule set next to
+    the n-gram fractions): of a document's ``sep``-delimited segments,
+    the fraction that are repeats of an earlier identical segment, and
+    the fraction of characters those repeats hold — both with the
+    standard all-but-first convention (a segment occurring c times
+    contributes c-1 repeats).
+
+    Output: (id, n_segments, dup_frac, dup_char_frac) — fractions NULL
+    for documents with no non-empty segments.  ``sep='\\n'`` is the
+    line form; pass a paragraph separator for the paragraph form.
+
+    Shuffle shape: explode -> groupBy (id, segment) -> groupBy id —
+    both aggregations partial-combine map-side, so the exchange is
+    distinct-segment-sized per document, never corpus-char-sized
+    (segments travel once as group keys and are reduced to counts
+    before the per-doc rollup).
+    """
+    segs = F.filter(
+        F.transform(F.split(F.col(text_col), sep), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    exploded = df.select(F.col(id_col), F.explode(segs).alias("__s"))
+    per_seg = exploded.groupBy(id_col, "__s").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    per_doc = per_seg.groupBy(id_col).agg(
+        F.sum("__cnt").cast("bigint").alias("n_segments"),
+        F.sum(F.col("__cnt") - 1).alias("__dups"),
+        F.sum(F.col("__cnt") * F.length("__s")).alias("__chars"),
+        F.sum((F.col("__cnt") - 1) * F.length("__s")).alias("__dup_chars"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_segments"), F.lit(0).cast("bigint")).alias(
+                "n_segments"
+            ),
+            F.round(
+                F.col("__dups").cast("double") / F.col("n_segments"), 6
+            ).alias("dup_frac"),
+            F.round(
+                F.col("__dup_chars").cast("double") / F.col("__chars"), 6
+            ).alias("dup_char_frac"),
+        )
+    )

@@ -1546,6 +1546,44 @@ def text_top_ngram_fraction(spark, sf_dir):
 
 
 @_register(
+    "text_line_repetition",
+    r"""
+    WITH segs AS (
+      SELECT doc_id, trim(s) AS s
+      FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS s
+            FROM documents)
+      WHERE trim(s) <> ''
+    ),
+    ps AS (SELECT doc_id, s, count(*) AS cnt FROM segs GROUP BY doc_id, s),
+    pd AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_segments,
+             round(sum(cnt - 1) * 1.0 / sum(cnt), 6) AS dup_frac,
+             round(sum((cnt - 1) * length(s)) * 1.0
+                   / sum(cnt * length(s)), 6) AS dup_char_frac
+      FROM ps GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(pd.n_segments, 0) AS BIGINT) AS n_segments,
+           pd.dup_frac,
+           pd.dup_char_frac
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    """,
+)
+def text_line_repetition(spark, sf_dir):
+    """Gopher's duplicate line fraction + duplicate line CHARACTER
+    fraction (Rae et al. 2021 App. A1.1, L72 — the segment half of the
+    repetition rule set, completing it next to the dup/top n-gram
+    fractions): repeats counted all-but-first per distinct line, both
+    by count and by character mass (ops/text.py:line_repetition_stats;
+    the paragraph form is the same op with a paragraph separator)."""
+    from outpost_spark.ops.text import line_repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return line_repetition_stats(docs, "text", "doc_id")
+
+
+@_register(
     "sample_temperature_mix",
     f"""
     WITH s AS (

@@ -287,6 +287,36 @@ def test_top_ngram_fraction_planted_champion(spark):
     assert out[3]["n_ngrams"] == 0 and out[3]["top_ngram_char_frac"] is None
 
 
+def test_line_repetition_planted(spark):
+    """Duplicate line fractions: a doc of one repeated line scores
+    (n-1)/n by both measures, unique lines score 0, a doc whose
+    repeated line is short shows count-frac > char-frac, empty/
+    whitespace-only docs are NULL."""
+    from outpost_spark.ops.text import line_repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "click here\nclick here\nclick here\nclick here"),
+            (2, "alpha\nbeta\ngamma"),
+            (3, "x\nx\na genuinely long unique line of text"),
+            (4, "   \n  \n"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_repetition_stats(df, "text", "doc_id").collect()
+    }
+    assert out[1]["n_segments"] == 4
+    assert out[1]["dup_frac"] == pytest.approx(0.75)
+    assert out[1]["dup_char_frac"] == pytest.approx(0.75)
+    assert out[2]["dup_frac"] == 0.0 and out[2]["dup_char_frac"] == 0.0
+    # 'x' repeats once (1 dup of 3 segments) but carries 1 of 40 chars
+    assert out[3]["dup_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[3]["dup_char_frac"] < out[3]["dup_frac"]
+    assert out[4]["n_segments"] == 0 and out[4]["dup_frac"] is None
+
+
 def test_fix_mojibake_roundtrip_property():
     """Property (hypothesis): for any text over printable ASCII + the
     repair table's characters, corrupt -> fix is the identity — the
