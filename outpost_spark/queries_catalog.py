@@ -4291,8 +4291,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   1. Witness history — ``CORRECTNESS_r*.json`` at the repo root records
 #      which entries got a driver row each round.  Entries are ordered by
 #      most-recent-witness round ascending (never-witnessed first, then the
-#      ones skipped longest), so no entry goes two consecutive rounds
-#      unwitnessed while the catalog stays <= 100 entries.
+#      ones skipped longest), so every entry is witnessed at least once per
+#      ceil(catalog/50) rounds — two-round cadence up to 100 entries,
+#      three-round at the current ~105.
 #   2. ``_COST_RANK`` — ascending measured sf0.01 cost, the tiebreak
 #      within a witness-round group, so a driver budget cut starves the
 #      fewest entries and the multi-second dedup/pipeline family sits at
