@@ -3017,6 +3017,45 @@ def sink_format_kinesis(spark, sf_dir):
 
 
 @_register(
+    "sink_format_s3",
+    f"""
+    WITH src AS ({_EVENTS_SQL})
+    SELECT event_id,
+           'bench-bucket' AS bucket,
+           '2024-01-02T03:04:05Z_' || event_id || '.json' AS key,
+           data AS body,
+           'application/json' AS content_type,
+           to_base64(from_hex(sha256(data))) AS checksum_sha256,
+           'STANDARD' AS storage_class
+    FROM src
+    """,
+)
+def sink_format_s3(spark, sf_dir):
+    """S6 Format surface: the S3 PutObject shape (routing/sinkformats.py
+    format_s3) — default key template (rfc3339-nano of event.Time,
+    trailing zeros stripped, then event id), base64 SHA-256 body
+    checksum, content type, storage class; the key's time fields come
+    from the EVENT time (destawss3.go:266-270), pinned here with a
+    whole-second literal so both engines format it identically.  The
+    metadata map is pytest-covered (map columns don't hash portably);
+    delivery itself is deliver_s3 with the checksum enforced
+    server-side."""
+    from datetime import datetime, timezone
+
+    from outpost_spark.routing.sinkformats import format_s3
+
+    ts = datetime(2024, 1, 2, 3, 4, 5, tzinfo=timezone.utc)
+    events = (
+        _events(spark, sf_dir)
+        .withColumn("metadata", F.create_map().cast("map<string,string>"))
+        .withColumn("event_time", F.lit(ts))
+    )
+    return format_s3(events, bucket="bench-bucket", ts=F.lit(ts)).drop(
+        "metadata"
+    )
+
+
+@_register(
     "sink_format_webhook",
     f"""
     WITH src AS ({_EVENTS_SQL})
