@@ -46,13 +46,60 @@ def table_fs(spark, path: str):
     """Dispatch: S3 schemes get the boto3 conditional-PUT backend (the
     commit log talks to S3 directly; parquet data I/O still flows
     through Spark's s3a client), other URI schemes go through Hadoop,
-    and plain paths stay on the POSIX hard-link fast path."""
+    and plain paths stay on the POSIX hard-link fast path.
+
+    The S3 client is configured FROM THE SESSION'S ``fs.s3a.*`` Hadoop
+    conf (endpoint, credentials, region — per-bucket overrides first),
+    so the transaction log lands on the SAME store as the parquet data
+    Spark writes through s3a://.  Without this, a MinIO-configured
+    cluster would write data to MinIO and the commit log to whatever
+    boto3's default chain resolves — a split-brain table."""
     scheme = path.split("://", 1)[0] if "://" in path else ""
     if scheme in ("s3", "s3a", "s3n"):
-        return S3TableFS()
+        return S3TableFS(**_s3a_client_conf(spark, path))
     if scheme:
         return HadoopTableFS(spark)
     return LocalTableFS()
+
+
+def _s3a_client_conf(spark, path: str) -> dict:
+    """Mirror the live session's ``fs.s3a.*`` Hadoop configuration onto
+    boto3 client kwargs for :class:`S3TableFS`.  Resolution order per
+    key: ``fs.s3a.bucket.<name>.<suffix>`` then ``fs.s3a.<suffix>`` —
+    s3a's own per-bucket-first order.  ``OUTPOST_SPARK_S3_ENDPOINT``
+    (handled inside S3TableFS) still wins over the conf endpoint as an
+    explicit operator override.  A bare ``host:port`` endpoint gets its
+    scheme from ``fs.s3a.connection.ssl.enabled`` (default https, like
+    s3a itself)."""
+    out: dict = {}
+    if spark is None:
+        return out
+    try:
+        conf = spark._jsc.hadoopConfiguration()
+    except Exception:  # no JVM session (unit contexts) — default chain
+        return out
+    bucket = path.split("://", 1)[1].partition("/")[0]
+
+    def get(suffix: str):
+        v = conf.get(f"fs.s3a.bucket.{bucket}.{suffix}")
+        if v in (None, ""):
+            v = conf.get(f"fs.s3a.{suffix}")
+        return v or None
+
+    endpoint = get("endpoint")
+    if endpoint and "://" not in endpoint:
+        ssl = (get("connection.ssl.enabled") or "true").lower() != "false"
+        endpoint = ("https://" if ssl else "http://") + endpoint
+    if endpoint:
+        out["endpoint_url"] = endpoint
+    if get("access.key"):
+        out["access_key"] = get("access.key")
+        out["secret_key"] = get("secret.key")
+        if get("session.token"):
+            out["session_token"] = get("session.token")
+    if get("endpoint.region"):
+        out["region"] = get("endpoint.region")
+    return out
 
 
 class LocalTableFS:
@@ -440,18 +487,42 @@ class S3TableFS:
     gap this class closes with conditional PUT.
     """
 
-    def __init__(self, client=None, *, endpoint_url: str | None = None):
+    def __init__(
+        self,
+        client=None,
+        *,
+        endpoint_url: str | None = None,
+        access_key: str | None = None,
+        secret_key: str | None = None,
+        session_token: str | None = None,
+        region: str | None = None,
+    ):
         self._client = client
-        self._endpoint_url = endpoint_url or os.environ.get(
+        # OUTPOST_SPARK_S3_ENDPOINT is the explicit operator override;
+        # otherwise the endpoint mirrored from fs.s3a.* (table_fs) keeps
+        # the commit log on the same store as the s3a:// parquet data
+        self._endpoint_url = os.environ.get(
             "OUTPOST_SPARK_S3_ENDPOINT"
-        )
+        ) or endpoint_url
+        self._creds = {
+            k: v
+            for k, v in {
+                "aws_access_key_id": access_key,
+                "aws_secret_access_key": secret_key,
+                "aws_session_token": session_token,
+                "region_name": region,
+            }.items()
+            if v
+        }
 
     @property
     def client(self):
         if self._client is None:
             import boto3
 
-            self._client = boto3.client("s3", endpoint_url=self._endpoint_url)
+            self._client = boto3.client(
+                "s3", endpoint_url=self._endpoint_url, **self._creds
+            )
         return self._client
 
     @staticmethod

@@ -20,13 +20,17 @@ results are treated as DATA:
   reuse; the reference's destawssqs provider.
 
 Execution shape: ``mapInPandas`` — rows in, attempt rows out.  The I/O
-runs on the EXECUTORS (the driver never sees a payload), per-partition
-sequentially with connection reuse; parallelism is the partition count,
-so ``df.repartition(n)`` is the concurrency dial and a 1000-executor
-cluster delivers on all 1000 without any coordinator.  At-least-once:
-a crashed task re-runs its partition and re-POSTs — exactly the
-reference's delivery guarantee (webhook consumers must be idempotent;
-the event-id header is the dedupe key).
+runs on the EXECUTORS (the driver never sees a payload).  HTTP delivery
+is CONCURRENT within each partition (a bounded thread pool, matching the
+reference's errgroup fan-out in
+internal/publishmq/eventhandler.go:177-200) over KEEP-ALIVE pooled
+connections keyed by (scheme, host, port) — the analog of destwebhook's
+pooled http.Client transport — so total in-flight deliveries are
+``partitions × max_concurrency`` and a 1000-executor cluster delivers on
+all 1000 without any coordinator.  At-least-once: a crashed task re-runs
+its partition and re-POSTs — exactly the reference's delivery guarantee
+(webhook consumers must be idempotent; the event-id header is the dedupe
+key).
 
 This is deliberately NOT a streaming sink: wrap it in ``foreachBatch``
 and the attempt frame of each micro-batch lands in the log store and
@@ -55,12 +59,28 @@ def deliver_http(
     method: str = "POST",
     timeout: float = 5.0,
     max_response_bytes: int = 4096,
+    max_concurrency: int = 16,
+    pool_per_host: int = 16,
+    drain_bytes: int = 1 << 20,
 ) -> DataFrame:
     """POST each (url, body, headers) row; append (status,
     response_code, response_data) — success iff 2xx, non-2xx and
     transport errors are failures with the response/error captured
     (code 0 = no HTTP response), never exceptions: a delivery failure
     is a DATA outcome for the retry layer, not a job failure.
+
+    Concurrency + connection reuse (the reference's delivery shape —
+    errgroup fan-out in internal/publishmq/eventhandler.go:177-200 over
+    destwebhook's pooled http.Client): each partition runs up to
+    ``max_concurrency`` deliveries in flight on a thread pool, each over
+    a keep-alive ``http.client`` connection checked out of a per-worker
+    pool keyed by (scheme, host, port) and returned after the response
+    is drained.  A stale pooled socket (server closed it between
+    requests) is retried ONCE on a fresh connection — only when the
+    request died before the server could have acted on it, so a
+    delivery is never silently duplicated by the pool itself.  Response
+    bodies are drained up to ``drain_bytes`` to keep the socket
+    reusable; longer responses close it.
 
     Input: any frame with ``url`` (string), ``body`` (string) and
     ``headers`` (map<string,string>) columns — i.e. ``format_webhook``
@@ -71,41 +91,105 @@ def deliver_http(
     schema = _result_schema(df)
 
     def run(batches):
-        import urllib.error
-        import urllib.request
+        import http.client
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+        from urllib.parse import urlsplit
+
+        pools: dict[tuple, list] = {}
+        lock = threading.Lock()
+
+        def acquire(key):
+            with lock:
+                stack = pools.get(key)
+                if stack:
+                    return stack.pop(), True  # reused keep-alive socket
+            scheme, host, port = key
+            cls = (
+                http.client.HTTPSConnection
+                if scheme == "https"
+                else http.client.HTTPConnection
+            )
+            return cls(host, port, timeout=timeout), False
+
+        def release(key, conn):
+            with lock:
+                stack = pools.setdefault(key, [])
+                if len(stack) < pool_per_host:
+                    stack.append(conn)
+                    return
+            conn.close()
 
         def one(url: str, body: str, headers) -> tuple[str, int, str]:
-            req = urllib.request.Request(
-                url, data=body.encode("utf-8"), method=method
-            )
-            for k, v in (headers or {}).items():
-                req.add_header(k, v)
-            try:
-                with urllib.request.urlopen(req, timeout=timeout) as resp:
+            parts = urlsplit(url)
+            scheme = parts.scheme or "http"
+            port = parts.port or (443 if scheme == "https" else 80)
+            key = (scheme, parts.hostname or "", port)
+            path = parts.path or "/"
+            if parts.query:
+                path += "?" + parts.query
+            payload = body.encode("utf-8")
+            hdrs = dict(headers or {})
+            for _try in (0, 1):
+                conn, reused = acquire(key)
+                try:
+                    conn.request(method, path, body=payload, headers=hdrs)
+                    resp = conn.getresponse()
                     data = resp.read(max_response_bytes)
                     code = int(resp.status)
-            except urllib.error.HTTPError as e:
-                data = e.read(max_response_bytes)
-                code = int(e.code)
-            except Exception as e:  # timeout, refused, DNS — no response
-                return "failed", 0, f"{type(e).__name__}: {e}"
-            ok = 200 <= code < 300
-            return (
-                "success" if ok else "failed",
-                code,
-                data.decode("utf-8", "replace"),
-            )
+                except (
+                    http.client.BadStatusLine,
+                    http.client.CannotSendRequest,
+                    ConnectionResetError,
+                    BrokenPipeError,
+                ) as e:
+                    conn.close()
+                    if reused:  # stale keep-alive — safe to retry fresh
+                        continue
+                    return "failed", 0, f"{type(e).__name__}: {e}"
+                except Exception as e:  # timeout, refused, DNS
+                    conn.close()
+                    return "failed", 0, f"{type(e).__name__}: {e}"
+                # drain the rest (bounded) so the socket is reusable
+                try:
+                    left = drain_bytes
+                    while left > 0:
+                        chunk = resp.read(min(65536, left))
+                        if not chunk:
+                            break
+                        left -= len(chunk)
+                    if resp.isclosed() and not resp.will_close:
+                        release(key, conn)
+                    elif resp.isclosed():
+                        conn.close()
+                    else:  # body longer than drain cap
+                        conn.close()
+                except Exception:
+                    conn.close()
+                ok = 200 <= code < 300
+                return (
+                    "success" if ok else "failed",
+                    code,
+                    data.decode("utf-8", "replace"),
+                )
+            return "failed", 0, "stale connection retry exhausted"
 
-        for pdf in batches:
-            out = [
-                one(u, b, h)
-                for u, b, h in zip(pdf["url"], pdf["body"], pdf["headers"])
-            ]
-            pdf = pdf.copy()
-            pdf["status"] = [r[0] for r in out]
-            pdf["response_code"] = [r[1] for r in out]
-            pdf["response_data"] = [r[2] for r in out]
-            yield pdf
+        ex = ThreadPoolExecutor(max_workers=max_concurrency)
+        try:
+            for pdf in batches:
+                out = list(
+                    ex.map(one, pdf["url"], pdf["body"], pdf["headers"])
+                )
+                pdf = pdf.copy()
+                pdf["status"] = [r[0] for r in out]
+                pdf["response_code"] = [r[1] for r in out]
+                pdf["response_data"] = [r[2] for r in out]
+                yield pdf
+        finally:
+            ex.shutdown(wait=False)
+            for stack in pools.values():
+                for c in stack:
+                    c.close()
 
     return df.mapInPandas(run, schema)
 
@@ -201,16 +285,25 @@ def deliver_rabbitmq(
     scope, like the reference's amqp091 default): a row is 'success'
     once its frames are written and the connection is still healthy at
     partition end (a broker-side error closes the channel, which the
-    closing handshake surfaces); transport failures mark the remaining
-    rows failed.  Appends the same (status, response_code,
-    response_data) triple — code 200 on publish, 0 on failure."""
+    closing handshake surfaces); a transport failure marks the
+    remaining rows OF ITS BATCH failed, and the next batch reconnects
+    (transient broker blips don't poison the whole partition).  Appends
+    the same (status, response_code, response_data) triple — code 200
+    on publish, 0 on failure."""
     schema = _result_schema(df)
+    return df.mapInPandas(
+        _rabbitmq_partition(server_url, declare_queue), schema
+    )
+
+
+def _rabbitmq_partition(server_url: str, declare_queue: str | None):
+    """Partition function for :func:`deliver_rabbitmq`, module-level so
+    the batch-scoped failure semantics are unit-testable in-process."""
 
     def run(batches):
         from outpost_spark.sources.rabbitmq_source import AmqpClient
 
         client = None
-        broken: str | None = None
 
         def conn():
             nonlocal client
@@ -224,6 +317,9 @@ def deliver_rabbitmq(
         for pdf in batches:
             n = len(pdf)
             status, codes, resp = ["failed"] * n, [0] * n, [""] * n
+            # a transient failure poisons only the REST OF ITS BATCH;
+            # the next micro-batch retries the reconnect conn() supports
+            broken: str | None = None
             for i in range(n):
                 if broken:
                     resp[i] = broken
@@ -248,7 +344,7 @@ def deliver_rabbitmq(
         if client is not None:
             client.close()
 
-    return df.mapInPandas(run, schema)
+    return run
 
 
 def deliver_pubsub(

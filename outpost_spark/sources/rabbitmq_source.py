@@ -472,6 +472,14 @@ class RabbitMqStreamReader(SimpleDataSourceStreamReader):
 
     def _conn(self) -> AmqpClient:
         if self._client is None or not self._client.connected:
+            # a new connection = a new channel, and delivery tags are
+            # PER-CHANNEL: tags remembered from the dead channel are
+            # meaningless here (the broker requeued those deliveries on
+            # disconnect — redelivery covers them).  Acking them on the
+            # fresh channel would cumulative-ack FOREIGN deliveries
+            # (tags restart at 1), silently dropping uncommitted
+            # messages — an at-least-once violation.
+            self._pending.clear()
             self._client = AmqpClient(self.server_url).connect()
             self._declared = False
         if not self._declared:

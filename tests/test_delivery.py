@@ -177,6 +177,136 @@ def test_deliver_http_bad_signature_rejected_by_consumer(spark, receiver):
     assert all(not r["sig_ok"] for r in backend.received)
 
 
+def test_deliver_http_concurrent_in_flight_and_keepalive(spark):
+    """The executor's delivery shape: within ONE partition, requests
+    run concurrently (pinned by observing >= 6 simultaneously in-flight
+    against a slow receiver — serial would never exceed 1) and reuse
+    keep-alive sockets (distinct client connections << requests)."""
+    import time
+
+    state = {"in_flight": 0, "max_in_flight": 0, "conns": set(), "n": 0}
+    lock = threading.Lock()
+
+    class SlowHandler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # keep-alive
+
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            with lock:
+                state["in_flight"] += 1
+                state["max_in_flight"] = max(
+                    state["max_in_flight"], state["in_flight"]
+                )
+                state["conns"].add(self.client_address)
+                state["n"] += 1
+            n = int(self.headers.get("Content-Length", 0))
+            self.rfile.read(n)
+            time.sleep(0.4)
+            payload = b'{"ok": true}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+            with lock:
+                state["in_flight"] -= 1
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), SlowHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/hook"
+    try:
+        df = (
+            spark.range(32)
+            .select(
+                F.lit(url).alias("url"),
+                F.lit("{}").alias("body"),
+                F.create_map(F.lit("k"), F.lit("v")).alias("headers"),
+            )
+            .coalesce(1)  # ONE partition: all concurrency is intra-task
+        )
+        t0 = time.time()
+        out = deliver_http(df, timeout=10.0, max_concurrency=8).collect()
+        wall = time.time() - t0
+        assert len(out) == 32
+        assert all(r["status"] == "success" for r in out)
+        # serial would take 32*0.4 = 12.8s; 8-way takes ~1.6s + overhead
+        assert wall < 8.0, f"not concurrent: {wall:.1f}s for 32 slow rows"
+        assert state["max_in_flight"] >= 6, state["max_in_flight"]
+        # keep-alive: 32 requests over at most max_concurrency sockets
+        # (plus a small allowance for replaced connections)
+        assert len(state["conns"]) <= 12, len(state["conns"])
+        assert state["n"] == 32
+    finally:
+        srv.shutdown()
+
+
+def test_deliver_rabbitmq_transient_failure_poisons_only_its_batch(monkeypatch):
+    """A mid-batch transport failure fails the REST OF ITS BATCH only;
+    the next micro-batch reconnects and delivers (defect fixed: the
+    `broken` flag was sticky for the whole partition).  Driven
+    in-process through the module-level partition factory with a fake
+    AmqpClient whose connection dies after the first publish."""
+    import pandas as pd
+
+    import outpost_spark.sources.rabbitmq_source as rmq
+    from outpost_spark.routing.delivery import _rabbitmq_partition
+
+    events = {"connects": 0, "published": []}
+
+    class FlakyClient:
+        # dies after publish #1 of connection #1; connection #2 is healthy
+        def __init__(self, url, **kw):
+            events["connects"] += 1
+            self.me = events["connects"]
+            self.connected = False
+            self._sent = 0
+
+        def connect(self):
+            self.connected = True
+            return self
+
+        def declare_queue(self, q):
+            pass
+
+        def publish(self, rk, body, **kw):
+            if not self.connected:
+                raise ConnectionError("not connected")
+            self._sent += 1
+            if self.me == 1 and self._sent > 1:
+                self.connected = False
+                raise ConnectionResetError("broker blip")
+            events["published"].append((self.me, rk))
+
+        def close(self):
+            self.connected = False
+
+    monkeypatch.setattr(rmq, "AmqpClient", FlakyClient)
+
+    def batch(n):
+        return pd.DataFrame(
+            {
+                "exchange": [""] * n,
+                "routing_key": [f"rk{i}" for i in range(n)],
+                "content_type": ["application/json"] * n,
+                "headers": [{"h": "1"}] * n,
+                "body": ['{"n": 1}'] * n,
+            }
+        )
+
+    run = _rabbitmq_partition("amqp://x", None)
+    out = list(run(iter([batch(3), batch(3)])))
+    b1, b2 = out
+    # batch 1: row0 delivered, row1 hits the blip, row2 poisoned
+    assert list(b1["status"]) == ["success", "failed", "failed"]
+    assert "broker blip" in b1["response_data"][1]
+    assert b1["response_data"][1] == b1["response_data"][2]
+    # batch 2: fresh connection, all delivered — NOT poisoned
+    assert list(b2["status"]) == ["success", "success", "success"]
+    assert events["connects"] == 2
+    assert [p[0] for p in events["published"]] == [1, 2, 2, 2]
+
+
 @pytest.fixture(scope="module")
 def moto_endpoint():
     from moto.server import ThreadedMotoServer

@@ -340,6 +340,40 @@ def test_unacked_messages_requeue_as_redelivered(broker):
     assert broker.counts("q2") == 0
 
 
+def test_reconnect_clears_stale_tags_no_foreign_ack(broker):
+    """Delivery tags are PER-CHANNEL: after the connection dies between
+    read and commit, the reconnected channel's tags restart at 1, so a
+    commit of the pre-crash batch must NOT ack its remembered tags on
+    the new channel — that would cumulative-ack the (uncommitted)
+    redeliveries and lose them.  Regression for the stale-`_pending`
+    defect: `_conn()` now clears remembered tags on reconnect."""
+    send_messages(broker.url, "q9", [{"n": i} for i in range(5)])
+    r = RabbitMqStreamReader({"queue": "q9", "serverurl": broker.url})
+    rows, off1 = r.read(r.initialOffset())  # batch0: tags 1..5, channel A
+    assert len(list(rows)) == 5
+    # connection dies between read and commit; broker requeues all 5
+    r._client._sock.close()
+    r._client._sock = None  # the reader observes the death
+    time.sleep(0.2)
+    rows2, off2 = r.read(off1)  # batch1 reconnects: channel B, tags 1..5
+    rows2 = list(rows2)
+    assert len(rows2) == 5
+    assert all(x[4] is True for x in rows2)  # redelivered
+    # commit ONLY batch0 — its tags belonged to the dead channel A.
+    # With the bug this acks tags 1..5 on channel B (the UNCOMMITTED
+    # redeliveries); with the fix it acks nothing.
+    r.commit(off1)
+    time.sleep(0.2)
+    r._client._sock.close()  # crash again: batch1 was never committed
+    r._client._sock = None
+    time.sleep(0.2)
+    r2 = RabbitMqStreamReader({"queue": "q9", "serverurl": broker.url})
+    rows3, _ = r2.read(r2.initialOffset())
+    rows3 = list(rows3)
+    assert len(rows3) == 5, "foreign-tag ack lost uncommitted deliveries"
+    assert sorted(json.loads(x[0])["n"] for x in rows3) == list(range(5))
+
+
 def test_reader_ack_on_commit_and_crash_redelivery(broker):
     """The sqs/pubsub/azuresb at-least-once contract on the reader
     itself: read without commit -> a new reader sees the messages again;

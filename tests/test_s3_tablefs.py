@@ -172,3 +172,86 @@ def test_txntable_log_protocol_over_s3(spark, s3fs, monkeypatch):
     assert [h["version"] for h in t.history()] == list(range(25))
     schema_json, live, _removed = t._state()
     assert live == {} and schema_json is not None
+
+def test_hadoop_conf_drives_commit_log_endpoint(spark, monkeypatch):
+    """The s3a split-brain fix: with the S3 endpoint + credentials set
+    ONLY via the session's fs.s3a.* Hadoop conf (how a MinIO cluster is
+    configured), the commit log's boto3 client follows the SAME conf —
+    log objects land on that endpoint, not on boto3's default chain."""
+    from moto.server import ThreadedMotoServer
+
+    monkeypatch.delenv("OUTPOST_SPARK_S3_ENDPOINT", raising=False)
+    server = ThreadedMotoServer(port=0, verbose=False)
+    server.start()
+    host, port = server._server.server_address[:2]
+    endpoint = f"http://{host}:{port}"
+    hconf = spark._jsc.hadoopConfiguration()
+    keys = {
+        "fs.s3a.endpoint": f"{host}:{port}",  # bare host:port, s3a style
+        "fs.s3a.connection.ssl.enabled": "false",
+        "fs.s3a.access.key": "conf-ak",
+        "fs.s3a.secret.key": "conf-sk",
+        "fs.s3a.endpoint.region": "us-east-1",
+    }
+    try:
+        for k, v in keys.items():
+            hconf.set(k, v)
+        probe = boto3.client(
+            "s3",
+            endpoint_url=endpoint,
+            aws_access_key_id="conf-ak",
+            aws_secret_access_key="conf-sk",
+            region_name="us-east-1",
+        )
+        probe.create_bucket(Bucket="minio-bkt")
+
+        fs = table_fs(spark, "s3a://minio-bkt/tables/t1")
+        assert isinstance(fs, S3TableFS)
+        dst = "s3a://minio-bkt/tables/t1/_txn_log/00000000000000000000.json"
+        assert fs.put_if_absent(dst, b'{"v": 0}') is True
+        assert fs.put_if_absent(dst, b'{"v": 1}') is False
+        assert fs.read_json(dst) == {"v": 0}
+        # the log object is ON the conf-configured endpoint
+        got = probe.get_object(
+            Bucket="minio-bkt", Key="tables/t1/_txn_log/00000000000000000000.json"
+        )
+        assert json.loads(got["Body"].read()) == {"v": 0}
+    finally:
+        for k in keys:
+            hconf.unset(k)
+        server.stop()
+
+
+def test_per_bucket_conf_overrides_base(spark):
+    """fs.s3a.bucket.<name>.* wins over the base keys — s3a's own
+    resolution order, mirrored onto the commit-log client."""
+    from outpost_spark.logstore.tablefs import _s3a_client_conf
+
+    hconf = spark._jsc.hadoopConfiguration()
+    keys = {
+        "fs.s3a.endpoint": "base.example:9000",
+        "fs.s3a.connection.ssl.enabled": "false",
+        "fs.s3a.bucket.special.endpoint": "https://special.example",
+    }
+    try:
+        for k, v in keys.items():
+            hconf.set(k, v)
+        base = _s3a_client_conf(spark, "s3a://plain/t")
+        assert base["endpoint_url"] == "http://base.example:9000"
+        special = _s3a_client_conf(spark, "s3a://special/t")
+        assert special["endpoint_url"] == "https://special.example"
+    finally:
+        for k in keys:
+            hconf.unset(k)
+
+
+def test_env_endpoint_still_wins_over_conf(spark, monkeypatch):
+    """OUTPOST_SPARK_S3_ENDPOINT is the explicit operator override."""
+    hconf = spark._jsc.hadoopConfiguration()
+    hconf.set("fs.s3a.endpoint", "http://conf.example:9000")
+    monkeypatch.setenv("OUTPOST_SPARK_S3_ENDPOINT", "http://env.example:9999")
+    try:
+        fs = table_fs(spark, "s3a://b/t")
+        assert fs._endpoint_url == "http://env.example:9999"
+    finally:
+        hconf.unset("fs.s3a.endpoint")
