@@ -613,6 +613,89 @@ def retry_timer_case(spark, root: str) -> dict:
     }
 
 
+def retry_timer_batched_case(spark, root: str) -> dict:
+    """Batched retry-timer throughput (the ST2 scale path): the same
+    outcome stream shape as ``retry_timer_case`` driven through
+    ``RetryStateTable`` via foreachBatch — one set-oriented merge per
+    micro-batch, zero per-key Python.  The rate is set ~20× the per-key
+    path's measured ceiling; outcomes/s here is the layer's real
+    capacity number."""
+    import shutil
+    import threading
+
+    from outpost_spark.functions.backoff import ExponentialBackoff
+    from outpost_spark.streaming.retry import retry_foreach_batch
+
+    rps = int(os.environ.get("SPARK_GRAFT_SCALE_RETRYB_RPS", 50_000))
+    run_secs = float(os.environ.get("SPARK_GRAFT_SCALE_RETRYB_SECS", 60.0))
+    ckpt = os.path.join(root, "retry_batched_ckpt")
+    state = os.path.join(root, "retry_batched_state")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(state, ignore_errors=True)
+
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rps)
+        .load()
+        .select(
+            F.concat(F.lit("evt_"), F.col("value") % 200_000).alias("event_id"),
+            F.concat(F.lit("dest_"), (F.col("value") % 500)).alias(
+                "destination_id"
+            ),
+            F.concat(F.lit("tenant_"), (F.col("value") % 2)).alias("tenant_id"),
+            F.when(F.col("value") % 10 < 3, F.lit("success"))
+            .otherwise(F.lit("failed"))
+            .alias("status"),
+            (F.col("value") % 3 + 1).cast("int").alias("attempt_number"),
+            F.lit(True).alias("eligible_for_retry"),
+        )
+    )
+    fired = []
+    lock = threading.Lock()
+
+    def sink(fired_df, _bid):
+        n = fired_df.count()
+        with lock:
+            fired.append(n)
+
+    fn = retry_foreach_batch(
+        spark,
+        state,
+        sink,
+        backoff=ExponentialBackoff(interval=2.0),
+        retry_max_limit=5,
+    )
+    t0 = time.perf_counter()
+    q = (
+        src.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        time.sleep(run_secs)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    wall = round(time.perf_counter() - t0, 4)
+    progress = [p for p in q.recentProgress if "numInputRows" in p]
+    inputs = sum(int(p["numInputRows"]) for p in progress)
+    warm = progress[1:]
+    warm_rows = sum(int(p["numInputRows"]) for p in warm)
+    warm_secs = (
+        sum(float(p["durationMs"]["triggerExecution"]) for p in warm) / 1000.0
+    )
+    n_fired = sum(fired)
+    return {
+        "secs": wall,
+        "rows": n_fired,
+        "outcomes_in": inputs,
+        "outcomes_per_sec": round(warm_rows / warm_secs, 1) if warm_secs else 0.0,
+        "timers_fired_per_sec": round(n_fired / wall, 1),
+        "rate_rows_per_sec": rps,
+        "batches": len(progress),
+    }
+
+
 def routing_stream_case(
     spark, root: str, *, n_batches: int = 6, events_per_batch: int = 100_000
 ):
@@ -1252,6 +1335,16 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    rtb = retry_timer_batched_case(spark, root)
+    timings["RetryTimerBatched"] = rtb["secs"]
+    rows_out["RetryTimerBatched"] = rtb["rows"]
+    print(
+        f"RetryTimerBatched: {rtb['outcomes_per_sec']} outcomes/s in, "
+        f"{rtb['timers_fired_per_sec']} timers/s fired "
+        f"({rtb['rows']} fired over {rtb['secs']}s)",
+        file=sys.stderr,
+    )
+
     sqs = sqs_ingest_case(
         spark, int(os.environ.get("SPARK_GRAFT_SCALE_SQS_MSGS", 5000))
     )
@@ -1276,6 +1369,7 @@ def main() -> None:
         "embedding_planted_recall": recall,
         "isolated_cases": sorted(deferred),
         "retry_timer": rt,
+        "retry_timer_batched": rtb,
         "webhook_delivery": wd,
         "cpus": int(cpus),
     }

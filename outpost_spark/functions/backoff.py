@@ -46,6 +46,28 @@ class ScheduledBackoff:
         return self.schedule[retries]
 
 
+def backoff_delay_col(bo, retries_col):
+    """Column-side twin of ``<policy>.duration(retries)`` — the delay
+    expression the BATCHED retry path evaluates JVM-side for every key
+    at once (no per-key Python).  ``retries_col`` is the 0-indexed retry
+    count column; same clamp-past-the-end semantics as ScheduledBackoff."""
+    from pyspark.sql import functions as F
+
+    if isinstance(bo, ExponentialBackoff):
+        return F.lit(float(bo.interval)) * F.pow(
+            F.lit(float(bo.base)), retries_col.cast("double")
+        )
+    if isinstance(bo, ConstantBackoff):
+        return F.lit(float(bo.interval))
+    if isinstance(bo, ScheduledBackoff):
+        if not bo.schedule:
+            return F.lit(0.0)
+        arr = F.array(*[F.lit(float(x)) for x in bo.schedule])
+        idx = F.least(retries_col.cast("int"), F.lit(len(bo.schedule) - 1))
+        return F.element_at(arr, idx + F.lit(1))
+    raise TypeError(f"unsupported backoff policy {type(bo).__name__}")
+
+
 def threshold_failure_counts(
     thresholds: list[int], auto_disable_failure_count: int
 ) -> list[tuple[int, int]]:

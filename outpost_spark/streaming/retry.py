@@ -127,6 +127,246 @@ class RetryScheduler:
         }
 
 
+RETRY_STATE_SCHEMA = (
+    "event_id string, destination_id string, tenant_id string, "
+    "attempt_number int, fire_at double, receive_count int"
+)
+
+
+class RetryStateTable:
+    """Batched retry-timer state: the scale path for ST2.
+
+    The per-key stateful APIs (``transformWithStateInPandas`` /
+    ``applyInPandasWithState``) invoke Python once PER KEY with a tiny
+    pandas frame — ~2.5k outcomes/s at local[32], pandas overhead, not
+    I/O.  This class keeps the same upsert/cancel/fire/DLQ semantics
+    (reference: internal/scheduler/scheduler.go:144-290 delayed queue,
+    internal/deliverymq/retry.go:25-138) but applies each micro-batch
+    as ONE set-oriented plan, entirely JVM-side:
+
+    1. latest outcome per (event_id, destination_id) — ``max_by`` over
+       (attempt_number, status), so the highest attempt governs exactly
+       like the sequential fold (ties prefer 'success': cancel wins);
+    2. full-outer MERGE with the pending-state table: failures upsert
+       (attempt+1 at now + backoff(attempt-1), receive_count carried
+       over), successes / ineligible / exhausted cancel;
+    3. FIRE the due slice (fire_at <= now): each fire counts a receive,
+       receive_count > max_receive_count diverts to DLQ
+       (scheduler.go:196-203); fired entries leave the state.
+
+    State lives as a versioned parquet table ``{path}/v=<batch_id>``
+    through the :mod:`logstore.tablefs` seam (local/hdfs/s3 alike);
+    fired tasks land durably under ``{path}/fired/v=<batch_id>``.  A
+    re-run of batch N re-reads v=N-1 and overwrites v=N — foreachBatch
+    crash-recovery is deterministic and idempotent.  Scale: both the
+    merge join and the fire scan shuffle on the state key; state I/O is
+    O(pending) parquet per batch, partitioned by the same key hash, so
+    a 1000-executor cluster merges co-located — no driver loop, no
+    per-key Python anywhere.
+
+    Use :func:`retry_foreach_batch` to wire it under
+    ``attempts.writeStream.foreachBatch(...)``.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        *,
+        backoff: ExponentialBackoff | None = None,
+        retry_max_limit: int = DEFAULT_RETRY_MAX_LIMIT,
+        max_receive_count: int = 5,
+        keep_versions: int = 3,
+    ):
+        from outpost_spark.logstore.tablefs import table_fs
+
+        self.spark = spark
+        self.backoff = backoff or ExponentialBackoff()
+        self.retry_max_limit = retry_max_limit
+        self.max_receive_count = max_receive_count
+        self.keep_versions = max(keep_versions, 2)
+        self.fs = table_fs(spark, path)
+        self.path = self.fs.normalize_root(path)
+
+    # ---- state versions --------------------------------------------------
+    def _versions(self) -> list[int]:
+        if not self.fs.isdir(self.path):
+            return []
+        return sorted(
+            int(name.split("=", 1)[1])
+            for name in self.fs.listdir(self.path)
+            if name.startswith("v=")
+        )
+
+    def state_before(self, batch_id: int):
+        """Pending state as of the newest version strictly below
+        ``batch_id`` (empty frame with the state schema if none)."""
+        vs = [v for v in self._versions() if v < batch_id]
+        if not vs:
+            return self.spark.createDataFrame([], RETRY_STATE_SCHEMA)
+        return self.spark.read.parquet(
+            self.fs.join(self.path, f"v={max(vs)}")
+        )
+
+    def _cleanup(self, batch_id: int) -> None:
+        keep = sorted(self._versions())[-self.keep_versions :]
+        for v in self._versions():
+            if v not in keep and v < batch_id:
+                for sub in (f"v={v}", f"fired/v={v}"):
+                    try:
+                        self.fs.rmtree(self.fs.join(self.path, sub))
+                    except Exception:
+                        pass  # cleanup is best-effort
+
+    # ---- the batch transition ---------------------------------------------
+    def apply_outcomes(
+        self, batch_df, batch_id: int, now: float, requeue_df=None
+    ):
+        """One micro-batch of attempt outcomes -> fired RetryTask frame.
+
+        ``batch_df`` needs (event_id, destination_id, tenant_id, status,
+        attempt_number, eligible_for_retry).  Pass ``batch_df=None`` to
+        tick the clock only (fire due timers with no new outcomes).
+
+        ``requeue_df`` (optional) returns previously-FIRED tasks whose
+        processing failed downstream — RetryScheduler.requeue: they
+        rejoin the queue due immediately, KEEPING their receive_count so
+        repeated fire-and-fail loops hit the DLQ cap.  Columns: the
+        fired-frame shape (event_id, destination_id, tenant_id,
+        attempt_number, receive_count).  New outcomes in the same batch
+        upsert OVER a requeued entry (the outcome is newer
+        information)."""
+        from pyspark.sql import functions as F
+
+        from outpost_spark.functions.backoff import backoff_delay_col
+
+        old = self.state_before(batch_id)
+        if requeue_df is not None:
+            rq = requeue_df.select(
+                "event_id",
+                "destination_id",
+                "tenant_id",
+                F.col("attempt_number").cast("int"),
+                F.lit(float(now)).alias("fire_at"),
+                F.col("receive_count").cast("int"),
+            )
+            old = old.join(
+                rq.select("event_id", "destination_id"),
+                on=["event_id", "destination_id"],
+                how="left_anti",
+            ).unionByName(rq)
+        if batch_df is not None:
+            latest = (
+                batch_df.groupBy("event_id", "destination_id")
+                .agg(
+                    F.max_by(
+                        F.struct(
+                            "tenant_id",
+                            "attempt_number",
+                            "status",
+                            "eligible_for_retry",
+                        ),
+                        F.struct(F.col("attempt_number"), F.col("status")),
+                    ).alias("o")
+                )
+                .select("event_id", "destination_id", "o.*")
+                .withColumn(
+                    "cancel",
+                    (F.col("status") == "success")
+                    | ~F.col("eligible_for_retry")
+                    | (F.col("attempt_number") > F.lit(self.retry_max_limit)),
+                )
+            )
+            j = old.alias("s").join(
+                latest.alias("u"),
+                on=["event_id", "destination_id"],
+                how="full_outer",
+            )
+            upd = F.col("u.status").isNotNull()
+            delay = backoff_delay_col(
+                self.backoff,
+                F.greatest(F.col("u.attempt_number") - 1, F.lit(0)),
+            )
+            merged = j.where(
+                (~upd & F.col("s.attempt_number").isNotNull())
+                | (upd & ~F.col("u.cancel"))
+            ).select(
+                "event_id",
+                "destination_id",
+                F.when(upd, F.col("u.tenant_id"))
+                .otherwise(F.col("s.tenant_id"))
+                .alias("tenant_id"),
+                F.when(upd, F.col("u.attempt_number") + 1)
+                .otherwise(F.col("s.attempt_number"))
+                .cast("int")
+                .alias("attempt_number"),
+                F.when(upd, F.lit(float(now)) + delay)
+                .otherwise(F.col("s.fire_at"))
+                .cast("double")
+                .alias("fire_at"),
+                F.coalesce(F.col("s.receive_count"), F.lit(0))
+                .cast("int")
+                .alias("receive_count"),
+            )
+        else:
+            merged = old
+
+        due = F.col("fire_at") <= F.lit(float(now))
+        fired = merged.where(due).select(
+            "event_id",
+            "destination_id",
+            "tenant_id",
+            "attempt_number",
+            "fire_at",
+            (F.col("receive_count") + 1).cast("int").alias("receive_count"),
+            (F.col("receive_count") + 1 > F.lit(self.max_receive_count)).alias(
+                "dlq"
+            ),
+        )
+        fired_path = self.fs.join(self.path, f"fired/v={batch_id}")
+        state_path = self.fs.join(self.path, f"v={batch_id}")
+        # fired first, then the state claim: a crash between the two
+        # re-runs the batch against v=N-1 and overwrites both outputs
+        # deterministically (overwrite mode), so recovery is exact
+        fired.write.mode("overwrite").parquet(fired_path)
+        merged.where(~due).write.mode("overwrite").parquet(state_path)
+        self._cleanup(batch_id)
+        return self.spark.read.parquet(fired_path)
+
+
+def retry_foreach_batch(
+    spark,
+    state_path: str,
+    sink,
+    *,
+    backoff: ExponentialBackoff | None = None,
+    retry_max_limit: int = DEFAULT_RETRY_MAX_LIMIT,
+    max_receive_count: int = 5,
+    now_fn=None,
+):
+    """foreachBatch adapter for :class:`RetryStateTable`: wire the raw
+    attempt-outcome stream straight in —
+    ``attempts.writeStream.foreachBatch(retry_foreach_batch(spark, path,
+    sink)).start()`` — and ``sink(fired_df, batch_id)`` receives each
+    batch's fired RetryTask frame (schema RETRY_STATE_SCHEMA + dlq)."""
+    import time as _time
+
+    table = RetryStateTable(
+        spark,
+        state_path,
+        backoff=backoff,
+        retry_max_limit=retry_max_limit,
+        max_receive_count=max_receive_count,
+    )
+
+    def fn(batch_df, batch_id: int):
+        now = now_fn() if now_fn is not None else _time.time()
+        fired = table.apply_outcomes(batch_df, int(batch_id), now)
+        sink(fired, int(batch_id))
+
+    return fn
+
+
 def retry_processor_factory(
     backoff: ExponentialBackoff | None = None,
     retry_max_limit: int = DEFAULT_RETRY_MAX_LIMIT,
