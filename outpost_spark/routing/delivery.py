@@ -274,6 +274,7 @@ def deliver_rabbitmq(
     *,
     server_url: str,
     declare_queue: str | None = None,
+    confirm: bool = True,
 ) -> DataFrame:
     """Publish ``format_rabbitmq`` frames (exchange, routing_key,
     content_type, headers, body) over the stdlib AMQP 0-9-1 client —
@@ -281,24 +282,30 @@ def deliver_rabbitmq(
     PARTITION, reused across its rows; metadata headers and
     content-type ride in the basic properties.
 
-    AMQP publish is fire-and-forget (publisher confirms are out of
-    scope, like the reference's amqp091 default): a row is 'success'
-    once its frames are written and the connection is still healthy at
-    partition end (a broker-side error closes the channel, which the
-    closing handshake surfaces); a transport failure marks the
-    remaining rows OF ITS BATCH failed, and the next batch reconnects
-    (transient broker blips don't poison the whole partition).  Appends
-    the same (status, response_code, response_data) triple — code 200
-    on publish, 0 on failure."""
+    With ``confirm=True`` (default) the channel runs in
+    publisher-confirm mode: a row is 'success' only once the broker
+    basic.acks its publish (confirms are awaited once per BATCH, so the
+    round-trip amortizes over the batch, not per row); a broker nack or
+    an unconfirmable publish (connection died before the ack) is a
+    failed row — the silent-drop window of fire-and-forget AMQP is
+    closed.  ``confirm=False`` restores fire-and-forget (amqp091's
+    default posture).  A transport failure marks the remaining rows OF
+    ITS BATCH failed, and the next batch reconnects (transient broker
+    blips don't poison the whole partition).  Appends the same (status,
+    response_code, response_data) triple — code 200 on publish, 0 on
+    failure."""
     schema = _result_schema(df)
     return df.mapInPandas(
-        _rabbitmq_partition(server_url, declare_queue), schema
+        _rabbitmq_partition(server_url, declare_queue, confirm), schema
     )
 
 
-def _rabbitmq_partition(server_url: str, declare_queue: str | None):
+def _rabbitmq_partition(
+    server_url: str, declare_queue: str | None, confirm: bool = True
+):
     """Partition function for :func:`deliver_rabbitmq`, module-level so
-    the batch-scoped failure semantics are unit-testable in-process."""
+    the batch-scoped failure and confirm semantics are unit-testable
+    in-process."""
 
     def run(batches):
         from outpost_spark.sources.rabbitmq_source import AmqpClient
@@ -309,6 +316,8 @@ def _rabbitmq_partition(server_url: str, declare_queue: str | None):
             nonlocal client
             if client is None or not client.connected:
                 c = AmqpClient(server_url).connect()
+                if confirm:
+                    c.enable_confirms()
                 if declare_queue:
                     c.declare_queue(declare_queue)
                 client = c
@@ -320,12 +329,13 @@ def _rabbitmq_partition(server_url: str, declare_queue: str | None):
             # a transient failure poisons only the REST OF ITS BATCH;
             # the next micro-batch retries the reconnect conn() supports
             broken: str | None = None
+            seq_to_row: dict[int, int] = {}
             for i in range(n):
                 if broken:
                     resp[i] = broken
                     continue
                 try:
-                    conn().publish(
+                    seq = conn().publish(
                         pdf["routing_key"].iloc[i],
                         pdf["body"].iloc[i].encode("utf-8"),
                         exchange=pdf["exchange"].iloc[i],
@@ -333,9 +343,32 @@ def _rabbitmq_partition(server_url: str, declare_queue: str | None):
                         headers=dict(pdf["headers"].iloc[i] or {}),
                     )
                     status[i], codes[i], resp[i] = "success", 200, "published"
+                    if confirm:
+                        seq_to_row[seq] = i
                 except Exception as e:
                     broken = f"{type(e).__name__}: {e}"
                     resp[i] = broken
+            if seq_to_row:
+                # one confirm round-trip per batch; any publish whose
+                # ack we can't obtain is FAILED (redelivery duplicates
+                # beat silent drops — at-least-once, consumers dedupe)
+                if broken or client is None or not client.connected:
+                    for i in seq_to_row.values():
+                        status[i], codes[i] = "failed", 0
+                        resp[i] = "publish unconfirmed: connection lost"
+                else:
+                    try:
+                        nacked = client.wait_confirms()
+                        for seq, i in seq_to_row.items():
+                            if seq in nacked:
+                                status[i], codes[i] = "failed", 0
+                                resp[i] = "broker nacked publish"
+                            else:
+                                resp[i] = "confirmed"
+                    except Exception as e:
+                        for i in seq_to_row.values():
+                            status[i], codes[i] = "failed", 0
+                            resp[i] = f"confirm wait failed: {type(e).__name__}: {e}"
             pdf = pdf.copy()
             pdf["status"] = status
             pdf["response_code"] = codes

@@ -75,6 +75,9 @@ BASIC_GET = (60, 70)
 BASIC_GET_OK = (60, 71)
 BASIC_GET_EMPTY = (60, 72)
 BASIC_ACK = (60, 80)
+BASIC_NACK = (60, 120)
+CONFIRM_SELECT = (85, 10)
+CONFIRM_SELECT_OK = (85, 11)
 
 
 class AmqpError(Exception):
@@ -272,6 +275,10 @@ class AmqpClient:
         self.timeout = timeout
         self._sock: socket.socket | None = None
         self.frame_max = DEFAULT_FRAME_MAX
+        self._confirms = False
+        self._publish_seq = 0  # broker-side delivery tags for confirms
+        self._unconfirmed: set[int] = set()
+        self._nacked: set[int] = set()
 
     # ---- lifecycle -----------------------------------------------------
     def connect(self) -> "AmqpClient":
@@ -373,6 +380,46 @@ class AmqpClient:
             struct.pack(">Q", delivery_tag) + (b"\x01" if multiple else b"\x00"),
         )
 
+    def enable_confirms(self) -> None:
+        """Put the channel in publisher-confirm mode (confirm.select):
+        every subsequent publish is assigned a broker-side sequence
+        number and the broker basic.ack/nacks it — a publish is durable
+        only once confirmed, closing the silent-drop window of
+        fire-and-forget AMQP.  Use on PUBLISH-ONLY channels (confirm
+        acks would interleave with basic.get replies otherwise)."""
+        self._send_method(self.CHANNEL, CONFIRM_SELECT, b"\x00")  # nowait=0
+        self._expect_method(CONFIRM_SELECT_OK)
+        self._confirms = True
+        self._publish_seq = 0
+        self._unconfirmed.clear()
+        self._nacked.clear()
+
+    def wait_confirms(self) -> set[int]:
+        """Block until the broker has confirmed every outstanding
+        publish; returns the set of NACKED sequence numbers (empty =
+        all durable).  basic.ack/nack(multiple=true) settles every
+        sequence <= delivery-tag, per the confirms spec."""
+        while self._unconfirmed:
+            cm, args = self._next_method()
+            if cm not in (BASIC_ACK, BASIC_NACK):
+                if cm in (CONNECTION_CLOSE, CHANNEL_CLOSE):
+                    code = args.short()
+                    text = args.shortstr()
+                    raise AmqpError(f"peer closed ({cm[0]}): {code} {text}")
+                raise AmqpError(f"unexpected method {cm} awaiting confirms")
+            tag = args.longlong()
+            multiple = bool(args.octet() & 1)
+            settled = (
+                {t for t in self._unconfirmed if t <= tag}
+                if multiple
+                else {tag}
+            )
+            if cm == BASIC_NACK:
+                self._nacked |= settled & self._unconfirmed
+            self._unconfirmed -= settled
+        out, self._nacked = self._nacked, set()
+        return out
+
     def publish(
         self,
         routing_key: str,
@@ -381,11 +428,13 @@ class AmqpClient:
         exchange: str = "",
         content_type: str | None = None,
         headers: dict | None = None,
-    ) -> None:
+    ) -> int:
         """basic.publish through ``exchange`` (default: the nameless
         direct exchange, where routing key == queue name — gocloud
         rabbitpubsub's KeyName=Queue mapping, queue_rabbitmq.go:96-99);
-        ``content_type``/``headers`` ride in the basic properties."""
+        ``content_type``/``headers`` ride in the basic properties.
+        Returns the confirm sequence number (0 when the channel is not
+        in confirm mode)."""
         self._send_method(
             self.CHANNEL,
             BASIC_PUBLISH,
@@ -402,6 +451,11 @@ class AmqpClient:
         chunk = self.frame_max - 8  # frame overhead: 7-byte head + end marker
         for i in range(0, len(body), chunk) or [0]:
             write_frame(self._sock, FRAME_BODY, self.CHANNEL, body[i : i + chunk])
+        if not self._confirms:
+            return 0
+        self._publish_seq += 1
+        self._unconfirmed.add(self._publish_seq)
+        return self._publish_seq
 
     # ---- internals -----------------------------------------------------
     def _send_method(self, channel: int, cm: tuple[int, int], args: bytes = b"") -> None:
@@ -568,16 +622,28 @@ def register_rabbitmq_source(spark) -> None:
             raise
 
 
-def send_messages(server_url: str, queue: str, payloads) -> None:
+def send_messages(server_url: str, queue: str, payloads, *, confirm: bool = True) -> None:
     """Publish helper (tests / the reference's Publish surface): JSON or
-    bytes bodies through the default exchange to ``queue``."""
+    bytes bodies through the default exchange to ``queue``.  With
+    ``confirm=True`` (default) the channel runs publisher confirms and
+    a broker nack raises :class:`AmqpError` — a dropped publish is an
+    ERROR here, not a silent loss."""
     import json as _json
 
     client = AmqpClient(server_url).connect()
     try:
+        if confirm:
+            client.enable_confirms()
         client.declare_queue(queue)
         for p in payloads:
             body = p if isinstance(p, (bytes, bytearray)) else _json.dumps(p).encode()
             client.publish(queue, bytes(body))
+        if confirm:
+            nacked = client.wait_confirms()
+            if nacked:
+                raise AmqpError(
+                    f"broker nacked {len(nacked)} publish(es): "
+                    f"seqs {sorted(nacked)}"
+                )
     finally:
         client.close()

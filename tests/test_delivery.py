@@ -261,10 +261,17 @@ def test_deliver_rabbitmq_transient_failure_poisons_only_its_batch(monkeypatch):
             self.me = events["connects"]
             self.connected = False
             self._sent = 0
+            self._seq = 0
 
         def connect(self):
             self.connected = True
             return self
+
+        def enable_confirms(self):
+            pass
+
+        def wait_confirms(self):
+            return set()
 
         def declare_queue(self, q):
             pass
@@ -277,6 +284,8 @@ def test_deliver_rabbitmq_transient_failure_poisons_only_its_batch(monkeypatch):
                 self.connected = False
                 raise ConnectionResetError("broker blip")
             events["published"].append((self.me, rk))
+            self._seq += 1
+            return self._seq
 
         def close(self):
             self.connected = False
@@ -297,14 +306,23 @@ def test_deliver_rabbitmq_transient_failure_poisons_only_its_batch(monkeypatch):
     run = _rabbitmq_partition("amqp://x", None)
     out = list(run(iter([batch(3), batch(3)])))
     b1, b2 = out
-    # batch 1: row0 delivered, row1 hits the blip, row2 poisoned
-    assert list(b1["status"]) == ["success", "failed", "failed"]
+    # batch 1: row0's publish went out but the connection died before
+    # its confirm — unknown durability is FAILED (redelivery beats a
+    # silent drop); row1 hits the blip, row2 is poisoned by it
+    assert list(b1["status"]) == ["failed", "failed", "failed"]
+    assert "unconfirmed" in b1["response_data"][0]
     assert "broker blip" in b1["response_data"][1]
     assert b1["response_data"][1] == b1["response_data"][2]
-    # batch 2: fresh connection, all delivered — NOT poisoned
+    # batch 2: fresh connection, all delivered+confirmed — NOT poisoned
     assert list(b2["status"]) == ["success", "success", "success"]
+    assert all(r == "confirmed" for r in b2["response_data"])
     assert events["connects"] == 2
     assert [p[0] for p in events["published"]] == [1, 2, 2, 2]
+    # fire-and-forget opt-out keeps the old tentative-success contract
+    events["connects"] = 0
+    run2 = _rabbitmq_partition("amqp://x", None, confirm=False)
+    (b3,) = list(run2(iter([batch(3)])))
+    assert list(b3["status"]) == ["success", "failed", "failed"]
 
 
 @pytest.fixture(scope="module")
@@ -415,6 +433,31 @@ def test_deliver_rabbitmq_publishes_with_properties(spark):
         assert "event-id" in p["headers"]
         assert json.loads(p["body"].decode()).keys() == {"n"}
         assert broker.counts("user.created") == 8
+    finally:
+        broker.shutdown()
+
+
+def test_deliver_rabbitmq_broker_nack_is_failed_row(spark):
+    """Publisher confirms end-to-end through the executor: a broker
+    that nacks one publish yields exactly that row as failed — a
+    dropped publish can never report success."""
+    from test_rabbitmq_source import _FakeRabbitBroker
+
+    broker = _FakeRabbitBroker(nack_marker=b'"n": 2')
+    try:
+        from outpost_spark.routing.sinkformats import format_rabbitmq
+
+        frame = format_rabbitmq(
+            _events(spark, 5), exchange="", ts=F.to_timestamp(F.lit(TS))
+        ).coalesce(1)
+        rows = deliver_rabbitmq(frame, server_url=broker.url).collect()
+        bad = [r for r in rows if '"n": 2' in r["body"]]
+        good = [r for r in rows if '"n": 2' not in r["body"]]
+        assert len(bad) == 1
+        assert bad[0]["status"] == "failed"
+        assert "nacked" in bad[0]["response_data"]
+        assert all(r["status"] == "success" for r in good)
+        assert all(r["response_data"] == "confirmed" for r in good)
     finally:
         broker.shutdown()
 
