@@ -167,22 +167,25 @@ def exact_token_counts(
     opt-in slow path when the budget must be denominated in a real
     vocabulary.  ``encode`` is any ``str -> list`` callable (e.g.
     ``tiktoken.get_encoding("cl100k_base").encode``); when omitted,
-    tiktoken is attempted and a clear error raised if absent (the
-    library does not ship in this environment — the Spark-side
-    plumbing, batching, and schema are real and tested with an
-    injected encoder)."""
+    tiktoken is preferred if installed, else the in-tree pure-Python
+    byte-level BPE with its frozen trained vocabulary
+    (:func:`outpost_spark.ops.bpe.default_encoder`) — exact counts work
+    out of the box, no third-party tokenizer required."""
     if encode is None:
         try:
             import tiktoken  # noqa: F401
 
             encode = tiktoken.get_encoding("cl100k_base").encode
-        except ImportError as e:
-            raise NotImplementedError(
-                "no encoder injected and tiktoken is not installed — pass "
-                "encode=<str -> list[int]> (exact_token_counts is the "
-                "opt-in exact path; bpe_token_count_expr is the codegen "
-                "approximation)"
-            ) from e
+        except ImportError:
+            # built lazily INSIDE each worker from the frozen in-tree
+            # vocab module — pickles as a plain function, and the
+            # per-word LRU cache lives worker-side where it belongs
+            def encode(t, _holder=[]):
+                if not _holder:
+                    from outpost_spark.ops.bpe import default_encoder
+
+                    _holder.append(default_encoder().encode)
+                return _holder[0](t)
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")

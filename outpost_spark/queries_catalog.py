@@ -2771,6 +2771,28 @@ def sample_token_budget_bpe(spark, sf_dir):
     return sample_by_token_budget(weighted, "doc_id", "n_bpe_tokens", 30000)
 
 
+@_register("sample_token_budget_bpe_exact", None)
+def sample_token_budget_bpe_exact(spark, sf_dir):
+    """The EXACT-mode twin of sample_token_budget_bpe: weights come
+    from the in-tree pure-Python byte-level BPE (ops/bpe.py, frozen
+    trained vocabulary) through exact_token_counts' Arrow-batched UDF,
+    then the same bucketed no-global-sort budget prefix.  A real
+    tokenizer can't run in SQL, so this entry is ``no_oracle`` — its
+    correctness is pinned in pytest instead (tests/test_bpe.py): the
+    encoder against frozen fixtures + round-trip decode, and the kept
+    set against a DuckDB cumulative-window oracle fed the SAME
+    Python-computed weights (cross-engine check of everything but the
+    encoder itself)."""
+    from outpost_spark.ops.sampling import sample_by_token_budget
+    from outpost_spark.ops.text import exact_token_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    weighted = exact_token_counts(
+        docs, "text", "doc_id", out_col="n_exact_tokens"
+    )
+    return sample_by_token_budget(weighted, "doc_id", "n_exact_tokens", 30000)
+
+
 @_register(
     "join_asof_checkpoint",
     f"""
