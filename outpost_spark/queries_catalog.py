@@ -3274,6 +3274,73 @@ def _build_langid_sql() -> str:
 _REGISTRY["text_language_id"] = (_REGISTRY["text_language_id"][0], _build_langid_sql())
 
 
+@_register(
+    "text_language_id_trained",
+    """
+    WITH d AS (SELECT doc_id, lower(text) AS t, lang FROM documents),
+    g AS (
+      SELECT doc_id, lang, substr(t, CAST(i AS INT), 3) AS gram
+      FROM d, unnest(range(1, greatest(length(t) - 2, 0) + 1)) AS u(i)
+    ),
+    cnt AS (SELECT lang, gram, count(*) AS c FROM g GROUP BY 1, 2),
+    feat AS (
+      SELECT gram FROM (
+        SELECT gram, sum(c) AS tc FROM cnt GROUP BY gram
+        ORDER BY tc DESC, gram ASC LIMIT 2000) z
+    ),
+    v AS (SELECT count(*) AS v FROM feat),
+    sel AS (SELECT cnt.* FROM cnt JOIN feat USING (gram)),
+    tot AS (SELECT lang, sum(c) AS t FROM sel GROUP BY lang),
+    langs AS (SELECT lang, count(*) AS nd FROM d GROUP BY lang),
+    model AS (
+      SELECT f.gram, l.lang,
+             CAST(round(ln((coalesce(s.c, 0) + 1) * 1.0
+                           / (coalesce(tt.t, 0) + v.v)), 6)
+                  AS DECIMAL(24,6)) AS lp
+      FROM feat f
+      CROSS JOIN langs l
+      CROSS JOIN v
+      LEFT JOIN sel s ON s.gram = f.gram AND s.lang = l.lang
+      LEFT JOIN tot tt ON tt.lang = l.lang
+    ),
+    priors AS (
+      SELECT lang,
+             CAST(round(ln(nd * 1.0 / (SELECT sum(nd) FROM langs)), 6)
+                  AS DECIMAL(24,6)) AS prior
+      FROM langs
+    ),
+    dg AS (SELECT doc_id, gram, count(*) AS ng FROM g GROUP BY 1, 2),
+    sc AS (
+      SELECT dg.doc_id, m.lang, sum(dg.ng * m.lp) AS s
+      FROM dg JOIN model m USING (gram)
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY (s + p.prior) DESC, lang DESC) AS rn
+      FROM sc JOIN priors p USING (lang)
+    )
+    SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred
+    FROM d LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
+    USING (doc_id)
+    """,
+)
+def text_language_id_trained(spark, sf_dir):
+    """TRAINED language ID (ops/langid.py): char-3-gram multinomial
+    Naive Bayes, model trained FROM the corpus's own labels as
+    DataFrames (the ops/lm.py pattern — top-2000-gram feature cut,
+    Laplace-smoothed (gram, lang, lp) grid + priors, broadcast to the
+    scorer).  The oracle re-derives the ENTIRE model in CTEs: feature
+    selection, smoothing, decimal score sums, and the (score, lang)
+    argmax are all cross-engine exact."""
+    from outpost_spark.ops.langid import language_id_trained
+
+    docs = _t(spark, sf_dir, "documents")
+    return language_id_trained(docs, "text", "doc_id")
+
+
 def _build_curate_sql(
     paragraphs: bool = False, substrings: bool = False, url: bool = False
 ) -> str:
