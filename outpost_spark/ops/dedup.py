@@ -956,6 +956,38 @@ def simhash_pairs(
     the fingerprint pipeline is not computed once per join side (same
     trade, and same escape hatch, as the LSH operator).
     """
+    fp = simhash(df.select(id_col, text_col), text_col, bits=bits, hash_fn=hash_fn)
+    return hamming_banded_pairs(
+        fp,
+        id_col,
+        "simhash",
+        bits=bits,
+        max_hamming=max_hamming,
+        bands=bands,
+        materialize=materialize,
+    )
+
+
+def hamming_banded_pairs(
+    fp_df: DataFrame,
+    id_col: str,
+    fp_col: str,
+    *,
+    bits: int,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """The pigeonhole band join on its own: pairs of rows whose
+    ``bits``-bit fingerprint column is within Hamming distance
+    ``max_hamming`` — shared by :func:`simhash_pairs` (text) and the
+    perceptual image dedup (ops/multimodal.py dHash), and usable on any
+    integer fingerprint.  Guarantee and scale shape as documented on
+    :func:`simhash_pairs`: ``bands`` (> max_hamming) equal bit segments,
+    a pair within the distance agrees exactly on >= 1 segment, so the
+    (band index, band value) equi-join has zero false negatives;
+    ``bit_count(xor)`` verifies exactly.  Output: (id_a, id_b, hamming),
+    id_a < id_b, distinct."""
     if bands is None:
         bands = max_hamming + 1
     if bands <= max_hamming:
@@ -964,7 +996,6 @@ def simhash_pairs(
         raise ValueError(f"bits ({bits}) must divide evenly into {bands} bands")
     w = bits // bands
     mask = (1 << w) - 1
-    fp = simhash(df.select(id_col, text_col), text_col, bits=bits, hash_fn=hash_fn)
     # shiftrightunsigned + bitwiseAND: band values stay correct when the
     # 64-bit fingerprint's sign bit is set (arithmetic shift + signed %
     # would emit negative keys — consistent but needlessly confusing)
@@ -973,16 +1004,16 @@ def simhash_pairs(
             F.concat_ws(
                 ":",
                 F.lit(str(b)),
-                F.shiftrightunsigned(F.col("simhash"), b * w)
+                F.shiftrightunsigned(F.col(fp_col), b * w)
                 .bitwiseAND(F.lit(mask))
                 .cast("string"),
             )
             for b in range(bands)
         ]
     )
-    buckets = fp.select(
+    buckets = fp_df.select(
         F.col(id_col).alias("__id"),
-        F.col("simhash").alias("__sim"),
+        F.col(fp_col).alias("__sim"),
         F.explode(band_arr).alias("__band"),
     )
     if materialize:

@@ -351,16 +351,14 @@ def encode_png(arr) -> bytes:
     )
 
 
-def resize_image(content: bytes, scale: float) -> bytes:
-    """Nearest-neighbor resize of an 8-bit non-interlaced PNG, returned
-    as a PNG — decode (shared bounded unfilter), index-sample, re-encode.
-    Raises ValueError for non-PNG / unsupported layouts (palette,
-    16-bit, interlaced) and for images past the bomb-guard ceiling."""
-    import numpy as np
-
+def _png_pixels(content: bytes):
+    """Full pixel decode of an 8-bit non-interlaced PNG -> (h, w, c)
+    uint8 array (the shared pixel pass behind resize_image and
+    dhash_image).  Raises ValueError for non-PNG / unsupported layouts
+    and for images past the bomb-guard ceiling."""
     meta = decode_image(content)  # validates + returns dims
     if meta["bit_depth"] != 8:
-        raise ValueError("resize supports 8-bit PNGs only")
+        raise ValueError("pixel decode supports 8-bit PNGs only")
     # re-walk the chunks for the pixel pass
     pos = 8
     idat = bytearray()
@@ -377,17 +375,172 @@ def resize_image(content: bytes, scale: float) -> bytes:
         elif ctype == b"IEND":
             break
     if interlace or meta["channels"] is None:
-        raise ValueError("resize supports non-interlaced PNGs only")
+        raise ValueError("pixel decode supports non-interlaced PNGs only")
     w, h, c = meta["width"], meta["height"], meta["channels"]
     rows = _png_unfilter(idat, w, h, c)
     if rows is None:
         raise ValueError("image exceeds the decode size ceiling")
-    px = rows.reshape(h, w, c)
+    return rows.reshape(h, w, c)
+
+
+def resize_image(content: bytes, scale: float) -> bytes:
+    """Nearest-neighbor resize of an 8-bit non-interlaced PNG, returned
+    as a PNG — decode (shared bounded unfilter), index-sample, re-encode.
+    Raises ValueError for non-PNG / unsupported layouts (palette,
+    16-bit, interlaced) and for images past the bomb-guard ceiling."""
+    import numpy as np
+
+    px = _png_pixels(content)
+    h, w = px.shape[0], px.shape[1]
     ow = max(1, int(w * scale))
     oh = max(1, int(h * scale))
     ys = (np.arange(oh) * (h / oh)).astype(int).clip(0, h - 1)
     xs = (np.arange(ow) * (w / ow)).astype(int).clip(0, w - 1)
     return encode_png(px[ys][:, xs])
+
+
+# ---- perceptual dedup (dHash over the stdlib PNG decoder) ------------------
+
+def dhash_image(content: bytes, *, hash_size: int = 8) -> int:
+    """Perceptual difference hash (dHash, the standard 64-bit variant):
+    decode PNG -> luminance -> block-mean reduce to
+    ``hash_size x (hash_size+1)`` -> bit b set iff cell[y][x+1] >
+    cell[y][x], row-major.  Near-identical images (small edits,
+    re-encodes, minor noise) land within a few bits; unrelated images
+    differ in ~32.  Returned as a SIGNED 64-bit int (two's complement)
+    so it flows through Spark long columns and ``bit_count(xor)``
+    unchanged.  Raises ValueError on anything the stdlib decoder can't
+    fully decode."""
+    import numpy as np
+
+    px = _png_pixels(content)
+    h, w, c = px.shape
+    if c >= 3:
+        lum = px[..., :3].astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    else:
+        lum = px[..., 0].astype(np.float64)
+    gh, gw = hash_size, hash_size + 1
+    if h < gh or w < gw:
+        raise ValueError(f"image smaller than the {gh}x{gw} dhash grid")
+    ys = np.linspace(0, h, gh + 1).astype(int)
+    xs = np.linspace(0, w, gw + 1).astype(int)
+    grid = np.array(
+        [
+            [lum[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean() for j in range(gw)]
+            for i in range(gh)
+        ]
+    )
+    val = 0
+    for bit in (grid[:, 1:] > grid[:, :-1]).flatten():
+        val = (val << 1) | int(bit)
+    if val >= 1 << 63:
+        val -= 1 << 64  # two's complement into Spark's signed long
+    return val
+
+
+DHASH_SCHEMA = "id long, dhash long, dhash_ok boolean"
+
+
+def image_dhash(multimodal_df: DataFrame, *, hash_size: int = 8) -> DataFrame:
+    """(id, content) -> (id, dhash, dhash_ok) via mapInPandas: corrupt
+    or undecodable members yield ``dhash_ok=false`` rows, never task
+    failures — the same tolerance contract as the decode stage."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, oks = [], [], []
+            for i, content in zip(pdf["id"], pdf["content"]):
+                try:
+                    hv = dhash_image(bytes(content), hash_size=hash_size)
+                    ok = True
+                except Exception:
+                    hv, ok = None, False
+                ids.append(i)
+                hashes.append(hv)
+                oks.append(ok)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                    "dhash_ok": oks,
+                }
+            )
+
+    return multimodal_df.select("id", "content").mapInPandas(gen, DHASH_SCHEMA)
+
+
+def planted_png(seed: int, tweak: int, *, width: int = 18, height: int = 16) -> bytes:
+    """Deterministic synthetic PNG: md5-derived greyscale pixels keyed by
+    ``seed`` (same seed = near-identical image) with a single-pixel
+    ``tweak`` perturbation (the 'near' in near-duplicate).  Distinct
+    seeds give statistically independent pixels, so their dHashes sit
+    ~32 bits apart while same-seed variants sit within a couple."""
+    import numpy as np
+
+    rows = []
+    for y in range(height):
+        raw = (
+            hashlib.md5(f"img|{seed}|{y}".encode()).digest()
+            + hashlib.md5(f"img|{seed}|{y}|b".encode()).digest()
+        )
+        rows.append(list(raw[:width]))
+    px = np.array(rows, dtype=np.uint8).reshape(height, width, 1)
+    px[tweak % height, (tweak * 7) % width, 0] ^= 3
+    return encode_png(px)
+
+
+def planted_image_corpus(
+    ids_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    group: int = 4,
+    corrupt_every: int = 29,
+) -> DataFrame:
+    """ids -> (id, content) of planted PNGs: ids sharing ``id // group``
+    get near-identical images (the planted duplicate groups a perceptual
+    dedup must find), and every ``corrupt_every``-th id carries junk
+    bytes instead of a PNG (the corrupt-member tolerance probe).
+    Generated executor-side in mapInPandas — nothing collects, the
+    corpus scales with the id table."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            content = [
+                b"JUNK: not a png"
+                if corrupt_every and i % corrupt_every == 0
+                else planted_png(i // group, i % group)
+                for i in ids
+            ]
+            yield pd.DataFrame({"id": ids, "content": content})
+
+    return ids_df.select(id_col).mapInPandas(gen, "id long, content binary")
+
+
+def dhash_pairs(
+    multimodal_df: DataFrame,
+    *,
+    max_hamming: int = 4,
+    bands: int | None = None,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: dHash fingerprints fed to
+    the SAME pigeonhole Hamming band join text simhash uses
+    (ops/dedup.py::hamming_banded_pairs) — zero false negatives within
+    ``max_hamming``, no quadratic self-join.  Undecodable members are
+    excluded (they have no fingerprint), not failed.  Output:
+    (id_a, id_b, hamming)."""
+    from outpost_spark.ops.dedup import hamming_banded_pairs
+
+    if bands is None:
+        # smallest divisor of 64 that satisfies the pigeonhole bound
+        bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
+    fp = image_dhash(multimodal_df, hash_size=hash_size).filter(
+        F.col("dhash_ok")
+    )
+    return hamming_banded_pairs(
+        fp, "id", "dhash", bits=64, max_hamming=max_hamming, bands=bands
+    )
 
 
 RESIZED_SCHEMA = (

@@ -3787,6 +3787,25 @@ def multimodal_decoded(spark, sf_dir):
     )
 
 
+@_register("dedup_image_phash_pairs", None)
+def dedup_image_phash_pairs(spark, sf_dir):
+    """Perceptual image dedup (VERDICT r08 task #8): dHash over the
+    stdlib PNG decoder + the SAME pigeonhole Hamming band join the text
+    simhash uses (ops/dedup.py::hamming_banded_pairs, bits=64, bands=8).
+    The corpus is PLANTED — deterministic synthetic PNGs where ids
+    sharing ``id // 4`` are near-identical (single-pixel tweaks) and
+    every 29th id is junk bytes — so the expected answer is exactly the
+    within-group pairs of decodable members, which pytest pins
+    independently (tests/test_image_dedup.py); corrupt members must
+    yield dhash_ok=false rows, never task failures.  DuckDB can't
+    decode PNGs, hence ``no_oracle`` (rows-only driver check)."""
+    from outpost_spark.ops.multimodal import dhash_pairs, planted_image_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    imgs = planted_image_corpus(docs, id_col="doc_id")
+    return dhash_pairs(imgs, max_hamming=4)
+
+
 # ───────────────── tenant/destination store (S8, P10, P2/J2, S1) ─────────────────
 
 _DESTS_SQL = """

@@ -1,0 +1,125 @@
+"""Perceptual image dedup (ops/multimodal.py dHash + the shared
+pigeonhole Hamming band join): hash fixtures on constructed gradients,
+near-dup vs unrelated separation, corrupt-member tolerance, and the
+dedup_image_phash_pairs catalog entry pinned against the independently
+computed planted-group answer."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from outpost_spark.ops.multimodal import (
+    dhash_image,
+    dhash_pairs,
+    encode_png,
+    image_dhash,
+    planted_image_corpus,
+    planted_png,
+)
+
+# ── the hash itself ─────────────────────────────────────────────────────
+
+
+def _grey(arr) -> bytes:
+    a = np.asarray(arr, dtype=np.uint8)
+    return encode_png(a.reshape(a.shape[0], a.shape[1], 1))
+
+
+def test_dhash_gradient_fixtures():
+    # strictly increasing columns: every left<right comparison is true
+    inc = _grey(np.tile(np.arange(0, 180, 10, dtype=np.uint8), (16, 1)))
+    assert dhash_image(inc) == -1  # all 64 bits set, two's complement
+    # strictly decreasing: no bit set
+    dec = _grey(np.tile(np.arange(180, 0, -10, dtype=np.uint8), (16, 1)))
+    assert dhash_image(dec) == 0
+    # flat image: ties are False -> 0
+    flat = _grey(np.full((16, 18), 128, dtype=np.uint8))
+    assert dhash_image(flat) == 0
+
+
+def test_dhash_rgb_matches_luminance_of_grey():
+    g = np.tile(np.arange(0, 180, 10, dtype=np.uint8), (16, 1))
+    rgb = np.stack([g, g, g], axis=-1)
+    assert dhash_image(encode_png(rgb)) == dhash_image(_grey(g))
+
+
+def test_dhash_near_dup_vs_unrelated():
+    base = dhash_image(planted_png(7, 0))
+    for tweak in (1, 2, 3):
+        ham = bin(
+            (base ^ dhash_image(planted_png(7, tweak))) & ((1 << 64) - 1)
+        ).count("1")
+        assert ham <= 4, f"tweak {tweak}: {ham}"
+    other = dhash_image(planted_png(8, 0))
+    ham = bin((base ^ other) & ((1 << 64) - 1)).count("1")
+    assert ham > 10, ham
+
+
+def test_dhash_rejects_undecodable():
+    with pytest.raises(ValueError):
+        dhash_image(b"JUNK: not a png")
+    with pytest.raises(ValueError):
+        dhash_image(_grey(np.full((4, 4), 9, dtype=np.uint8)))  # < grid
+
+
+# ── the distributed operator ────────────────────────────────────────────
+
+
+def _expected_pairs(ids, group=4, corrupt_every=29):
+    ok = [i for i in ids if i % corrupt_every != 0]
+    want = set()
+    for a in ok:
+        for b in ok:
+            if a < b and a // group == b // group:
+                want.add((a, b))
+    return want
+
+
+def test_image_dhash_tolerates_corrupt_members(spark):
+    ids = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    imgs = planted_image_corpus(ids, id_col="doc_id")
+    rows = {r["id"]: r for r in image_dhash(imgs).collect()}
+    assert len(rows) == 60
+    for i in (0, 29, 58):  # the junk members
+        assert rows[i]["dhash_ok"] is False
+        assert rows[i]["dhash"] is None
+    assert sum(r["dhash_ok"] for r in rows.values()) == 57
+
+
+def test_dhash_pairs_finds_exactly_the_planted_groups(spark):
+    ids = spark.range(0, 120).select(F.col("id").alias("doc_id"))
+    imgs = planted_image_corpus(ids, id_col="doc_id")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dhash_pairs(imgs, max_hamming=4).collect()
+    }
+    want = _expected_pairs(range(120))
+    assert got == want
+    assert len(want) > 100  # the plant is non-trivial
+
+
+def test_catalog_entry_matches_planted_answer(spark):
+    from outpost_spark.queries_catalog import queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in queries()["dedup_image_phash_pairs"](spark, sf_dir).collect()
+    }
+    doc_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    assert got == _expected_pairs(doc_ids)
+
+
+def test_band_default_respects_pigeonhole_for_64_bits(spark):
+    ids = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    imgs = planted_image_corpus(ids, id_col="doc_id", corrupt_every=0)
+    # max_hamming=7 -> bands must be a divisor of 64 greater than 7 -> 8
+    out = dhash_pairs(imgs, max_hamming=7).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} >= _expected_pairs(
+        range(8), corrupt_every=10**9
+    )
