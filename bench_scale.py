@@ -529,6 +529,135 @@ def webhook_delivery_case(spark, n_events: int = 20_000) -> dict:
     }
 
 
+def closed_loop_delivery_case(spark, root: str, n_events: int | None = None) -> dict:
+    """The reference's full loop as ONE engine graph per wave (VERDICT
+    r08 stretch #10): format_webhook -> concurrent deliver_http against
+    a receiver that 503s 30% of FIRST attempts -> attempt_records ->
+    insert_many (the real attempt log) -> batched RetryStateTable ->
+    fired tasks re-deliver, waves until converged.  Verifies every
+    event ends successful and measures end-to-end deliveries/s across
+    all waves — the number that includes signing, HTTP, logging, and
+    retry-state costs together, not any tier alone."""
+    import shutil
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from pyspark.sql import functions as F
+
+    from outpost_spark.functions.backoff import ConstantBackoff
+    from outpost_spark.logstore.insert import insert_many
+    from outpost_spark.routing.delivery import attempt_records, deliver_http
+    from outpost_spark.routing.sinkformats import format_webhook
+    from outpost_spark.streaming.retry import RetryStateTable
+
+    n = n_events or int(os.environ.get("SPARK_GRAFT_SCALE_LOOP_EVENTS", 20_000))
+    seen: set[str] = set()
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            nb = int(self.headers.get("Content-Length", 0))
+            self.rfile.read(nb)
+            eid = self.headers.get("x-outpost-event-id", "")
+            with lock:
+                first = eid not in seen
+                seen.add(eid)
+            # deterministic transient failure: 30% of events 503 on
+            # their FIRST delivery, succeed on redelivery
+            fail = first and int(eid.rsplit("_", 1)[-1]) % 10 < 3
+            body = b'{"error":"down"}' if fail else b'{"ok":true}'
+            self.send_response(503 if fail else 200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/hook"
+
+    state_path = os.path.join(root, "closed_loop_state")
+    log_root = os.path.join(root, "closed_loop_log")
+    for p in (state_path, log_root):
+        shutil.rmtree(p, ignore_errors=True)
+    table = RetryStateTable(
+        spark,
+        state_path,
+        backoff=ConstantBackoff(interval=0.0),  # due immediately: waves
+        retry_max_limit=5,
+    )
+    events = spark.range(n).select(
+        F.concat(F.lit("evt_"), F.col("id")).alias("event_id"),
+        F.lit("dest_hook").alias("destination_id"),
+        F.lit("t1").alias("tenant_id"),
+        F.lit("user.created").alias("topic"),
+        F.create_map(F.lit("k"), F.col("id").cast("string")).alias("metadata"),
+        F.concat(F.lit('{"n": '), F.col("id").cast("string"), F.lit("}")).alias(
+            "data"
+        ),
+        F.current_timestamp().alias("event_time"),
+        F.lit(True).alias("eligible_for_retry"),
+    )
+    wave = events.withColumn("attempt_number", F.lit(1))
+    t0 = time.perf_counter()
+    total_posts = total_ok = waves = 0
+    while waves < 6:
+        waves += 1
+        frame = format_webhook(
+            wave,
+            url=url,
+            ts=F.current_timestamp(),
+            secrets=["whsec_bench"],
+        ).repartition(32)
+        results = deliver_http(frame, timeout=10.0).select(
+            "event_id", "status", "response_code", "response_data"
+        )
+        enriched = wave.join(results, "event_id").localCheckpoint(eager=True)
+        insert_many(
+            attempt_records(enriched, attempt_number_col="attempt_number"),
+            os.path.join(log_root, "events"),
+            os.path.join(log_root, "attempts"),
+        )
+        outcomes = enriched.select(
+            "event_id",
+            "destination_id",
+            "tenant_id",
+            "status",
+            "attempt_number",
+            "eligible_for_retry",
+        )
+        counts = {
+            r["status"]: r["count"]
+            for r in enriched.groupBy("status").count().collect()
+        }
+        total_posts += sum(counts.values())
+        total_ok += counts.get("success", 0)
+        fired = table.apply_outcomes(outcomes, waves, now=float(waves))
+        if fired.where(~F.col("dlq")).limit(1).count() == 0:
+            break
+        wave = (
+            fired.where(~F.col("dlq"))
+            .select("event_id", "attempt_number")
+            .join(events, "event_id")
+        )
+    secs = round(time.perf_counter() - t0, 4)
+    srv.shutdown()
+    logged = spark.read.parquet(os.path.join(log_root, "attempts")).count()
+    return {
+        "secs": secs,
+        "rows": total_ok,
+        "deliveries": total_posts,
+        "waves": waves,
+        "attempt_log_rows": logged,
+        "converged": total_ok == n,
+        "deliveries_per_sec": round(total_posts / secs, 1) if secs else 0.0,
+    }
+
+
 def retry_timer_case(spark, root: str) -> dict:
     """Stateful retry-timer layer throughput (VERDICT r07 stretch #10):
     a rate-source stream of attempt outcomes drives
@@ -1111,14 +1240,66 @@ def run_only_case(case: str, args) -> None:
     print(json.dumps({"case": case, "secs": secs, "rows": rows, "recall": recall}))
 
 
-def _run_case_isolated(case: str, args) -> dict:
+def _materialize_scale_ref() -> tuple[str, str] | None:
+    """(rev, dir) with ``bench_scale.py`` + ``outpost_spark/`` archived
+    at the A/B baseline — the latest "round N: verdict" commit, same
+    convention as bench.py; ``SPARK_GRAFT_AB_REF=off`` disables,
+    ``=<rev>`` overrides.  The ref side runs in its OWN subprocess off
+    this tree, so head/ref numbers share the session shape (fresh JVM,
+    same corpus dirs) and differ only in code."""
+    import io
+    import subprocess
+    import tarfile
+    import tempfile
+
+    env = os.environ.get("SPARK_GRAFT_AB_REF")
+    if env == "off":
+        return None
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rev = env
+    if not rev:
+        try:
+            out = subprocess.run(
+                ["git", "log", "-n1", "--grep", r"^round [0-9]*: verdict",
+                 "--format=%H"],
+                capture_output=True, text=True, timeout=30, cwd=repo,
+            )
+            lines = out.stdout.strip().splitlines()
+            rev = lines[0] if lines else None
+        except Exception:
+            rev = None
+    if not rev:
+        return None
+    try:
+        out = subprocess.run(
+            ["git", "archive", rev, "outpost_spark", "bench_scale.py"],
+            capture_output=True, timeout=60, cwd=repo,
+        )
+        if out.returncode != 0:
+            return None
+        dest = tempfile.mkdtemp(prefix="bench-scale-ab-")
+        with tarfile.open(fileobj=io.BytesIO(out.stdout)) as tf:
+            tf.extractall(dest)
+        return rev, dest
+    except Exception:
+        return None
+
+
+def _run_case_isolated(case: str, args, *, root: str | None = None) -> dict:
     """Spawn ``--only case`` in a fresh interpreter/JVM and parse its
-    JSON line."""
+    JSON line.  ``root`` switches the subprocess onto an archived ref
+    tree (A/B baseline side); corpus dirs are shared via
+    SPARK_GRAFT_SCALE_DIR either way."""
     import subprocess
 
+    script = (
+        os.path.join(root, "bench_scale.py")
+        if root
+        else os.path.abspath(__file__)
+    )
     cmd = [
         sys.executable,
-        os.path.abspath(__file__),
+        script,
         "--only",
         case,
         "--events",
@@ -1296,13 +1477,35 @@ def main() -> None:
         gc.collect()
 
     # heavy cases: fresh interpreter + JVM each, AFTER the in-session
-    # sweep, so their numbers carry no session history by construction
+    # sweep, so their numbers carry no session history by construction.
+    # Each also runs once against the archived previous-round tree (same
+    # fresh-JVM shape, same corpus) — the ab block that makes any
+    # round-over-round move attributable to code, not session noise.
+    ab: dict[str, dict] = {}
+    ref = _materialize_scale_ref()
     for name in deferred:
         out = _run_case_isolated(name, args)
         timings[name] = out["secs"]
         rows_out[name] = out["rows"]
         recall.update(out.get("recall", {}))
         print(f"{name}: {timings[name]}s ({rows_out[name]} rows) [isolated]", file=sys.stderr)
+        if ref is not None:
+            try:
+                rout = _run_case_isolated(name, args, root=ref[1])
+                ab[name] = {
+                    "head": out["secs"],
+                    "ref": rout["secs"],
+                    "ratio": round(out["secs"] / rout["secs"], 3)
+                    if rout["secs"]
+                    else None,
+                }
+                print(
+                    f"{name} A/B: head {out['secs']}s vs ref {rout['secs']}s "
+                    f"(x{ab[name]['ratio']})",
+                    file=sys.stderr,
+                )
+            except Exception as e:  # ref tree may lack the case
+                ab[name] = {"head": out["secs"], "ref_error": str(e)[:200]}
     print(f"embedding planted recall: {recall}", file=sys.stderr)
 
     t0 = time.perf_counter()
@@ -1332,6 +1535,16 @@ def main() -> None:
         f"RetryTimerStream: {rt['outcomes_per_sec']} outcomes/s in, "
         f"{rt['timers_fired_per_sec']} timers/s fired "
         f"({rt['rows']} fired over {rt['secs']}s)",
+        file=sys.stderr,
+    )
+
+    cl = closed_loop_delivery_case(spark, root)
+    timings["ClosedLoopDelivery"] = cl["secs"]
+    rows_out["ClosedLoopDelivery"] = cl["rows"]
+    print(
+        f"ClosedLoopDelivery: {cl['deliveries_per_sec']} deliveries/s "
+        f"end-to-end ({cl['deliveries']} posts over {cl['waves']} waves, "
+        f"converged={cl['converged']})",
         file=sys.stderr,
     )
 
@@ -1370,6 +1583,8 @@ def main() -> None:
         "isolated_cases": sorted(deferred),
         "retry_timer": rt,
         "retry_timer_batched": rtb,
+        "closed_loop_delivery": cl,
+        "ab": {"ref_rev": ref[0] if ref else None, "cases": ab},
         "webhook_delivery": wd,
         "cpus": int(cpus),
     }
