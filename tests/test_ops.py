@@ -1920,8 +1920,17 @@ def test_bpe_token_counts_and_exact_encoder_plumbing(spark, sf_dir):
         ).collect()
     }
     assert exact == {1: 4, 2: 6, 3: 0, 4: 2, 5: 2}
-    with pytest.raises(NotImplementedError, match="tiktoken"):
-        exact_token_counts(df, "text", "doc_id")
+    # no injected encoder + no tiktoken -> the in-tree BPE default
+    # (r10: the NotImplementedError guard became a working encoder)
+    from outpost_spark.ops.bpe import default_encoder
+
+    enc = default_encoder()
+    dflt = {
+        r["doc_id"]: r["n_exact_tokens"]
+        for r in exact_token_counts(df, "text", "doc_id").collect()
+    }
+    want = {r["doc_id"]: len(enc.encode(r["text"])) for r in df.collect()}
+    assert dflt == want
     cols = token_stats_bpe(df, "text", "doc_id").columns
     assert cols == ["doc_id", "n_chars", "n_tokens", "n_bpe_tokens"]
 
