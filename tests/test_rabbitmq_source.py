@@ -16,8 +16,15 @@ import pytest
 
 from outpost_spark.sources.rabbitmq_source import (
     BASIC_ACK,
+    BASIC_CANCEL,
+    BASIC_CANCEL_OK,
+    BASIC_CONSUME,
+    BASIC_CONSUME_OK,
+    BASIC_DELIVER,
     BASIC_GET,
     BASIC_NACK,
+    BASIC_QOS,
+    BASIC_QOS_OK,
     BASIC_GET_EMPTY,
     BASIC_GET_OK,
     BASIC_PUBLISH,
@@ -99,6 +106,42 @@ class _FakeRabbitBroker:
         next_tag = 0
         confirm_mode = False
         publish_seq = 0
+        consuming: list = []  # [consumer_tag, queue, channel] when active
+        prefetch = [0]
+
+        def push_deliveries():
+            """Push queued messages to the registered consumer, bounded
+            by the qos window (unacked < prefetch; 0 = unlimited)."""
+            nonlocal next_tag
+            if not consuming:
+                return
+            tag_s, qname, chan = consuming
+            while not prefetch[0] or len(unacked) < prefetch[0]:
+                with self.lock:
+                    queue = self.queues.setdefault(qname, deque())
+                    item = queue.popleft() if queue else None
+                if item is None:
+                    return
+                body, redelivered = item
+                next_tag += 1
+                unacked[next_tag] = (qname, body)
+                write_frame(
+                    sock,
+                    FRAME_METHOD,
+                    chan,
+                    method_payload(
+                        BASIC_DELIVER,
+                        shortstr(tag_s)
+                        + struct.pack(">Q", next_tag)
+                        + (b"\x01" if redelivered else b"\x00")
+                        + shortstr("")
+                        + shortstr(qname),
+                    ),
+                )
+                write_frame(
+                    sock, FRAME_HEADER, chan, content_header_payload(len(body))
+                )
+                write_frame(sock, FRAME_BODY, chan, body)
         try:
             header = self._recv_exact(sock, 8)
             assert header == b"AMQP\x00\x00\x09\x01", header
@@ -127,7 +170,18 @@ class _FakeRabbitBroker:
                 sock, FRAME_METHOD, 0, method_payload(CONNECTION_OPEN_OK, shortstr(""))
             )
             while True:
-                ftype, channel, payload = read_frame(sock)
+                # short poll timeout: a registered consumer gets pushes
+                # even when the peer sends nothing (the push half of
+                # basic.consume); local sendall writes whole frames, so
+                # the timeout lands between frames
+                sock.settimeout(0.1)
+                try:
+                    ftype, channel, payload = read_frame(sock)
+                except (TimeoutError, socket.timeout):
+                    push_deliveries()
+                    continue
+                finally:
+                    sock.settimeout(None)
                 if ftype != FRAME_METHOD:
                     continue
                 cur = Cursor(payload)
@@ -188,6 +242,35 @@ class _FakeRabbitBroker:
                         sock, FRAME_HEADER, channel, content_header_payload(len(body))
                     )
                     write_frame(sock, FRAME_BODY, channel, body)
+                elif cm == BASIC_QOS:
+                    cur.long()  # prefetch size (bytes) — unused
+                    prefetch[0] = cur.short()
+                    write_frame(
+                        sock, FRAME_METHOD, channel, method_payload(BASIC_QOS_OK)
+                    )
+                elif cm == BASIC_CONSUME:
+                    cur.short()
+                    q = cur.shortstr()
+                    tag_s = cur.shortstr() or "ctag-1"
+                    with self.lock:
+                        self.queues.setdefault(q, deque())
+                    write_frame(
+                        sock,
+                        FRAME_METHOD,
+                        channel,
+                        method_payload(BASIC_CONSUME_OK, shortstr(tag_s)),
+                    )
+                    consuming[:] = [tag_s, q, channel]
+                    push_deliveries()
+                elif cm == BASIC_CANCEL:
+                    tag_s = cur.shortstr()
+                    consuming.clear()
+                    write_frame(
+                        sock,
+                        FRAME_METHOD,
+                        channel,
+                        method_payload(BASIC_CANCEL_OK, shortstr(tag_s)),
+                    )
                 elif cm == BASIC_ACK:
                     tag = cur.longlong()
                     multiple = bool(cur.octet() & 1)
@@ -196,6 +279,7 @@ class _FakeRabbitBroker:
                     )
                     for t in todo:
                         unacked.pop(t, None)
+                    push_deliveries()  # the qos window just widened
                 elif cm == BASIC_PUBLISH:
                     cur.short()
                     exchange = cur.shortstr()  # "" -> direct to routing key
@@ -374,6 +458,99 @@ def test_unacked_messages_requeue_as_redelivered(broker):
     c2.ack(m2.delivery_tag, multiple=True)
     c2.close()
     assert broker.counts("q2") == 0
+
+
+def test_push_consume_roundtrip(broker):
+    """basic.qos + basic.consume push mode: queued messages arrive as
+    basic.deliver frames, an empty queue times out to None (the batch
+    boundary), cumulative ack settles the window."""
+    send_messages(broker.url, "qp1", [{"n": i} for i in range(5)])
+    c = AmqpClient(broker.url).connect()
+    try:
+        c.qos(10)
+        assert c.consume("qp1") == "outpost-spark"
+        got = [c.next_delivery(timeout=2.0) for _ in range(5)]
+        assert all(m is not None for m in got)
+        assert sorted(json.loads(m.body)["n"] for m in got) == list(range(5))
+        assert c.next_delivery(timeout=0.3) is None  # empty -> batch edge
+        c.ack(max(m.delivery_tag for m in got), multiple=True)
+        time.sleep(0.3)
+        assert broker.counts("qp1") == 0
+    finally:
+        c.close()
+
+
+def test_qos_window_bounds_push_buffering(broker):
+    """The unbounded-buffering concern push mode raises: with
+    prefetch=2 the broker pushes at most 2 unacked deliveries — more
+    arrive only after an ack widens the window."""
+    send_messages(broker.url, "qp2", [{"n": i} for i in range(5)])
+    c = AmqpClient(broker.url).connect()
+    try:
+        c.qos(2)
+        c.consume("qp2")
+        m1 = c.next_delivery(timeout=2.0)
+        m2 = c.next_delivery(timeout=2.0)
+        assert m1 is not None and m2 is not None
+        assert c.next_delivery(timeout=0.4) is None  # window full
+        c.ack(m2.delivery_tag, multiple=True)
+        m3 = c.next_delivery(timeout=2.0)
+        assert m3 is not None
+        c.ack(m3.delivery_tag, multiple=True)
+        time.sleep(0.5)  # let the ack->push cycle settle before close
+    finally:
+        c.close()
+    time.sleep(0.3)
+    # the 2 never-delivered + requeued tail are still on the queue
+    assert broker.counts("qp2") == 2
+
+
+def test_reader_consume_mode_ack_on_commit_and_redelivery(broker):
+    """The streaming reader in mode=consume keeps the exact get-mode
+    contract: read batches via pushed deliveries, cumulative-ack on
+    commit, crash-before-commit redelivers."""
+    send_messages(broker.url, "qp3", [{"n": i} for i in range(4)])
+    r1 = RabbitMqStreamReader(
+        {"queue": "qp3", "serverurl": broker.url, "mode": "consume",
+         "consumetimeoutsecs": "0.5"}
+    )
+    rows, nxt = r1.read(r1.initialOffset())
+    rows = list(rows)
+    assert sorted(json.loads(x[0])["n"] for x in rows) == [0, 1, 2, 3]
+    r1._client._sock.close()  # crash before commit -> broker requeues
+    time.sleep(0.3)
+    r2 = RabbitMqStreamReader(
+        {"queue": "qp3", "serverurl": broker.url, "mode": "consume",
+         "consumetimeoutsecs": "0.5"}
+    )
+    rows2, nxt2 = r2.read(r2.initialOffset())
+    rows2 = list(rows2)
+    assert sorted(json.loads(x[0])["n"] for x in rows2) == [0, 1, 2, 3]
+    assert all(x[4] is True for x in rows2)  # redelivered flag
+    r2.commit(nxt2)
+    time.sleep(0.3)
+    assert broker.counts("qp3") == 0
+    # a later publish is pushed into the NEXT batch on the same reader
+    send_messages(broker.url, "qp3", [{"n": 9}])
+    rows3, _ = r2.read(nxt2)
+    rows3 = list(rows3)
+    assert [json.loads(x[0])["n"] for x in rows3] == [9]
+
+
+def test_cancel_consume_stops_the_push_stream(broker):
+    send_messages(broker.url, "qp4", [{"n": 1}])
+    c = AmqpClient(broker.url).connect()
+    try:
+        c.qos(5)
+        c.consume("qp4")
+        m = c.next_delivery(timeout=2.0)
+        assert m is not None
+        c.cancel_consume()
+        send_messages(broker.url, "qp4", [{"n": 2}])
+        assert c.next_delivery(timeout=0.5) is None  # nothing pushed
+        c.ack(m.delivery_tag)
+    finally:
+        c.close()
 
 
 def test_publisher_confirms_ack_roundtrip(broker):
