@@ -972,20 +972,26 @@ def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     Output: (id, redacted_text, n_emails, n_ipv4, n_phones).
 
+    Each count runs on the PROGRESSIVELY-redacted text — pattern i is
+    counted on the text after patterns 1..i-1 already replaced — so
+    ``n_X`` equals exactly the number of ``<X>`` placeholders inserted
+    (an IPv4 swallowed by an earlier <EMAIL> replacement is not
+    double-counted; previously counts ran on the original text and
+    could exceed the placeholders, misleading PII-density gates).
+
     Entirely whole-stage-codegen: three chained ``regexp_replace`` +
     three ``regexp_extract_all`` counts over the scan, zero shuffles,
     zero Python — the patterns avoid lookaround/backreferences so
     Java regex and RE2 (the DuckDB oracle) agree byte-for-byte.
     """
-    text = F.col(text_col)
-    counts = [
-        F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
-        .cast("bigint")
-        .alias(f"n_{name}s" if name != "ipv4" else "n_ipv4")
-        for name, pat in PII_PATTERNS
-    ]
-    red = text
+    red = F.col(text_col)
+    counts = []
     for name, pat in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0)))
+            .cast("bigint")
+            .alias(f"n_{name}s" if name != "ipv4" else "n_ipv4")
+        )
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
     return df.select(
         F.col(id_col),

@@ -1675,19 +1675,31 @@ def sample_shard_manifest(spark, sf_dir):
              END AS text
       FROM documents
     )
+    -- counts run on the PROGRESSIVELY-redacted text (pattern i counted
+    -- after patterns 1..i-1 replaced), so n_X == inserted <X> markers
+    , r1 AS (
+      SELECT doc_id, text,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      FROM d
+    ),
+    r2 AS (
+      SELECT doc_id, text, t1,
+             regexp_replace(t1,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS t2
+      FROM r1
+    )
     SELECT doc_id,
-           regexp_replace(regexp_replace(regexp_replace(text,
-             '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+           regexp_replace(t2,
              '(?:\+\d{1,3}[-. ]?)?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]\d{3,4}\b', '<PHONE>', 'g')
              AS redacted_text,
            CAST(len(regexp_extract_all(text,
              '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(text,
+           CAST(len(regexp_extract_all(t1,
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
-           CAST(len(regexp_extract_all(text,
+           CAST(len(regexp_extract_all(t2,
              '(?:\+\d{1,3}[-. ]?)?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]\d{3,4}\b')) AS BIGINT) AS n_phones
-    FROM d
+    FROM r2
     """,
 )
 def text_redact_pii(spark, sf_dir):

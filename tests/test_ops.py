@@ -1603,8 +1603,9 @@ def test_pack_sequences_invariants_and_quality(spark):
 
 def test_redact_pii_planted(spark):
     """PII scrubbing: each pattern redacts its plant, the chain order
-    protects emails/IPs from the phone pattern, counts are per-type on
-    the original text, and clean text passes through untouched."""
+    protects emails/IPs from the phone pattern, counts agree with the
+    inserted placeholders (progressive counting — r10 fix), and clean
+    text passes through untouched."""
     from outpost_spark.ops.text import redact_pii
 
     df = spark.createDataFrame(
@@ -1614,6 +1615,7 @@ def test_redact_pii_planted(spark):
             (3, "call +1 555-123-4567 or (089) 123-4567 now"),
             (4, "no pii here at all"),
             (5, "mixed a@b.com via 8.8.8.8 dial +49 30 1234-567"),
+            (6, "ping bob@1.2.3.4.example.com plus 5.6.7.8 up"),
         ],
         ["doc_id", "text"],
     )
@@ -1629,6 +1631,13 @@ def test_redact_pii_planted(spark):
     # ordering: the IP is consumed by the IPv4 stage, never half-eaten
     # by the phone pattern
     assert out[5]["redacted_text"] == "mixed <EMAIL> via <IPV4> dial <PHONE>"
+    # count/placeholder agreement: the IPv4-looking run inside the email
+    # domain is swallowed by <EMAIL>, so it must NOT count as an IPv4
+    # (previously counts ran on the original text and said n_ipv4=2)
+    assert out[6]["redacted_text"] == "ping <EMAIL> plus <IPV4> up"
+    assert out[6]["n_emails"] == 1
+    assert out[6]["n_ipv4"] == 1
+    assert out[6]["redacted_text"].count("<IPV4>") == out[6]["n_ipv4"]
 
 
 def test_gopher_quality_rules(spark):
