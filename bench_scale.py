@@ -241,7 +241,29 @@ def doc_cases(spark, path: str):
         # — 8.5-9.2x the r05 dict loop's single-thread token rate
         # (87M vs 9.5M tokens/s Zipfian), e2e 3.3 s vs 9.0 s here
         "ApproxTopTokens": lambda: _approx_top_tokens_case(docs),
+        # the full training-set assembly capstone at the 1M-doc corpus
+        # (VERDICT r08 stretch #10): cleaning cascade + self-trained LM
+        # + split + mix + budget + shard manifests as ONE plan family
+        "CurateV6_1M": lambda: _curate_v6_case(docs),
     }
+
+
+def _curate_v6_case(docs) -> int:
+    from outpost_spark.ops.pipeline import curate_corpus_v6
+
+    langs = F.array(*[F.lit(x) for x in ("en", "de", "fr", "es")])
+    d = docs.select(
+        "doc_id",
+        "text",
+        F.element_at(langs, (F.col("doc_id") % 4 + 1).cast("int")).alias("lang"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    # max_ppl wide open: the synthetic md5-word corpus is all high-ppl,
+    # and the bench measures the CASCADE's cost (the gate's planted
+    # behavior is pytest's job); budget cut keeps ~40% of train chars
+    return curate_corpus_v6(
+        d, max_ppl=1e9, token_budget=200_000_000, n_shards=16
+    ).count()
 
 
 def _approx_top_tokens_case(docs) -> int:
@@ -1188,6 +1210,7 @@ HEAVY_CASES = frozenset(
         "KnnJoinBulk",
         "SemanticDedupBulk",
         "PqTopk",
+        "CurateV6_1M",
     }
 )
 
@@ -1206,6 +1229,9 @@ def run_only_case(case: str, args) -> None:
     the orchestrator drives for HEAVY_CASES."""
     root = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/outpost_scale_bench")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # scale-bench JVMs are sized to the box (spill-aware: 32 concurrent
+    # tasks decompressing 1M-doc text columns overflow the 8g default)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = get_spark(
         f"outpost-scale-only-local[{cpus}]", shuffle_partitions=int(cpus)
     )
@@ -1352,6 +1378,8 @@ def main() -> None:
     root = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/outpost_scale_bench")
     path = os.path.join(root, f"attempts_{args.events}")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # size the JVM to the box (the isolated subprocesses inherit this)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = get_spark(f"outpost-scale-bench-local[{cpus}]", shuffle_partitions=int(cpus))
 
     if not os.path.exists(os.path.join(path, "_SUCCESS")):

@@ -123,6 +123,46 @@ def train_char_ngram_lid(
     return grid, priors
 
 
+def quality_trained(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    train_df: DataFrame | None = None,
+    n: int = 3,
+    top_k: int = 2000,
+) -> DataFrame:
+    """Self-distilled quality model: the Gopher rule set
+    (ops/text.py::gopher_quality — the expensive regex battery) labels
+    the training slice pass/fail, and the char-n-gram NB learns each
+    class's character statistics.  The trained model is the FAST gate
+    (broadcast join + argmax) for corpus-wide scoring while the rule
+    battery runs on samples — the standard distillation shape for
+    heuristic quality filters.  Output: (id, quality_pred) in
+    {'pass', 'fail', 'und'} ('und' = no in-vocab grams)."""
+    from outpost_spark.ops.text import gopher_quality
+
+    def labeled(frame: DataFrame) -> DataFrame:
+        labels = gopher_quality(frame, text_col, id_col).select(
+            id_col,
+            F.when(F.col("passes_gopher"), F.lit("pass"))
+            .otherwise(F.lit("fail"))
+            .alias("__q"),
+        )
+        return frame.select(id_col, text_col).join(labels, id_col)
+
+    out = language_id_trained(
+        df,
+        text_col,
+        id_col,
+        train_df=labeled(train_df if train_df is not None else df),
+        label_col="__q",
+        n=n,
+        top_k=top_k,
+    )
+    return out.select(id_col, F.col("lang_pred").alias("quality_pred"))
+
+
 def language_id_trained(
     df: DataFrame,
     text_col: str,

@@ -3286,10 +3286,15 @@ def _build_langid_sql() -> str:
 _REGISTRY["text_language_id"] = (_REGISTRY["text_language_id"][0], _build_langid_sql())
 
 
-@_register(
-    "text_language_id_trained",
-    """
-    WITH d AS (SELECT doc_id, lower(text) AS t, lang FROM documents),
+def _build_nb_trained_sql(d_cte: str, out_col: str) -> str:
+    """Oracle builder for the char-3-gram Naive Bayes trained model
+    (ops/langid.py): ``d_cte`` must define ``d(doc_id, t, lang)`` —
+    lowercased text and the training label.  Used by BOTH trained
+    entries (language ID over the corpus's lang labels; quality over
+    self-derived Gopher labels) so the model CTEs stay literally
+    identical to the DataFrame implementation's semantics."""
+    return f"""
+    WITH {d_cte},
     g AS (
       SELECT doc_id, lang, substr(t, CAST(i AS INT), 3) AS gram
       FROM d, unnest(range(1, greatest(length(t) - 2, 0) + 1)) AS u(i)
@@ -3334,10 +3339,15 @@ _REGISTRY["text_language_id"] = (_REGISTRY["text_language_id"][0], _build_langid
                ORDER BY (s + p.prior) DESC, lang DESC) AS rn
       FROM sc JOIN priors p USING (lang)
     )
-    SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred
+    SELECT d.doc_id, coalesce(b.lang, 'und') AS {out_col}
     FROM d LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
     USING (doc_id)
-    """,
+    """
+
+
+@_register(
+    "text_language_id_trained",
+    None,  # built programmatically below (shared NB builder)
 )
 def text_language_id_trained(spark, sf_dir):
     """TRAINED language ID (ops/langid.py): char-3-gram multinomial
@@ -3351,6 +3361,75 @@ def text_language_id_trained(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return language_id_trained(docs, "text", "doc_id")
+
+
+_REGISTRY["text_language_id_trained"] = (
+    _REGISTRY["text_language_id_trained"][0],
+    _build_nb_trained_sql(
+        "d AS (SELECT doc_id, lower(text) AS t, lang FROM documents)",
+        "lang_pred",
+    ),
+)
+
+
+@_register("text_quality_trained", None)  # oracle built below
+def text_quality_trained(spark, sf_dir):
+    """TRAINED quality model (the 'quality models' half of VERDICT r08
+    missing #4): the same char-3-gram NB machinery as the trained
+    language ID, self-distilled from the Gopher rule set — the
+    expensive heuristic gate labels the corpus (pass/fail), the NB
+    learns the character statistics of each class, and the resulting
+    model is the FAST gate (one broadcast join + argmax, no per-rule
+    regex battery) a 100 TB pipeline runs on everything while the rule
+    set runs on samples.  The oracle re-derives the Gopher labels AND
+    the whole model in CTEs via the shared NB builder."""
+    from outpost_spark.ops.langid import quality_trained
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_trained(docs, "text", "doc_id")
+
+
+_GOPHER_LABEL_CTE = r"""gq AS (
+      SELECT doc_id,
+        ((n_words >= 50 AND n_words <= 100000)
+         AND coalesce(n_words > 0 AND swc / n_words >= 3 AND swc / n_words <= 10, FALSE)
+         AND coalesce(n_words > 0 AND (n_hash + n_ell) / n_words < 0.1, FALSE)
+         AND coalesce(NOT (n_lines > 0 AND n_bullet * 1.0 / n_lines >= 0.9), TRUE)
+         AND coalesce(NOT (n_lines > 0 AND n_ellline * 1.0 / n_lines >= 0.3), TRUE)
+         AND coalesce(n_words > 0 AND n_alpha * 1.0 / n_words >= 0.8, FALSE)
+         AND (stop_hits >= 2)) AS passes
+      FROM (
+        SELECT doc_id,
+          CAST(len(words) AS BIGINT) AS n_words,
+          CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS swc,
+          (length(text) - length(replace(text, '#', ''))) AS n_hash,
+          (length(text) - length(replace(text, '...', ''))) / 3
+            + length(text) - length(replace(text, chr(8230), '')) AS n_ell,
+          len(lines) AS n_lines,
+          len(list_filter(lines, x -> starts_with(x, '-') OR starts_with(x, '*')
+                                      OR starts_with(x, chr(8226)))) AS n_bullet,
+          len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, chr(8230)))) AS n_ellline,
+          len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+          len(list_intersect(list_transform(words, x -> lower(x)),
+              ['the','be','to','of','and','that','have','with'])) AS stop_hits
+        FROM (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words,
+                 list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                             x -> x <> '') AS lines
+          FROM documents)
+      )
+    ),
+    d AS (
+      SELECT documents.doc_id, lower(text) AS t,
+             CASE WHEN gq.passes THEN 'pass' ELSE 'fail' END AS lang
+      FROM documents JOIN gq ON gq.doc_id = documents.doc_id
+    )"""
+
+_REGISTRY["text_quality_trained"] = (
+    _REGISTRY["text_quality_trained"][0],
+    _build_nb_trained_sql(_GOPHER_LABEL_CTE, "quality_pred"),
+)
 
 
 def _build_curate_sql(

@@ -136,3 +136,40 @@ def test_model_shape_is_bounded(spark):
     # a complete grid: every selected gram has a cell for every lang
     per_gram = model.groupBy("gram").count().select("count").distinct().collect()
     assert [r["count"] for r in per_gram] == [4]
+
+
+def test_quality_trained_distills_the_gopher_gate(spark):
+    """Self-distillation: the NB trained on Gopher pass/fail labels
+    recovers those labels on held-out docs of the same shape — the
+    fast-gate contract (score everything with the model, run the regex
+    battery on samples)."""
+    import random as _random
+
+    from outpost_spark.ops.langid import quality_trained
+    from outpost_spark.ops.text import gopher_quality
+
+    rng = _random.Random(3)
+    good_words = ["the", "be", "to", "of", "and", "that", "have", "with",
+                  "weather", "garden", "window", "people", "moment"]
+    rows = []
+    for i in range(120):
+        if i % 2 == 0:  # passes: 60+ normal words incl. stopwords
+            rows.append((i, " ".join(rng.choices(good_words, k=70))))
+        else:  # fails: symbol-heavy junk
+            rows.append((i, " ".join("#" * rng.randint(2, 6) for _ in range(70))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    truth = {
+        r["doc_id"]: "pass" if r["passes_gopher"] else "fail"
+        for r in gopher_quality(docs, "text", "doc_id").collect()
+    }
+    assert set(truth.values()) == {"pass", "fail"}  # both classes planted
+    train = docs.filter(F.col("doc_id") < 80)
+    test = docs.filter(F.col("doc_id") >= 80)
+    pred = {
+        r["doc_id"]: r["quality_pred"]
+        for r in quality_trained(
+            test, "text", "doc_id", train_df=train, top_k=400
+        ).collect()
+    }
+    acc = sum(pred[i] == truth[i] for i in pred) / len(pred)
+    assert acc >= 0.95, acc
