@@ -173,3 +173,23 @@ def test_quality_trained_distills_the_gopher_gate(spark):
     }
     acc = sum(pred[i] == truth[i] for i in pred) / len(pred)
     assert acc >= 0.95, acc
+
+
+def test_trained_scoring_plan_broadcasts_the_model(spark):
+    """Scale claim of the trained NB scorer: the model grid and priors
+    reach the doc-gram stream as BROADCAST joins (the model is top_k x
+    n_langs rows), and text never sort-merge-joins — the only exchanges
+    are the doc-gram compress agg and the per-doc argmax agg."""
+    docs = _planted(spark)
+    plan = (
+        language_id_trained(docs, "text", "doc_id", top_k=300)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # both model-side joins (grid on gram, priors on lang) broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the only sort-merge join is the final corpus x corpus id-attach
+    # of the 'und' fallback — key-partitioned, correct at scale; the
+    # GRAM stream itself must never sort-merge against the model
+    assert plan.count("SortMergeJoin") <= 1

@@ -275,3 +275,37 @@ def test_backoff_delay_col_matches_python(spark):
         ]
         want = [bo.duration(i) for i in range(8)]
         assert got == pytest.approx(want), type(bo).__name__
+
+
+def test_apply_outcomes_plan_has_no_cartesian_or_python(spark, table):
+    """Scale claim of the batched transition: one max_by aggregate, one
+    key-keyed merge join, zero Python stages, zero cartesian products in
+    the fired-slice plan."""
+    table.apply_outcomes(
+        _df(spark, [outcome("e1", "d1", "failed", 1)]), 1, now=0.0
+    )
+    df = table.state_before(2)
+    batch = _df(spark, [outcome("e1", "d1", "failed", 2)])
+    from pyspark.sql import functions as F  # noqa: F401
+
+    # rebuild the merge plan the way apply_outcomes does, without the
+    # writes, to inspect it
+    from outpost_spark.functions.backoff import backoff_delay_col
+
+    latest = (
+        batch.groupBy("event_id", "destination_id")
+        .agg(
+            F.max_by(
+                F.struct("tenant_id", "attempt_number", "status", "eligible_for_retry"),
+                F.struct(F.col("attempt_number"), F.col("status")),
+            ).alias("o")
+        )
+        .select("event_id", "destination_id", "o.*")
+    )
+    j = df.alias("s").join(
+        latest.alias("u"), on=["event_id", "destination_id"], how="full_outer"
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
