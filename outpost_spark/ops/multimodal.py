@@ -469,6 +469,29 @@ def image_dhash(multimodal_df: DataFrame, *, hash_size: int = 8) -> DataFrame:
     return multimodal_df.select("id", "content").mapInPandas(gen, DHASH_SCHEMA)
 
 
+def dhash_canonical_survivors(
+    multimodal_df: DataFrame,
+    *,
+    max_hamming: int = 4,
+    bands: int | None = None,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual image dedup END TO END: dHash pairs -> connected
+    components -> each near-dup cluster collapsed to its minimum-id
+    member — the same survivor collapse text fuzzy dedup uses
+    (ops/dedup.py::dedup_keep_canonical), so the image corpus gets the
+    full pairs->clusters->canonical chain, not just the pair list.
+    Undecodable members carry no fingerprint, join no pairs, and pass
+    through untouched (the tolerant-decode contract).  Output: (id) of
+    the surviving images."""
+    from outpost_spark.ops.dedup import dedup_keep_canonical
+
+    pairs = dhash_pairs(
+        multimodal_df, max_hamming=max_hamming, bands=bands, hash_size=hash_size
+    )
+    return dedup_keep_canonical(multimodal_df.select("id"), pairs, "id")
+
+
 def planted_png(seed: int, tweak: int, *, width: int = 18, height: int = 16) -> bytes:
     """Deterministic synthetic PNG: md5-derived greyscale pixels keyed by
     ``seed`` (same seed = near-identical image) with a single-pixel

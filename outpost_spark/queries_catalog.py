@@ -3897,6 +3897,24 @@ def dedup_image_phash_pairs(spark, sf_dir):
     return dhash_pairs(imgs, max_hamming=4)
 
 
+@_register("dedup_image_survivors", None)
+def dedup_image_survivors(spark, sf_dir):
+    """The image-dedup chain completed: dHash pairs -> connected
+    components -> canonical (minimum-id) survivor per near-dup cluster,
+    over the same planted corpus as dedup_image_phash_pairs — so the
+    expected survivor set is exactly {min decodable id of each planted
+    group} ∪ {corrupt members} (no fingerprint, untouched), pinned in
+    pytest.  ``no_oracle``: DuckDB can't decode PNGs."""
+    from outpost_spark.ops.multimodal import (
+        dhash_canonical_survivors,
+        planted_image_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    imgs = planted_image_corpus(docs, id_col="doc_id")
+    return dhash_canonical_survivors(imgs, max_hamming=4)
+
+
 # ───────────────── tenant/destination store (S8, P10, P2/J2, S1) ─────────────────
 
 _DESTS_SQL = """

@@ -123,3 +123,46 @@ def test_band_default_respects_pigeonhole_for_64_bits(spark):
     assert {(r["id_a"], r["id_b"]) for r in out} >= _expected_pairs(
         range(8), corrupt_every=10**9
     )
+
+
+def _expected_survivors(ids, group=4, corrupt_every=29):
+    from collections import defaultdict
+
+    ok = defaultdict(list)
+    survivors = set()
+    for i in ids:
+        if corrupt_every and i % corrupt_every == 0:
+            survivors.add(i)  # undecodable: no fingerprint, untouched
+        else:
+            ok[i // group].append(i)
+    for members in ok.values():
+        survivors.add(min(members))
+    return survivors
+
+
+def test_dhash_survivors_collapse_planted_groups(spark):
+    from outpost_spark.ops.multimodal import dhash_canonical_survivors
+
+    ids = spark.range(0, 120).select(F.col("id").alias("doc_id"))
+    imgs = planted_image_corpus(ids, id_col="doc_id")
+    got = {r["id"] for r in dhash_canonical_survivors(imgs).collect()}
+    want = _expected_survivors(range(120))
+    assert got == want
+    assert len(got) < 120  # clusters actually collapsed
+
+
+def test_catalog_survivors_entry_matches_planted_answer(spark):
+    from outpost_spark.queries_catalog import queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r["id"]
+        for r in queries()["dedup_image_survivors"](spark, sf_dir).collect()
+    }
+    doc_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    assert got == _expected_survivors(doc_ids)
