@@ -92,7 +92,11 @@ def _s3a_client_conf(spark, path: str) -> dict:
         endpoint = ("https://" if ssl else "http://") + endpoint
     if endpoint:
         out["endpoint_url"] = endpoint
-    if get("access.key"):
+    # only a COMPLETE static pair is forwarded: an access key whose
+    # secret lives elsewhere (Hadoop credential provider, IAM) must
+    # fall through to boto3's default chain — a partial pair would
+    # raise PartialCredentialsError instead of resolving
+    if get("access.key") and get("secret.key"):
         out["access_key"] = get("access.key")
         out["secret_key"] = get("secret.key")
         if get("session.token"):

@@ -413,6 +413,10 @@ def dhash_image(content: bytes, *, hash_size: int = 8) -> int:
     fully decode."""
     import numpy as np
 
+    if not 1 <= hash_size <= 8:
+        # bits = hash_size^2 must fit the signed-64 two's-complement
+        # fold below and Spark's long column; >8 would silently overflow
+        raise ValueError(f"hash_size must be in 1..8, got {hash_size}")
     px = _png_pixels(content)
     h, w, c = px.shape
     if c >= 3:
@@ -555,14 +559,21 @@ def dhash_pairs(
     (id_a, id_b, hamming)."""
     from outpost_spark.ops.dedup import hamming_banded_pairs
 
+    # the fingerprint width follows the grid: hash_size^2 comparison
+    # bits (dhash_image validates hash_size <= 8, so bits <= 64 and the
+    # Int64 column / two's-complement fold stay exact); bands must both
+    # divide the width and exceed max_hamming for the pigeonhole bound
+    bits = hash_size * hash_size
     if bands is None:
-        # smallest divisor of 64 that satisfies the pigeonhole bound
-        bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
+        bands = next(
+            (b for b in range(max_hamming + 1, bits + 1) if bits % b == 0),
+            bits,
+        )
     fp = image_dhash(multimodal_df, hash_size=hash_size).filter(
         F.col("dhash_ok")
     )
     return hamming_banded_pairs(
-        fp, "id", "dhash", bits=64, max_hamming=max_hamming, bands=bands
+        fp, "id", "dhash", bits=bits, max_hamming=max_hamming, bands=bands
     )
 
 

@@ -135,8 +135,6 @@ def deliver_http(
                 try:
                     conn.request(method, path, body=payload, headers=hdrs)
                     resp = conn.getresponse()
-                    data = resp.read(max_response_bytes)
-                    code = int(resp.status)
                 except (
                     http.client.BadStatusLine,
                     http.client.CannotSendRequest,
@@ -150,6 +148,23 @@ def deliver_http(
                 except Exception as e:  # timeout, refused, DNS
                     conn.close()
                     return "failed", 0, f"{type(e).__name__}: {e}"
+                # Headers received: the server HAS processed this request,
+                # so from here on NOTHING may trigger a re-POST — a retry
+                # past this point would duplicate the delivery while
+                # recording a single attempt row.  A body-read failure
+                # keeps the status the response code already gave us and
+                # records the read error alongside.
+                code = int(resp.status)
+                try:
+                    data = resp.read(max_response_bytes)
+                except Exception as e:
+                    conn.close()
+                    ok = 200 <= code < 300
+                    return (
+                        "success" if ok else "failed",
+                        code,
+                        f"[body read failed: {type(e).__name__}: {e}]",
+                    )
                 # drain the rest (bounded) so the socket is reusable
                 try:
                     left = drain_bytes
@@ -369,6 +384,15 @@ def _rabbitmq_partition(
                         for i in seq_to_row.values():
                             status[i], codes[i] = "failed", 0
                             resp[i] = f"confirm wait failed: {type(e).__name__}: {e}"
+                        # the channel is desynchronized (half-read
+                        # confirm frames, stale _unconfirmed seqs) —
+                        # drop it so the next batch reconnects on a
+                        # clean channel with reset confirm state
+                        try:
+                            client.close()
+                        except Exception:
+                            pass
+                        client = None
             pdf = pdf.copy()
             pdf["status"] = status
             pdf["response_code"] = codes

@@ -147,9 +147,11 @@ class RetryStateTable:
     1. latest outcome per (event_id, destination_id) — ``max_by`` over
        (attempt_number, status), so the highest attempt governs exactly
        like the sequential fold (ties prefer 'success': cancel wins);
-    2. full-outer MERGE with the pending-state table: failures upsert
-       (attempt+1 at now + backoff(attempt-1), receive_count carried
-       over), successes / ineligible / exhausted cancel;
+    2. full-outer MERGE with the pending-state table: eligible failures
+       upsert (attempt+1 at now + backoff(attempt-1), receive_count
+       carried over), successes / exhausted cancel, ineligible failures
+       are no-ops (dropped before the reduction — the pending timer
+       survives, matching RetryScheduler.on_attempt's early return);
     3. FIRE the due slice (fire_at <= now): each fire counts a receive,
        receive_count > max_receive_count diverts to DLQ
        (scheduler.go:196-203); fired entries leave the state.
@@ -256,8 +258,19 @@ class RetryStateTable:
                 how="left_anti",
             ).unionByName(rq)
         if batch_df is not None:
+            # RetryScheduler.on_attempt treats an INELIGIBLE failure as a
+            # no-op (checked before the exhausted test: the pending timer
+            # survives, nothing is scheduled).  Dropping those rows BEFORE
+            # the per-key reduction reproduces the sequential fold exactly:
+            # a key whose batch outcomes are all ineligible produces no
+            # update row, so the merge keeps its state untouched; a key
+            # with mixed outcomes is governed by its latest ACTIONABLE
+            # outcome, just as the fold would end on it.
+            actionable = batch_df.where(
+                (F.col("status") == "success") | F.col("eligible_for_retry")
+            )
             latest = (
-                batch_df.groupBy("event_id", "destination_id")
+                actionable.groupBy("event_id", "destination_id")
                 .agg(
                     F.max_by(
                         F.struct(
@@ -270,10 +283,11 @@ class RetryStateTable:
                     ).alias("o")
                 )
                 .select("event_id", "destination_id", "o.*")
+                # success cancels; an eligible attempt beyond the limit
+                # is exhausted and cancels; otherwise upsert.
                 .withColumn(
                     "cancel",
                     (F.col("status") == "success")
-                    | ~F.col("eligible_for_retry")
                     | (F.col("attempt_number") > F.lit(self.retry_max_limit)),
                 )
             )
@@ -283,24 +297,24 @@ class RetryStateTable:
                 how="full_outer",
             )
             upd = F.col("u.status").isNotNull()
+            apply_u = upd & ~F.col("u.cancel")
             delay = backoff_delay_col(
                 self.backoff,
                 F.greatest(F.col("u.attempt_number") - 1, F.lit(0)),
             )
             merged = j.where(
-                (~upd & F.col("s.attempt_number").isNotNull())
-                | (upd & ~F.col("u.cancel"))
+                (~upd & F.col("s.attempt_number").isNotNull()) | apply_u
             ).select(
                 "event_id",
                 "destination_id",
-                F.when(upd, F.col("u.tenant_id"))
+                F.when(apply_u, F.col("u.tenant_id"))
                 .otherwise(F.col("s.tenant_id"))
                 .alias("tenant_id"),
-                F.when(upd, F.col("u.attempt_number") + 1)
+                F.when(apply_u, F.col("u.attempt_number") + 1)
                 .otherwise(F.col("s.attempt_number"))
                 .cast("int")
                 .alias("attempt_number"),
-                F.when(upd, F.lit(float(now)) + delay)
+                F.when(apply_u, F.lit(float(now)) + delay)
                 .otherwise(F.col("s.fire_at"))
                 .cast("double")
                 .alias("fire_at"),

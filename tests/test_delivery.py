@@ -241,6 +241,82 @@ def test_deliver_http_concurrent_in_flight_and_keepalive(spark):
         srv.shutdown()
 
 
+def test_deliver_http_never_reposts_after_headers_received(spark):
+    """Once response headers have arrived the server HAS processed the
+    request, so a ConnectionResetError while reading the BODY must not
+    re-POST — the stale-keep-alive retry applies only to failures
+    before the response exists.  Setup: request 1 succeeds and pools
+    its keep-alive socket; request 2 reuses it, gets a 200 header
+    promising a 1 MiB body, then the server RSTs the socket mid-body
+    (while the client is blocked in resp.read).  The old combined
+    try-block would hit `if reused: continue` and POST a third time;
+    correct behavior is exactly 2 POSTs with request 2 keeping the 200
+    the server already gave."""
+    import socket
+    import struct
+    import time
+
+    counts = {"posts": 0}
+    lock = threading.Lock()
+
+    class AbortBodyHandler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # keep-alive
+
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            with lock:
+                counts["posts"] += 1
+                k = counts["posts"]
+            n = int(self.headers.get("Content-Length", 0))
+            self.rfile.read(n)
+            if k == 1:  # normal keep-alive response: socket gets pooled
+                payload = b"ok"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+                return
+            # headers out (no body bytes at all), then RST the socket
+            # while the client blocks in resp.read on the promised body
+            self.send_response(200)
+            self.send_header("Content-Length", str(1 << 20))
+            self.end_headers()
+            time.sleep(0.4)  # let the client consume the headers
+            # close the raw socket ourselves with linger-0 so a genuine
+            # RST (not the framework's orderly FIN) lands mid-read
+            self.connection.setsockopt(
+                socket.SOL_SOCKET, socket.SO_LINGER, struct.pack("ii", 1, 0)
+            )
+            self.connection.close()
+            self.close_connection = True
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), AbortBodyHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/hook"
+    try:
+        df = (
+            spark.range(2)
+            .select(
+                F.lit(url).alias("url"),
+                F.lit("{}").alias("body"),
+                F.create_map(F.lit("k"), F.lit("v")).alias("headers"),
+            )
+            .coalesce(1)
+        )
+        # max_concurrency=1: row 2 runs after row 1 released its socket
+        out = deliver_http(df, timeout=10.0, max_concurrency=1).collect()
+        assert len(out) == 2
+        # exactly two POSTs: the body-read reset did NOT re-POST
+        assert counts["posts"] == 2, counts["posts"]
+        assert all(r["response_code"] == 200 for r in out)
+        assert all(r["status"] == "success" for r in out)
+        assert any("body read failed" in r["response_data"] for r in out)
+    finally:
+        srv.shutdown()
+
+
 def test_deliver_rabbitmq_transient_failure_poisons_only_its_batch(monkeypatch):
     """A mid-batch transport failure fails the REST OF ITS BATCH only;
     the next micro-batch reconnects and delivers (defect fixed: the
@@ -435,6 +511,71 @@ def test_deliver_rabbitmq_publishes_with_properties(spark):
         assert broker.counts("user.created") == 8
     finally:
         broker.shutdown()
+
+
+def test_deliver_rabbitmq_confirm_wait_failure_drops_the_channel(monkeypatch):
+    """When wait_confirms() raises (protocol desync, socket timeout) the
+    batch's rows fail AND the client is dropped, so the next batch
+    reconnects on a clean channel — a desynchronized channel with stale
+    unconfirmed sequence numbers must never be reused."""
+    import pandas as pd
+
+    import outpost_spark.sources.rabbitmq_source as rmq
+    from outpost_spark.routing.delivery import _rabbitmq_partition
+
+    events = {"connects": 0}
+
+    class DesyncClient:
+        # connection #1 desyncs during the confirm wait; #2 is healthy
+        def __init__(self, url, **kw):
+            events["connects"] += 1
+            self.me = events["connects"]
+            self.connected = False
+            self._seq = 0
+
+        def connect(self):
+            self.connected = True
+            return self
+
+        def enable_confirms(self):
+            pass
+
+        def declare_queue(self, q):
+            pass
+
+        def publish(self, rk, body, **kw):
+            self._seq += 1
+            return self._seq
+
+        def wait_confirms(self):
+            if self.me == 1:
+                raise TimeoutError("confirm frames never arrived")
+            return set()
+
+        def close(self):
+            self.connected = False
+
+    monkeypatch.setattr(rmq, "AmqpClient", DesyncClient)
+
+    def batch(n):
+        return pd.DataFrame(
+            {
+                "exchange": [""] * n,
+                "routing_key": [f"rk{i}" for i in range(n)],
+                "content_type": ["application/json"] * n,
+                "headers": [{"h": "1"}] * n,
+                "body": ['{"n": 1}'] * n,
+            }
+        )
+
+    run = _rabbitmq_partition("amqp://x", None)
+    b1, b2 = list(run(iter([batch(2), batch(2)])))
+    assert list(b1["status"]) == ["failed", "failed"]
+    assert all("confirm wait failed" in r for r in b1["response_data"])
+    # the desynchronized channel was dropped: batch 2 reconnected fresh
+    assert events["connects"] == 2
+    assert list(b2["status"]) == ["success", "success"]
+    assert all(r == "confirmed" for r in b2["response_data"])
 
 
 def test_deliver_rabbitmq_broker_nack_is_failed_row(spark):

@@ -58,6 +58,26 @@ def test_dhash_near_dup_vs_unrelated():
 def test_dhash_rejects_undecodable():
     with pytest.raises(ValueError):
         dhash_image(b"JUNK: not a png")
+
+
+def test_dhash_rejects_hash_size_beyond_signed_64():
+    # hash_size > 8 would overflow the two's-complement fold / Int64
+    with pytest.raises(ValueError, match="hash_size"):
+        dhash_image(planted_png(1, 0, width=24, height=24), hash_size=9)
+    with pytest.raises(ValueError, match="hash_size"):
+        dhash_image(planted_png(1, 0), hash_size=0)
+
+
+def test_dhash_pairs_small_hash_size_uses_matching_band_width(spark):
+    """bits follows hash_size^2 (not a hardcoded 64): at hash_size=4
+    (16-bit fingerprints) the band join still finds the planted groups
+    with a valid pigeonhole split of 16."""
+    ids = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    imgs = planted_image_corpus(ids, id_col="doc_id", corrupt_every=0)
+    out = dhash_pairs(imgs, max_hamming=3, hash_size=4).collect()
+    # 16-bit hashes are coarse: same-seed groups must still pair up
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert got >= _expected_pairs(range(8), corrupt_every=10**9)
     with pytest.raises(ValueError):
         dhash_image(_grey(np.full((4, 4), 9, dtype=np.uint8)))  # < grid
 

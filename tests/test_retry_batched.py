@@ -108,7 +108,7 @@ def test_highest_attempt_governs_within_batch_ties_prefer_success(spark, table):
     assert ("e2", "d1") not in st  # tie -> success -> cancel
 
 
-def test_exhaustion_and_ineligible_cancel(spark, table):
+def test_exhaustion_cancels_and_ineligible_is_noop(spark, table):
     table.apply_outcomes(
         _df(spark, [outcome("e1", "d1", "failed", 1)]), 1, now=0.0
     )
@@ -116,12 +116,41 @@ def test_exhaustion_and_ineligible_cancel(spark, table):
         _df(spark, [outcome("e1", "d1", "failed", 11)]), 2, now=1.0
     )  # beyond retry_max_limit=10: exhausted, nothing further
     assert _pending(table, 3) == {}
+    # ineligible failure with no pending state: still nothing scheduled
     table.apply_outcomes(
         _df(spark, [outcome("e2", "d2", "failed", 1, eligible=False)]),
         3,
         now=2.0,
     )
     assert _pending(table, 4) == {}
+    # ineligible failure is a NO-OP, not a cancel: a pending timer
+    # SURVIVES it (RetryScheduler.on_attempt returns before popping)
+    table.apply_outcomes(
+        _df(spark, [outcome("e2", "d2", "failed", 1)]), 4, now=3.0
+    )
+    table.apply_outcomes(
+        _df(spark, [outcome("e2", "d2", "failed", 2, eligible=False)]),
+        5,
+        now=4.0,
+    )
+    st = _pending(table, 6)
+    assert st[("e2", "d2")]["attempt_number"] == 2  # the batch-4 upsert
+    # mixed same-batch outcomes: the latest ACTIONABLE one governs —
+    # [failed@3 eligible, failed@4 ineligible] folds to an upsert from
+    # attempt 3 (pending attempt 4), the ineligible tail is a no-op
+    table.apply_outcomes(
+        _df(
+            spark,
+            [
+                outcome("e2", "d2", "failed", 3),
+                outcome("e2", "d2", "failed", 4, eligible=False),
+            ],
+        ),
+        6,
+        now=5.0,
+    )
+    st = _pending(table, 7)
+    assert st[("e2", "d2")]["attempt_number"] == 4
 
 
 def test_fire_pops_and_rescheduled_entries_restart_receive_count(
@@ -205,8 +234,9 @@ def test_rerun_same_batch_is_idempotent(spark, table):
 def test_parity_with_retry_scheduler_randomized(spark, tmp_path):
     """Randomized multi-batch parity against the executable spec: same
     fired (key, attempt, receive_count, dlq) sets and same pending keys
-    after every batch.  Unique attempt numbers per key per batch and
-    eligible=True keep both models in their common semantic core."""
+    after every batch.  Outcomes mix success / eligible-failure /
+    INELIGIBLE-failure (the no-op path); one outcome per key per batch
+    keeps both models in their common semantic core."""
     rng = random.Random(42)
     bo = ExponentialBackoff(interval=10.0, base=2)
     sched = RetryScheduler(backoff=bo, retry_max_limit=6, max_receive_count=3)
@@ -225,7 +255,8 @@ def test_parity_with_retry_scheduler_randomized(spark, tmp_path):
         for eid, dest in rng.sample(keys, rng.randint(1, 8)):
             n = rng.randint(1, 8)
             status = rng.choice(["failed", "failed", "success"])
-            rows.append(outcome(eid, dest, status, n))
+            eligible = status == "success" or rng.random() > 0.3
+            rows.append(outcome(eid, dest, status, n, eligible=eligible))
         # spec: outcomes in attempt order, then fire the due slice
         for r in sorted(rows, key=lambda x: x[4]):
             sched.on_attempt(

@@ -245,6 +245,26 @@ def test_per_bucket_conf_overrides_base(spark):
             hconf.unset(k)
 
 
+def test_partial_static_credentials_fall_through_to_default_chain(spark):
+    """An access key whose secret lives elsewhere (Hadoop credential
+    provider, IAM) must NOT be forwarded alone — boto3 would raise
+    PartialCredentialsError instead of resolving its default chain."""
+    from outpost_spark.logstore.tablefs import _s3a_client_conf
+
+    hconf = spark._jsc.hadoopConfiguration()
+    try:
+        hconf.set("fs.s3a.access.key", "lonely-ak")
+        out = _s3a_client_conf(spark, "s3a://b/t")
+        assert "access_key" not in out and "secret_key" not in out
+        hconf.set("fs.s3a.secret.key", "now-sk")
+        out = _s3a_client_conf(spark, "s3a://b/t")
+        assert out["access_key"] == "lonely-ak"
+        assert out["secret_key"] == "now-sk"
+    finally:
+        hconf.unset("fs.s3a.access.key")
+        hconf.unset("fs.s3a.secret.key")
+
+
 def test_env_endpoint_still_wins_over_conf(spark, monkeypatch):
     """OUTPOST_SPARK_S3_ENDPOINT is the explicit operator override."""
     hconf = spark._jsc.hadoopConfiguration()
