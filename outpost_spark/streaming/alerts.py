@@ -197,6 +197,341 @@ def alert_processor_factory(machine: AlertStateMachine):
     return AlertProcessor
 
 
+ALERT_STATE_SCHEMA = (
+    "tenant_id string, destination_id string, ids array<string>, "
+    "last_exhausted double, updated_at double"
+)
+
+
+from outpost_spark.streaming.state_table import VersionedStateTable
+
+
+class AlertStateTable(VersionedStateTable):
+    """Batched alert evaluation: the scale path for ST3/ST4.
+
+    The per-key stateful paths (:func:`attach_alert_stream`) invoke
+    Python once per (tenant_id, destination_id) — the same ~2.5k keys/s
+    pandas ceiling the retry queue measured.  This table keeps the exact
+    :class:`AlertStateMachine` semantics (reference:
+    internal/alert/evaluator.go:119-157, store.go:23-66) but applies
+    each micro-batch as ONE set-oriented plan, entirely JVM-side:
+
+    1. order each key's attempts by ``order_cols`` (the fold order the
+       sequential evaluator gets from arrival) and segment them by the
+       running success count — a segment is a maximal run with no
+       success before it, so "consecutive failures" never cross one;
+    2. the consecutive-failure count at each failure row = carried
+       state-set size (segment 0 only) + the running count of NEW
+       failure attempt_ids in its segment (idempotent per attempt_id —
+       intra-batch duplicates and ids already in the carried set don't
+       re-count), saturating at MAX_TRACKED_ATTEMPT_IDS;
+    3. every failure row evaluates ``should_alert`` on its count
+       (equality thresholds, >= at 100%) — exactly the per-row emission
+       the sequential evaluator does, including re-emission on replays
+       that leave the count at a threshold;
+    4. exhausted-retries signals fire per failure row beyond
+       retry_max_limit, suppressed to the key's FIRST such row per
+       batch when a suppression window is set (all rows in a batch
+       share ``now``, so the sequential fold suppresses the rest the
+       same way) and to nothing when the carried ``last_exhausted``
+       stamp is still inside the window;
+    5. the new state per key = the failure ids of its LAST segment
+       (carry included only when the batch had no success), the
+       refreshed ``last_exhausted``, and ``updated_at=now`` — entries
+       idle past ``ttl_seconds`` expire at the next read (the
+       reference's 24 h alertKeyTTL, store.go:15).
+
+    State lives as a versioned parquet table through the tablefs seam
+    (see :class:`streaming.state_table.VersionedStateTable`); emitted
+    signals land durably under ``signals/v=<batch_id>`` so a re-run of
+    a crashed batch overwrites rather than duplicates.  Scale: the only
+    shuffles are on (tenant_id, destination_id) — state merge, windows,
+    and the final aggregate all co-locate per key; per-key state is one
+    row with an id array capped at MAX_TRACKED_ATTEMPT_IDS, no Python
+    anywhere in the plan.
+    """
+
+    aux_outputs = ("signals",)
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        *,
+        machine: AlertStateMachine | None = None,
+        keep_versions: int = 3,
+        ttl_seconds: float = 24 * 3600.0,
+    ):
+        super().__init__(
+            spark,
+            path,
+            state_schema=ALERT_STATE_SCHEMA,
+            keep_versions=keep_versions,
+        )
+        self.machine = machine or AlertStateMachine()
+        self.ttl_seconds = ttl_seconds
+
+    def apply_attempts(
+        self, batch_df, batch_id: int, now: float, order_cols=("seq",)
+    ):
+        """One micro-batch of attempt rows -> emitted alert-signal frame.
+
+        ``batch_df`` needs (tenant_id, destination_id, attempt_id,
+        status, attempt_number, eligible_for_retry) plus the
+        ``order_cols`` that define each key's fold order (attempt_time,
+        a source offset, ...); ties break on attempt_id.  Returns the
+        ALERT_OUTPUT_SCHEMA frame of signals emitted by this batch."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        m = self.machine
+        key = ["tenant_id", "destination_id"]
+        ords = [F.col(c) for c in order_cols] + [F.col("attempt_id")]
+
+        old = self.state_before(batch_id)
+        if self.ttl_seconds:
+            old = old.where(
+                F.col("updated_at") > F.lit(float(now) - self.ttl_seconds)
+            )
+
+        b = batch_df.select(
+            *key,
+            F.col("attempt_id").cast("string"),
+            F.col("status").cast("string"),
+            F.col("attempt_number").cast("int"),
+            F.col("eligible_for_retry").cast("boolean"),
+            *[F.col(c) for c in order_cols],
+        ).join(
+            old.select(
+                *key,
+                F.col("ids").alias("st_ids"),
+                F.col("last_exhausted").alias("st_last_ex"),
+            ),
+            on=key,
+            how="left",
+        )
+        w_key = Window.partitionBy(*key).orderBy(*ords)
+        b = b.withColumn("is_fail", F.col("status") != F.lit("success"))
+        b = b.withColumn(
+            "seg",
+            F.sum(F.when(~F.col("is_fail"), 1).otherwise(0)).over(
+                w_key.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        # S = the key's final segment (total successes in the batch)
+        b = b.withColumn("S", F.max("seg").over(Window.partitionBy(*key)))
+
+        fails = b.where("is_fail")
+        w_dup = Window.partitionBy(*key, "seg", "attempt_id").orderBy(*ords)
+        carried = F.coalesce(F.size("st_ids"), F.lit(0))
+        fails = (
+            fails.withColumn(
+                "in_state",
+                (F.col("seg") == 0)
+                & F.coalesce(
+                    F.array_contains(F.col("st_ids"), F.col("attempt_id")),
+                    F.lit(False),
+                ),
+            )
+            .withColumn(
+                "is_new",
+                (F.row_number().over(w_dup) == 1) & ~F.col("in_state"),
+            )
+        )
+        if m.consecutive_failure_enabled:
+            w_seg = (
+                Window.partitionBy(*key, "seg")
+                .orderBy(*ords)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            cf_count = F.least(
+                F.when(F.col("seg") == 0, carried).otherwise(F.lit(0))
+                + F.sum(F.col("is_new").cast("int")).over(w_seg),
+                F.lit(MAX_TRACKED_ATTEMPT_IDS),
+            )
+        else:
+            cf_count = carried  # the set never mutates when disabled
+        fails = fails.withColumn("cf_count", cf_count)
+
+        # should_alert as a when-chain in the SAME order as the Python
+        # loop: descending failure count, 100% with >=, others exact
+        level_expr = None
+        for pct, count_th in reversed(m.pairs):
+            cond = (
+                (F.col("cf_count") >= count_th)
+                if pct == 100
+                else (F.col("cf_count") == count_th)
+            )
+            level_expr = (
+                F.when(cond, pct)
+                if level_expr is None
+                else level_expr.when(cond, pct)
+            )
+        level_col = (
+            level_expr.otherwise(F.lit(0)) if level_expr is not None else F.lit(0)
+        )
+        fails = fails.withColumn("level", level_col)
+
+        out_cols = [
+            *key,
+            F.col("signal"),
+            F.col("cf_count").cast("int").alias("failures"),
+            F.lit(m.auto_disable_failure_count).cast("int").alias("max_failures"),
+            F.col("level").cast("int"),
+            F.col("attempt_id"),
+        ]
+        parts = []
+        if m.consecutive_failure_enabled:
+            parts.append(
+                fails.where(F.col("level") > 0)
+                .withColumn(
+                    "signal",
+                    F.when(
+                        F.col("level") == 100,
+                        F.lit("alert.destination.disabled"),
+                    ).otherwise(F.lit("alert.destination.consecutive_failure")),
+                )
+                .select(*out_cols)
+            )
+        ex_enabled = m.exhausted_retries_enabled and m.retry_max_limit > 0
+        if ex_enabled:
+            ex_rows = fails.where(
+                F.col("eligible_for_retry")
+                & (F.col("attempt_number") > F.lit(m.retry_max_limit))
+            )
+            if m.exhausted_window_seconds > 0:
+                w_ex = Window.partitionBy(*key).orderBy(*ords)
+                ex_rows = ex_rows.withColumn(
+                    "rn_ex", F.row_number().over(w_ex)
+                ).where(
+                    (F.col("rn_ex") == 1)
+                    & (
+                        F.col("st_last_ex").isNull()
+                        | (
+                            F.lit(float(now)) - F.col("st_last_ex")
+                            >= F.lit(m.exhausted_window_seconds)
+                        )
+                    )
+                )
+            parts.append(
+                ex_rows.withColumn(
+                    "signal", F.lit("alert.attempt.exhausted_retries")
+                )
+                .withColumn("level", F.lit(0))
+                .select(*out_cols)
+            )
+        signals = (
+            parts[0]
+            if len(parts) == 1
+            else parts[0].unionByName(parts[1])
+            if parts
+            else self.spark.createDataFrame([], ALERT_OUTPUT_SCHEMA)
+        )
+
+        # ---- new state per key -------------------------------------------
+        # ids of the final segment in fold order (idempotent adds only)
+        last_ids = (
+            fails.where((F.col("seg") == F.col("S")) & F.col("is_new"))
+            .groupBy(*key)
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                *[F.col(c) for c in order_cols],
+                                F.col("attempt_id"),
+                            )
+                        )
+                    ),
+                    lambda x: x["attempt_id"],
+                ).alias("new_ids")
+            )
+        )
+        ex_emitted = None
+        if ex_enabled:
+            ex_keys = (
+                signals.where(
+                    F.col("signal") == "alert.attempt.exhausted_retries"
+                )
+                .select(*key)
+                .distinct()
+                .withColumn("ex_hit", F.lit(True))
+            )
+            ex_emitted = ex_keys
+        per_key = (
+            b.groupBy(*key)
+            .agg(
+                F.max("seg").alias("S"),
+                F.first("st_ids").alias("st_ids"),
+                F.first("st_last_ex").alias("st_last_ex"),
+            )
+            .join(last_ids, on=key, how="left")
+        )
+        if ex_emitted is not None:
+            per_key = per_key.join(ex_emitted, on=key, how="left")
+        else:
+            per_key = per_key.withColumn("ex_hit", F.lit(None).cast("boolean"))
+        empty_arr = F.array().cast("array<string>")
+        if m.consecutive_failure_enabled:
+            ids_final = F.slice(
+                F.concat(
+                    F.when(F.col("S") == 0, F.coalesce("st_ids", empty_arr))
+                    .otherwise(empty_arr),
+                    F.coalesce("new_ids", empty_arr),
+                ),
+                1,
+                MAX_TRACKED_ATTEMPT_IDS,
+            )
+        else:
+            ids_final = F.coalesce("st_ids", empty_arr)
+        updates = per_key.select(
+            *key,
+            ids_final.alias("ids"),
+            F.when(F.col("ex_hit"), F.lit(float(now)))
+            .otherwise(F.col("st_last_ex"))
+            .cast("double")
+            .alias("last_exhausted"),
+            F.lit(float(now)).alias("updated_at"),
+        )
+        new_state = old.join(
+            updates.select(*key), on=key, how="left_anti"
+        ).unionByName(updates)
+
+        sig_path = self.fs.join(self.path, f"signals/v={batch_id}")
+        state_path = self.fs.join(self.path, f"v={batch_id}")
+        signals.write.mode("overwrite").parquet(sig_path)
+        new_state.write.mode("overwrite").parquet(state_path)
+        self._cleanup(batch_id)
+        return self.spark.read.parquet(sig_path)
+
+
+def alert_foreach_batch(
+    spark,
+    state_path: str,
+    sink,
+    *,
+    machine: AlertStateMachine | None = None,
+    order_cols=("seq",),
+    now_fn=None,
+):
+    """foreachBatch adapter for :class:`AlertStateTable` —
+    ``attempts.writeStream.foreachBatch(alert_foreach_batch(spark, path,
+    sink)).start()``; ``sink(signals_df, batch_id)`` receives each
+    batch's emitted ALERT_OUTPUT_SCHEMA frame."""
+    import time as _time
+
+    table = AlertStateTable(spark, state_path, machine=machine)
+
+    def fn(batch_df, batch_id: int):
+        now = now_fn() if now_fn is not None else _time.time()
+        signals = table.apply_attempts(
+            batch_df, int(batch_id), now, order_cols=order_cols
+        )
+        sink(signals, int(batch_id))
+
+    return fn
+
+
 def _protobuf_available() -> bool:
     try:
         from google.protobuf import descriptor  # noqa: F401

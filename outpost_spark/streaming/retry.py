@@ -30,6 +30,7 @@ from dataclasses import dataclass, field
 from typing import Iterator
 
 from outpost_spark.functions.backoff import DEFAULT_RETRY_MAX_LIMIT, ExponentialBackoff
+from outpost_spark.streaming.state_table import VersionedStateTable
 
 RETRY_OUTPUT_SCHEMA = (
     "event_id string, destination_id string, tenant_id string, "
@@ -133,7 +134,7 @@ RETRY_STATE_SCHEMA = (
 )
 
 
-class RetryStateTable:
+class RetryStateTable(VersionedStateTable):
     """Batched retry-timer state: the scale path for ST2.
 
     The per-key stateful APIs (``transformWithStateInPandas`` /
@@ -170,6 +171,8 @@ class RetryStateTable:
     ``attempts.writeStream.foreachBatch(...)``.
     """
 
+    aux_outputs = ("fired",)
+
     def __init__(
         self,
         spark,
@@ -180,45 +183,15 @@ class RetryStateTable:
         max_receive_count: int = 5,
         keep_versions: int = 3,
     ):
-        from outpost_spark.logstore.tablefs import table_fs
-
-        self.spark = spark
+        super().__init__(
+            spark,
+            path,
+            state_schema=RETRY_STATE_SCHEMA,
+            keep_versions=keep_versions,
+        )
         self.backoff = backoff or ExponentialBackoff()
         self.retry_max_limit = retry_max_limit
         self.max_receive_count = max_receive_count
-        self.keep_versions = max(keep_versions, 2)
-        self.fs = table_fs(spark, path)
-        self.path = self.fs.normalize_root(path)
-
-    # ---- state versions --------------------------------------------------
-    def _versions(self) -> list[int]:
-        if not self.fs.isdir(self.path):
-            return []
-        return sorted(
-            int(name.split("=", 1)[1])
-            for name in self.fs.listdir(self.path)
-            if name.startswith("v=")
-        )
-
-    def state_before(self, batch_id: int):
-        """Pending state as of the newest version strictly below
-        ``batch_id`` (empty frame with the state schema if none)."""
-        vs = [v for v in self._versions() if v < batch_id]
-        if not vs:
-            return self.spark.createDataFrame([], RETRY_STATE_SCHEMA)
-        return self.spark.read.parquet(
-            self.fs.join(self.path, f"v={max(vs)}")
-        )
-
-    def _cleanup(self, batch_id: int) -> None:
-        keep = sorted(self._versions())[-self.keep_versions :]
-        for v in self._versions():
-            if v not in keep and v < batch_id:
-                for sub in (f"v={v}", f"fired/v={v}"):
-                    try:
-                        self.fs.rmtree(self.fs.join(self.path, sub))
-                    except Exception:
-                        pass  # cleanup is best-effort
 
     # ---- the batch transition ---------------------------------------------
     def apply_outcomes(
@@ -379,6 +352,104 @@ def retry_foreach_batch(
         sink(fired, int(batch_id))
 
     return fn
+
+
+def retry_stream(
+    outcomes_stream,
+    state_path: str,
+    sink,
+    *,
+    checkpoint: str,
+    backoff: ExponentialBackoff | None = None,
+    retry_max_limit: int = DEFAULT_RETRY_MAX_LIMIT,
+    max_receive_count: int = 5,
+    tick_rows_per_second: int = 1,
+    trigger_interval: str = "1 second",
+    now_fn=None,
+):
+    """Start the batched retry queue with a WALL-CLOCK tick source.
+
+    ``foreachBatch`` alone only evaluates due timers when a micro-batch
+    of outcomes arrives — on an idle attempt stream a due retry would
+    wait for the next delivery.  The reference's scheduler is a poll
+    loop that fires on TIME (internal/scheduler/scheduler.go:144-164,
+    ~1 s resolution), so this adapter unions a ``rate`` tick stream
+    (``tick_rows_per_second`` rows every second, nothing but a clock
+    pulse) into the outcome stream before ``foreachBatch``: every
+    trigger interval produces a non-empty micro-batch, tick rows are
+    stripped inside the batch function, and the due slice fires against
+    the real clock whether or not any outcome arrived.  Due-timer
+    latency is therefore bounded by ``trigger_interval`` (+ batch
+    runtime), matching the reference's poll resolution.
+
+    ``outcomes_stream`` needs the outcome columns (event_id,
+    destination_id, tenant_id, status, attempt_number,
+    eligible_for_retry); extra columns are dropped.  ``sink(fired_df,
+    batch_id)`` receives each batch's fired RetryTask frame exactly as
+    with :func:`retry_foreach_batch`.  Returns the started
+    StreamingQuery.
+
+    Scale: the tick source adds ``tick_rows_per_second`` rows per
+    trigger per QUERY (not per partition) — noise next to any real
+    attempt volume; the per-batch state merge is unchanged.
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    spark = outcomes_stream.sparkSession
+    table = RetryStateTable(
+        spark,
+        state_path,
+        backoff=backoff,
+        retry_max_limit=retry_max_limit,
+        max_receive_count=max_receive_count,
+    )
+    outcome_cols = [
+        "event_id",
+        "destination_id",
+        "tenant_id",
+        "status",
+        "attempt_number",
+        "eligible_for_retry",
+    ]
+    data = outcomes_stream.select(
+        F.col("event_id").cast("string"),
+        F.col("destination_id").cast("string"),
+        F.col("tenant_id").cast("string"),
+        F.col("status").cast("string"),
+        F.col("attempt_number").cast("int"),
+        F.col("eligible_for_retry").cast("boolean"),
+        F.lit(False).alias("__tick__"),
+    )
+    ticks = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", int(tick_rows_per_second))
+        .load()
+        .select(
+            F.lit(None).cast("string").alias("event_id"),
+            F.lit(None).cast("string").alias("destination_id"),
+            F.lit(None).cast("string").alias("tenant_id"),
+            F.lit(None).cast("string").alias("status"),
+            F.lit(None).cast("int").alias("attempt_number"),
+            F.lit(None).cast("boolean").alias("eligible_for_retry"),
+            F.lit(True).alias("__tick__"),
+        )
+    )
+
+    def fn(batch_df, batch_id: int):
+        now = now_fn() if now_fn is not None else _time.time()
+        outcomes = batch_df.where(~F.col("__tick__")).select(*outcome_cols)
+        fired = table.apply_outcomes(outcomes, int(batch_id), now)
+        sink(fired, int(batch_id))
+
+    return (
+        data.unionByName(ticks)
+        .writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=trigger_interval)
+        .start()
+    )
 
 
 def retry_processor_factory(

@@ -1,0 +1,291 @@
+"""Batched alert-state table (streaming/alerts.py::AlertStateTable) —
+the scale path for ST3/ST4: per-micro-batch set-oriented evaluation
+instead of per-key Python.  Semantics pinned two ways: unit transitions
+mirroring the AlertStateMachine behaviors (threshold crossing, success
+reset, replay idempotency, exhausted suppression, TTL expiry), and
+randomized multi-batch PARITY against the pure-Python machine driven
+sequentially — the same strategy test_retry_batched.py uses for ST2."""
+
+import random
+from collections import Counter
+
+import pytest
+
+from outpost_spark.streaming.alerts import (
+    AlertStateMachine,
+    AlertStateTable,
+)
+
+BATCH_SCHEMA = (
+    "tenant_id string, destination_id string, attempt_id string, "
+    "status string, attempt_number int, eligible_for_retry boolean, seq int"
+)
+
+
+def row(tenant, dest, aid, status, seq, n=1, eligible=True):
+    return (tenant, dest, aid, status, n, eligible, seq)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, BATCH_SCHEMA)
+
+
+def _state(table, batch_id):
+    return {
+        (r["tenant_id"], r["destination_id"]): r
+        for r in table.state_before(batch_id).collect()
+    }
+
+
+def _signals(df):
+    return Counter(
+        (
+            r["tenant_id"],
+            r["destination_id"],
+            r["signal"],
+            r["failures"],
+            r["max_failures"],
+            r["level"],
+            r["attempt_id"],
+        )
+        for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return AlertStateTable(
+        spark,
+        str(tmp_path / "alert_state"),
+        machine=AlertStateMachine(auto_disable_failure_count=4),
+        # thresholds 50/70/90/100 of 4 -> counts 2,3,4 (70% and 90%
+        # both ceil to 3; threshold_failure_counts keeps both pairs)
+    )
+
+
+def test_threshold_crossings_across_batches(spark, table):
+    # failures 1..4 arrive over two batches; crossings at 2 (50%),
+    # 3 (70% — first match in descending order is 90, see below), 4 (100)
+    out1 = table.apply_attempts(
+        _df(spark, [row("t1", "d1", "a1", "failed", 1)]), 1, now=0.0
+    )
+    assert _signals(out1) == Counter()  # count 1 crosses nothing
+    out2 = table.apply_attempts(
+        _df(
+            spark,
+            [
+                row("t1", "d1", "a2", "failed", 1),
+                row("t1", "d1", "a3", "failed", 2),
+                row("t1", "d1", "a4", "failed", 3),
+            ],
+        ),
+        2,
+        now=1.0,
+    )
+    m = table.machine
+    # derive the expected levels from the machine itself so the test
+    # stays honest about the ceil-division threshold pairs
+    from outpost_spark.functions.backoff import should_alert
+
+    want = Counter()
+    for count, aid in [(2, "a2"), (3, "a3"), (4, "a4")]:
+        level, crossed = should_alert(m.pairs, count)
+        if crossed:
+            sig = (
+                "alert.destination.disabled"
+                if level == 100
+                else "alert.destination.consecutive_failure"
+            )
+            want[("t1", "d1", sig, count, 4, level, aid)] += 1
+    assert _signals(out2) == want
+    st = _state(table, 3)
+    assert sorted(st[("t1", "d1")]["ids"]) == ["a1", "a2", "a3", "a4"]
+
+
+def test_success_resets_and_replay_is_idempotent(spark, table):
+    table.apply_attempts(
+        _df(
+            spark,
+            [
+                row("t1", "d1", "a1", "failed", 1),
+                row("t1", "d1", "a2", "failed", 2),
+            ],
+        ),
+        1,
+        now=0.0,
+    )
+    # replay of a2: count stays 2 — but the per-row evaluation re-emits
+    # the equality threshold exactly like the sequential machine does
+    out = table.apply_attempts(
+        _df(spark, [row("t1", "d1", "a2", "failed", 1)]), 2, now=1.0
+    )
+    sigs = _signals(out)
+    assert all(k[3] == 2 for k in sigs)  # count did NOT double-count
+    st = _state(table, 3)
+    assert sorted(st[("t1", "d1")]["ids"]) == ["a1", "a2"]
+    # success resets; the trailing failure starts a fresh segment
+    table.apply_attempts(
+        _df(
+            spark,
+            [
+                row("t1", "d1", "a3", "success", 1),
+                row("t1", "d1", "a4", "failed", 2),
+            ],
+        ),
+        3,
+        now=2.0,
+    )
+    st = _state(table, 4)
+    assert st[("t1", "d1")]["ids"] == ["a4"]
+
+
+def test_exhausted_suppression_window(spark, tmp_path):
+    m = AlertStateMachine(
+        auto_disable_failure_count=100,
+        retry_max_limit=2,
+        exhausted_window_seconds=60.0,
+    )
+    table = AlertStateTable(spark, str(tmp_path / "ex"), machine=m)
+    batch = [
+        row("t1", "d1", "x1", "failed", 1, n=3),
+        row("t1", "d1", "x2", "failed", 2, n=4),  # same batch: suppressed
+    ]
+    out = table.apply_attempts(_df(spark, batch), 1, now=100.0)
+    ex = [r for r in out.collect() if r["signal"] == "alert.attempt.exhausted_retries"]
+    assert len(ex) == 1 and ex[0]["attempt_id"] == "x1"
+    # inside the window: suppressed entirely
+    out = table.apply_attempts(
+        _df(spark, [row("t1", "d1", "x3", "failed", 1, n=5)]), 2, now=130.0
+    )
+    assert not [
+        r for r in out.collect() if r["signal"] == "alert.attempt.exhausted_retries"
+    ]
+    # window elapsed: fires again
+    out = table.apply_attempts(
+        _df(spark, [row("t1", "d1", "x4", "failed", 1, n=5)]), 3, now=161.0
+    )
+    ex = [r for r in out.collect() if r["signal"] == "alert.attempt.exhausted_retries"]
+    assert len(ex) == 1 and ex[0]["attempt_id"] == "x4"
+
+
+def test_state_ttl_expires_idle_keys(spark, tmp_path):
+    table = AlertStateTable(
+        spark,
+        str(tmp_path / "ttl"),
+        machine=AlertStateMachine(auto_disable_failure_count=4),
+        ttl_seconds=10.0,
+    )
+    table.apply_attempts(
+        _df(spark, [row("t1", "d1", "a1", "failed", 1)]), 1, now=0.0
+    )
+    # within TTL the carried count continues: a2 -> count 2
+    out = table.apply_attempts(
+        _df(spark, [row("t1", "d1", "a2", "failed", 1)]), 2, now=5.0
+    )
+    assert any(k[3] == 2 for k in _signals(out))
+    # idle past the TTL: the set restarts at 1
+    out = table.apply_attempts(
+        _df(spark, [row("t1", "d1", "a9", "failed", 1)]), 3, now=99.0
+    )
+    assert not _signals(out)  # count 1 crosses nothing
+    st = _state(table, 4)
+    assert st[("t1", "d1")]["ids"] == ["a9"]
+
+
+def _spec_apply(machine, state, rows, now):
+    """Drive the pure-Python machine sequentially — the executable spec."""
+    signals = Counter()
+    for r in sorted(rows, key=lambda x: (x[6], x[2])):  # (seq, attempt_id)
+        k = (r[0], r[1])
+        seen, last_ex = state.get(k, (set(), None))
+        seen, sigs = machine.evaluate(
+            seen,
+            attempt_id=r[2],
+            success=(r[3] == "success"),
+            attempt_number=r[4],
+            eligible_for_retry=r[5],
+            now=now,
+            last_exhausted_at=last_ex,
+        )
+        for s in sigs:
+            if s["signal"] == "alert.attempt.exhausted_retries":
+                last_ex = now
+            signals[
+                (
+                    k[0],
+                    k[1],
+                    s["signal"],
+                    s["failures"],
+                    s["max_failures"],
+                    s["level"],
+                    s["attempt_id"],
+                )
+            ] += 1
+        state[k] = (seen, last_ex)
+    return signals
+
+
+@pytest.mark.parametrize("window", [0.0, 45.0])
+def test_parity_with_state_machine_randomized(spark, tmp_path, window):
+    """Randomized multi-batch parity against the sequential machine:
+    identical signal multisets after every batch and identical carried
+    id-sets, across successes, replayed attempt ids, exhausted retries,
+    and (parametrized) the suppression window."""
+    rng = random.Random(7 if window else 11)
+    m = AlertStateMachine(
+        auto_disable_failure_count=5,
+        retry_max_limit=6,
+        exhausted_window_seconds=window,
+    )
+    table = AlertStateTable(spark, str(tmp_path / "par"), machine=m)
+    keys = [(f"t{i % 2}", f"d{i}") for i in range(6)]
+    spec_state: dict = {}
+    now = 0.0
+    for batch_id in range(1, 7):
+        now += rng.choice([5.0, 20.0, 50.0])
+        rows, used_aids = [], []
+        for seq in range(rng.randint(3, 18)):
+            t, d = rng.choice(keys)
+            # 20% replays of an attempt id used earlier in the run
+            if used_aids and rng.random() < 0.2:
+                aid = rng.choice(used_aids)
+            else:
+                aid = f"a{batch_id}_{seq}"
+                used_aids.append(aid)
+            status = "success" if rng.random() < 0.25 else "failed"
+            n = rng.randint(1, 8)
+            rows.append(row(t, d, aid, status, seq, n=n))
+        want = _spec_apply(m, spec_state, rows, now)
+        got = _signals(
+            table.apply_attempts(_df(spark, rows), batch_id, now=now)
+        )
+        assert got == want, f"batch {batch_id} (window={window})"
+        st = _state(table, batch_id + 1)
+        for k, (seen, last_ex) in spec_state.items():
+            assert set(st[k]["ids"]) == seen, f"{k} ids, batch {batch_id}"
+            if last_ex is None:
+                assert st[k]["last_exhausted"] is None
+            else:
+                assert st[k]["last_exhausted"] == pytest.approx(last_ex)
+
+
+def test_apply_attempts_plan_is_jvm_only(spark, table):
+    """Scale shape: the batch transition is windows + one key-keyed
+    merge join — no Python stages, no cartesian products."""
+    table.apply_attempts(
+        _df(spark, [row("t1", "d1", "a1", "failed", 1)]), 1, now=0.0
+    )
+    from pyspark.sql import functions as F  # noqa: F401
+
+    old = table.state_before(2)
+    batch = _df(spark, [row("t1", "d1", "a2", "failed", 1)])
+    j = batch.join(
+        old.select("tenant_id", "destination_id", "ids"),
+        on=["tenant_id", "destination_id"],
+        how="left",
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -287,6 +287,68 @@ def test_parity_with_retry_scheduler_randomized(spark, tmp_path):
             assert got_pending[k]["fire_at"] == pytest.approx(v["fire_at"])
 
 
+def test_retry_stream_fires_due_timer_on_idle_stream(spark, tmp_path):
+    """The reference scheduler fires due retries on TIME, not traffic
+    (internal/scheduler/scheduler.go:144-164 poll loop).  retry_stream's
+    rate-tick union must therefore fire a scheduled retry even when the
+    outcome stream goes COMPLETELY idle after the scheduling batch —
+    the defect this pins: foreachBatch alone would wait forever for the
+    next outcome."""
+    import json
+    import threading
+    import time
+
+    src = tmp_path / "outcomes"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "event_id": "e1",
+                    "destination_id": "d1",
+                    "tenant_id": "t1",
+                    "status": "failed",
+                    "attempt_number": 1,
+                    "eligible_for_retry": True,
+                }
+            )
+        )
+    fired_rows: list = []
+    lock = threading.Lock()
+
+    def sink(df, batch_id):
+        rows = df.collect()
+        with lock:
+            fired_rows.extend(rows)
+
+    from outpost_spark.streaming.retry import retry_stream
+
+    stream = spark.readStream.schema(OUTCOME_SCHEMA).json(str(src))
+    q = retry_stream(
+        stream,
+        str(tmp_path / "state"),
+        sink,
+        checkpoint=str(tmp_path / "ckpt"),
+        backoff=ConstantBackoff(interval=2.0),
+        trigger_interval="1 second",
+    )
+    try:
+        deadline = time.time() + 90.0
+        while time.time() < deadline:
+            with lock:
+                if fired_rows:
+                    break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    assert fired_rows, "due retry never fired on the idle stream"
+    r = fired_rows[0]
+    assert r["event_id"] == "e1"
+    assert r["attempt_number"] == 2  # retry of attempt 1
+    assert r["receive_count"] == 1
+    assert r["dlq"] is False
+
+
 def test_backoff_delay_col_matches_python(spark):
     policies = [
         ExponentialBackoff(interval=7.0, base=3),
