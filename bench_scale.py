@@ -847,6 +847,205 @@ def retry_timer_batched_case(spark, root: str) -> dict:
     }
 
 
+def txn_append_case(spark, root: str, att, n_rows: int) -> dict:
+    """Transaction-log table throughput at the full clone size, with a
+    PHASE BREAKDOWN so a move in the engine's only write path is
+    localizable (VERDICT r10 #4): ``stage_write_secs`` (the clustered
+    parquet write), ``footer_stats_secs`` (per-file footer scan for the
+    log's pruning stats), ``commit_secs`` (the atomic commit-log
+    write).  Also measures the snapshot read and metadata-only
+    retention that ride the same log."""
+    import datetime as _dt
+    import shutil
+
+    from outpost_spark.logstore.insert import with_month_partition
+    from outpost_spark.logstore.txntable import TxnTable
+
+    tx_path = os.path.join(root, "txn_attempts_bench")
+    shutil.rmtree(tx_path, ignore_errors=True)
+    # the clone spans one month, so cluster by DAY to give retention the
+    # same file-granularity the month layout has at year scale: expired
+    # days drop metadata-only, the cutoff day rewrites
+    att_m = with_month_partition(att, "attempt_time").withColumn(
+        "day", F.date_format("attempt_time", "yyyyMMdd")
+    )
+    phases: dict = {}
+    t0 = time.perf_counter()
+    tx = TxnTable.get_or_create(spark, tx_path, att_m.schema)
+    tx.append(
+        att_m,
+        cluster_by="day",
+        stats_cols=("attempt_time",),
+        phase_timings=phases,
+    )
+    append_secs = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    count = tx.read().count()
+    snapshot_secs = round(time.perf_counter() - t0, 4)
+    assert count == n_rows
+    t0 = time.perf_counter()
+    dropped, rewritten, deleted = tx.delete_where_time(
+        "attempt_time",
+        _dt.datetime(2000, 1, 16, 12, 0, 0),
+        keep_stats_cols=("day",),
+    )
+    retention_secs = round(time.perf_counter() - t0, 4)
+    return {
+        "secs": append_secs,
+        "rows": count,
+        "phases": phases,
+        "snapshot_count_secs": snapshot_secs,
+        "retention_secs": retention_secs,
+        "retention_dropped_files": dropped,
+        "retention_rewritten_files": rewritten,
+        "retention_deleted_rows": deleted,
+    }
+
+
+def _alert_attempt_stream(spark, rps: int, n_dests: int):
+    """Attempt-outcome stream for the alert cases: high destination
+    cardinality (the alert key), ~15% successes (resets), attempt
+    numbers reaching past retry_max_limit (exhausted signals), unique
+    attempt ids with the rate value as the fold order."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rps)
+        .load()
+        .select(
+            F.concat(F.lit("tenant_"), F.col("value") % 8).alias("tenant_id"),
+            F.concat(F.lit("dest_"), F.col("value") % n_dests).alias(
+                "destination_id"
+            ),
+            F.concat(F.lit("att_"), F.col("value")).alias("attempt_id"),
+            F.when(F.col("value") % 20 < 3, F.lit("success"))
+            .otherwise(F.lit("failed"))
+            .alias("status"),
+            (F.col("value") % 12 + 1).cast("int").alias("attempt_number"),
+            F.lit(True).alias("eligible_for_retry"),
+            F.col("value").alias("seq"),
+        )
+    )
+
+
+def alert_stream_perkey_case(spark, root: str) -> dict:
+    """Per-key alert evaluator throughput (ST3 as shipped through r10):
+    ``attach_alert_stream`` invokes Python once per (tenant,
+    destination) per batch — the same pandas-per-key ceiling the retry
+    queue measured at ~2.5k keys/s.  This row is the BASELINE the
+    batched table is judged against."""
+    import shutil
+    import threading
+
+    from outpost_spark.streaming.alerts import AlertStateMachine, attach_alert_stream
+
+    rps = int(os.environ.get("SPARK_GRAFT_SCALE_ALERT_RPS", 2_500))
+    run_secs = float(os.environ.get("SPARK_GRAFT_SCALE_ALERT_SECS", 60.0))
+    n_dests = int(os.environ.get("SPARK_GRAFT_SCALE_ALERT_DESTS", 50_000))
+    ckpt = os.path.join(root, "alert_perkey_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    src = _alert_attempt_stream(spark, rps, n_dests).drop("seq")
+    machine = AlertStateMachine(auto_disable_failure_count=20, retry_max_limit=10)
+    signals = attach_alert_stream(src, machine)
+    emitted = []
+    lock = threading.Lock()
+
+    def _count(batch_df, _bid):
+        n = batch_df.count()
+        with lock:
+            emitted.append(n)
+
+    t0 = time.perf_counter()
+    q = (
+        signals.writeStream.foreachBatch(_count)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        time.sleep(run_secs)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    wall = round(time.perf_counter() - t0, 4)
+    progress = [p for p in q.recentProgress if "numInputRows" in p]
+    warm = progress[1:]
+    warm_rows = sum(int(p["numInputRows"]) for p in warm)
+    warm_secs = (
+        sum(float(p["durationMs"]["triggerExecution"]) for p in warm) / 1000.0
+    )
+    return {
+        "secs": wall,
+        "rows": sum(emitted),
+        "outcomes_in": sum(int(p["numInputRows"]) for p in progress),
+        "outcomes_per_sec": round(warm_rows / warm_secs, 1) if warm_secs else 0.0,
+        "signals_per_sec": round(sum(emitted) / wall, 1),
+        "rate_rows_per_sec": rps,
+        "n_destinations": n_dests,
+        "batches": len(progress),
+    }
+
+
+def alert_stream_batched_case(spark, root: str) -> dict:
+    """Batched alert evaluation (the ST3/ST4 scale path): the same
+    attempt stream driven through ``AlertStateTable`` via foreachBatch
+    — windows + one key-keyed merge per micro-batch, zero per-key
+    Python.  The rate is set ~20× the per-key path's ceiling; the
+    VERDICT bar is >=10× the per-key outcomes/s at high destination
+    cardinality."""
+    import shutil
+    import threading
+
+    from outpost_spark.streaming.alerts import AlertStateMachine, alert_foreach_batch
+
+    rps = int(os.environ.get("SPARK_GRAFT_SCALE_ALERTB_RPS", 50_000))
+    run_secs = float(os.environ.get("SPARK_GRAFT_SCALE_ALERTB_SECS", 60.0))
+    n_dests = int(os.environ.get("SPARK_GRAFT_SCALE_ALERT_DESTS", 50_000))
+    ckpt = os.path.join(root, "alert_batched_ckpt")
+    state = os.path.join(root, "alert_batched_state")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(state, ignore_errors=True)
+
+    src = _alert_attempt_stream(spark, rps, n_dests)
+    machine = AlertStateMachine(auto_disable_failure_count=20, retry_max_limit=10)
+    emitted = []
+    lock = threading.Lock()
+
+    def sink(signals_df, _bid):
+        n = signals_df.count()
+        with lock:
+            emitted.append(n)
+
+    fn = alert_foreach_batch(spark, state, sink, machine=machine)
+    t0 = time.perf_counter()
+    q = (
+        src.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        time.sleep(run_secs)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    wall = round(time.perf_counter() - t0, 4)
+    progress = [p for p in q.recentProgress if "numInputRows" in p]
+    warm = progress[1:]
+    warm_rows = sum(int(p["numInputRows"]) for p in warm)
+    warm_secs = (
+        sum(float(p["durationMs"]["triggerExecution"]) for p in warm) / 1000.0
+    )
+    return {
+        "secs": wall,
+        "rows": sum(emitted),
+        "outcomes_in": sum(int(p["numInputRows"]) for p in progress),
+        "outcomes_per_sec": round(warm_rows / warm_secs, 1) if warm_secs else 0.0,
+        "signals_per_sec": round(sum(emitted) / wall, 1),
+        "rate_rows_per_sec": rps,
+        "n_destinations": n_dests,
+        "batches": len(progress),
+    }
+
+
 def routing_stream_case(
     spark, root: str, *, n_batches: int = 6, events_per_batch: int = 100_000
 ):
@@ -1238,11 +1437,15 @@ def run_only_case(case: str, args) -> None:
     _warm_python_workers(spark, cpus)
     recall: dict = {}
     reqs = bench_requests()
-    if case in reqs:
+    if case in reqs or case == "TxnAppend":
         path = os.path.join(root, f"attempts_{args.events}")
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             generate(spark, path, args.events)
         att = spark.read.parquet(path)
+        if case == "TxnAppend":
+            out = txn_append_case(spark, root, att, att.count())
+            print(json.dumps({"case": case, "recall": {}, **out}))
+            return
         t0 = time.perf_counter()
         rows = len(query_attempt_metrics(att, reqs[case]).collect())
         secs = round(time.perf_counter() - t0, 4)
@@ -1307,6 +1510,37 @@ def _materialize_scale_ref() -> tuple[str, str] | None:
         with tarfile.open(fileobj=io.BytesIO(out.stdout)) as tf:
             tf.extractall(dest)
         return rev, dest
+    except Exception:
+        return None
+
+
+def _load_prev_scale_artifact() -> dict | None:
+    """The previous round's committed BENCH_SCALE_r{N}.json (highest N
+    in the repo root), for round-over-round move detection.
+    ``SPARK_GRAFT_PREV_SCALE=<path>`` overrides, ``=off`` disables."""
+    import glob
+    import re as _re
+
+    env = os.environ.get("SPARK_GRAFT_PREV_SCALE")
+    if env == "off":
+        return None
+    repo = os.path.dirname(os.path.abspath(__file__))
+    path = env
+    rnd = None
+    if not path:
+        cands = []
+        for p in glob.glob(os.path.join(repo, "BENCH_SCALE_r*.json")):
+            m = _re.search(r"r(\d+)\.json$", p)
+            if m:
+                cands.append((int(m.group(1)), p))
+        if not cands:
+            return None
+        rnd, path = max(cands)
+    try:
+        with open(path) as f:
+            out = json.load(f)
+        out["_round"] = rnd
+        return out
     except Exception:
         return None
 
@@ -1428,43 +1662,20 @@ def main() -> None:
     # storage layer: transaction-log table throughput at the full clone
     # size — one append = one atomic commit; retention = metadata-only
     # drops + boundary rewrite; snapshot read from the commit log
-    import shutil
-
-    from outpost_spark.logstore.insert import with_month_partition
-    from outpost_spark.logstore.txntable import TxnTable
-
-    tx_path = os.path.join(root, "txn_attempts_bench")
-    shutil.rmtree(tx_path, ignore_errors=True)
-    # the clone spans one month, so cluster by DAY to give retention the
-    # same file-granularity the month layout has at year scale: expired
-    # days drop metadata-only, the cutoff day rewrites
-    att_m = with_month_partition(att, "attempt_time").withColumn(
-        "day", F.date_format("attempt_time", "yyyyMMdd")
-    )
-    t0 = time.perf_counter()
-    tx = TxnTable.get_or_create(spark, tx_path, att_m.schema)
-    tx.append(att_m, cluster_by="day", stats_cols=("attempt_time",))
-    timings["TxnAppend"] = round(time.perf_counter() - t0, 4)
-    t0 = time.perf_counter()
-    rows_out["TxnAppend"] = tx.read().count()
-    timings["TxnSnapshotCount"] = round(time.perf_counter() - t0, 4)
-    rows_out["TxnSnapshotCount"] = rows_out["TxnAppend"]
-    assert rows_out["TxnAppend"] == n_rows
-    import datetime as _dt
-
-    t0 = time.perf_counter()
-    dropped, rewritten, deleted = tx.delete_where_time(
-        "attempt_time",
-        _dt.datetime(2000, 1, 16, 12, 0, 0),
-        keep_stats_cols=("day",),
-    )
-    timings["TxnRetention"] = round(time.perf_counter() - t0, 4)
-    rows_out["TxnRetention"] = deleted
+    txa = txn_append_case(spark, root, att, n_rows)
+    timings["TxnAppend"] = txa["secs"]
+    rows_out["TxnAppend"] = txa["rows"]
+    timings["TxnSnapshotCount"] = txa["snapshot_count_secs"]
+    rows_out["TxnSnapshotCount"] = txa["rows"]
+    timings["TxnRetention"] = txa["retention_secs"]
+    rows_out["TxnRetention"] = txa["retention_deleted_rows"]
     print(
-        f"TxnAppend: {timings['TxnAppend']}s ({n_rows} rows); snapshot count "
-        f"{timings['TxnSnapshotCount']}s; retention {timings['TxnRetention']}s "
-        f"(dropped {dropped} files metadata-only, rewrote {rewritten}, "
-        f"deleted {deleted} rows)",
+        f"TxnAppend: {txa['secs']}s ({n_rows} rows; phases {txa['phases']}); "
+        f"snapshot count {txa['snapshot_count_secs']}s; retention "
+        f"{txa['retention_secs']}s "
+        f"(dropped {txa['retention_dropped_files']} files metadata-only, "
+        f"rewrote {txa['retention_rewritten_files']}, "
+        f"deleted {txa['retention_deleted_rows']} rows)",
         file=sys.stderr,
     )
     gc.collect()
@@ -1506,34 +1717,53 @@ def main() -> None:
 
     # heavy cases: fresh interpreter + JVM each, AFTER the in-session
     # sweep, so their numbers carry no session history by construction.
-    # Each also runs once against the archived previous-round tree (same
+    # Each also runs against the archived previous-round tree (same
     # fresh-JVM shape, same corpus) — the ab block that makes any
     # round-over-round move attributable to code, not session noise.
+    # MIN-OF-N per side (default 2): same-code same-session spreads up
+    # to ~1.3x were observed across rounds; the min of two runs knocks
+    # out the one-off JIT/page-cache outliers that single-shot A/B
+    # couldn't distinguish from real moves.
     ab: dict[str, dict] = {}
     ref = _materialize_scale_ref()
+    ab_runs = max(1, int(os.environ.get("SPARK_GRAFT_AB_RUNS", 2)))
+    if ref is None:
+        ab_runs = 1  # no A/B side: min-of-N buys nothing, save the time
+
+    def _min_probe(name: str, *, root: str | None = None) -> tuple[float, list, dict]:
+        outs = [
+            _run_case_isolated(name, args, root=root) for _ in range(ab_runs)
+        ]
+        best = min(outs, key=lambda o: o["secs"])
+        return best["secs"], [o["secs"] for o in outs], best
+
     for name in deferred:
-        out = _run_case_isolated(name, args)
-        timings[name] = out["secs"]
+        secs, head_runs, out = _min_probe(name)
+        timings[name] = secs
         rows_out[name] = out["rows"]
         recall.update(out.get("recall", {}))
-        print(f"{name}: {timings[name]}s ({rows_out[name]} rows) [isolated]", file=sys.stderr)
+        print(
+            f"{name}: {secs}s (runs {head_runs}) ({rows_out[name]} rows) [isolated]",
+            file=sys.stderr,
+        )
         if ref is not None:
             try:
-                rout = _run_case_isolated(name, args, root=ref[1])
+                rsecs, ref_runs, _ = _min_probe(name, root=ref[1])
                 ab[name] = {
-                    "head": out["secs"],
-                    "ref": rout["secs"],
-                    "ratio": round(out["secs"] / rout["secs"], 3)
-                    if rout["secs"]
-                    else None,
+                    "head": secs,
+                    "ref": rsecs,
+                    "head_runs": head_runs,
+                    "ref_runs": ref_runs,
+                    "runs_per_side": ab_runs,
+                    "ratio": round(secs / rsecs, 3) if rsecs else None,
                 }
                 print(
-                    f"{name} A/B: head {out['secs']}s vs ref {rout['secs']}s "
-                    f"(x{ab[name]['ratio']})",
+                    f"{name} A/B: head {secs}s vs ref {rsecs}s "
+                    f"(x{ab[name]['ratio']}, min of {ab_runs}/side)",
                     file=sys.stderr,
                 )
             except Exception as e:  # ref tree may lack the case
-                ab[name] = {"head": out["secs"], "ref_error": str(e)[:200]}
+                ab[name] = {"head": secs, "ref_error": str(e)[:200]}
     print(f"embedding planted recall: {recall}", file=sys.stderr)
 
     t0 = time.perf_counter()
@@ -1586,6 +1816,27 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    apk = alert_stream_perkey_case(spark, root)
+    timings["AlertStreamPerKey"] = apk["secs"]
+    rows_out["AlertStreamPerKey"] = apk["rows"]
+    print(
+        f"AlertStreamPerKey: {apk['outcomes_per_sec']} outcomes/s in, "
+        f"{apk['signals_per_sec']} signals/s "
+        f"({apk['rows']} signals over {apk['secs']}s)",
+        file=sys.stderr,
+    )
+
+    alb = alert_stream_batched_case(spark, root)
+    timings["AlertStreamBatched"] = alb["secs"]
+    rows_out["AlertStreamBatched"] = alb["rows"]
+    print(
+        f"AlertStreamBatched: {alb['outcomes_per_sec']} outcomes/s in, "
+        f"{alb['signals_per_sec']} signals/s "
+        f"({alb['rows']} signals over {alb['secs']}s) — "
+        f"{round(alb['outcomes_per_sec'] / max(apk['outcomes_per_sec'], 1), 1)}x per-key",
+        file=sys.stderr,
+    )
+
     sqs = sqs_ingest_case(
         spark, int(os.environ.get("SPARK_GRAFT_SCALE_SQS_MSGS", 5000))
     )
@@ -1593,6 +1844,63 @@ def main() -> None:
         for case, row in sqs.items():
             timings[case] = row["secs"]
             rows_out[case] = row["rows"]
+
+    # ---- attribution: any case that moved >1.5x against the previous
+    # round's recorded artifact gets its own min-of-N A/B probe, so the
+    # artifact never again carries an unexplained 8x move (r10's
+    # TxnAppend/ChunkDocuments lesson).  Cases that already carry a
+    # same-session heavy A/B are marked covered; cases with no --only
+    # path are marked unprobeable rather than silently skipped.
+    attribution: dict[str, dict] = {}
+    prev = _load_prev_scale_artifact()
+    if prev:
+        probeable = (
+            set(bench_requests())
+            | set(doc_cases(spark, dpath))
+            | set(embedding_cases(spark, epath, {}))
+            | {"TxnAppend"}
+        )
+        movers = []
+        for name, secs in timings.items():
+            p = prev.get("queries", {}).get(name)
+            if p and p > 0 and secs > 0:
+                r = secs / p
+                if r > 1.5 or r < 1 / 1.5:
+                    movers.append((max(r, 1 / r), name, round(r, 3)))
+        movers.sort(reverse=True)
+        max_probes = int(os.environ.get("SPARK_GRAFT_AB_MAX_ATTRIB", 6))
+        probes_done = 0
+        for _, name, r in movers:
+            entry: dict = {"moved_vs_prev": r, "prev_round": prev.get("_round")}
+            if name in ab:
+                entry["covered_by"] = "heavy_ab"
+            elif ref is None:
+                entry["covered_by"] = "no_ref"
+            elif name not in probeable:
+                entry["covered_by"] = "unprobeable"
+            elif probes_done >= max_probes:
+                entry["covered_by"] = "probe_cap"
+            else:
+                probes_done += 1
+                try:
+                    hsecs, h_runs, _ = _min_probe(name)
+                    rsecs, r_runs, _ = _min_probe(name, root=ref[1])
+                    entry.update(
+                        head=hsecs,
+                        ref=rsecs,
+                        head_runs=h_runs,
+                        ref_runs=r_runs,
+                        runs_per_side=ab_runs,
+                        ratio=round(hsecs / rsecs, 3) if rsecs else None,
+                    )
+                    print(
+                        f"{name} moved x{r} vs prev; A/B head {hsecs}s vs "
+                        f"ref {rsecs}s (x{entry['ratio']})",
+                        file=sys.stderr,
+                    )
+                except Exception as e:
+                    entry["ab_error"] = str(e)[:200]
+            attribution[name] = entry
 
     result = {
         "metric": "scale_bench_total",
@@ -1611,8 +1919,12 @@ def main() -> None:
         "isolated_cases": sorted(deferred),
         "retry_timer": rt,
         "retry_timer_batched": rtb,
+        "alert_stream_perkey": apk,
+        "alert_stream_batched": alb,
+        "txn_append": txa,
         "closed_loop_delivery": cl,
         "ab": {"ref_rev": ref[0] if ref else None, "cases": ab},
+        "attribution": attribution,
         "webhook_delivery": wd,
         "cpus": int(cpus),
     }

@@ -351,7 +351,9 @@ class TxnTable:
         return T.StructType.fromJson(json.loads(schema_json))
 
     # ---- write ---------------------------------------------------------
-    def _stage(self, df: DataFrame, cluster_by: str | None, stats_cols):
+    def _stage(
+        self, df: DataFrame, cluster_by: str | None, stats_cols, phase_timings=None
+    ):
         """Write ``df`` once under ``_staging/<txn>/``; return adds.
 
         ``cluster_by`` guarantees VALUE-PURE files (every file holds one
@@ -374,6 +376,7 @@ class TxnTable:
         ts_key = "spark.sql.parquet.outputTimestampType"
         prev_ts = self.spark.conf.get(ts_key, None)
         self.spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+        t0 = time.perf_counter()
         try:
             if cluster_by:
                 df.withColumn("__part", F.col(cluster_by)).write.partitionBy(
@@ -384,6 +387,9 @@ class TxnTable:
         finally:
             if prev_ts is not None:
                 self.spark.conf.set(ts_key, prev_ts)
+        if phase_timings is not None:
+            phase_timings["stage_write_secs"] = round(time.perf_counter() - t0, 4)
+            t0 = time.perf_counter()
         adds = []
         for fpath, name in sorted(self.fs.walk_files(stage_abs)):
             if not name.endswith(".parquet") or name.startswith((".", "_")):
@@ -399,6 +405,10 @@ class TxnTable:
                     "rows": rows,
                     "stats": stats,
                 }
+            )
+        if phase_timings is not None:
+            phase_timings["footer_stats_secs"] = round(
+                time.perf_counter() - t0, 4
             )
         return adds
 
@@ -419,6 +429,7 @@ class TxnTable:
         stats_cols: tuple[str, ...] = (),
         op: str = "append",
         app_txn: tuple[str, int] | None = None,
+        phase_timings: dict | None = None,
     ) -> int:
         """Stage + commit; returns the committed version.  ``cluster_by``
         repartitions so each file covers ~one value of the column
@@ -440,11 +451,15 @@ class TxnTable:
                 return self.version()  # replay: already committed
         if cluster_by and cluster_by not in stats_cols:
             stats_cols = tuple(stats_cols) + (cluster_by,)
-        adds = self._stage(df, cluster_by, stats_cols)
+        adds = self._stage(df, cluster_by, stats_cols, phase_timings)
         payload = {"op": op, "adds": adds, "removes": []}
         if app_txn is not None:
             payload["app_txn"] = {"app": app_txn[0], "version": int(app_txn[1])}
-        return self._commit_with_retry(payload)
+        t0 = time.perf_counter()
+        v = self._commit_with_retry(payload)
+        if phase_timings is not None:
+            phase_timings["commit_secs"] = round(time.perf_counter() - t0, 4)
+        return v
 
     def _commit_with_retry(self, payload: dict, *, max_retries: int = 50) -> int:
         removes = set(payload.get("removes", []))
