@@ -352,24 +352,35 @@ def encode_png(arr) -> bytes:
 
 
 def _png_pixels(content: bytes):
-    """Full pixel decode of an 8-bit non-interlaced PNG -> (h, w, c)
-    uint8 array (the shared pixel pass behind resize_image and
-    dhash_image).  Raises ValueError for non-PNG / unsupported layouts
-    and for images past the bomb-guard ceiling."""
+    """Full pixel decode of a non-interlaced PNG -> (h, w, c) uint8
+    array (the shared pixel pass behind resize_image and dhash_image).
+    Covers 8-bit greyscale/RGB(+alpha), 8-bit PALETTE (PLTE indexing ->
+    RGB), and 16-bit layouts (high-byte downsample — the standard 16->8
+    reduction, exact for the perceptual stages this feeds).  Raises
+    ValueError for non-PNG / sub-byte palettes / interlaced images and
+    for images past the bomb-guard ceiling."""
+    import numpy as np
+
     meta = decode_image(content)  # validates + returns dims
-    if meta["bit_depth"] != 8:
-        raise ValueError("pixel decode supports 8-bit PNGs only")
+    bit_depth = meta["bit_depth"]
+    if bit_depth not in (8, 16):
+        raise ValueError("pixel decode supports 8/16-bit PNGs only")
     # re-walk the chunks for the pixel pass
     pos = 8
     idat = bytearray()
+    plte = b""
     interlace = 0
+    color_type = None
     while pos + 8 <= len(content):
         (length,) = struct.unpack(">I", content[pos : pos + 4])
         ctype = content[pos + 4 : pos + 8]
         data = content[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if ctype == b"IHDR":
+            color_type = data[9]
             interlace = data[12]
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -377,17 +388,36 @@ def _png_pixels(content: bytes):
     if interlace or meta["channels"] is None:
         raise ValueError("pixel decode supports non-interlaced PNGs only")
     w, h, c = meta["width"], meta["height"], meta["channels"]
-    rows = _png_unfilter(idat, w, h, c)
+    if color_type == 3:  # palette: 1 byte/pixel of PLTE indices
+        if bit_depth != 8:
+            raise ValueError("palette decode supports 8-bit indices only")
+        if len(plte) < 3 or len(plte) % 3:
+            raise ValueError("palette PNG without a valid PLTE chunk")
+        idx = _png_unfilter(idat, w, h, 1)
+        if idx is None:
+            raise ValueError("image exceeds the decode size ceiling")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        return pal[idx.reshape(h, w)]  # (h, w, 3)
+    # PNG's filter distance is bytes-per-pixel, so a 16-bit image
+    # unfilters exactly like an 8-bit one with 2x the channels; the
+    # big-endian high byte of each sample is then the 8-bit downsample
+    bpp_channels = c * (bit_depth // 8)
+    rows = _png_unfilter(idat, w, h, bpp_channels)
     if rows is None:
         raise ValueError("image exceeds the decode size ceiling")
+    if bit_depth == 16:
+        return rows.reshape(h, w, c, 2)[..., 0]
     return rows.reshape(h, w, c)
 
 
 def resize_image(content: bytes, scale: float) -> bytes:
-    """Nearest-neighbor resize of an 8-bit non-interlaced PNG, returned
-    as a PNG — decode (shared bounded unfilter), index-sample, re-encode.
-    Raises ValueError for non-PNG / unsupported layouts (palette,
-    16-bit, interlaced) and for images past the bomb-guard ceiling."""
+    """Nearest-neighbor resize of a non-interlaced PNG, returned as an
+    8-bit PNG — decode (shared bounded unfilter; palette expanded to
+    RGB, 16-bit downsampled), index-sample, re-encode.  Raises
+    ValueError for non-PNG / interlaced images and for images past the
+    bomb-guard ceiling."""
     import numpy as np
 
     px = _png_pixels(content)

@@ -3878,41 +3878,116 @@ def multimodal_decoded(spark, sf_dir):
     )
 
 
-@_register("dedup_image_phash_pairs", None)
+# DuckDB cannot decode PNGs, but the band-join + Hamming-verify +
+# survivor-collapse stages ARE SQL-expressible: the Spark entry writes
+# its (id, dhash, dhash_ok) fingerprint frame to a parquet fixture and
+# both engines consume THAT — the oracle re-derives the pairs with an
+# exhaustive quadratic join (so it also independently proves the
+# pigeonhole band join has zero false negatives) and the survivors with
+# a recursive-CTE transitive closure.  Only the PNG decode itself stays
+# pytest-pinned (tests/test_image_dedup.py).  The fixture is written by
+# the Spark callable before the driver runs the oracle (the driver and
+# the parity suite both run spark-then-oracle per entry).
+_IMAGE_FIXTURE_DIR = os.path.join(
+    os.environ.get("OUTPOST_SPARK_ORACLE_FIXTURES", "/tmp/outpost_spark_oracle_fix"),
+    "image_dhash",
+)
+
+_IMAGE_PAIRS_SQL = f"""
+    WITH fp AS (
+      SELECT id, dhash
+      FROM read_parquet('{_IMAGE_FIXTURE_DIR}/*.parquet')
+      WHERE dhash_ok
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.id < b.id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
+"""
+
+
+def _write_image_fixture(spark, sf_dir):
+    """Planted corpus -> dHash fingerprints, persisted where the DuckDB
+    oracle reads them; returns the frame read BACK from the fixture so
+    both engines consume byte-identical input."""
+    from outpost_spark.ops.multimodal import image_dhash, planted_image_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    imgs = planted_image_corpus(docs, id_col="doc_id")
+    image_dhash(imgs).write.mode("overwrite").parquet(_IMAGE_FIXTURE_DIR)
+    return spark.read.parquet(_IMAGE_FIXTURE_DIR)
+
+
+@_register("dedup_image_phash_pairs", _IMAGE_PAIRS_SQL)
 def dedup_image_phash_pairs(spark, sf_dir):
     """Perceptual image dedup (VERDICT r08 task #8): dHash over the
     stdlib PNG decoder + the SAME pigeonhole Hamming band join the text
-    simhash uses (ops/dedup.py::hamming_banded_pairs, bits=64, bands=8).
-    The corpus is PLANTED — deterministic synthetic PNGs where ids
-    sharing ``id // 4`` are near-identical (single-pixel tweaks) and
-    every 29th id is junk bytes — so the expected answer is exactly the
-    within-group pairs of decodable members, which pytest pins
-    independently (tests/test_image_dedup.py); corrupt members must
-    yield dhash_ok=false rows, never task failures.  DuckDB can't
-    decode PNGs, hence ``no_oracle`` (rows-only driver check)."""
-    from outpost_spark.ops.multimodal import dhash_pairs, planted_image_corpus
+    simhash uses (ops/dedup.py::hamming_banded_pairs, bits=64, bands=8
+    — zero false negatives within the distance, never quadratic).  The
+    corpus is PLANTED — deterministic synthetic PNGs where ids sharing
+    ``id // 4`` are near-identical (single-pixel tweaks) and every 29th
+    id is junk bytes (dhash_ok=false rows, never task failures).  The
+    oracle verifies the band join against an exhaustive quadratic
+    Hamming join over the shared fingerprint fixture; the PNG decode
+    itself is pinned in tests/test_image_dedup.py."""
+    from outpost_spark.ops.dedup import hamming_banded_pairs
 
-    docs = _t(spark, sf_dir, "documents")
-    imgs = planted_image_corpus(docs, id_col="doc_id")
-    return dhash_pairs(imgs, max_hamming=4)
+    fp = _write_image_fixture(spark, sf_dir).filter(F.col("dhash_ok"))
+    return hamming_banded_pairs(
+        fp, "id", "dhash", bits=64, max_hamming=4, bands=8
+    )
 
 
-@_register("dedup_image_survivors", None)
+_IMAGE_SURVIVORS_SQL = f"""
+    WITH RECURSIVE fp AS (
+      SELECT id, dhash, dhash_ok
+      FROM read_parquet('{_IMAGE_FIXTURE_DIR}/*.parquet')
+    ),
+    pairs AS (
+      SELECT a.id AS ia, b.id AS ib
+      FROM fp a JOIN fp b ON a.id < b.id
+      WHERE a.dhash_ok AND b.dhash_ok
+        AND bit_count(xor(a.dhash, b.dhash)) <= 4
+    ),
+    edges AS (
+      SELECT ia AS a, ib AS b FROM pairs
+      UNION ALL
+      SELECT ib, ia FROM pairs
+    ),
+    walk(id, m) AS (
+      SELECT id, id FROM fp WHERE dhash_ok
+      UNION
+      SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.m
+    )
+    SELECT id FROM (
+      SELECT id, MIN(m) AS root FROM walk GROUP BY id
+    ) WHERE id = root
+    UNION ALL
+    SELECT id FROM fp WHERE NOT dhash_ok
+"""
+
+
+@_register("dedup_image_survivors", _IMAGE_SURVIVORS_SQL)
 def dedup_image_survivors(spark, sf_dir):
     """The image-dedup chain completed: dHash pairs -> connected
     components -> canonical (minimum-id) survivor per near-dup cluster,
-    over the same planted corpus as dedup_image_phash_pairs — so the
-    expected survivor set is exactly {min decodable id of each planted
-    group} ∪ {corrupt members} (no fingerprint, untouched), pinned in
-    pytest.  ``no_oracle``: DuckDB can't decode PNGs."""
-    from outpost_spark.ops.multimodal import (
-        dhash_canonical_survivors,
-        planted_image_corpus,
-    )
+    over the same planted corpus as dedup_image_phash_pairs; corrupt
+    members carry no fingerprint, join no pairs, and pass through
+    untouched.  The oracle recomputes the survivor set from the shared
+    fingerprint fixture with a recursive-CTE transitive closure (min
+    reachable id per component); the PNG decode stays pytest-pinned."""
+    from outpost_spark.ops.dedup import dedup_keep_canonical, hamming_banded_pairs
 
-    docs = _t(spark, sf_dir, "documents")
-    imgs = planted_image_corpus(docs, id_col="doc_id")
-    return dhash_canonical_survivors(imgs, max_hamming=4)
+    fp = _write_image_fixture(spark, sf_dir)
+    pairs = hamming_banded_pairs(
+        fp.filter(F.col("dhash_ok")),
+        "id",
+        "dhash",
+        bits=64,
+        max_hamming=4,
+        bands=8,
+    )
+    return dedup_keep_canonical(fp.select("id"), pairs, "id")
 
 
 # ───────────────── tenant/destination store (S8, P10, P2/J2, S1) ─────────────────

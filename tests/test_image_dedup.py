@@ -60,6 +60,123 @@ def test_dhash_rejects_undecodable():
         dhash_image(b"JUNK: not a png")
 
 
+# ── palette / 16-bit layouts (round-11: PLTE indexing + high-byte
+# downsample in the shared pixel pass) ──────────────────────────────────
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_palette_png(idx, palette, *, bit_depth=8) -> bytes:
+    """Hand-rolled palette PNG: (h, w) uint8 indices + (n, 3) palette."""
+    import struct
+    import zlib
+
+    h, w = idx.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    return (
+        _MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png16_grey(a16) -> bytes:
+    """Hand-rolled 16-bit greyscale PNG from an (h, w) uint16 array."""
+    import struct
+    import zlib
+
+    h, w = a16.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + a16[y].astype(">u2").tobytes() for y in range(h)
+    )
+    return (
+        _MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_palette_png_decodes_and_hashes_like_its_rgb_twin():
+    from outpost_spark.ops.multimodal import _png_pixels
+
+    grad = np.tile(np.arange(0, 180, 10, dtype=np.uint8), (16, 1))
+    palette = np.stack([np.arange(256)] * 3, axis=-1).astype(np.uint8)
+    png_pal = encode_palette_png(grad, palette)
+    px = _png_pixels(png_pal)
+    assert px.shape == (16, 18, 3)
+    assert (px[..., 0] == grad).all()
+    # identical content through the palette path and the grey path
+    # lands on the SAME dHash — encodings dedup together
+    assert dhash_image(png_pal) == dhash_image(_grey(grad))
+
+
+def test_16bit_png_decodes_via_high_byte_downsample():
+    from outpost_spark.ops.multimodal import _png_pixels
+
+    g8 = np.tile(np.arange(0, 180, 10, dtype=np.uint8), (16, 1))
+    a16 = (g8.astype(np.uint16) << 8) | 0x7F  # low byte is noise
+    png16 = encode_png16_grey(a16)
+    px = _png_pixels(png16)
+    assert px.shape == (16, 18, 1)
+    assert (px[..., 0] == g8).all()
+    assert dhash_image(png16) == dhash_image(_grey(g8))
+
+
+def test_palette_guards():
+    from outpost_spark.ops.multimodal import _png_pixels
+
+    grad = np.tile(np.arange(16, dtype=np.uint8), (16, 1))
+    # sub-byte palette: header-only territory, must raise not garbage
+    with pytest.raises(ValueError):
+        _png_pixels(encode_palette_png(grad, np.zeros((256, 3)), bit_depth=4))
+    # index past the palette end must raise, not read out of bounds
+    with pytest.raises(ValueError, match="palette index"):
+        _png_pixels(encode_palette_png(grad + 100, np.zeros((16, 3))))
+
+
+def test_mixed_encoding_corpus_dedups_across_layouts(spark):
+    """One image delivered as grey-8, palette, and 16-bit greyscale:
+    all three fingerprints land in one near-dup cluster, so the
+    decoded-fraction of a realistic mixed corpus is pinned at 100%."""
+    from outpost_spark.ops.multimodal import image_dhash
+
+    grad = (
+        np.tile(np.arange(0, 180, 10, dtype=np.uint8), (16, 1))
+        + np.arange(16, dtype=np.uint8)[:, None]
+    )
+    palette = np.stack([np.arange(256)] * 3, axis=-1).astype(np.uint8)
+    corpus = [
+        (1, _grey(grad)),
+        (2, encode_palette_png(grad, palette)),
+        (3, encode_png16_grey((grad.astype(np.uint16) << 8) | 0x33)),
+    ]
+    df = spark.createDataFrame(corpus, "id long, content binary")
+    fps = {r["id"]: r for r in image_dhash(df).collect()}
+    assert all(fps[i]["dhash_ok"] for i in (1, 2, 3))
+    assert fps[1]["dhash"] == fps[2]["dhash"] == fps[3]["dhash"]
+    pairs = dhash_pairs(df, max_hamming=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
 def test_dhash_rejects_hash_size_beyond_signed_64():
     # hash_size > 8 would overflow the two's-complement fold / Int64
     with pytest.raises(ValueError, match="hash_size"):
