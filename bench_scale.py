@@ -556,9 +556,15 @@ def closed_loop_delivery_case(spark, root: str, n_events: int | None = None) -> 
     r08 stretch #10): format_webhook -> concurrent deliver_http against
     a receiver that 503s 30% of FIRST attempts -> attempt_records ->
     insert_many (the real attempt log) -> batched RetryStateTable ->
-    fired tasks re-deliver, waves until converged.  Verifies every
-    event ends successful and measures end-to-end deliveries/s across
-    all waves — the number that includes signing, HTTP, logging, and
+    fired tasks re-deliver, waves until converged.  ALSO drives the
+    requeue->DLQ path (VERDICT r10 #8): ids ending in 7 fail their
+    first delivery AND then fail PROCESSING on every fire (the handler
+    crash the reference's receive_count guards against,
+    scheduler.go:196-203) — they requeue keeping their receive_count
+    until it crosses max_receive_count=3 and diverts to the DLQ.
+    Verifies every transient event ends successful, every poisoned
+    event ends in the DLQ exactly once, and measures end-to-end
+    deliveries/s across all waves — signing, HTTP, logging, and
     retry-state costs together, not any tier alone."""
     import shutil
     import threading
@@ -589,9 +595,11 @@ def closed_loop_delivery_case(spark, root: str, n_events: int | None = None) -> 
             with lock:
                 first = eid not in seen
                 seen.add(eid)
-            # deterministic transient failure: 30% of events 503 on
-            # their FIRST delivery, succeed on redelivery
-            fail = first and int(eid.rsplit("_", 1)[-1]) % 10 < 3
+            # deterministic failures: 30% of events 503 on their FIRST
+            # delivery then succeed; ids ending in 7 also 503 first (to
+            # enter the retry queue — their processing then poisons)
+            m = int(eid.rsplit("_", 1)[-1]) % 10
+            fail = first and (m < 3 or m == 7)
             body = b'{"error":"down"}' if fail else b'{"ok":true}'
             self.send_response(503 if fail else 200)
             self.send_header("Content-Length", str(len(body)))
@@ -611,6 +619,8 @@ def closed_loop_delivery_case(spark, root: str, n_events: int | None = None) -> 
         state_path,
         backoff=ConstantBackoff(interval=0.0),  # due immediately: waves
         retry_max_limit=5,
+        max_receive_count=3,  # 4th fire of a requeue loop -> DLQ
+        keep_versions=4,
     )
     events = spark.range(n).select(
         F.concat(F.lit("evt_"), F.col("id")).alias("event_id"),
@@ -624,58 +634,81 @@ def closed_loop_delivery_case(spark, root: str, n_events: int | None = None) -> 
         F.current_timestamp().alias("event_time"),
         F.lit(True).alias("eligible_for_retry"),
     )
+    # poisoned = ids ending in 7: delivery would succeed on retry, but
+    # their downstream PROCESSING fails every time a timer fires, so
+    # they requeue with their receive_count until the DLQ cap
+    poisoned = F.element_at(F.split(F.col("event_id"), "_"), -1).cast(
+        "long"
+    ) % 10 == 7
     wave = events.withColumn("attempt_number", F.lit(1))
+    requeue = None
     t0 = time.perf_counter()
-    total_posts = total_ok = waves = 0
-    while waves < 6:
+    total_posts = total_ok = waves = dlq_total = 0
+    while waves < 8:
         waves += 1
-        frame = format_webhook(
-            wave,
-            url=url,
-            ts=F.current_timestamp(),
-            secrets=["whsec_bench"],
-        ).repartition(32)
-        results = deliver_http(frame, timeout=10.0).select(
-            "event_id", "status", "response_code", "response_data"
-        )
-        enriched = wave.join(results, "event_id").localCheckpoint(eager=True)
-        insert_many(
-            attempt_records(enriched, attempt_number_col="attempt_number"),
-            os.path.join(log_root, "events"),
-            os.path.join(log_root, "attempts"),
-        )
-        outcomes = enriched.select(
+        outcomes = None
+        if wave is not None and wave.limit(1).count() > 0:
+            frame = format_webhook(
+                wave,
+                url=url,
+                ts=F.current_timestamp(),
+                secrets=["whsec_bench"],
+            ).repartition(32)
+            results = deliver_http(frame, timeout=10.0).select(
+                "event_id", "status", "response_code", "response_data"
+            )
+            enriched = wave.join(results, "event_id").localCheckpoint(eager=True)
+            insert_many(
+                attempt_records(enriched, attempt_number_col="attempt_number"),
+                os.path.join(log_root, "events"),
+                os.path.join(log_root, "attempts"),
+            )
+            outcomes = enriched.select(
+                "event_id",
+                "destination_id",
+                "tenant_id",
+                "status",
+                "attempt_number",
+                "eligible_for_retry",
+            )
+            counts = {
+                r["status"]: r["count"]
+                for r in enriched.groupBy("status").count().collect()
+            }
+            total_posts += sum(counts.values())
+            total_ok += counts.get("success", 0)
+        fired = table.apply_outcomes(
+            outcomes, waves, now=float(waves), requeue_df=requeue
+        ).localCheckpoint(eager=True)
+        dlq_total += fired.where(F.col("dlq")).count()
+        live = fired.where(~F.col("dlq"))
+        if live.limit(1).count() == 0:
+            break
+        requeue = live.where(poisoned).select(
             "event_id",
             "destination_id",
             "tenant_id",
-            "status",
             "attempt_number",
-            "eligible_for_retry",
+            "receive_count",
         )
-        counts = {
-            r["status"]: r["count"]
-            for r in enriched.groupBy("status").count().collect()
-        }
-        total_posts += sum(counts.values())
-        total_ok += counts.get("success", 0)
-        fired = table.apply_outcomes(outcomes, waves, now=float(waves))
-        if fired.where(~F.col("dlq")).limit(1).count() == 0:
-            break
         wave = (
-            fired.where(~F.col("dlq"))
+            live.where(~poisoned)
             .select("event_id", "attempt_number")
             .join(events, "event_id")
         )
     secs = round(time.perf_counter() - t0, 4)
     srv.shutdown()
     logged = spark.read.parquet(os.path.join(log_root, "attempts")).count()
+    n_poisoned = sum(1 for i in range(n) if i % 10 == 7)
     return {
         "secs": secs,
         "rows": total_ok,
         "deliveries": total_posts,
         "waves": waves,
         "attempt_log_rows": logged,
-        "converged": total_ok == n,
+        "dlq_rows": dlq_total,
+        "dlq_expected": n_poisoned,
+        "converged": total_ok == n - n_poisoned and dlq_total == n_poisoned,
         "deliveries_per_sec": round(total_posts / secs, 1) if secs else 0.0,
     }
 
