@@ -505,6 +505,54 @@ class AlertStateTable(VersionedStateTable):
         return self.spark.read.parquet(sig_path)
 
 
+def apply_disable_signals(destinations, signals, *, now=None):
+    """Auto-disable feedback: close the loop from ST3 back into routing.
+
+    Reference: a 100% consecutive-failure signal disables the
+    destination (internal/alert/evaluator.go:119-157) and MatchEvent
+    excludes disabled destinations (redistenantstore.go:645-667 —
+    mirrored by routing/match.py's ``disabled_at IS NULL`` predicate).
+    This stamps ``disabled_at`` on every destination named by an
+    ``alert.destination.disabled`` signal, idempotently (an existing
+    stamp wins, so replayed signals don't move the disable time).
+    Returns the updated destinations frame; persist it wherever the
+    router reads destinations so the NEXT batch's fan-out excludes the
+    disabled rows.  Scale: one broadcast-sized distinct on the signal
+    frame left-joined onto the dims — no shuffle on the big side beyond
+    the join key."""
+    from pyspark.sql import functions as F
+
+    hits = (
+        signals.where(F.col("signal") == "alert.destination.disabled")
+        .select(
+            F.col("tenant_id").alias("__t"),
+            F.col("destination_id").alias("__d"),
+        )
+        .distinct()
+    )
+    ts = (
+        F.lit(now).cast("timestamp")
+        if now is not None
+        else F.current_timestamp()
+    )
+    return (
+        destinations.join(
+            hits,
+            (destinations["tenant_id"] == F.col("__t"))
+            & (destinations["id"] == F.col("__d")),
+            "left",
+        )
+        .withColumn(
+            "disabled_at",
+            F.coalesce(
+                F.col("disabled_at"),
+                F.when(F.col("__d").isNotNull(), ts),
+            ),
+        )
+        .drop("__t", "__d")
+    )
+
+
 def alert_foreach_batch(
     spark,
     state_path: str,

@@ -269,6 +269,113 @@ def test_parity_with_state_machine_randomized(spark, tmp_path, window):
                 assert st[k]["last_exhausted"] == pytest.approx(last_ex)
 
 
+def test_streaming_disable_feedback_stops_routing(spark, tmp_path):
+    """ST3 -> routing feedback, end to end on a real stream: fail a
+    destination to 100% in one micro-batch and the NEXT batch's events
+    no longer route to it (reference: evaluator.go disable ->
+    MatchEvent excludes disabled destinations).  The foreachBatch loop
+    routes each batch against the destinations-as-of-now, evaluates
+    alerts, and persists apply_disable_signals' output back to the
+    store the router reads."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from outpost_spark.routing.match import match_events
+    from outpost_spark.streaming.alerts import apply_disable_signals
+
+    dest_path = str(tmp_path / "dests")
+    spark.createDataFrame(
+        [
+            ("d_bad", "t1", "webhook", ["*"], None, None),
+            ("d_good", "t1", "webhook", ["*"], None, None),
+        ],
+        "id string, tenant_id string, type string, topics array<string>, "
+        "filter string, disabled_at timestamp",
+    ).write.parquet(dest_path)
+    table = AlertStateTable(
+        spark,
+        str(tmp_path / "astate"),
+        machine=AlertStateMachine(auto_disable_failure_count=3),
+    )
+    src = tmp_path / "attempts"
+    src.mkdir()
+    routed: dict = {}
+
+    ATT = (
+        "event_id string, tenant_id string, destination_id string, "
+        "attempt_id string, status string, attempt_number int, "
+        "eligible_for_retry boolean, seq int"
+    )
+
+    def fb(batch_df, bid):
+        if batch_df.isEmpty():
+            return
+        dests = spark.read.parquet(dest_path)
+        events = (
+            batch_df.select(
+                "event_id",
+                "tenant_id",
+                F.lit("user.created").alias("topic"),
+                F.lit("{}").alias("data"),
+                F.current_timestamp().alias("event_time"),
+                F.create_map().cast("map<string,string>").alias("metadata"),
+            )
+            .dropDuplicates(["event_id"])
+        )
+        matched = match_events(events, dests)
+        routed[int(bid)] = {
+            (r["event_id"], d)
+            for r in matched.collect()
+            for d in r["matched_destination_ids"]
+        }
+        signals = table.apply_attempts(batch_df, int(bid) + 1, now=float(bid + 1))
+        updated = apply_disable_signals(
+            dests, signals, now="2024-01-01 00:00:00"
+        ).localCheckpoint(eager=True)
+        updated.write.mode("overwrite").parquet(dest_path)
+
+    stream = spark.readStream.schema(ATT).json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+
+    def att(eid, dest, aid, status, seq):
+        return {
+            "event_id": eid, "tenant_id": "t1", "destination_id": dest,
+            "attempt_id": aid, "status": status, "attempt_number": 1,
+            "eligible_for_retry": True, "seq": seq,
+        }
+
+    try:
+        # batch 1: d_bad fails 3x consecutively (= auto-disable count)
+        with open(src / "b1.json", "w") as f:
+            for i in range(3):
+                f.write(json.dumps(att(f"e{i}", "d_bad", f"a{i}", "failed", i)) + "\n")
+            f.write(json.dumps(att("e0", "d_good", "g0", "success", 9)) + "\n")
+        q.processAllAvailable()
+        # batch 2: a fresh event — must route ONLY to d_good now
+        with open(src / "b2.json", "w") as f:
+            f.write(json.dumps(att("e_new", "d_good", "g1", "success", 0)) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batches = sorted(routed)
+    assert len(batches) == 2
+    first, second = routed[batches[0]], routed[batches[1]]
+    # batch 1 still fanned out to both (disable lands AFTER evaluation)
+    assert {d for _, d in first} == {"d_bad", "d_good"}
+    # within one trigger of the 100% signal, d_bad is out of the fan-out
+    assert second == {("e_new", "d_good")}
+    st = {
+        r["id"]: r["disabled_at"]
+        for r in spark.read.parquet(dest_path).collect()
+    }
+    assert st["d_bad"] is not None and st["d_good"] is None
+
+
 def test_apply_attempts_plan_is_jvm_only(spark, table):
     """Scale shape: the batch transition is windows + one key-keyed
     merge join — no Python stages, no cartesian products."""
