@@ -855,6 +855,113 @@ def alert_consecutive_failures(spark, sf_dir):
     )
 
 
+# The batched alert evaluator (streaming/alerts.py::AlertStateTable) on
+# ONE micro-batch from empty state IS SQL-expressible: segment by the
+# running success count, count new failure ids per segment, emit the
+# threshold when-chain per failure row.  The oracle re-derives the full
+# signal frame; multi-batch state carry / TTL / suppression windows stay
+# pytest-pinned (tests/test_alert_batched.py randomized parity).
+# Machine config mirrored in the SQL: auto_disable_failure_count=4
+# (pairs: 2->50%, 3->70%, 4->100% with >=), retry_max_limit=2,
+# exhausted window 0 (every exhaustion emits).
+_ALERT_BATCHED_SQL = f"""
+    WITH src AS ({_EVENTS_SQL}),
+    att AS (
+      SELECT tenant_id,
+             destination_id,
+             'a' || lpad(event_id, 12, '0') AS attempt_id,
+             CASE WHEN CAST(event_id AS BIGINT) % 5 = 0
+                  THEN 'success' ELSE 'failed' END AS status,
+             attempt_number,
+             event_time
+      FROM src
+    ),
+    ordered AS (
+      SELECT *,
+             SUM(CASE WHEN status = 'success' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY tenant_id, destination_id
+               ORDER BY event_time, attempt_id
+               ROWS UNBOUNDED PRECEDING) AS seg
+      FROM att
+    ),
+    counted AS (
+      SELECT *,
+             CAST(SUM(1) OVER (
+               PARTITION BY tenant_id, destination_id, seg
+               ORDER BY event_time, attempt_id
+               ROWS UNBOUNDED PRECEDING) AS INT) AS cf_count
+      FROM ordered WHERE status <> 'success'
+    )
+    SELECT tenant_id, destination_id,
+           CASE WHEN cf_count >= 4 THEN 'alert.destination.disabled'
+                ELSE 'alert.destination.consecutive_failure' END AS signal,
+           cf_count AS failures,
+           CAST(4 AS INT) AS max_failures,
+           CAST(CASE WHEN cf_count >= 4 THEN 100
+                     WHEN cf_count = 3 THEN 70
+                     WHEN cf_count = 2 THEN 50 END AS INT) AS level,
+           attempt_id
+    FROM counted
+    WHERE cf_count >= 2
+    UNION ALL
+    SELECT tenant_id, destination_id,
+           'alert.attempt.exhausted_retries' AS signal,
+           cf_count AS failures,
+           CAST(4 AS INT) AS max_failures,
+           CAST(0 AS INT) AS level,
+           attempt_id
+    FROM counted
+    WHERE attempt_number > 2
+"""
+
+
+@_register("alert_signals_batched", _ALERT_BATCHED_SQL)
+def alert_signals_batched(spark, sf_dir):
+    """ST3/ST4 batched scale path as a driver-checked row: one
+    micro-batch of attempt outcomes (the deterministic event->attempt
+    mapping) through ``AlertStateTable.apply_attempts`` from empty
+    state — per-row consecutive-failure counts, threshold crossings
+    (50/70/100 of auto_disable=4, 100% emits disabled), and
+    exhausted-retries signals (attempt_number > retry_max_limit=2) —
+    against a DuckDB oracle re-deriving the identical signal frame with
+    window functions.  Reference: internal/alert/evaluator.go:119-157;
+    the stateful multi-batch behaviors (carry, TTL, suppression) are
+    pinned by tests/test_alert_batched.py's randomized parity."""
+    from outpost_spark.streaming.alerts import AlertStateMachine, AlertStateTable
+
+    src = _events(spark, sf_dir)
+    # alert-specific outcome mix: ~20% successes so the evaluator's
+    # success-reset segments are exercised on every key (the event
+    # model's topic-derived status would never reset a failing key)
+    att = src.select(
+        "tenant_id",
+        "destination_id",
+        F.concat(F.lit("a"), F.lpad("event_id", 12, "0")).alias("attempt_id"),
+        F.when(F.col("event_id").cast("long") % 5 == 0, "success")
+        .otherwise("failed")
+        .alias("status"),
+        "attempt_number",
+        F.lit(True).alias("eligible_for_retry"),
+        "event_time",
+    )
+    state_dir = os.path.join(
+        os.environ.get(
+            "OUTPOST_SPARK_ORACLE_FIXTURES", "/tmp/outpost_spark_oracle_fix"
+        ),
+        "alert_state",
+    )
+    table = AlertStateTable(
+        spark,
+        state_dir,
+        machine=AlertStateMachine(
+            auto_disable_failure_count=4, retry_max_limit=2
+        ),
+    )
+    # batch 1 from empty state: state_before(1) reads versions < 1 only,
+    # so re-runs are hermetic regardless of leftover state files
+    return table.apply_attempts(att, 1, now=0.0, order_cols=("event_time",))
+
+
 @_register(
     "retry_backoff_schedule",
     f"""
