@@ -12,11 +12,15 @@ Design:
   only features shuffle.  Partitioning by (modality, date) keeps decode
   tasks homogeneous — no skew from mixing 1 KB thumbnails with 1 GB video.
 
-Decoders are stdlib-only: PNG via ``zlib``/``struct`` (dimensions, bit
-depth, channels, mean luminance — 8-bit non-interlaced, all five scanline
-filters) and WAV via the ``wave`` module (sample rate, channels,
-duration, RMS for 16-bit PCM).  Formats needing external codec libraries
-(JPEG, MP3, video) raise ``ValueError`` like any other undecodable blob;
+Decoders are stdlib+numpy only: PNG via ``zlib``/``struct`` (dimensions,
+bit depth, channels, mean luminance — 8-bit non-interlaced, all five
+scanline filters, plus palette expansion and 16-bit downsample in the
+pixel pass), baseline JPEG via ``ops/jpeg.py`` (SOF0/SOF1 sequential
+Huffman, any h/v chroma sampling, restart markers — the dominant format
+of real crawl corpora), and WAV via the ``wave`` module (sample rate,
+channels, duration, RMS for 16-bit PCM).  Formats needing external
+codec libraries (MP3, video, progressive JPEG) raise ``ValueError``
+like any other undecodable blob;
 the batched featurizer turns that into ``decode_ok=false`` rather than
 failing the task, since a corpus-scale decode job must survive corrupt
 members.  ``fake_features`` remains the deterministic engine-portable
@@ -51,6 +55,7 @@ from pyspark.sql import functions as F
 FEATURE_SCHEMA = "id bigint, modality string, n_bytes bigint, checksum string, feat array<double>"
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_MAGIC = b"\xff\xd8"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 # Decompression-bomb ceiling for the pixel stage: the raw scanline buffer
@@ -63,16 +68,49 @@ _MAX_RAW_BYTES = 1 << 28
 
 
 def decode_image(content: bytes) -> dict:
-    """Decode a PNG with stdlib only: dims, depth, channels, mean luminance.
+    """Decode a PNG or baseline JPEG with stdlib+numpy only: dims, depth,
+    channels, mean luminance.
 
-    Supports 8-bit non-interlaced greyscale/RGB(+alpha) — the shapes a
+    PNG: 8-bit non-interlaced greyscale/RGB(+alpha) — the shapes a
     training pipeline's thumbnail/tile stages produce — with full scanline
     unfiltering (None/Sub/Up/Average/Paeth).  Palette, 16-bit, and
-    interlaced PNGs decode headers only (``mean_luminance`` None).  Any
-    non-PNG input raises ``ValueError``.
+    interlaced PNGs decode headers only (``mean_luminance`` None).
+    JPEG: sequential baseline (SOF0/SOF1, any h/v chroma sampling,
+    restart markers) via ``ops/jpeg.py``; progressive/arithmetic streams
+    decode headers only.  Any other input raises ``ValueError``.
     """
+    if content[:2] == _JPEG_MAGIC:
+        from outpost_spark.ops import jpeg
+
+        meta = jpeg.decode_jpeg_meta(content)
+        out = {
+            "kind": "jpeg",
+            "width": meta["width"],
+            "height": meta["height"],
+            "bit_depth": meta["bit_depth"],
+            "channels": meta["channels"],
+            "mean_luminance": None,
+        }
+        if (
+            meta.get("progressive")
+            or meta["width"] * meta["height"] * max(meta["channels"], 1)
+            > _MAX_RAW_BYTES
+        ):
+            return out  # header-only: unsupported process or bomb guard
+        try:
+            px = jpeg.decode_jpeg(content)
+        except ValueError:
+            return out  # e.g. 12-bit / exotic sampling: header-only
+        import numpy as np
+
+        if px.shape[2] >= 3:
+            lum = px[..., :3].astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        else:
+            lum = px[..., 0].astype(np.float64)
+        out["mean_luminance"] = float(lum.mean())
+        return out
     if len(content) < 8 or content[:8] != _PNG_MAGIC:
-        raise ValueError("not a PNG")
+        raise ValueError("not a PNG or JPEG")
     pos = 8
     width = height = bit_depth = color_type = interlace = None
     idat = bytearray()
@@ -412,21 +450,38 @@ def _png_pixels(content: bytes):
     return rows.reshape(h, w, c)
 
 
+def image_pixels(content: bytes):
+    """Full pixel decode of a PNG or baseline JPEG -> (h, w, c) uint8 —
+    the shared dispatch behind resize_image and dhash_image.  Raises
+    ValueError for anything neither decoder fully decodes."""
+    if content[:2] == _JPEG_MAGIC:
+        from outpost_spark.ops.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
+    return _png_pixels(content)
+
+
 def resize_image(content: bytes, scale: float) -> bytes:
-    """Nearest-neighbor resize of a non-interlaced PNG, returned as an
-    8-bit PNG — decode (shared bounded unfilter; palette expanded to
-    RGB, 16-bit downsampled), index-sample, re-encode.  Raises
-    ValueError for non-PNG / interlaced images and for images past the
+    """Nearest-neighbor resize of a PNG or baseline JPEG, re-encoded in
+    the INPUT's format (PNG in -> 8-bit PNG out; JPEG in -> 4:4:4 q90
+    JPEG out) — decode via the shared bounded pixel pass (PNG palette
+    expanded to RGB, 16-bit downsampled), index-sample, re-encode.
+    Raises ValueError for undecodable inputs and for images past the
     bomb-guard ceiling."""
     import numpy as np
 
-    px = _png_pixels(content)
+    px = image_pixels(content)
     h, w = px.shape[0], px.shape[1]
     ow = max(1, int(w * scale))
     oh = max(1, int(h * scale))
     ys = (np.arange(oh) * (h / oh)).astype(int).clip(0, h - 1)
     xs = (np.arange(ow) * (w / ow)).astype(int).clip(0, w - 1)
-    return encode_png(px[ys][:, xs])
+    out = px[ys][:, xs]
+    if content[:2] == _JPEG_MAGIC:
+        from outpost_spark.ops.jpeg import encode_jpeg
+
+        return encode_jpeg(out, quality=90)
+    return encode_png(out)
 
 
 # ---- perceptual dedup (dHash over the stdlib PNG decoder) ------------------
@@ -437,17 +492,20 @@ def dhash_image(content: bytes, *, hash_size: int = 8) -> int:
     ``hash_size x (hash_size+1)`` -> bit b set iff cell[y][x+1] >
     cell[y][x], row-major.  Near-identical images (small edits,
     re-encodes, minor noise) land within a few bits; unrelated images
-    differ in ~32.  Returned as a SIGNED 64-bit int (two's complement)
-    so it flows through Spark long columns and ``bit_count(xor)``
-    unchanged.  Raises ValueError on anything the stdlib decoder can't
-    fully decode."""
+    differ in ~32.  PNG and baseline JPEG both fingerprint through the
+    shared ``image_pixels`` pass — a PNG and its JPEG re-encode hash
+    within a couple of bits, so cross-format near-dups pair up.
+    Returned as a SIGNED 64-bit int (two's complement) so it flows
+    through Spark long columns and ``bit_count(xor)`` unchanged.
+    Raises ValueError on anything the stdlib decoders can't fully
+    decode."""
     import numpy as np
 
     if not 1 <= hash_size <= 8:
         # bits = hash_size^2 must fit the signed-64 two's-complement
         # fold below and Spark's long column; >8 would silently overflow
         raise ValueError(f"hash_size must be in 1..8, got {hash_size}")
-    px = _png_pixels(content)
+    px = image_pixels(content)
     h, w, c = px.shape
     if c >= 3:
         lum = px[..., :3].astype(np.float64) @ np.array([0.299, 0.587, 0.114])
@@ -546,27 +604,72 @@ def planted_png(seed: int, tweak: int, *, width: int = 18, height: int = 16) -> 
     return encode_png(px)
 
 
+def _planted_cells(seed: int, tweak: int, *, rows: int = 8, cols: int = 9):
+    """JPEG-robust planted pixels: an (8*rows, 8*cols) greyscale image of
+    8x8 constant cells whose levels are md5-derived multiples of 16
+    (20..228) keyed by ``seed``.  Cells align exactly with JPEG's 8x8
+    blocks, so a constant cell carries only a DC coefficient and
+    survives quantization within ±1 — adjacent-cell contrasts of >=16
+    therefore make the dHash identical across PNG and JPEG encodes of
+    the same pixels.  ``tweak`` re-levels ONE cell (<=2 dHash bits), so
+    same-seed variants sit within Hamming 4 of each other while
+    distinct seeds are ~32 apart."""
+    import numpy as np
+
+    ks = np.empty((rows, cols), dtype=np.int64)
+    for y in range(rows):
+        d = hashlib.md5(f"jimg|{seed}|{y}".encode()).digest()
+        for x in range(cols):
+            ks[y, x] = d[x] % 14
+    ty, tx = tweak % rows, (tweak * 3 + 1) % cols
+    ks[ty, tx] = (ks[ty, tx] + 1 + (tweak % 12)) % 14
+    levels = (20 + 16 * ks).astype(np.uint8)
+    return np.repeat(np.repeat(levels, 8, axis=0), 8, axis=1)[..., None]
+
+
+def planted_jpeg(seed: int, tweak: int, *, quality: int = 90) -> bytes:
+    """Deterministic synthetic JPEG near-duplicate (same seed/tweak
+    semantics as :func:`planted_png`, via the JPEG-robust cell plant)."""
+    from outpost_spark.ops.jpeg import encode_jpeg
+
+    return encode_jpeg(_planted_cells(seed, tweak)[..., 0], quality=quality)
+
+
 def planted_image_corpus(
     ids_df: DataFrame,
     *,
     id_col: str = "doc_id",
     group: int = 4,
     corrupt_every: int = 29,
+    jpeg_groups: bool = True,
 ) -> DataFrame:
-    """ids -> (id, content) of planted PNGs: ids sharing ``id // group``
+    """ids -> (id, content) of planted images: ids sharing ``id // group``
     get near-identical images (the planted duplicate groups a perceptual
     dedup must find), and every ``corrupt_every``-th id carries junk
-    bytes instead of a PNG (the corrupt-member tolerance probe).
+    bytes instead of an image (the corrupt-member tolerance probe).
+    With ``jpeg_groups`` (default), every third group (gid % 3 == 2) is
+    a MIXED-FORMAT group — the same cell-plant pixels encoded as PNG for
+    even ids and baseline JPEG for odd ids — so the perceptual dedup is
+    exercised ACROSS formats: a near-dup pair only surfaces if the JPEG
+    decode path produces the same fingerprint the PNG path does.
     Generated executor-side in mapInPandas — nothing collects, the
     corpus scales with the id table."""
+
+    def member(i: int) -> bytes:
+        gid, tweak = i // group, i % group
+        if jpeg_groups and gid % 3 == 2:
+            if i % 2:
+                return planted_jpeg(gid, tweak)
+            return encode_png(_planted_cells(gid, tweak))
+        return planted_png(gid, tweak)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = [int(i) for i in pdf[id_col]]
             content = [
-                b"JUNK: not a png"
+                b"JUNK: not an image"
                 if corrupt_every and i % corrupt_every == 0
-                else planted_png(i // group, i % group)
+                else member(i)
                 for i in ids
             ]
             yield pd.DataFrame({"id": ids, "content": content})

@@ -1,0 +1,253 @@
+"""Baseline JPEG codec (ops/jpeg.py): encode/decode round-trips across
+4:4:4 / 4:2:0 / restart-interval layouts, spec-compliance against an
+independent decoder (javax.imageio, when a JDK is present), malformed
+input rejection, and the cross-format perceptual-dedup contract (a PNG
+and its JPEG re-encode land on the same dHash)."""
+
+import shutil
+import struct
+import subprocess
+
+import numpy as np
+import pytest
+
+from outpost_spark.ops.jpeg import (
+    _canonical_codes,
+    _optimal_huffman,
+    _ZIGZAG,
+    decode_jpeg,
+    decode_jpeg_meta,
+    encode_jpeg,
+)
+
+
+def _smooth_rgb(h, w, seed=0):
+    yv, xv = np.mgrid[0:h, 0:w].astype(np.float64)
+    return np.stack(
+        [
+            np.sin(xv / 9 + seed) * 100 + 120,
+            np.cos(yv / 7 + seed) * 90 + 130,
+            np.sin((xv + yv) / 11) * 80 + 128,
+        ],
+        axis=-1,
+    ).clip(0, 255).astype(np.uint8)
+
+
+# ── round-trips ─────────────────────────────────────────────────────────
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [{}, {"subsample": True}, {"restart_interval": 3}, {"subsample": True, "restart_interval": 2}],
+    ids=["444", "420", "dri", "420+dri"],
+)
+def test_roundtrip_smooth_rgb(kw):
+    src = _smooth_rgb(41, 67)
+    out = decode_jpeg(encode_jpeg(src, quality=92, **kw))
+    assert out.shape == src.shape
+    err = np.abs(out.astype(int) - src.astype(int))
+    # 4:2:0 loses chroma detail; luma-driven content stays tight
+    assert err.mean() < 4.0 and err.max() < 25, (err.max(), err.mean())
+
+
+def test_roundtrip_shapes_and_meta():
+    rng = np.random.RandomState(7)
+    for (h, w, c) in [(1, 1, 1), (1, 1, 3), (8, 8, 3), (7, 9, 1), (9, 25, 3), (3, 3, 3)]:
+        src = rng.randint(0, 256, (h, w, c)).astype(np.uint8)
+        data = encode_jpeg(src, quality=100)
+        meta = decode_jpeg_meta(data)
+        assert (meta["width"], meta["height"], meta["channels"]) == (w, h, c)
+        out = decode_jpeg(data)
+        assert out.shape == (h, w, 3 if c == 3 else 1)
+
+
+def test_q100_noise_near_lossless():
+    rng = np.random.RandomState(3)
+    src = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(src, quality=100))
+    assert np.abs(out.astype(int) - src.astype(int)).max() <= 4
+
+
+def test_grayscale_and_alpha_inputs():
+    rng = np.random.RandomState(5)
+    g = rng.randint(0, 256, (16, 18)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=100))
+    assert out.shape == (16, 18, 1)
+    rgba = rng.randint(0, 256, (10, 12, 4)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(rgba, quality=95))  # alpha dropped
+    assert out.shape == (10, 12, 3)
+
+
+def test_restart_interval_resets_dc_and_survives():
+    # constant plateaus make DC prediction load-bearing: with DRI the
+    # decoder must reset predictors per interval or drift visibly
+    src = np.repeat(np.arange(8, dtype=np.uint8) * 30 + 10, 8)[None, :].repeat(16, 0)
+    src = np.stack([src] * 3, axis=-1)
+    for ri in (1, 2, 5):
+        out = decode_jpeg(encode_jpeg(src, quality=95, restart_interval=ri))
+        assert np.abs(out.astype(int) - src.astype(int)).max() < 20
+
+
+# ── malformed / unsupported input ───────────────────────────────────────
+
+
+def test_rejects_garbage_and_truncation():
+    for bad in (b"", b"JUNK", b"\xff\xd8", b"\xff\xd8\xff\xee\x00\x04ab"):
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+    good = encode_jpeg(_smooth_rgb(16, 16), quality=90)
+    with pytest.raises(ValueError):
+        decode_jpeg_meta(good[:20])  # cut before SOF
+
+
+def test_rejects_progressive_and_exotic_sof():
+    good = bytearray(encode_jpeg(_smooth_rgb(16, 16), quality=90))
+    i = good.find(b"\xff\xc0")
+    good[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(good))
+    assert decode_jpeg_meta(bytes(good))["progressive"] is True
+    good[i + 1] = 0xC3  # lossless sequential
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg_meta(bytes(good))
+
+
+def test_rejects_undefined_tables():
+    data = bytearray(encode_jpeg(_smooth_rgb(16, 16), quality=90))
+    i = data.find(b"\xff\xc4")  # first DHT: retarget its table id
+    data[i + 4] = 0x0F
+    with pytest.raises(ValueError, match="undefined"):
+        decode_jpeg(bytes(data))
+
+
+def test_bomb_guard_caps_declared_dims():
+    data = bytearray(encode_jpeg(_smooth_rgb(16, 16), quality=90))
+    i = data.find(b"\xff\xc0")
+    # declare 65000x65000: decode_jpeg must refuse before allocating
+    data[i + 5 : i + 9] = struct.pack(">HH", 65000, 65000)
+    with pytest.raises(ValueError, match="ceiling"):
+        decode_jpeg(bytes(data))
+
+
+# ── Huffman table construction ──────────────────────────────────────────
+
+
+def test_optimal_huffman_is_canonical_prefix_code():
+    rng = np.random.RandomState(11)
+    freqs = {int(s): int(f) for s, f in zip(rng.choice(256, 40, replace=False), rng.randint(1, 1000, 40))}
+    bits, vals = _optimal_huffman(freqs)
+    assert sum(bits) == len(vals) == len(freqs)
+    assert max(i + 1 for i, b in enumerate(bits) if b) <= 16
+    codes = _canonical_codes(bits, vals)
+    # prefix-free: no code is a prefix of another
+    as_str = {format(c, f"0{l}b") for (l, c) in codes}
+    assert len(as_str) == len(codes)
+    for a in as_str:
+        for b in as_str:
+            assert a == b or not b.startswith(a)
+    # Kraft sum strictly < 1: the all-ones slot stays reserved
+    assert sum(2.0 ** -l for (l, _c) in codes) < 1.0
+
+
+def test_optimal_huffman_single_symbol():
+    bits, vals = _optimal_huffman({42: 100})
+    codes = _canonical_codes(bits, vals)
+    assert list(codes.values()) == [42]
+
+
+def test_zigzag_is_a_permutation():
+    assert sorted(_ZIGZAG.tolist()) == list(range(64))
+    assert _ZIGZAG[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+
+
+# ── independent decoder cross-check (javax.imageio via the JDK Spark
+# already requires; skipped if no JDK on PATH) ──────────────────────────
+
+
+def _java_decode(tmp_path, data: bytes):
+    src = tmp_path / "X.java"
+    src.write_text(
+        """
+import javax.imageio.ImageIO; import java.awt.image.BufferedImage; import java.io.*;
+public class X { public static void main(String[] a) throws Exception {
+  BufferedImage im = ImageIO.read(new File(a[0]));
+  DataOutputStream o = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(a[1])));
+  System.out.println(im.getWidth()+" "+im.getHeight());
+  for (int y=0;y<im.getHeight();y++) for (int x=0;x<im.getWidth();x++) {
+    int p = im.getRGB(x,y); o.writeByte((p>>16)&255); o.writeByte((p>>8)&255); o.writeByte(p&255);
+  } o.close(); } }
+"""
+    )
+    subprocess.run(["javac", str(src)], check=True, cwd=tmp_path, capture_output=True)
+    (tmp_path / "t.jpg").write_bytes(data)
+    r = subprocess.run(
+        ["java", "X", "t.jpg", "t.raw"], check=True, cwd=tmp_path, capture_output=True, text=True
+    )
+    w, h = map(int, r.stdout.split())
+    px = np.frombuffer((tmp_path / "t.raw").read_bytes(), dtype=np.uint8)
+    return px.reshape(h, w, 3)
+
+
+@pytest.mark.skipif(
+    shutil.which("javac") is None or shutil.which("java") is None,
+    reason="no JDK available for the independent decoder",
+)
+@pytest.mark.parametrize("kw", [{}, {"restart_interval": 3}], ids=["444", "dri"])
+def test_encoder_accepted_by_independent_decoder(tmp_path, kw):
+    """Spec compliance, not self-consistency: javax.imageio decodes our
+    4:4:4 stream to within rounding of our own decode."""
+    src = _smooth_rgb(41, 67, seed=2)
+    data = encode_jpeg(src, quality=92, **kw)
+    theirs = _java_decode(tmp_path, data)
+    ours = decode_jpeg(data)
+    assert np.abs(theirs.astype(int) - ours.astype(int)).max() <= 2
+
+
+# ── the multimodal integration contract ─────────────────────────────────
+
+
+def test_decode_image_reports_jpeg_meta_and_luminance():
+    from outpost_spark.ops.multimodal import decode_image
+
+    src = _smooth_rgb(32, 48)
+    meta = decode_image(encode_jpeg(src, quality=95))
+    assert meta["kind"] == "jpeg"
+    assert (meta["width"], meta["height"], meta["channels"]) == (48, 32, 3)
+    want = float(
+        (src.astype(np.float64) @ np.array([0.299, 0.587, 0.114])).mean()
+    )
+    assert abs(meta["mean_luminance"] - want) < 2.0
+
+
+def test_dhash_matches_across_png_and_jpeg_encodes():
+    from outpost_spark.ops.multimodal import _planted_cells, dhash_image, encode_png, planted_jpeg
+
+    for seed in (2, 5, 8):
+        png = dhash_image(encode_png(_planted_cells(seed, 1)))
+        jpg = dhash_image(planted_jpeg(seed, 1))
+        assert png == jpg, f"seed {seed}: cross-format dhash drift"
+
+
+def test_resize_keeps_input_format():
+    from outpost_spark.ops.multimodal import decode_image, resize_image
+
+    src = _smooth_rgb(32, 48)
+    out = resize_image(encode_jpeg(src, quality=95), 0.5)
+    meta = decode_image(out)
+    assert meta["kind"] == "jpeg"
+    assert (meta["width"], meta["height"]) == (24, 16)
+
+
+def test_extract_features_decoded_covers_jpeg(spark):
+    from outpost_spark.ops.multimodal import extract_features_decoded
+
+    rows = [
+        (1, "image", bytearray(encode_jpeg(_smooth_rgb(16, 18), quality=90))),
+        (2, "image", bytearray(b"JUNK")),
+    ]
+    df = spark.createDataFrame(rows, "id long, modality string, content binary")
+    got = {r["id"]: r for r in extract_features_decoded(df).collect()}
+    assert got[1]["decode_ok"] and got[1]["kind"] == "jpeg"
+    assert got[1]["width"] == 18 and got[1]["height"] == 16
+    assert got[1]["mean_luminance"] is not None
+    assert got[2]["decode_ok"] is False
