@@ -275,6 +275,36 @@ def _approx_top_tokens_case(docs) -> int:
     return len(rows)
 
 
+def generate_image_corpus(spark, path: str, n_imgs: int) -> None:
+    """Planted image corpus at scale: PNG noise groups, mixed PNG/JPEG
+    cell groups (every third group), junk members — the same generator
+    the value-oracled catalog entries use (ops/multimodal.py), written
+    once so the dedup case measures DECODE+dedup, not generation."""
+    from outpost_spark.ops.multimodal import planted_image_corpus
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ids = spark.range(0, n_imgs, 1, cpus * 4).select(F.col("id").alias("doc_id"))
+    planted_image_corpus(ids, id_col="doc_id").write.mode("overwrite").parquet(path)
+
+
+def image_dedup_case(spark, path: str) -> dict:
+    """Perceptual image dedup end to end at corpus scale: real PNG +
+    baseline-JPEG decode (Arrow-batched mapInPandas over the binary
+    column), dHash fingerprints, pigeonhole Hamming band join, connected
+    components, canonical-survivor collapse.  The decode stage is the
+    Python-quarantined cost driver (the JPEG Huffman loop) — the case
+    records images/s so the linear scale-out claim has a measured
+    per-core rate behind it."""
+    from outpost_spark.ops.multimodal import dhash_canonical_survivors
+
+    imgs = spark.read.parquet(path)
+    n = imgs.count()
+    t0 = time.perf_counter()
+    survivors = dhash_canonical_survivors(imgs).count()
+    secs = round(time.perf_counter() - t0, 4)
+    return {"secs": secs, "rows": survivors, "imgs_per_s": round(n / secs)}
+
+
 def generate_embedding_corpus(spark, path: str, n_vecs: int, dims: int = 64) -> None:
     """Deterministic 1M-scale embedding corpus with planted near-dup
     clusters, pure-Column generation (xxhash64-derived pseudo-randoms).
@@ -1443,6 +1473,7 @@ HEAVY_CASES = frozenset(
         "SemanticDedupBulk",
         "PqTopk",
         "CurateV6_1M",
+        "ImageDedupMixed",
     }
 )
 
@@ -1483,6 +1514,14 @@ def run_only_case(case: str, args) -> None:
         rows = len(query_attempt_metrics(att, reqs[case]).collect())
         secs = round(time.perf_counter() - t0, 4)
         print(json.dumps({"case": case, "secs": secs, "rows": rows, "recall": {}}))
+        return
+    if case == "ImageDedupMixed":
+        n_imgs = int(os.environ.get("SPARK_GRAFT_SCALE_IMAGES", 200_000))
+        ipath = os.path.join(root, f"images_{n_imgs}")
+        if not os.path.exists(os.path.join(ipath, "_SUCCESS")):
+            generate_image_corpus(spark, ipath, n_imgs)
+        out = image_dedup_case(spark, ipath)
+        print(json.dumps({"case": case, "recall": {}, **out}))
         return
     dpath = os.path.join(root, f"documents_{args.docs}")
     if not os.path.exists(os.path.join(dpath, "_SUCCESS")):
@@ -1731,6 +1770,25 @@ def main() -> None:
         print(f"{name}: {timings[name]}s ({rows_out[name]} rows)", file=sys.stderr)
         gc.collect()
 
+    n_imgs = int(os.environ.get("SPARK_GRAFT_SCALE_IMAGES", 200_000))
+    ipath = os.path.join(root, f"images_{n_imgs}")
+    if not os.path.exists(os.path.join(ipath, "_SUCCESS")):
+        t0 = time.perf_counter()
+        generate_image_corpus(spark, ipath, n_imgs)
+        print(f"images generated in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    img: dict | None = None
+    if isolate:
+        deferred.append("ImageDedupMixed")
+    else:
+        img = image_dedup_case(spark, ipath)
+        timings["ImageDedupMixed"] = img["secs"]
+        rows_out["ImageDedupMixed"] = img["rows"]
+        print(
+            f"ImageDedupMixed: {img['secs']}s ({img['rows']} survivors, "
+            f"{img['imgs_per_s']} imgs/s)",
+            file=sys.stderr,
+        )
+
     n_emb = int(os.environ.get("SPARK_GRAFT_SCALE_EMBEDDINGS", 1_000_000))
     epath = os.path.join(root, f"embeddings_{n_emb}")
     if not os.path.exists(os.path.join(epath, "_SUCCESS")):
@@ -1775,6 +1833,8 @@ def main() -> None:
         timings[name] = secs
         rows_out[name] = out["rows"]
         recall.update(out.get("recall", {}))
+        if name == "ImageDedupMixed":
+            img = {k: out[k] for k in ("secs", "rows", "imgs_per_s") if k in out}
         print(
             f"{name}: {secs}s (runs {head_runs}) ({rows_out[name]} rows) [isolated]",
             file=sys.stderr,
@@ -1956,6 +2016,8 @@ def main() -> None:
         "alert_stream_batched": alb,
         "txn_append": txa,
         "closed_loop_delivery": cl,
+        "image_dedup": img,
+        "image_rows": n_imgs,
         "ab": {"ref_rev": ref[0] if ref else None, "cases": ab},
         "attribution": attribution,
         "webhook_delivery": wd,

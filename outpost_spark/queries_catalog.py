@@ -4097,6 +4097,49 @@ def dedup_image_survivors(spark, sf_dir):
     return dedup_keep_canonical(fp.select("id"), pairs, "id")
 
 
+@_register(
+    "multimodal_decoded_planted",
+    """
+    SELECT doc_id AS id,
+           doc_id % 29 <> 0 AS decode_ok,
+           CASE WHEN doc_id % 29 = 0 THEN NULL
+                WHEN (doc_id // 4) % 3 = 2 AND doc_id % 2 = 1 THEN 'jpeg'
+                ELSE 'png' END AS kind,
+           CASE WHEN doc_id % 29 = 0 THEN NULL
+                WHEN (doc_id // 4) % 3 = 2 THEN 72 ELSE 18 END AS width,
+           CASE WHEN doc_id % 29 = 0 THEN NULL
+                WHEN (doc_id // 4) % 3 = 2 THEN 64 ELSE 16 END AS height,
+           CASE WHEN doc_id % 29 = 0 THEN NULL ELSE 1 END AS channels,
+           CASE WHEN doc_id % 29 = 0 THEN NULL ELSE 8 END AS bit_depth
+    FROM documents
+    """,
+)
+def multimodal_decoded_planted(spark, sf_dir):
+    """REAL image decode, value-oracled end to end (round 11): the
+    planted image corpus (PNG noise groups, mixed PNG/JPEG cell groups,
+    junk members — ops/multimodal.py::planted_image_corpus) runs through
+    the REAL stdlib PNG + baseline-JPEG decoders distributed in
+    mapInPandas, and the oracle derives the expected metadata
+    ANALYTICALLY from the generator's id arithmetic (format, dims,
+    channels, corrupt-member tolerance) — DuckDB cannot decode the
+    bytes, but it can prove the decoder reported exactly the right
+    metadata for every planted member, INCLUDING the JPEG ones.  Pixel
+    values/luminance stay pytest-pinned (tests/test_jpeg.py,
+    tests/test_image_dedup.py)."""
+    from outpost_spark.ops.multimodal import (
+        extract_features_decoded,
+        planted_image_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    imgs = planted_image_corpus(docs, id_col="doc_id").select(
+        "id", F.lit("image").alias("modality"), "content"
+    )
+    return extract_features_decoded(imgs).select(
+        "id", "decode_ok", "kind", "width", "height", "channels", "bit_depth"
+    )
+
+
 # ───────────────── tenant/destination store (S8, P10, P2/J2, S1) ─────────────────
 
 _DESTS_SQL = """
