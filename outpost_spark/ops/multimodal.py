@@ -13,9 +13,10 @@ Design:
   tasks homogeneous — no skew from mixing 1 KB thumbnails with 1 GB video.
 
 Decoders are stdlib+numpy only: PNG via ``zlib``/``struct`` (dimensions,
-bit depth, channels, mean luminance — 8-bit non-interlaced, all five
-scanline filters, plus palette expansion and 16-bit downsample in the
-pixel pass), baseline JPEG via ``ops/jpeg.py`` (SOF0/SOF1 sequential
+bit depth, channels, mean luminance — all five scanline filters; the
+pixel pass additionally covers palette expansion, 16-bit downsample,
+1/2/4-bit greyscale and palette samples, and Adam7 interlace),
+baseline JPEG via ``ops/jpeg.py`` (SOF0/SOF1 sequential
 Huffman, any h/v chroma sampling, restart markers — the dominant format
 of real crawl corpora), and WAV via the ``wave`` module (sample rate,
 channels, duration, RMS for 16-bit PCM).  Formats needing external
@@ -160,8 +161,6 @@ def _png_unfilter(idat, width, height, channels):
     """Inflate + unfilter PNG scanlines -> (height, width*channels) uint8
     array; None when the bomb guard declines to allocate.  Shared by
     decode_image (luminance) and resize_image (pixel access)."""
-    import numpy as np
-
     stride = width * channels
     expected = height * (stride + 1)
     if expected > _MAX_RAW_BYTES:
@@ -175,7 +174,17 @@ def _png_unfilter(idat, width, height, channels):
     raw = dec.decompress(bytes(idat), expected)
     if len(raw) < expected:
         raise ValueError("truncated PNG pixel data")
-    mat = np.frombuffer(raw, dtype=np.uint8, count=expected).reshape(
+    return _unfilter_raw(raw, height, stride, channels)
+
+
+def _unfilter_raw(raw, height: int, stride: int, bpp: int):
+    """Unfilter already-inflated scanlines (``height`` rows of 1 filter
+    byte + ``stride`` data bytes; ``bpp`` = the filter's left-neighbor
+    distance in BYTES) -> (height, stride) uint8.  The core shared by
+    the sequential, Adam7-interlaced, and sub-byte paths."""
+    import numpy as np
+
+    mat = np.frombuffer(raw, dtype=np.uint8, count=height * (stride + 1)).reshape(
         height, stride + 1
     )
     ftypes = mat[:, 0]
@@ -190,7 +199,7 @@ def _png_unfilter(idat, width, height, channels):
         if ftype == 0:  # None
             cur = filt.copy()
         elif ftype == 1:  # Sub: per-lane prefix sum (mod 256) — vectorized
-            lanes = filt.reshape(width, channels).astype(np.uint64)
+            lanes = filt.reshape(stride // bpp, bpp).astype(np.uint64)
             cur = (
                 np.cumsum(lanes, axis=0) & 0xFF
             ).astype(np.uint8).reshape(stride)
@@ -204,13 +213,13 @@ def _png_unfilter(idat, width, height, channels):
             cur_list = [0] * stride
             if ftype == 3:  # Average
                 for x in range(stride):
-                    left = cur_list[x - channels] if x >= channels else 0
+                    left = cur_list[x - bpp] if x >= bpp else 0
                     cur_list[x] = (f_list[x] + ((left + prev_list[x]) >> 1)) & 0xFF
             else:  # Paeth
                 for x in range(stride):
-                    a = cur_list[x - channels] if x >= channels else 0
+                    a = cur_list[x - bpp] if x >= bpp else 0
                     b = prev_list[x]
-                    c = prev_list[x - channels] if x >= channels else 0
+                    c = prev_list[x - bpp] if x >= bpp else 0
                     p = a + b - c
                     pa = p - a if p >= a else a - p
                     pb = p - b if p >= b else b - p
@@ -224,6 +233,69 @@ def _png_unfilter(idat, width, height, channels):
         if y + 1 < height and ftypes[y + 1] >= 3:
             prev_list = cur.tolist()
     return rows
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass — each pass is an
+# independently filtered sub-image, all concatenated in ONE zlib stream
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _adam7_deinterlace(idat, width: int, height: int, bpp: int):
+    """Decode an Adam7-interlaced PNG's IDAT -> (height, width*bpp)
+    uint8 (``bpp`` = bytes per pixel): one capped inflate, then each
+    pass unfiltered as its own sub-image and scattered onto the
+    ``[y0::dy, x0::dx]`` grid.  Same bomb ceiling as the sequential
+    path.  Raises on truncation; ValueError past the ceiling."""
+    import numpy as np
+
+    passes = []
+    total = 0
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (width - x0 + dx - 1) // dx
+        hp = (height - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            passes.append(None)
+            continue
+        passes.append((x0, y0, dx, dy, wp, hp))
+        total += hp * (wp * bpp + 1)
+    if total > _MAX_RAW_BYTES:
+        raise ValueError("image exceeds the decode size ceiling")
+    raw = zlib.decompressobj().decompress(bytes(idat), total)
+    if len(raw) < total:
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((height, width, bpp), dtype=np.uint8)
+    pos = 0
+    for p in passes:
+        if p is None:
+            continue
+        x0, y0, dx, dy, wp, hp = p
+        seg = hp * (wp * bpp + 1)
+        rows = _unfilter_raw(raw[pos : pos + seg], hp, wp * bpp, bpp)
+        pos += seg
+        out[y0::dy, x0::dx] = rows.reshape(hp, wp, bpp)
+    return out.reshape(height, width * bpp)
+
+
+def _unpack_subbyte(rows, width: int, bit_depth: int):
+    """(h, stride_bytes) packed 1/2/4-bit samples -> (h, width) uint8
+    sample VALUES (not yet scaled to 8-bit range)."""
+    import numpy as np
+
+    bits = np.unpackbits(rows, axis=1)[:, : width * bit_depth]
+    weights = 1 << np.arange(bit_depth - 1, -1, -1, dtype=np.uint8)
+    return (
+        (bits.reshape(rows.shape[0], width, bit_depth) * weights)
+        .sum(axis=2)
+        .astype(np.uint8)
+    )
 
 
 def decode_audio(content: bytes) -> dict:
@@ -390,19 +462,21 @@ def encode_png(arr) -> bytes:
 
 
 def _png_pixels(content: bytes):
-    """Full pixel decode of a non-interlaced PNG -> (h, w, c) uint8
-    array (the shared pixel pass behind resize_image and dhash_image).
-    Covers 8-bit greyscale/RGB(+alpha), 8-bit PALETTE (PLTE indexing ->
-    RGB), and 16-bit layouts (high-byte downsample — the standard 16->8
-    reduction, exact for the perceptual stages this feeds).  Raises
-    ValueError for non-PNG / sub-byte palettes / interlaced images and
-    for images past the bomb-guard ceiling."""
+    """Full pixel decode of a PNG -> (h, w, c) uint8 array (the shared
+    pixel pass behind resize_image and dhash_image).  Covers 8-bit
+    greyscale/RGB(+alpha), PALETTE (PLTE indexing -> RGB, 8-bit and
+    1/2/4-bit indices), 16-bit layouts (high-byte downsample — the
+    standard 16->8 reduction, exact for the perceptual stages this
+    feeds), 1/2/4-bit greyscale (scaled to the 8-bit range), and
+    Adam7-INTERLACED 8/16-bit layouts (r11).  Raises ValueError for
+    non-PNG input, interlaced sub-byte corners, and images past the
+    bomb-guard ceiling."""
     import numpy as np
 
     meta = decode_image(content)  # validates + returns dims
     bit_depth = meta["bit_depth"]
-    if bit_depth not in (8, 16):
-        raise ValueError("pixel decode supports 8/16-bit PNGs only")
+    if bit_depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {bit_depth}")
     # re-walk the chunks for the pixel pass
     pos = 8
     idat = bytearray()
@@ -423,26 +497,53 @@ def _png_pixels(content: bytes):
             idat += data
         elif ctype == b"IEND":
             break
-    if interlace or meta["channels"] is None:
-        raise ValueError("pixel decode supports non-interlaced PNGs only")
+    if meta["channels"] is None:
+        raise ValueError("pixel decode needs a valid color type")
+    if interlace and bit_depth < 8:
+        raise ValueError("interlaced sub-byte PNGs not supported")
     w, h, c = meta["width"], meta["height"], meta["channels"]
-    if color_type == 3:  # palette: 1 byte/pixel of PLTE indices
-        if bit_depth != 8:
-            raise ValueError("palette decode supports 8-bit indices only")
+
+    def subbyte_samples():
+        # filters see the PACKED bytes (bpp = 1); unpack afterwards
+        stride = (w * bit_depth + 7) // 8
+        if h * (stride + 1) > _MAX_RAW_BYTES:
+            raise ValueError("image exceeds the decode size ceiling")
+        raw = zlib.decompressobj().decompress(bytes(idat), h * (stride + 1))
+        if len(raw) < h * (stride + 1):
+            raise ValueError("truncated PNG pixel data")
+        return _unpack_subbyte(_unfilter_raw(raw, h, stride, 1), w, bit_depth)
+
+    if color_type == 3:  # palette: PLTE indices (1/2/4/8-bit)
         if len(plte) < 3 or len(plte) % 3:
             raise ValueError("palette PNG without a valid PLTE chunk")
-        idx = _png_unfilter(idat, w, h, 1)
-        if idx is None:
-            raise ValueError("image exceeds the decode size ceiling")
+        if bit_depth == 8:
+            idx = (
+                _adam7_deinterlace(idat, w, h, 1)
+                if interlace
+                else _png_unfilter(idat, w, h, 1)
+            )
+            if idx is None:
+                raise ValueError("image exceeds the decode size ceiling")
+        else:
+            idx = subbyte_samples()
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("palette index out of range")
         return pal[idx.reshape(h, w)]  # (h, w, 3)
+    if bit_depth < 8:  # sub-byte greyscale: scale samples to 8-bit
+        if color_type != 0:
+            raise ValueError("sub-byte PNGs are greyscale or palette only")
+        scale = 255 // ((1 << bit_depth) - 1)  # exact: 255/85/17
+        return (subbyte_samples() * np.uint8(scale)).reshape(h, w, 1)
     # PNG's filter distance is bytes-per-pixel, so a 16-bit image
     # unfilters exactly like an 8-bit one with 2x the channels; the
     # big-endian high byte of each sample is then the 8-bit downsample
     bpp_channels = c * (bit_depth // 8)
-    rows = _png_unfilter(idat, w, h, bpp_channels)
+    rows = (
+        _adam7_deinterlace(idat, w, h, bpp_channels)
+        if interlace
+        else _png_unfilter(idat, w, h, bpp_channels)
+    )
     if rows is None:
         raise ValueError("image exceeds the decode size ceiling")
     if bit_depth == 16:

@@ -144,12 +144,129 @@ def test_palette_guards():
     from outpost_spark.ops.multimodal import _png_pixels
 
     grad = np.tile(np.arange(16, dtype=np.uint8), (16, 1))
-    # sub-byte palette: header-only territory, must raise not garbage
-    with pytest.raises(ValueError):
-        _png_pixels(encode_palette_png(grad, np.zeros((256, 3)), bit_depth=4))
     # index past the palette end must raise, not read out of bounds
     with pytest.raises(ValueError, match="palette index"):
         _png_pixels(encode_palette_png(grad + 100, np.zeros((16, 3))))
+
+
+# ── Adam7 interlace + sub-byte layouts (round-11 decode breadth) ────────
+
+
+def _pack_subbyte_row(vals, bit_depth):
+    bits = (
+        ((vals.astype(np.uint8)[:, None] >> np.arange(bit_depth - 1, -1, -1)) & 1)
+        .astype(np.uint8)
+        .reshape(-1)
+    )
+    return np.packbits(bits).tobytes()
+
+
+def encode_subbyte_png(vals, bit_depth, *, palette=None) -> bytes:
+    """Hand-rolled 1/2/4-bit PNG from (h, w) sample values (greyscale,
+    or palette indices when ``palette`` is given)."""
+    import struct
+    import zlib
+
+    h, w = vals.shape
+    color = 3 if palette is not None else 0
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + _pack_subbyte_row(vals[y], bit_depth) for y in range(h))
+    out = _MAGIC + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+    return out + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+def encode_adam7_png(bytes3d, *, bit_depth=8, color=None) -> bytes:
+    """Hand-rolled Adam7-interlaced PNG from an (h, w, bpp) BYTE array
+    (bpp = channels * bytes-per-sample); alternates None/Up filters per
+    pass row so the interlaced unfilter is actually exercised."""
+    import struct
+    import zlib
+
+    from outpost_spark.ops.multimodal import _ADAM7
+
+    h, w, bpp = bytes3d.shape
+    if color is None:
+        color = {1: 0, 2: 0, 3: 2, 4: 6, 6: 2}[bpp]  # grey/grey16/RGB/RGBA/RGB16
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color, 0, 0, 1)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = bytes3d[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for y in range(sub.shape[0]):
+            row = sub[y].reshape(-1)
+            if y % 2:  # Up filter (prev row of THIS pass)
+                raw += b"\x02" + (row - sub[y - 1].reshape(-1)).tobytes()
+            else:  # None filter
+                raw += b"\x00" + row.tobytes()
+    return (
+        _MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_adam7_rgb_decodes_identically_to_sequential():
+    from outpost_spark.ops.multimodal import _png_pixels, encode_png
+
+    rng = np.random.RandomState(19)
+    for (h, w) in [(16, 18), (13, 21), (1, 1), (7, 3)]:
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        inter = _png_pixels(encode_adam7_png(px))
+        assert inter.shape == (h, w, 3)
+        assert (inter == px).all()
+        if h >= 8 and w >= 9:  # big enough for the dhash grid
+            assert dhash_image(encode_adam7_png(px)) == dhash_image(encode_png(px))
+
+
+def test_adam7_grey16_high_byte_downsample():
+    from outpost_spark.ops.multimodal import _png_pixels
+
+    rng = np.random.RandomState(23)
+    a16 = rng.randint(0, 1 << 16, (16, 18)).astype(np.uint16)
+    b3d = a16.astype(">u2")[..., None].view(np.uint8).reshape(16, 18, 2)
+    px = _png_pixels(encode_adam7_png(b3d, bit_depth=16, color=0))
+    assert px.shape == (16, 18, 1)
+    assert (px[..., 0] == (a16 >> 8).astype(np.uint8)).all()
+
+
+def test_subbyte_greyscale_scales_exactly():
+    from outpost_spark.ops.multimodal import _png_pixels
+
+    rng = np.random.RandomState(29)
+    for bit_depth, scale in [(1, 255), (2, 85), (4, 17)]:
+        vals = rng.randint(0, 1 << bit_depth, (16, 18)).astype(np.uint8)
+        px = _png_pixels(encode_subbyte_png(vals, bit_depth))
+        assert px.shape == (16, 18, 1)
+        assert (px[..., 0] == vals * scale).all()
+
+
+def test_subbyte_palette_indexes_plte():
+    from outpost_spark.ops.multimodal import _png_pixels
+
+    rng = np.random.RandomState(31)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (16, 18)).astype(np.uint8)
+    px = _png_pixels(encode_subbyte_png(idx, 4, palette=pal))
+    assert (px == pal[idx]).all()
+    # a 4-bit grey and its palette twin (identity ramp palette) dedup
+    vals = rng.randint(0, 16, (16, 18)).astype(np.uint8)
+    ramp = np.stack([np.arange(16) * 17] * 3, axis=-1).astype(np.uint8)
+    assert dhash_image(encode_subbyte_png(vals, 4)) == dhash_image(
+        encode_subbyte_png(vals, 4, palette=ramp)
+    )
+
+
+def test_interlaced_subbyte_rejected():
+    from outpost_spark.ops.multimodal import _png_pixels
+
+    vals = np.zeros((16, 18, 1), dtype=np.uint8)
+    blob = encode_adam7_png(vals, bit_depth=4, color=0)
+    with pytest.raises(ValueError, match="sub-byte"):
+        _png_pixels(blob)
 
 
 def test_mixed_encoding_corpus_dedups_across_layouts(spark):
