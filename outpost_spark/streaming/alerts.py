@@ -522,7 +522,7 @@ def apply_disable_signals(destinations, signals, *, now=None):
     the join key."""
     from pyspark.sql import functions as F
 
-    hits = (
+    hits = F.broadcast(
         signals.where(F.col("signal") == "alert.destination.disabled")
         .select(
             F.col("tenant_id").alias("__t"),
