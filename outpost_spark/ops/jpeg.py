@@ -125,6 +125,8 @@ def _parse_segments(content: bytes):
     while pos + 4 <= n:
         if content[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        while pos + 4 <= n and content[pos + 1] == 0xFF:
+            pos += 1  # T.81 B.1.1.2: optional 0xFF fill bytes before a marker
         marker = content[pos + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI/RSTn: no payload
             pos += 2

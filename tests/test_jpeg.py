@@ -112,6 +112,19 @@ def test_rejects_progressive_and_exotic_sof():
         decode_jpeg_meta(bytes(good))
 
 
+def test_fill_bytes_before_markers_are_skipped():
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    src = _smooth_rgb(16, 18)
+    data = bytearray(encode_jpeg(src, quality=92))
+    i = data.find(b"\xff\xc0")
+    data[i:i] = b"\xff\xff\xff"
+    i = data.find(b"\xff\xc4")
+    data[i:i] = b"\xff"
+    out = decode_jpeg(bytes(data))
+    assert out.shape == (16, 18, 3)
+    assert np.abs(out.astype(int) - decode_jpeg(encode_jpeg(src, quality=92)).astype(int)).max() == 0
+
+
 def test_rejects_undefined_tables():
     data = bytearray(encode_jpeg(_smooth_rgb(16, 16), quality=90))
     i = data.find(b"\xff\xc4")  # first DHT: retarget its table id
