@@ -1975,15 +1975,23 @@ def main() -> None:
                 entry["covered_by"] = "probe_cap"
             else:
                 probes_done += 1
+                # head and ref probed under separate guards: a ref tree
+                # that predates the case (--only unknown) must not throw
+                # away the head measurement (r11 TxnAppend lesson)
                 try:
                     hsecs, h_runs, _ = _min_probe(name)
+                    entry.update(
+                        head=hsecs, head_runs=h_runs, runs_per_side=ab_runs
+                    )
+                except Exception as e:
+                    entry["ab_error"] = str(e)[:200]
+                    attribution[name] = entry
+                    continue
+                try:
                     rsecs, r_runs, _ = _min_probe(name, root=ref[1])
                     entry.update(
-                        head=hsecs,
                         ref=rsecs,
-                        head_runs=h_runs,
                         ref_runs=r_runs,
-                        runs_per_side=ab_runs,
                         ratio=round(hsecs / rsecs, 3) if rsecs else None,
                     )
                     print(
@@ -1992,7 +2000,7 @@ def main() -> None:
                         file=sys.stderr,
                     )
                 except Exception as e:
-                    entry["ab_error"] = str(e)[:200]
+                    entry["ref_error"] = str(e)[:200]
             attribution[name] = entry
 
     result = {
