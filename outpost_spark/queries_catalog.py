@@ -4140,6 +4140,44 @@ def multimodal_decoded_planted(spark, sf_dir):
     )
 
 
+@_register(
+    "multimodal_resize_planted",
+    """
+    SELECT doc_id AS id,
+           doc_id % 29 <> 0 AS resize_ok,
+           CASE WHEN doc_id % 29 = 0 THEN NULL
+                WHEN (doc_id // 4) % 3 = 2 THEN 72 ELSE 18 END AS width,
+           CASE WHEN doc_id % 29 = 0 THEN NULL
+                WHEN (doc_id // 4) % 3 = 2 THEN 64 ELSE 16 END AS height,
+           CASE WHEN doc_id % 29 = 0 THEN NULL
+                WHEN (doc_id // 4) % 3 = 2 THEN 36 ELSE 9 END AS out_width,
+           CASE WHEN doc_id % 29 = 0 THEN NULL
+                WHEN (doc_id // 4) % 3 = 2 THEN 32 ELSE 8 END AS out_height
+    FROM documents
+    """,
+)
+def multimodal_resize_planted(spark, sf_dir):
+    """REAL image resize, value-oracled end to end (round 11): the
+    planted corpus runs decode -> nearest-neighbor resize (scale 0.5)
+    -> re-encode IN THE INPUT'S FORMAT -> re-decode, distributed in
+    mapInPandas; the reported output dims come from re-decoding the
+    resized bytes, so a dim mismatch anywhere in the decode/encode
+    round-trip (PNG or JPEG) fails the hash.  The oracle derives every
+    expected dim analytically from the generator's id arithmetic; junk
+    members survive as resize_ok=false rows.  Pixel fidelity stays
+    pytest-pinned (tests/test_ops.py, tests/test_jpeg.py)."""
+    from outpost_spark.ops.multimodal import (
+        planted_image_corpus,
+        resize_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    imgs = planted_image_corpus(docs, id_col="doc_id")
+    return resize_images(imgs, scale=0.5).select(
+        "id", "resize_ok", "width", "height", "out_width", "out_height"
+    )
+
+
 # ───────────────── tenant/destination store (S8, P10, P2/J2, S1) ─────────────────
 
 _DESTS_SQL = """
