@@ -1,38 +1,45 @@
-"""Baseline JPEG codec (ITU-T T.81 sequential DCT, Huffman) — stdlib+numpy.
+"""JPEG codec (ITU-T T.81 DCT, Huffman) — stdlib+numpy, no codec libs.
 
 Why this exists: real crawl corpora are mostly JPEG, and the engine's
 perceptual-dedup / decode / resize stages (`ops/multimodal.py`) previously
 covered only PNG on the default path, with JPEG reachable solely through
 the injectable-codec seam.  This module closes that gap with an original,
-spec-derived implementation of the baseline process:
+spec-derived implementation:
 
-- **decode_jpeg(content) -> (h, w, c) uint8**: SOI/APPn/DQT/SOF0/SOF1/
-  DHT/DRI/SOS marker walk, canonical Huffman entropy decode with byte
-  de-stuffing and restart-marker intervals, dequantize + dezigzag,
-  vectorized 8x8 IDCT (one einsum over every block of a component),
+- **decode_jpeg(content) -> (h, w, c) uint8**: SOI/APPn/DQT/SOF/DHT/
+  DRI/SOS marker walk, canonical Huffman entropy decode with byte
+  de-stuffing and restart-marker intervals — SEQUENTIAL (SOF0/SOF1)
+  and PROGRESSIVE (SOF2: DC first/refine, AC first/refine with EOB
+  runs per T.81 G.1.2, interleaved and non-interleaved scans,
+  per-scan table redefinition) — coefficients accumulate into
+  per-component grids, then one vectorized tail: dequantize +
+  dezigzag, 8x8 IDCT (one einsum over every block of a component),
   general h/v chroma-sampling upsample (4:4:4, 4:2:2, 4:2:0, ...),
   JFIF YCbCr->RGB.  Grayscale (1-component) streams decode to (h, w, 1).
 - **decode_jpeg_meta(content) -> dict**: header-only dims/channels (SOF
   scan, no entropy decode) — the cheap metadata pass.
 - **encode_jpeg(arr, quality=85) -> bytes**: the re-encode half (fixture
   generation, JPEG resize round-trip).  Annex-K quantization tables
-  scaled by the conventional quality curve, 4:4:4 sampling, and
-  per-image OPTIMAL length-limited Huffman tables built from symbol
-  frequencies (the two-pass optimal-coding procedure of Annex K.2 /
-  libjpeg's jpeg_gen_optimal_table, reimplemented) — so no Annex-K
-  default code tables need shipping and every emitted stream is
-  spec-valid canonical Huffman.
+  scaled by the conventional quality curve, 4:4:4 or 4:2:0 sampling,
+  optional restart intervals, and per-image OPTIMAL length-limited
+  Huffman tables built from symbol frequencies (the two-pass
+  optimal-coding procedure of Annex K.2 / libjpeg's
+  jpeg_gen_optimal_table, reimplemented) — so no Annex-K default code
+  tables need shipping and every emitted stream is spec-valid
+  canonical Huffman.
 
-Scope and guardrails: baseline/extended *sequential* Huffman only — a
-progressive (SOF2), arithmetic, hierarchical, or 12-bit stream raises
-``ValueError`` like any other undecodable blob, which the tolerant
-mapInPandas featurizers in ``ops/multimodal.py`` turn into
-``decode_ok=false`` rows.  Declared dims are capped by the same
-decompression-bomb ceiling as the PNG path before any pixel allocation.
-The Huffman bit loop is Python (quarantined inside mapInPandas, linear
-scale-out — the same contract as the PNG Paeth filter); everything after
-entropy decode (dequant, IDCT, upsample, color convert) is whole-array
-numpy.
+Scope and guardrails: Huffman 8-bit only — an arithmetic-coded,
+12-bit, lossless, or hierarchical stream raises ``ValueError`` like
+any other undecodable blob, which the tolerant mapInPandas featurizers
+in ``ops/multimodal.py`` turn into ``decode_ok=false`` rows.  Declared
+dims are capped by the same decompression-bomb ceiling as the PNG path
+before any coefficient allocation.  The Huffman bit loop is Python
+(quarantined inside mapInPandas, linear scale-out — the same contract
+as the PNG Paeth filter); everything after entropy decode (dequant,
+IDCT, upsample, color convert) is whole-array numpy.  Decoder output
+is cross-checked against javax.imageio in tests (sequential both
+directions; progressive against its writer AND reader — luma within
+rounding; chroma differs only by upsample interpolation style).
 
 Reference parity note: the reference engine ships no image codec at all
 (its multimodal handling is opaque-binary passthrough); this module is
@@ -158,8 +165,8 @@ def _canonical_codes(bits: list[int], huffval: list[int]) -> dict:
 
 def _entropy_intervals(content: bytes, pos: int):
     """Entropy-coded bytes from ``pos``: de-stuff 0xFF00, split at RSTn
-    (each interval restarts DC predictors), stop at any other marker.
-    Returns list[bytes]."""
+    (each interval restarts DC predictors + EOB run), stop at any other
+    marker.  Returns (list[bytes], position of the terminating marker)."""
     out = []
     cur = bytearray()
     n = len(content)
@@ -180,7 +187,7 @@ def _entropy_intervals(content: bytes, pos: int):
         else:  # real marker: end of scan
             break
     out.append(bytes(cur))
-    return out
+    return out, min(pos, n)
 
 
 class _BitReader:
@@ -251,31 +258,80 @@ def decode_jpeg_meta(content: bytes) -> dict:
 
 
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Full baseline decode -> (h, w, c) uint8 (c=3 RGB or c=1 gray).
+    """Full decode -> (h, w, c) uint8 (c=3 RGB or c=1 gray).
 
-    Sequential Huffman 8-bit only (SOF0/SOF1); progressive, arithmetic,
-    12-bit, and non-interleaved multi-scan streams raise ValueError.
+    Sequential (SOF0/SOF1) AND progressive (SOF2) Huffman 8-bit, any
+    h/v chroma sampling, restart markers, interleaved and
+    non-interleaved scans; a scan's coefficients accumulate into
+    per-component grids (DC first/refine, AC first/refine with EOB
+    runs — T.81 G.1.2) and one vectorized dequant+IDCT tail renders the
+    final image.  Arithmetic-coded, 12-bit, lossless, and hierarchical
+    streams raise ValueError.
     """
     qtables: dict[int, np.ndarray] = {}  # id -> 64 values in ZIGZAG order
     htables: dict[tuple[int, int], dict] = {}  # (class, id) -> code table
-    sof = None
-    comps = []  # per component: dict(id, h, v, tq)
+    frame = None  # (h, w, ncomp, mcus_x, mcus_y)
+    comps = []  # per component: dict(id, h, v, tq, bw, bh, cbw, cbh)
+    coefs: list[np.ndarray] = []  # per component (bh*bw, 64) int32, zigzag
     restart_interval = 0
-    scan = None
+    scans_done = 0
 
-    for marker, payload, pos in _parse_segments(content):
-        if marker in (0xC0, 0xC1):
+    if content[:2] != JPEG_MAGIC:
+        raise ValueError("not a JPEG")
+    pos = 2
+    n = len(content)
+    while pos + 4 <= n:
+        if content[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        while pos + 4 <= n and content[pos + 1] == 0xFF:
+            pos += 1  # T.81 B.1.1.2: optional fill bytes before a marker
+        marker = content[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", content[pos + 2 : pos + 4])
+        payload = content[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             precision, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
             if precision != 8:
                 raise ValueError("only 8-bit JPEG precision supported")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
             comps = []
             off = 6
             for _ in range(ncomp):
                 cid, hv, tq = payload[off], payload[off + 1], payload[off + 2]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
                 off += 3
-            sof = (h, w, ncomp)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+                raise ValueError("invalid sampling factors")
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            coefs = []
+            padded = 0
+            for c in comps:
+                c["bw"] = mcus_x * c["h"]
+                c["bh"] = mcus_y * c["v"]
+                # non-interleaved scans iterate the component's OWN
+                # ceil-grid, which is <= the interleaved (MCU-padded) one
+                comp_w = -(-w * c["h"] // hmax)
+                comp_h = -(-h * c["v"] // vmax)
+                c["cbw"] = -(-comp_w // 8)
+                c["cbh"] = -(-comp_h // 8)
+                padded += c["bw"] * c["bh"] * 64
+            if padded > _MAX_RAW_BYTES:
+                # decompression-bomb guard: crafted dims cannot allocate
+                # unbounded coefficient grids
+                raise ValueError("image exceeds the decode size ceiling")
+            for c in comps:
+                coefs.append(np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32))
+            frame = (h, w, ncomp, mcus_x, mcus_y, hmax, vmax, marker == 0xC2)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("unsupported JPEG process (non-baseline SOF)")
         elif marker == 0xDB:  # DQT: one or more tables, values in zigzag
             off = 0
@@ -293,7 +349,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     ).astype(np.int64)
                     off += 128
                 qtables[tq] = vals
-        elif marker == 0xC4:  # DHT: one or more tables
+        elif marker == 0xC4:  # DHT: one or more tables (redefinable per scan)
             off = 0
             while off < len(payload):
                 tc, th = payload[off] >> 4, payload[off] & 15
@@ -305,6 +361,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG scan before SOF")
             ns = payload[0]
             sel = []
             off = 1
@@ -312,112 +370,44 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 cs, tt = payload[off], payload[off + 1]
                 sel.append({"id": cs, "dc": tt >> 4, "ac": tt & 15})
                 off += 2
-            scan = (sel, pos)
-            break
+            ss, se, ahal = payload[off], payload[off + 1], payload[off + 2]
+            pos = _decode_scan(
+                content,
+                pos,
+                frame,
+                comps,
+                coefs,
+                htables,
+                sel,
+                ss,
+                se,
+                ahal >> 4,
+                ahal & 15,
+                restart_interval,
+            )
+            scans_done += 1
 
-    if sof is None or scan is None:
+    if frame is None or scans_done == 0:
         raise ValueError("JPEG missing SOF or SOS")
-    h, w, ncomp = sof
-    sel, data_pos = scan
-    if len(sel) != ncomp:
-        raise ValueError("non-interleaved multi-scan JPEG not supported")
-    if ncomp not in (1, 3):
-        raise ValueError(f"unsupported component count {ncomp}")
+    h, w, ncomp, mcus_x, mcus_y, hmax, vmax, _prog = frame
 
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
-        raise ValueError("invalid sampling factors")
-    if int(h) * int(w) * ncomp > _MAX_RAW_BYTES:
-        raise ValueError("image exceeds the decode size ceiling")
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    n_mcus = mcus_x * mcus_y
-
-    by_id = {c["id"]: c for c in comps}
-    order = []  # (comp_index, dc_table, ac_table, blocks_per_mcu)
-    for s in sel:
-        c = by_id.get(s["id"])
-        if c is None:
-            raise ValueError("SOS references unknown component")
-        ci = comps.index(c)
-        try:
-            dc_t = htables[(0, s["dc"])]
-            ac_t = htables[(1, s["ac"])]
-            qt = qtables[c["tq"]]
-        except KeyError:
-            raise ValueError("JPEG references an undefined DHT/DQT table")
-        order.append((ci, dc_t, ac_t, c["h"] * c["v"], qt))
-
-    # entropy decode: per component, flat list of 64-coef blocks in
-    # MCU-major / v-major / h-major order (zigzag coefficient layout)
-    blocks = [
-        np.zeros((n_mcus * c["h"] * c["v"], 64), dtype=np.int32) for c in comps
-    ]
-    counts = [0] * len(comps)
-    intervals = _entropy_intervals(content, data_pos)
-    mcu_done = 0
-    iv_idx = 0
-    br = _BitReader(intervals[0]) if intervals else None
-    dc_pred = [0] * len(comps)
-    per_interval = restart_interval if restart_interval else n_mcus
-    while mcu_done < n_mcus:
-        if br is None:
-            raise ValueError("entropy stream ended before all MCUs")
-        for ci, dc_t, ac_t, nblk, _qt in order:
-            for _ in range(nblk):
-                coef = blocks[ci][counts[ci]]
-                t = br.decode_huff(dc_t)
-                if t > 11:
-                    raise ValueError("invalid DC category")
-                dc_pred[ci] += _extend(br.read_bits(t), t)
-                coef[0] = dc_pred[ci]
-                k = 1
-                while k < 64:
-                    rs = br.decode_huff(ac_t)
-                    r, s = rs >> 4, rs & 15
-                    if s == 0:
-                        if r == 15:
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    coef[k] = _extend(br.read_bits(s), s)
-                    k += 1
-                counts[ci] += 1
-        mcu_done += 1
-        if restart_interval and mcu_done % per_interval == 0 and mcu_done < n_mcus:
-            iv_idx += 1
-            if iv_idx >= len(intervals):
-                raise ValueError("missing restart interval")
-            br = _BitReader(intervals[iv_idx])
-            dc_pred = [0] * len(comps)
-
-    # dequant + dezigzag + IDCT, vectorized per component
+    # dequant + dezigzag + IDCT, vectorized per component; blocks sit in
+    # (bh, bw) grid raster order so the plane assembles by reshape
     planes = []
     for ci, c in enumerate(comps):
-        zz = blocks[ci].astype(np.float64) * qtables[c["tq"]].astype(np.float64)
+        if c["tq"] not in qtables:
+            raise ValueError("JPEG references an undefined DQT table")
+        zz = coefs[ci].astype(np.float64) * qtables[c["tq"]].astype(np.float64)
         nat = np.zeros_like(zz)
         nat[:, _ZIGZAG] = zz
         nat = nat.reshape(-1, 8, 8)
         # IDCT: A.T @ coefs @ A across every block at once
         spatial = np.einsum("ij,njk,kl->nil", _DCT_A.T, nat, _DCT_A)
         px = np.clip(np.round(spatial) + 128.0, 0, 255).astype(np.uint8)
-        # lay blocks into the component plane (MCU-major order)
-        bh, bw = mcus_y * c["v"], mcus_x * c["h"]
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
-        i = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        plane[
-                            (my * c["v"] + by) * 8 : (my * c["v"] + by) * 8 + 8,
-                            (mx * c["h"] + bx) * 8 : (mx * c["h"] + bx) * 8 + 8,
-                        ] = px[i]
-                        i += 1
+        bh, bw = c["bh"], c["bw"]
+        plane = (
+            px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
         # crop to the component's true extent, then upsample to full res
         comp_h = -(-h * c["v"] // vmax)
         comp_w = -(-w * c["h"] // hmax)
@@ -437,6 +427,200 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _decode_scan(
+    content: bytes,
+    data_pos: int,
+    frame,
+    comps,
+    coefs,
+    htables,
+    sel,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> int:
+    """Decode one scan's entropy data into the coefficient grids;
+    returns the stream position of the marker that ended the scan.
+
+    Sequential scans decode DC+AC per block; progressive scans apply
+    one of the four T.81 G.1.2 procedures (DC first, DC refine, AC
+    first, AC refine).  Interleaved scans walk MCUs; single-component
+    scans walk the component's own ceil-grid in raster order.  Restart
+    markers reset DC predictors and the EOB run.
+    """
+    h, w, ncomp, mcus_x, mcus_y, hmax, vmax, progressive = frame
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    if not 0 <= ss <= se <= 63:
+        raise ValueError("invalid spectral selection")
+    dc_scan = ss == 0
+    if progressive and dc_scan and se != 0:
+        raise ValueError("progressive DC scan with nonzero Se")
+    if progressive and not dc_scan and len(sel) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if not progressive and (ss, se, ah) != (0, 63, 0):
+        raise ValueError("sequential scan with partial spectral band")
+
+    order = []  # (ci, dc_table|None, ac_table|None, h, v)
+    for s in sel:
+        ci = by_id.get(s["id"])
+        if ci is None:
+            raise ValueError("SOS references unknown component")
+        c = comps[ci]
+        dc_t = ac_t = None
+        needs_dc = dc_scan and ah == 0
+        needs_ac = (not progressive) or not dc_scan
+        if needs_dc:
+            dc_t = htables.get((0, s["dc"]))
+            if dc_t is None:
+                raise ValueError("JPEG references an undefined DHT table")
+        if needs_ac:
+            ac_t = htables.get((1, s["ac"]))
+            if ac_t is None:
+                raise ValueError("JPEG references an undefined DHT table")
+        order.append((ci, dc_t, ac_t, c["h"], c["v"]))
+
+    interleaved = len(sel) > 1
+    if interleaved:
+        n_units = mcus_x * mcus_y
+    else:
+        ci0 = order[0][0]
+        n_units = comps[ci0]["cbh"] * comps[ci0]["cbw"]
+
+    intervals, end_pos = _entropy_intervals(content, data_pos)
+    per_interval = restart_interval if restart_interval else n_units
+    p1, m1 = 1 << al, -1 << al
+
+    def seq_block(br, dc_t, ac_t, coef, pred):
+        t = br.decode_huff(dc_t)
+        if t > 11:
+            raise ValueError("invalid DC category")
+        pred += _extend(br.read_bits(t), t)
+        coef[0] = pred
+        k = 1
+        while k < 64:
+            rs = br.decode_huff(ac_t)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC run past block end")
+            coef[k] = _extend(br.read_bits(s), s)
+            k += 1
+        return pred
+
+    def ac_first(br, ac_t, coef, eobrun):
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = br.decode_huff(ac_t)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    return (1 << r) - 1 + br.read_bits(r)  # EOBn (this block done)
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC run past spectral band")
+            coef[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+        return 0
+
+    def ac_refine(br, ac_t, coef, eobrun):
+        # T.81 G.1.2.3 (the libjpeg decode_mcu_AC_refine shape): new
+        # coefficients arrive as +-1<<al; every nonzero history
+        # coefficient passed over consumes one correction bit
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = br.decode_huff(ac_t)
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) + br.read_bits(r)
+                        break  # correction-bit sweep below finishes the block
+                    # r == 15: ZRL — skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("invalid refinement magnitude")
+                    val = p1 if br.read_bits(1) else m1
+                while k <= se:
+                    if coef[k]:
+                        if br.read_bits(1) and not (coef[k] & p1):
+                            coef[k] += p1 if coef[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    coef[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if coef[k]:
+                    if br.read_bits(1) and not (coef[k] & p1):
+                        coef[k] += p1 if coef[k] > 0 else m1
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    done = 0
+    iv_idx = 0
+    br = _BitReader(intervals[0]) if intervals else None
+    dc_pred = [0] * len(comps)
+    eobrun = 0
+    while done < n_units:
+        if br is None:
+            raise ValueError("entropy stream ended before all MCUs")
+        for ci, dc_t, ac_t, ch, cv in order:
+            c = comps[ci]
+            if interleaved:
+                mx, my = done % mcus_x, done // mcus_x
+                units = [
+                    (my * cv + by) * c["bw"] + (mx * ch + bx)
+                    for by in range(cv)
+                    for bx in range(ch)
+                ]
+            else:
+                row, col = done // c["cbw"], done % c["cbw"]
+                units = [row * c["bw"] + col]
+            for ui in units:
+                coef = coefs[ci][ui]
+                if not progressive:
+                    dc_pred[ci] = seq_block(br, dc_t, ac_t, coef, dc_pred[ci])
+                elif dc_scan and ah == 0:  # DC first
+                    t = br.decode_huff(dc_t)
+                    if t > 11:
+                        raise ValueError("invalid DC category")
+                    dc_pred[ci] += _extend(br.read_bits(t), t)
+                    coef[0] = dc_pred[ci] << al
+                elif dc_scan:  # DC refine: one raw bit per block
+                    if br.read_bits(1):
+                        coef[0] |= p1
+                elif ah == 0:  # AC first
+                    eobrun = ac_first(br, ac_t, coef, eobrun)
+                else:  # AC refine
+                    eobrun = ac_refine(br, ac_t, coef, eobrun)
+        done += 1
+        if restart_interval and done % per_interval == 0 and done < n_units:
+            iv_idx += 1
+            if iv_idx >= len(intervals):
+                raise ValueError("missing restart interval")
+            br = _BitReader(intervals[iv_idx])
+            dc_pred = [0] * len(comps)
+            eobrun = 0
+    return end_pos
 
 
 # ---- encoder ---------------------------------------------------------------

@@ -16,11 +16,11 @@ Decoders are stdlib+numpy only: PNG via ``zlib``/``struct`` (dimensions,
 bit depth, channels, mean luminance — all five scanline filters; the
 pixel pass additionally covers palette expansion, 16-bit downsample,
 1/2/4-bit greyscale and palette samples, and Adam7 interlace),
-baseline JPEG via ``ops/jpeg.py`` (SOF0/SOF1 sequential
+JPEG via ``ops/jpeg.py`` (sequential AND progressive
 Huffman, any h/v chroma sampling, restart markers — the dominant format
 of real crawl corpora), and WAV via the ``wave`` module (sample rate,
 channels, duration, RMS for 16-bit PCM).  Formats needing external
-codec libraries (MP3, video, progressive JPEG) raise ``ValueError``
+codec libraries (MP3, video, arithmetic-coded JPEG) raise ``ValueError``
 like any other undecodable blob;
 the batched featurizer turns that into ``decode_ok=false`` rather than
 failing the task, since a corpus-scale decode job must survive corrupt
@@ -69,16 +69,16 @@ _MAX_RAW_BYTES = 1 << 28
 
 
 def decode_image(content: bytes) -> dict:
-    """Decode a PNG or baseline JPEG with stdlib+numpy only: dims, depth,
+    """Decode a PNG or JPEG with stdlib+numpy only: dims, depth,
     channels, mean luminance.
 
     PNG: 8-bit non-interlaced greyscale/RGB(+alpha) — the shapes a
     training pipeline's thumbnail/tile stages produce — with full scanline
     unfiltering (None/Sub/Up/Average/Paeth).  Palette, 16-bit, and
     interlaced PNGs decode headers only (``mean_luminance`` None).
-    JPEG: sequential baseline (SOF0/SOF1, any h/v chroma sampling,
-    restart markers) via ``ops/jpeg.py``; progressive/arithmetic streams
-    decode headers only.  Any other input raises ``ValueError``.
+    JPEG: sequential and progressive Huffman (SOF0/SOF1/SOF2, any h/v
+    chroma sampling, restart markers) via ``ops/jpeg.py``; arithmetic
+    streams decode headers only.  Any other input raises ``ValueError``.
     """
     if content[:2] == _JPEG_MAGIC:
         from outpost_spark.ops import jpeg
@@ -92,16 +92,12 @@ def decode_image(content: bytes) -> dict:
             "channels": meta["channels"],
             "mean_luminance": None,
         }
-        if (
-            meta.get("progressive")
-            or meta["width"] * meta["height"] * max(meta["channels"], 1)
-            > _MAX_RAW_BYTES
-        ):
-            return out  # header-only: unsupported process or bomb guard
+        if meta["width"] * meta["height"] * max(meta["channels"], 1) > _MAX_RAW_BYTES:
+            return out  # header-only: bomb guard
         try:
             px = jpeg.decode_jpeg(content)
         except ValueError:
-            return out  # e.g. 12-bit / exotic sampling: header-only
+            return out  # e.g. 12-bit / arithmetic: header-only
         import numpy as np
 
         if px.shape[2] >= 3:

@@ -100,16 +100,57 @@ def test_rejects_garbage_and_truncation():
         decode_jpeg_meta(good[:20])  # cut before SOF
 
 
-def test_rejects_progressive_and_exotic_sof():
+def test_rejects_malformed_progressive_and_exotic_sof():
     good = bytearray(encode_jpeg(_smooth_rgb(16, 16), quality=90))
     i = good.find(b"\xff\xc0")
-    good[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="non-baseline"):
+    # SOF0 rewritten to SOF2 leaves a full-band interleaved scan, which
+    # the progressive scan rules forbid (DC scan must have Se=0)
+    good[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
         decode_jpeg(bytes(good))
     assert decode_jpeg_meta(bytes(good))["progressive"] is True
     good[i + 1] = 0xC3  # lossless sequential
     with pytest.raises(ValueError, match="non-baseline"):
         decode_jpeg_meta(bytes(good))
+
+
+# ── progressive (SOF2) decoding ─────────────────────────────────────────
+
+# 16x18 RGB progressive JPEG written by javax.imageio (the standard
+# 10-scan script: DC first+refine, per-component AC first via spectral
+# bands, two AC refinement passes) and the exact pixels this decoder
+# produced for it, cross-checked against javax.imageio's own decode to
+# within luma rounding (0.78) at generation time.
+_PROG_JPG_B64 = (
+    "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAUDBAQEAwUEBAQFBQUGBwwIBwcHBw8KCwkMEQ8SEhEPERATFhwXExQaFRARGCEYGhwdHx8fExciJCIeJBweHx7/2wBDAQUFBQcGBw4ICA4eFBEUHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh7/wgARCAAQABIDASIAAhEBAxEB/8QAFwAAAwEAAAAAAAAAAAAAAAAAAAMFBv/EABYBAQEBAAAAAAAAAAAAAAAAAAUCBv/aAAwDAQACEAMQAAABrMyDIZsmUFs9/8QAGhAAAgMBAQAAAAAAAAAAAAAAAgMAARESE//aAAgBAQABBQJL6xj6z3qJIsYRZ0U//8QAGREAAgMBAAAAAAAAAAAAAAAAAAIBBRMV/9oACAEDAQE/AYr1wOep/8QAGREAAgMBAAAAAAAAAAAAAAAAAAEDBRIV/9oACAECAQE/AYqxaOYj/8QAFBABAAAAAAAAAAAAAAAAAAAAIP/aAAgBAQAGPwJf/8QAGRAAAgMBAAAAAAAAAAAAAAAAAEEBEVEx/9oACAEBAAE/IXw+Jv6axvE3s//aAAwDAQACAAMAAAAQNN//xAAYEQACAwAAAAAAAAAAAAAAAAAAQQERMf/aAAgBAwEBPxBqibtP/8QAFREBAQAAAAAAAAAAAAAAAAAAAAH/2gAIAQIBAT8QHD//xAAXEAADAQAAAAAAAAAAAAAAAAAAESEx/9oACAEBAAE/EE0DeBtGiihjQwuj/9k="
+)
+_PROG_PX_B64 = (
+    "eJwNy+lS2ggAAOBHqnILWfUBHFesRWXqruWyIKCAgoT7CsqVcFbQgBdQOSNFtgoCCjQcAcEn2sx8fz9zg2tvf7l+2sy2dtpP/3RfBKOmYNwWTVrycXN/UD/qP2sqTXPpGURaBl9dJ2ud7jVcpvqarbVx9ZuXaX5t/d7pNL6Ri2gJyUK8yMiFP6kfXkzFJz3cBMklbboldaetsu2q7dxiu/c1yRsm6f2SElXZpCafVjWkUcU4fDD8eoRKmC1Yc/grlv1H5HvFbyh8tmCbaI5PxkZut10S/SmJ+phkVFYOS4peQdvNHxfL1vu80YuZ3AW9uOwRFNz2+DcIFd+df88llZ1zJX6pHl8evSe1H6hpdmkk4tDo3FVFYSzuDaG+QPxUjsaliZge2TJFvl7A/15Hxc+wuBmW9iJyPKYcRI76YU03aH6DjfkIlEXsZxEHFLQKI8hu0G/XSiBQlj5S5EFN51iD63UTEJwajTPQPtXbCJ1veOypgmFMC4cNYVgHy0FUqkvoFTtmtQCVi29Usrpiv3mo7KlUuEbTV+nxw5OO0vEqtxXU3qwC8qg9kBISqaO7yqCDt+/mH2Q31EX+SXfjBN80TLfMs23LxzY023KNeQjxBf5v+7yyEY7wfyC8sJJ/I+MlDatCy/peakV2xz1orBy2/tb017QDrm7INQ/WTL3V084KVOYiuRWvbx0+XfVK1hOC1ZgVUDiXVbdszf2y/pUDdhdNo0UrsWR7X3JPFqEhEOqzkepSosyOIstxHxCVLd9JgCsjS0rGFOMgDRy/MLVtth5nGweAmQCcI44DX4B7TD/GiRWYIbKcLYTIIlxATRSNjaG7mgMzDGtrzvJGtQ9orhHDTTDgET0woP7A56MYPVWYvwgwkl7qxR7jXkTNGOfV5Ep90qfpluYn8yvF1qc6h3SILEOav0+J/ZmLlGnJ/FzCT0c9lISE/lNISZtoBhvLck2xZVnuNgXq0M+GDB/BCkyYsTEjOqSl+hT0gZkpUm9gZtpHu5EyMQmtaF+wQn85M0woD3h7TG+fHXjnBKdA6IOTmLHjE9YtwbiuAXkyRoAcwsoogUcZ6+F/ccjI5w=="
+)
+
+
+def test_progressive_fixture_decodes_exactly():
+    import base64
+    import zlib
+
+    data = base64.b64decode(_PROG_JPG_B64)
+    assert decode_jpeg_meta(data)["progressive"] is True
+    px = decode_jpeg(data)
+    want = np.frombuffer(
+        zlib.decompress(base64.b64decode(_PROG_PX_B64)), dtype=np.uint8
+    ).reshape(16, 18, 3)
+    assert (px == want).all()
+
+
+def test_progressive_decode_image_reports_luminance():
+    import base64
+
+    from outpost_spark.ops.multimodal import decode_image
+
+    meta = decode_image(base64.b64decode(_PROG_JPG_B64))
+    assert meta["kind"] == "jpeg"
+    assert (meta["width"], meta["height"]) == (18, 16)
+    assert meta["mean_luminance"] is not None
 
 
 def test_fill_bytes_before_markers_are_skipped():
@@ -214,6 +255,59 @@ def test_encoder_accepted_by_independent_decoder(tmp_path, kw):
     theirs = _java_decode(tmp_path, data)
     ours = decode_jpeg(data)
     assert np.abs(theirs.astype(int) - ours.astype(int)).max() <= 2
+
+
+def _java_encode_progressive(tmp_path, rgb, quality):
+    src = tmp_path / "W.java"
+    src.write_text(
+        """
+import javax.imageio.*; import javax.imageio.stream.*;
+import java.awt.image.BufferedImage; import java.io.*;
+public class W { public static void main(String[] a) throws Exception {
+  int w=Integer.parseInt(a[1]), h=Integer.parseInt(a[2]);
+  DataInputStream in = new DataInputStream(new BufferedInputStream(new FileInputStream(a[0])));
+  BufferedImage im = new BufferedImage(w,h,BufferedImage.TYPE_INT_RGB);
+  for (int y=0;y<h;y++) for (int x=0;x<w;x++) {
+    int r=in.readUnsignedByte(), g=in.readUnsignedByte(), b=in.readUnsignedByte();
+    im.setRGB(x,y,(r<<16)|(g<<8)|b); }
+  ImageWriter wr = ImageIO.getImageWritersByFormatName("jpg").next();
+  ImageWriteParam p = wr.getDefaultWriteParam();
+  p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT);
+  p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
+  p.setCompressionQuality(Float.parseFloat(a[4]));
+  wr.setOutput(new FileImageOutputStream(new File(a[3])));
+  wr.write(null, new javax.imageio.IIOImage(im, null, null), p); wr.dispose(); } }
+"""
+    )
+    subprocess.run(["javac", str(src)], check=True, cwd=tmp_path, capture_output=True)
+    (tmp_path / "s.raw").write_bytes(rgb.tobytes())
+    subprocess.run(
+        ["java", "W", "s.raw", str(rgb.shape[1]), str(rgb.shape[0]), "p.jpg", str(quality)],
+        check=True,
+        cwd=tmp_path,
+        capture_output=True,
+    )
+    return (tmp_path / "p.jpg").read_bytes()
+
+
+@pytest.mark.skipif(
+    shutil.which("javac") is None or shutil.which("java") is None,
+    reason="no JDK available for the independent encoder",
+)
+@pytest.mark.parametrize("dims,q", [((23, 31), 0.75), ((8, 8), 0.95), ((41, 67), 0.9)])
+def test_progressive_decodes_real_encoder_output(tmp_path, dims, q):
+    """javax.imageio's progressive writer (DC/AC first + refinement
+    scans, 4:2:0) decodes to within luma rounding of javax.imageio's
+    own reader — chroma may differ by upsample interpolation style."""
+    h, w = dims
+    src = _smooth_rgb(h, w, seed=3)
+    data = _java_encode_progressive(tmp_path, src, q)
+    assert decode_jpeg_meta(data)["progressive"] is True
+    ours = decode_jpeg(data)
+    theirs = _java_decode(tmp_path, data)
+    lw = np.array([0.299, 0.587, 0.114])
+    luma_diff = np.abs(ours.astype(float) @ lw - theirs.astype(float) @ lw)
+    assert luma_diff.max() <= 2.0, luma_diff.max()
 
 
 # ── the multimodal integration contract ─────────────────────────────────
