@@ -751,17 +751,22 @@ def encode_jpeg(
     *,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """(h, w, 1|3) or (h, w) uint8 -> baseline JFIF JPEG bytes.
+    """(h, w, 1|3) or (h, w) uint8 -> JFIF JPEG bytes.
 
     ``subsample=False`` emits 4:4:4; ``subsample=True`` emits 4:2:0
     (luma 2x2 sampling, chroma 2x2 box-mean downsample) — the layout
     real-world encoders default to, exercising the decoder's general
     MCU/upsample path.  ``restart_interval=N`` emits DRI + RSTn markers
     every N MCUs (DC predictors reset), exercising the decoder's
-    restart path.  Huffman tables are per-image optimal (length-limited
-    canonical, Annex K.2 procedure); quant is the quality-scaled
-    Annex-K pair.
+    restart path.  ``progressive=True`` emits an SOF2 stream with the
+    spectral-selection script (one interleaved DC scan, then one
+    full-band AC scan per component, no successive approximation) —
+    pixel-identical to the sequential encode at the same quality, but
+    exercising the progressive scan machinery; 4:4:4 only, no restarts.
+    Huffman tables are per-image optimal (length-limited canonical,
+    Annex K.2 procedure); quant is the quality-scaled Annex-K pair.
     """
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
@@ -777,6 +782,8 @@ def encode_jpeg(
         raise ValueError(f"encode_jpeg supports 1/3/4-channel input, got {c}")
     if h < 1 or w < 1:
         raise ValueError("empty image")
+    if progressive and (subsample or restart_interval):
+        raise ValueError("progressive encode supports 4:4:4 without restarts")
 
     if c == 3:
         rgb = arr.astype(np.float64)
@@ -823,6 +830,90 @@ def encode_jpeg(
         zz = coefs[:, _ZIGZAG]
         q = (qz[0] if ci == 0 else qz[1]).astype(np.float64)
         comp_zz.append(np.round(zz / q).astype(np.int32))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def headers(sof_marker: int) -> bytearray:
+        out = bytearray(JPEG_MAGIC)
+        out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qz[0]))
+        if c == 3:
+            out += seg(0xDB, bytes([0x01]) + bytes(int(x) for x in qz[1]))
+        sof = struct.pack(">BHHB", 8, h, w, c)
+        for ci in range(c):
+            sof += bytes(
+                [ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0 if ci == 0 else 1]
+            )
+        out += seg(sof_marker, sof)
+        return out
+
+    if progressive:
+        # spectral-selection script: interleaved DC scan (Ss=Se=0), then
+        # one full-band AC scan per component (Ss=1, Se=63), Ah=Al=0 —
+        # coefficient-identical to the sequential encode
+        out = headers(0xC2)
+        ntab = 1 if c == 1 else 2
+        dc_freq = [dict() for _ in range(ntab)]
+        dc_syms = []  # (tab, s, v) in interleaved MCU order
+        dc_pred = [0] * c
+        for i in range(n_mcus):
+            for ci in range(c):
+                tab = 0 if ci == 0 else 1
+                dc = int(comp_zz[ci][i][0])
+                diff = dc - dc_pred[ci]
+                dc_pred[ci] = dc
+                s = abs(diff).bit_length()
+                v = diff if diff >= 0 else diff + (1 << s) - 1
+                dc_syms.append((tab, s, v))
+                dc_freq[tab][s] = dc_freq[tab].get(s, 0) + 1
+        dc_spec = [_optimal_huffman(f) for f in dc_freq]
+        dc_enc = [
+            {sym: lc for lc, sym in _canonical_codes(b, v).items()}
+            for b, v in dc_spec
+        ]
+        for tab in range(ntab):
+            bits, vals = dc_spec[tab]
+            out += seg(0xC4, bytes([tab]) + bytes(bits) + bytes(vals))
+        sos = bytes([c])
+        for ci in range(c):
+            sos += bytes([ci + 1, ((0 if ci == 0 else 1) << 4) | 0])
+        out += seg(0xDA, sos + b"\x00\x00\x00")  # Ss=0 Se=0 AhAl=0
+        bw = _BitWriter()
+        for tab, s, v in dc_syms:
+            length, code = dc_enc[tab][s]
+            bw.write(code, length)
+            if s:
+                bw.write(v, s)
+        out += bw.flush()
+        for ci in range(c):
+            tab = 0 if ci == 0 else 1
+            freq: dict[int, int] = {}
+            blocks_ac = []
+            for blk in comp_zz[ci]:
+                _pred, syms = _block_symbols(blk, 0)
+                ac = [x for x in syms if x[0] == 1]
+                blocks_ac.append(ac)
+                for _k, sym, _v, _n in ac:
+                    freq[sym] = freq.get(sym, 0) + 1
+            if not freq:
+                freq = {0x00: 1}  # degenerate: all blocks end at k=63
+            bits, vals = _optimal_huffman(freq)
+            enc = {sym: lc for lc, sym in _canonical_codes(bits, vals).items()}
+            out += seg(0xC4, bytes([0x10 | tab]) + bytes(bits) + bytes(vals))
+            out += seg(
+                0xDA, bytes([1, ci + 1, tab]) + b"\x01\x3f\x00"
+            )  # Ss=1 Se=63 AhAl=0
+            bw = _BitWriter()
+            for ac in blocks_ac:
+                for _k, sym, value, nbits in ac:
+                    length, code = enc[sym]
+                    bw.write(code, length)
+                    if nbits:
+                        bw.write(value, nbits)
+            out += bw.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
 
     # pass 1: symbol streams in emission order (restarts reset DC preds),
     # plus frequency counts (tables: luma=0, chroma=1)
@@ -872,18 +963,7 @@ def encode_jpeg(
                 bw.write(value, nbits)
     entropy += bw.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
-    out = bytearray(JPEG_MAGIC)
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qz[0]))
-    if c == 3:
-        out += seg(0xDB, bytes([0x01]) + bytes(int(x) for x in qz[1]))
-    sof = struct.pack(">BHHB", 8, h, w, c)
-    for ci in range(c):
-        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0 if ci == 0 else 1])
-    out += seg(0xC0, sof)
+    out = headers(0xC0)
     for tab in range(ntab):
         bits, vals = dc_spec[tab]
         out += seg(0xC4, bytes([tab]) + bytes(bits) + bytes(vals))

@@ -724,12 +724,20 @@ def _planted_cells(seed: int, tweak: int, *, rows: int = 8, cols: int = 9):
     return np.repeat(np.repeat(levels, 8, axis=0), 8, axis=1)[..., None]
 
 
-def planted_jpeg(seed: int, tweak: int, *, quality: int = 90) -> bytes:
+def planted_jpeg(
+    seed: int, tweak: int, *, quality: int = 90, progressive: bool = False
+) -> bytes:
     """Deterministic synthetic JPEG near-duplicate (same seed/tweak
-    semantics as :func:`planted_png`, via the JPEG-robust cell plant)."""
+    semantics as :func:`planted_png`, via the JPEG-robust cell plant);
+    ``progressive`` emits the SOF2 spectral-selection encoding of the
+    SAME coefficients, so both variants decode pixel-identically."""
     from outpost_spark.ops.jpeg import encode_jpeg
 
-    return encode_jpeg(_planted_cells(seed, tweak)[..., 0], quality=quality)
+    return encode_jpeg(
+        _planted_cells(seed, tweak)[..., 0],
+        quality=quality,
+        progressive=progressive,
+    )
 
 
 def planted_image_corpus(
@@ -746,17 +754,19 @@ def planted_image_corpus(
     bytes instead of an image (the corrupt-member tolerance probe).
     With ``jpeg_groups`` (default), every third group (gid % 3 == 2) is
     a MIXED-FORMAT group — the same cell-plant pixels encoded as PNG for
-    even ids and baseline JPEG for odd ids — so the perceptual dedup is
-    exercised ACROSS formats: a near-dup pair only surfaces if the JPEG
-    decode path produces the same fingerprint the PNG path does.
-    Generated executor-side in mapInPandas — nothing collects, the
-    corpus scales with the id table."""
+    even ids, sequential JPEG for ids = 1 mod 4, and PROGRESSIVE JPEG
+    (SOF2) for ids = 3 mod 4 — so the perceptual dedup is exercised
+    ACROSS formats and scan modes: a near-dup pair only surfaces if the
+    sequential AND progressive JPEG decode paths both produce the same
+    fingerprint the PNG path does.  Generated executor-side in
+    mapInPandas — nothing collects, the corpus scales with the id
+    table."""
 
     def member(i: int) -> bytes:
         gid, tweak = i // group, i % group
         if jpeg_groups and gid % 3 == 2:
             if i % 2:
-                return planted_jpeg(gid, tweak)
+                return planted_jpeg(gid, tweak, progressive=i % 4 == 3)
             return encode_png(_planted_cells(gid, tweak))
         return planted_png(gid, tweak)
 

@@ -329,6 +329,23 @@ def _expected_pairs(ids, group=4, corrupt_every=29):
     return want
 
 
+def test_corpus_contains_progressive_jpeg_members(spark):
+    """The mixed-format groups split JPEG members between sequential
+    (id=1 mod 4) and progressive SOF2 (id=3 mod 4), so the value-oracled
+    dedup/decode entries witness BOTH scan modes — pinned here so a
+    generator change can't silently drop the progressive slice."""
+    from outpost_spark.ops.jpeg import decode_jpeg_meta
+
+    ids = spark.range(8, 12).select(F.col("id").alias("doc_id"))  # gid 2
+    rows = {
+        r["id"]: bytes(r["content"])
+        for r in planted_image_corpus(ids, id_col="doc_id").collect()
+    }
+    assert rows[8][:8] == b"\x89PNG\r\n\x1a\n" and rows[10][:8] == rows[8][:8]
+    assert decode_jpeg_meta(rows[9])["progressive"] is False
+    assert decode_jpeg_meta(rows[11])["progressive"] is True
+
+
 def test_image_dhash_tolerates_corrupt_members(spark):
     ids = spark.range(0, 60).select(F.col("id").alias("doc_id"))
     imgs = planted_image_corpus(ids, id_col="doc_id")
