@@ -267,7 +267,22 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     runs — T.81 G.1.2) and one vectorized dequant+IDCT tail renders the
     final image.  Arithmetic-coded, 12-bit, lossless, and hierarchical
     streams raise ValueError.
+
+    Contract: EVERY undecodable blob raises ValueError.  Truncated or
+    bit-flipped streams can trip indexing/unpacking deep in the entropy
+    decoder; this wrapper normalizes those to ValueError so tolerant
+    per-row callers (resize/featurize stages) need only one except
+    clause.
     """
+    try:
+        return _decode_jpeg_stream(content)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, struct.error, ZeroDivisionError, OverflowError) as e:
+        raise ValueError(f"undecodable JPEG stream: {type(e).__name__}") from e
+
+
+def _decode_jpeg_stream(content: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}  # id -> 64 values in ZIGZAG order
     htables: dict[tuple[int, int], dict] = {}  # (class, id) -> code table
     frame = None  # (h, w, ncomp, mcus_x, mcus_y)
@@ -304,12 +319,15 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             off = 6
             for _ in range(ncomp):
                 cid, hv, tq = payload[off], payload[off + 1], payload[off + 2]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+                ch, cv = hv >> 4, hv & 15
+                # each factor must be 1..4 individually (T.81 B.2.2); a
+                # zero factor would divide-by-zero at the upsample step
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError("invalid sampling factors")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
                 off += 3
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
-            if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
-                raise ValueError("invalid sampling factors")
             mcus_x = -(-w // (8 * hmax))
             mcus_y = -(-h // (8 * vmax))
             coefs = []
@@ -324,9 +342,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 c["cbw"] = -(-comp_w // 8)
                 c["cbh"] = -(-comp_h // 8)
                 padded += c["bw"] * c["bh"] * 64
-            if padded > _MAX_RAW_BYTES:
-                # decompression-bomb guard: crafted dims cannot allocate
-                # unbounded coefficient grids
+            if padded * 4 > _MAX_RAW_BYTES:
+                # decompression-bomb guard in BYTES: the coefficient grids
+                # are int32 (4 bytes/slot) and are the largest persistent
+                # allocation; the float64 IDCT/color tails are chunked
+                # below so they never exceed a fixed transient
                 raise ValueError("image exceeds the decode size ceiling")
             for c in comps:
                 coefs.append(np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32))
@@ -397,13 +417,23 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     for ci, c in enumerate(comps):
         if c["tq"] not in qtables:
             raise ValueError("JPEG references an undefined DQT table")
-        zz = coefs[ci].astype(np.float64) * qtables[c["tq"]].astype(np.float64)
-        nat = np.zeros_like(zz)
-        nat[:, _ZIGZAG] = zz
-        nat = nat.reshape(-1, 8, 8)
-        # IDCT: A.T @ coefs @ A across every block at once
-        spatial = np.einsum("ij,njk,kl->nil", _DCT_A.T, nat, _DCT_A)
-        px = np.clip(np.round(spatial) + 128.0, 0, 255).astype(np.uint8)
+        q = qtables[c["tq"]].astype(np.float64)
+        grid = coefs[ci]
+        # dequant + dezigzag + IDCT in fixed-size block chunks so the
+        # float64 intermediates stay ~100 MB regardless of image size
+        # (the size-ceiling guard above is stated in coefficient BYTES)
+        px = np.empty((grid.shape[0], 8, 8), dtype=np.uint8)
+        step = 1 << 16
+        for s in range(0, grid.shape[0], step):
+            zz = grid[s : s + step].astype(np.float64) * q
+            nat = np.zeros_like(zz)
+            nat[:, _ZIGZAG] = zz
+            nat = nat.reshape(-1, 8, 8)
+            # IDCT: A.T @ coefs @ A across every block in the chunk
+            spatial = np.einsum("ij,njk,kl->nil", _DCT_A.T, nat, _DCT_A)
+            px[s : s + step] = np.clip(np.round(spatial) + 128.0, 0, 255).astype(
+                np.uint8
+            )
         bh, bw = c["bh"], c["bw"]
         plane = (
             px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
@@ -420,13 +450,21 @@ def decode_jpeg(content: bytes) -> np.ndarray:
 
     if ncomp == 1:
         return planes[0][..., None]
-    y = planes[0].astype(np.float64)
-    cb = planes[1].astype(np.float64) - 128.0
-    cr = planes[2].astype(np.float64) - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    # YCbCr -> RGB in row bands: keeps the float64 transient bounded by
+    # the band height rather than the full image
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    band = 1024
+    for s in range(0, h, band):
+        y = planes[0][s : s + band].astype(np.float64)
+        cb = planes[1][s : s + band].astype(np.float64) - 128.0
+        cr = planes[2][s : s + band].astype(np.float64) - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        out[s : s + band] = np.clip(
+            np.round(np.stack([r, g, b], axis=-1)), 0, 255
+        ).astype(np.uint8)
+    return out
 
 
 def _decode_scan(

@@ -4918,10 +4918,24 @@ _COST_RANK = [
 ]
 
 
+def _row_witnesses(name: str, row) -> bool:
+    """Does a driver correctness row count as witnessing the entry's FULL
+    current contract?  For oracle-backed entries only a green value
+    comparison (``hash_match: true``) counts — an old ``no_oracle``
+    rows-only row predates the oracle and must not keep the entry out of
+    the driver's sample window (VERDICT r11 task #1).  Entries without
+    an oracle are witnessed by any row (rows-only is their whole
+    contract), and a red/error row on them still counts: the driver saw
+    the entry, which is what rotation fairness needs."""
+    if _REGISTRY.get(name, (None, None))[1] is None:
+        return True
+    return isinstance(row, dict) and row.get("hash_match") is True
+
+
 def _witness_history() -> dict[str, int]:
     """name -> most recent round whose ``CORRECTNESS_r*.json`` has a driver
-    row for it (absent = never witnessed).  A red/error row still counts:
-    the driver saw the entry, which is what rotation fairness needs."""
+    row that witnesses the entry per :func:`_row_witnesses` (absent =
+    never witnessed at its current contract)."""
     import glob
     import json as _json
     import re
@@ -4940,8 +4954,9 @@ def _witness_history() -> dict[str, int]:
         if not isinstance(data, dict):
             continue
         rnd = int(m.group(1))
-        for name in data:
-            hist[name] = max(hist.get(name, 0), rnd)
+        for name, row in data.items():
+            if _row_witnesses(name, row):
+                hist[name] = max(hist.get(name, 0), rnd)
     return hist
 
 

@@ -34,17 +34,24 @@ def _latest_correctness():
 
 
 def test_stale_entries_lead_the_emit_order():
-    """Every registered entry with no row in the LATEST correctness file
-    sorts before every entry that has one (so the driver's next run
-    witnesses all currently-stale entries while the stale count fits its
-    row budget)."""
+    """Every registered entry with no WITNESSING row in the LATEST
+    correctness file sorts before every entry that has one (so the
+    driver's next run witnesses all currently-stale entries while the
+    stale count fits its row budget).  Witnessing follows
+    ``_row_witnesses``: an oracle-backed entry is only witnessed by a
+    green value comparison, so entries whose oracle postdates their last
+    driver row resurface immediately."""
     rnd, latest = _latest_correctness()
     if latest is None:
         return  # round 1: no correctness artifact yet — nothing to rotate on
     order = queries_catalog._emit_order()
     assert set(order) == set(queries_catalog._REGISTRY)
-    witnessed_latest = {n for n in order if n in latest}
-    stale = [n for n in order if n not in latest]
+    witnessed_latest = {
+        n
+        for n in order
+        if n in latest and queries_catalog._row_witnesses(n, latest[n])
+    }
+    stale = [n for n in order if n not in witnessed_latest]
     if not stale:
         return
     last_stale = max(order.index(n) for n in stale)

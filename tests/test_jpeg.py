@@ -132,6 +132,67 @@ def test_rejects_garbage_and_truncation():
         decode_jpeg_meta(good[:20])  # cut before SOF
 
 
+def test_undecodable_streams_raise_valueerror_only():
+    """decode_jpeg's contract: every undecodable blob raises ValueError —
+    internal IndexError/struct.error from truncated or bit-flipped
+    entropy data must not escape, because tolerant pipeline stages
+    (resize_images) catch ValueError specifically (ADVICE r11)."""
+    rng = np.random.RandomState(7)
+    src = _smooth_rgb(24, 25)
+    bases = [
+        encode_jpeg(src, quality=90),
+        encode_jpeg(src, quality=90, subsample=True),
+        encode_jpeg(src, quality=90, progressive=True),
+    ]
+    for base in bases:
+        for cut in range(4, len(base), 3):
+            try:
+                decode_jpeg(base[:cut])
+            except ValueError:
+                pass  # the only permitted exception type
+        for _ in range(120):
+            data = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                data[rng.randint(2, len(data))] = rng.randint(0, 256)
+            try:
+                decode_jpeg(bytes(data))
+            except ValueError:
+                pass
+
+
+def test_zero_sampling_factor_rejected():
+    """A per-component h or v of 0 must fail at SOF parse (T.81 B.2.2
+    bounds each factor to 1..4), not ZeroDivisionError at upsample
+    (ADVICE r11)."""
+    good = bytearray(encode_jpeg(_smooth_rgb(16, 16), quality=90, subsample=True))
+    i = good.find(b"\xff\xc0")
+    # SOF0 payload: len(2) prec(1) h(2) w(2) ncomp(1), then id/hv/tq per comp
+    hv0 = i + 2 + 2 + 1 + 4 + 1 + 1  # first component's hv byte
+    for bad_hv in (0x10, 0x01, 0x00, 0x50, 0x05):
+        mut = bytearray(good)
+        mut[hv0] = bad_hv
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(mut))
+
+
+def test_resize_stage_tolerates_corrupt_jpeg_members(spark):
+    """A truncated JPEG member must come back resize_ok=false, not fail
+    the Spark task (ADVICE r11 — the medium finding)."""
+    from outpost_spark.ops.multimodal import resize_images
+
+    good = encode_jpeg(_smooth_rgb(32, 24), quality=85)
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(good[: len(good) // 2])),  # truncated mid-entropy
+        (3, bytearray(b"\xff\xd8\xff\xdb\x00\x05junk")),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = {r["id"]: r for r in resize_images(df, scale=0.5).collect()}
+    assert out[1]["resize_ok"] is True and out[1]["out_width"] == 12
+    assert out[2]["resize_ok"] is False and out[2]["content"] is None
+    assert out[3]["resize_ok"] is False
+
+
 def test_rejects_malformed_progressive_and_exotic_sof():
     good = bytearray(encode_jpeg(_smooth_rgb(16, 16), quality=90))
     i = good.find(b"\xff\xc0")
