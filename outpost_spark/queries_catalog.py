@@ -1274,7 +1274,51 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     return out
 
 
-@_register("dedup_minhash_lsh_pairs_fast", None)
+# The numpy hash family is not reproducible in DuckDB, but everything
+# DOWNSTREAM of it is SQL: the Spark entry persists the (doc_id, distinct
+# gram hashes, minhash signature) frame to a parquet fixture and both
+# engines consume THAT — the oracle re-derives the 4x4 band buckets, the
+# >=5-matching-lane signature-estimate prefilter, and the exact-Jaccard
+# verify from the fixture, so only the hash function itself stays
+# pytest-pinned (tests/test_ops.py pins pair-set equality with the md5
+# oracle path on planted and real corpora).  Same graduation trick as
+# the image-dedup entries (VERDICT r11 task #4).
+_MINHASH_FAST_FIXTURE_DIR = os.path.join(
+    os.environ.get("OUTPOST_SPARK_ORACLE_FIXTURES", "/tmp/outpost_spark_oracle_fix"),
+    "minhash_fast_sigs",
+)
+
+_MINHASH_FAST_SQL = f"""
+    WITH fp AS (
+      SELECT doc_id, __grams AS g, minhash
+      FROM read_parquet('{_MINHASH_FAST_FIXTURE_DIR}/*.parquet')
+      WHERE len(__grams) > 0
+    ),
+    cands AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM fp l JOIN fp r ON l.doc_id < r.doc_id AND (
+           l.minhash[1:4]   = r.minhash[1:4]
+        OR l.minhash[5:8]   = r.minhash[5:8]
+        OR l.minhash[9:12]  = r.minhash[9:12]
+        OR l.minhash[13:16] = r.minhash[13:16])
+      WHERE len(list_filter(range(1, 17), i -> l.minhash[i] = r.minhash[i])) >= 5
+    )
+    SELECT id_a, id_b,
+           round(CASE WHEN len(list_distinct(list_concat(ga.g, gb.g))) > 0
+                 THEN len(list_intersect(ga.g, gb.g)) * 1.0
+                      / len(list_distinct(list_concat(ga.g, gb.g)))
+                 ELSE 0.0 END, 6) AS jaccard
+    FROM cands
+    JOIN fp ga ON ga.doc_id = cands.id_a
+    JOIN fp gb ON gb.doc_id = cands.id_b
+    WHERE CASE WHEN len(list_distinct(list_concat(ga.g, gb.g))) > 0
+          THEN len(list_intersect(ga.g, gb.g)) * 1.0
+               / len(list_distinct(list_concat(ga.g, gb.g)))
+          ELSE 0.0 END >= 0.7
+"""
+
+
+@_register("dedup_minhash_lsh_pairs_fast", _MINHASH_FAST_SQL)
 def dedup_minhash_lsh_pairs_fast(spark, sf_dir):
     """MinHash+LSH near-dup pairs on the Arrow-batched numpy signature
     stage — the production path.
@@ -1284,25 +1328,36 @@ def dedup_minhash_lsh_pairs_fast(spark, sf_dir):
     vectorized numpy pass with independent per-lane avalanche and a
     signature-estimate prefilter before the gram-array verify join
     (ops/dedup.py:minhash_grams_and_signature_numpy — 2.2x faster than
-    the xxhash64 Column path at 1M docs, measured).  No SQL oracle —
-    the hash family is not reproducible in DuckDB — so this entry is
-    rows-only; pair-SET equality with the md5 oracle path is pinned by
-    pytest (tests/test_ops.py) on planted and real corpora.
+    the xxhash64 Column path at 1M docs, measured).  The signature frame
+    persists to a parquet fixture both engines consume: the DuckDB
+    oracle re-derives banding + prefilter + exact Jaccard from it, so
+    the full candidate/verify pipeline is value-oracled and only the
+    numpy hash family stays pytest-pinned.
     """
-    from outpost_spark.ops.dedup import minhash_dedup_pairs
+    from outpost_spark.ops.dedup import (
+        minhash_grams_and_signature_numpy,
+        minhash_pairs_from_signatures,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(
-        docs,
+    hashed = minhash_grams_and_signature_numpy(
+        docs.select("doc_id", "text"),
         "doc_id",
         "text",
         num_hashes=16,
+        shingle_len=5,
+    )
+    hashed.write.mode("overwrite").parquet(_MINHASH_FAST_FIXTURE_DIR)
+    back = spark.read.parquet(_MINHASH_FAST_FIXTURE_DIR)
+    # the fixture IS the materialization — no further checkpoints needed
+    return minhash_pairs_from_signatures(
+        back,
+        "doc_id",
+        num_hashes=16,
         bands=4,
         rows_per_band=4,
-        shingle_len=5,
-        verify_ngram=5,
         threshold=0.7,
-        hash_fn="numpy",
+        materialize=False,
     )
 
 
@@ -2890,25 +2945,49 @@ def sample_token_budget_bpe(spark, sf_dir):
     return sample_by_token_budget(weighted, "doc_id", "n_bpe_tokens", 30000)
 
 
-@_register("sample_token_budget_bpe_exact", None)
+# A real tokenizer can't run in SQL, but the budget prefix downstream of
+# it is pure SQL: the Spark entry persists the per-doc exact token
+# counts from the in-tree BPE encoder to a parquet fixture and the
+# oracle re-derives the hash-ordered cumulative-budget window over it —
+# only the encoder itself stays pytest-pinned (tests/test_bpe.py:
+# frozen-fixture encodes + round-trip decode).  Same graduation trick
+# as the image-dedup entries (VERDICT r11 task #5).
+_BPE_EXACT_FIXTURE_DIR = os.path.join(
+    os.environ.get("OUTPOST_SPARK_ORACLE_FIXTURES", "/tmp/outpost_spark_oracle_fix"),
+    "bpe_exact_counts",
+)
+
+_BPE_EXACT_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, n_exact_tokens,
+             CAST(('0x' || substr(md5('budget|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS k
+      FROM read_parquet('{_BPE_EXACT_FIXTURE_DIR}/*.parquet')
+    )
+    SELECT doc_id, n_exact_tokens
+    FROM (SELECT doc_id, n_exact_tokens,
+                 sum(n_exact_tokens) OVER (ORDER BY k, doc_id) AS c FROM t) z
+    WHERE c <= 30000
+"""
+
+
+@_register("sample_token_budget_bpe_exact", _BPE_EXACT_SQL)
 def sample_token_budget_bpe_exact(spark, sf_dir):
     """The EXACT-mode twin of sample_token_budget_bpe: weights come
     from the in-tree pure-Python byte-level BPE (ops/bpe.py, frozen
     trained vocabulary) through exact_token_counts' Arrow-batched UDF,
-    then the same bucketed no-global-sort budget prefix.  A real
-    tokenizer can't run in SQL, so this entry is ``no_oracle`` — its
-    correctness is pinned in pytest instead (tests/test_bpe.py): the
-    encoder against frozen fixtures + round-trip decode, and the kept
-    set against a DuckDB cumulative-window oracle fed the SAME
-    Python-computed weights (cross-engine check of everything but the
-    encoder itself)."""
+    then the same bucketed no-global-sort budget prefix.  The weighted
+    frame persists to a parquet fixture both engines consume: the
+    DuckDB oracle recomputes the hash-ordered cumulative-budget prefix
+    over it, so everything but the encoder is value-oracled (the
+    encoder is pinned by tests/test_bpe.py's frozen fixtures)."""
     from outpost_spark.ops.sampling import sample_by_token_budget
     from outpost_spark.ops.text import exact_token_counts
 
     docs = _t(spark, sf_dir, "documents")
-    weighted = exact_token_counts(
+    exact_token_counts(
         docs, "text", "doc_id", out_col="n_exact_tokens"
-    )
+    ).write.mode("overwrite").parquet(_BPE_EXACT_FIXTURE_DIR)
+    weighted = spark.read.parquet(_BPE_EXACT_FIXTURE_DIR)
     return sample_by_token_budget(weighted, "doc_id", "n_exact_tokens", 30000)
 
 
