@@ -248,7 +248,10 @@ class AlertStateTable(VersionedStateTable):
     shuffles are on (tenant_id, destination_id) — state merge, windows,
     and the final aggregate all co-locate per key; per-key state is one
     row with an id array capped at MAX_TRACKED_ATTEMPT_IDS, no Python
-    anywhere in the plan.
+    anywhere in the plan.  For batches where one destination takes a
+    pathological share of rows (the whole-key ordered windows would
+    serialize that key in one task), ``order_buckets=N`` switches the
+    fold to the two-pass hot-key carry — see :meth:`apply_attempts`.
     """
 
     aux_outputs = ("signals",)
@@ -261,6 +264,7 @@ class AlertStateTable(VersionedStateTable):
         machine: AlertStateMachine | None = None,
         keep_versions: int = 3,
         ttl_seconds: float = 24 * 3600.0,
+        order_buckets: int | None = None,
     ):
         super().__init__(
             spark,
@@ -270,9 +274,15 @@ class AlertStateTable(VersionedStateTable):
         )
         self.machine = machine or AlertStateMachine()
         self.ttl_seconds = ttl_seconds
+        self.order_buckets = order_buckets
 
     def apply_attempts(
-        self, batch_df, batch_id: int, now: float, order_cols=("seq",)
+        self,
+        batch_df,
+        batch_id: int,
+        now: float,
+        order_cols=("seq",),
+        order_buckets: int | None = None,
     ):
         """One micro-batch of attempt rows -> emitted alert-signal frame.
 
@@ -280,10 +290,26 @@ class AlertStateTable(VersionedStateTable):
         status, attempt_number, eligible_for_retry) plus the
         ``order_cols`` that define each key's fold order (attempt_time,
         a source offset, ...); ties break on attempt_id.  Returns the
-        ALERT_OUTPUT_SCHEMA frame of signals emitted by this batch."""
+        ALERT_OUTPUT_SCHEMA frame of signals emitted by this batch.
+
+        ``order_buckets`` selects the hot-key carry (same two-pass trick
+        as :func:`ops.joins.asof_join`'s ``bucket_seconds``): the
+        single-pass plan folds each key's batch slice in ONE ordered
+        window task, so a destination taking millions of rows in one
+        batch serializes — the skew AQE splits for joins but not for
+        windows.  With N buckets set, the first order column's per-key
+        range splits into N order-aligned sub-partitions; the running
+        success count and per-segment new-failure count fold within
+        (key, bucket) — per-task work bounded by rows-per-bucket — and
+        cross-bucket offsets carry over ONE summary row per touched
+        bucket (a per-key window over at most N rows).  The first order
+        column must be numeric or timestamp.  Signals and state are
+        identical in both modes (pinned by a 90%-hot-key pytest)."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
+        if order_buckets is None:
+            order_buckets = self.order_buckets
         m = self.machine
         key = ["tenant_id", "destination_id"]
         ords = [F.col(c) for c in order_cols] + [F.col("attempt_id")]
@@ -310,18 +336,68 @@ class AlertStateTable(VersionedStateTable):
             on=key,
             how="left",
         )
-        w_key = Window.partitionBy(*key).orderBy(*ords)
         b = b.withColumn("is_fail", F.col("status") != F.lit("success"))
-        b = b.withColumn(
-            "seg",
-            F.sum(F.when(~F.col("is_fail"), 1).otherwise(0)).over(
-                w_key.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        # S = the key's final segment (total successes in the batch)
-        b = b.withColumn("S", F.max("seg").over(Window.partitionBy(*key)))
+        is_succ = F.when(~F.col("is_fail"), 1).otherwise(0)
+        if order_buckets:
+            # pass 1 setup: order-aligned range buckets of the FIRST
+            # order col, per key — monotone in the fold order, so a
+            # bucket boundary never splits an order tie
+            ord0 = F.col(order_cols[0]).cast("double")
+            rng = b.groupBy(*key).agg(
+                F.min(ord0).alias("__mn"), F.max(ord0).alias("__mx")
+            )
+            b = b.join(rng, on=key, how="left")
+            width = (F.col("__mx") - F.col("__mn")) / F.lit(float(order_buckets))
+            b = b.withColumn(
+                "__bkt",
+                F.when(F.col("__mx") <= F.col("__mn"), F.lit(0))
+                .otherwise(
+                    F.least(
+                        F.floor((ord0 - F.col("__mn")) / width),
+                        F.lit(order_buckets - 1),
+                    )
+                )
+                .cast("int"),
+            ).drop("__mn", "__mx")
+            w_bkt = Window.partitionBy(*key, "__bkt").orderBy(*ords)
+            b = b.withColumn(
+                "__lsucc",
+                F.sum(is_succ).over(
+                    w_bkt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            # pass 2: carry success offsets over ONE summary row per
+            # touched bucket — the per-key windows below run over at
+            # most ``order_buckets`` rows
+            bsum = b.groupBy(*key, "__bkt").agg(F.sum(is_succ).alias("__bsucc"))
+            w_carry = Window.partitionBy(*key).orderBy("__bkt")
+            bsum = bsum.select(
+                *key,
+                "__bkt",
+                F.coalesce(
+                    F.sum("__bsucc").over(
+                        w_carry.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ).alias("__psucc"),
+                F.sum("__bsucc").over(Window.partitionBy(*key)).alias("S"),
+            )
+            b = b.join(bsum, on=[*key, "__bkt"], how="left")
+            b = b.withColumn("seg", F.col("__psucc") + F.col("__lsucc"))
+        else:
+            w_key = Window.partitionBy(*key).orderBy(*ords)
+            b = b.withColumn(
+                "seg",
+                F.sum(is_succ).over(
+                    w_key.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            # S = the key's final segment (total successes in the batch)
+            b = b.withColumn("S", F.max("seg").over(Window.partitionBy(*key)))
 
         fails = b.where("is_fail")
+        # dedup groups are (key, seg, attempt_id) — bounded by the dup
+        # count of one id in one segment, skew-free in both modes
         w_dup = Window.partitionBy(*key, "seg", "attempt_id").orderBy(*ords)
         carried = F.coalesce(F.size("st_ids"), F.lit(0))
         fails = (
@@ -339,19 +415,54 @@ class AlertStateTable(VersionedStateTable):
             )
         )
         if m.consecutive_failure_enabled:
-            w_seg = (
-                Window.partitionBy(*key, "seg")
-                .orderBy(*ords)
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            )
-            cf_count = F.least(
-                F.when(F.col("seg") == 0, carried).otherwise(F.lit(0))
-                + F.sum(F.col("is_new").cast("int")).over(w_seg),
-                F.lit(MAX_TRACKED_ATTEMPT_IDS),
-            )
+            new_int = F.col("is_new").cast("int")
+            if order_buckets:
+                # per-segment running new-failure count, two-pass: fold
+                # within (key, seg, bucket), carry per-bucket totals
+                # with a window over summary rows (<= order_buckets per
+                # (key, seg))
+                segsum = fails.groupBy(*key, "seg", "__bkt").agg(
+                    F.sum(new_int).alias("__bnew")
+                )
+                w_segcarry = Window.partitionBy(*key, "seg").orderBy("__bkt")
+                segsum = segsum.select(
+                    *key,
+                    "seg",
+                    "__bkt",
+                    F.coalesce(
+                        F.sum("__bnew").over(
+                            w_segcarry.rowsBetween(Window.unboundedPreceding, -1)
+                        ),
+                        F.lit(0),
+                    ).alias("__pnew"),
+                )
+                fails = fails.join(segsum, on=[*key, "seg", "__bkt"], how="left")
+                w_seg_b = (
+                    Window.partitionBy(*key, "seg", "__bkt")
+                    .orderBy(*ords)
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                cf_rank = (
+                    F.when(F.col("seg") == 0, carried).otherwise(F.lit(0))
+                    + F.col("__pnew")
+                    + F.sum(new_int).over(w_seg_b)
+                )
+            else:
+                w_seg = (
+                    Window.partitionBy(*key, "seg")
+                    .orderBy(*ords)
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                cf_rank = F.when(F.col("seg") == 0, carried).otherwise(
+                    F.lit(0)
+                ) + F.sum(new_int).over(w_seg)
+            cf_count = F.least(cf_rank, F.lit(MAX_TRACKED_ATTEMPT_IDS))
         else:
+            cf_rank = carried
             cf_count = carried  # the set never mutates when disabled
-        fails = fails.withColumn("cf_count", cf_count)
+        fails = fails.withColumn("cf_rank", cf_rank).withColumn(
+            "cf_count", cf_count
+        )
 
         # should_alert as a when-chain in the SAME order as the Python
         # loop: descending failure count, 100% with >=, others exact
@@ -400,19 +511,33 @@ class AlertStateTable(VersionedStateTable):
                 & (F.col("attempt_number") > F.lit(m.retry_max_limit))
             )
             if m.exhausted_window_seconds > 0:
-                w_ex = Window.partitionBy(*key).orderBy(*ords)
-                ex_rows = ex_rows.withColumn(
-                    "rn_ex", F.row_number().over(w_ex)
-                ).where(
-                    (F.col("rn_ex") == 1)
-                    & (
-                        F.col("st_last_ex").isNull()
-                        | (
-                            F.lit(float(now)) - F.col("st_last_ex")
-                            >= F.lit(m.exhausted_window_seconds)
-                        )
-                    )
+                not_suppressed = F.col("st_last_ex").isNull() | (
+                    F.lit(float(now)) - F.col("st_last_ex")
+                    >= F.lit(m.exhausted_window_seconds)
                 )
+                sort_struct = F.struct(
+                    *[F.col(c) for c in order_cols], F.col("attempt_id")
+                )
+                if order_buckets:
+                    # first-ex-row per key via a partial-aggregable min,
+                    # not a whole-key ordered window; rows tying on the
+                    # full sort key are exact duplicates (same attempt,
+                    # same count), so any one representative is the row
+                    firsts = ex_rows.groupBy(*key).agg(
+                        F.min(sort_struct).alias("__first")
+                    )
+                    ex_rows = (
+                        ex_rows.join(firsts, on=key)
+                        .where(sort_struct == F.col("__first"))
+                        .dropDuplicates(key)
+                        .where(not_suppressed)
+                        .drop("__first")
+                    )
+                else:
+                    w_ex = Window.partitionBy(*key).orderBy(*ords)
+                    ex_rows = ex_rows.withColumn(
+                        "rn_ex", F.row_number().over(w_ex)
+                    ).where((F.col("rn_ex") == 1) & not_suppressed)
             parts.append(
                 ex_rows.withColumn(
                     "signal", F.lit("alert.attempt.exhausted_retries")
@@ -429,9 +554,16 @@ class AlertStateTable(VersionedStateTable):
         )
 
         # ---- new state per key -------------------------------------------
-        # ids of the final segment in fold order (idempotent adds only)
+        # ids of the final segment in fold order (idempotent adds only);
+        # the cf_rank cap bounds the collect_list to MAX_TRACKED even
+        # when a hot key's final segment holds millions of new failures
+        # (the sequential machine stops adding at exactly that rank)
         last_ids = (
-            fails.where((F.col("seg") == F.col("S")) & F.col("is_new"))
+            fails.where(
+                (F.col("seg") == F.col("S"))
+                & F.col("is_new")
+                & (F.col("cf_rank") <= F.lit(MAX_TRACKED_ATTEMPT_IDS))
+            )
             .groupBy(*key)
             .agg(
                 F.transform(

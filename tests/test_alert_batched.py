@@ -226,18 +226,23 @@ def _spec_apply(machine, state, rows, now):
 
 
 @pytest.mark.parametrize("window", [0.0, 45.0])
-def test_parity_with_state_machine_randomized(spark, tmp_path, window):
+@pytest.mark.parametrize("order_buckets", [None, 4])
+def test_parity_with_state_machine_randomized(spark, tmp_path, window, order_buckets):
     """Randomized multi-batch parity against the sequential machine:
     identical signal multisets after every batch and identical carried
     id-sets, across successes, replayed attempt ids, exhausted retries,
-    and (parametrized) the suppression window."""
+    and (parametrized) the suppression window — in BOTH fold modes
+    (single-pass whole-key window and the two-pass order-bucketed
+    hot-key carry)."""
     rng = random.Random(7 if window else 11)
     m = AlertStateMachine(
         auto_disable_failure_count=5,
         retry_max_limit=6,
         exhausted_window_seconds=window,
     )
-    table = AlertStateTable(spark, str(tmp_path / "par"), machine=m)
+    table = AlertStateTable(
+        spark, str(tmp_path / "par"), machine=m, order_buckets=order_buckets
+    )
     keys = [(f"t{i % 2}", f"d{i}") for i in range(6)]
     spec_state: dict = {}
     now = 0.0
@@ -267,6 +272,53 @@ def test_parity_with_state_machine_randomized(spark, tmp_path, window):
                 assert st[k]["last_exhausted"] is None
             else:
                 assert st[k]["last_exhausted"] == pytest.approx(last_ex)
+
+
+@pytest.mark.parametrize("window", [0.0, 45.0])
+def test_bucketed_fold_matches_single_pass_hot_key(spark, tmp_path, window):
+    """The L49 hot-key pattern: ~90% of every batch's rows hit ONE
+    destination.  The single-pass plan folds that key's slice in one
+    ordered-window task; order_buckets=8 splits it into 8 order-aligned
+    sub-partitions and carries segment/count boundaries over bucket
+    summary rows.  Both modes must emit the identical signal multiset
+    and carry identical state (ids in identical fold order), across
+    batches with successes, in-batch AND cross-batch replays, exhausted
+    retries, and (parametrized) the suppression window."""
+    rng = random.Random(99 if window else 101)
+    m = AlertStateMachine(
+        auto_disable_failure_count=6,
+        retry_max_limit=4,
+        exhausted_window_seconds=window,
+    )
+    t_single = AlertStateTable(spark, str(tmp_path / "single"), machine=m)
+    t_bucket = AlertStateTable(
+        spark, str(tmp_path / "bucket"), machine=m, order_buckets=8
+    )
+    hot = ("t0", "dHOT")
+    cold = [(f"t{i % 3}", f"d{i}") for i in range(5)]
+    now, used = 0.0, []
+    for batch_id in range(1, 5):
+        now += rng.choice([5.0, 30.0, 60.0])
+        rows = []
+        for seq in range(400):
+            t, d = hot if rng.random() < 0.9 else rng.choice(cold)
+            if used and rng.random() < 0.15:  # replays, incl. cross-batch
+                aid = rng.choice(used)
+            else:
+                aid = f"a{batch_id}_{seq}"
+                used.append(aid)
+            status = "success" if rng.random() < 0.1 else "failed"
+            rows.append(row(t, d, aid, status, seq, n=rng.randint(1, 6)))
+        df = _df(spark, rows)
+        got_s = _signals(t_single.apply_attempts(df, batch_id, now=now))
+        got_b = _signals(t_bucket.apply_attempts(df, batch_id, now=now))
+        assert got_b == got_s, f"batch {batch_id} (window={window})"
+        st_s = _state(t_single, batch_id + 1)
+        st_b = _state(t_bucket, batch_id + 1)
+        assert set(st_b) == set(st_s)
+        for k in st_s:
+            assert st_b[k]["ids"] == st_s[k]["ids"], k
+            assert st_b[k]["last_exhausted"] == st_s[k]["last_exhausted"], k
 
 
 def test_streaming_disable_feedback_stops_routing(spark, tmp_path):
