@@ -18,7 +18,9 @@ pixel pass additionally covers palette expansion, 16-bit downsample,
 1/2/4-bit greyscale and palette samples, and Adam7 interlace),
 JPEG via ``ops/jpeg.py`` (sequential AND progressive
 Huffman, any h/v chroma sampling, restart markers — the dominant format
-of real crawl corpora), and WAV via the ``wave`` module (sample rate,
+of real crawl corpora), GIF via ``ops/gif.py`` (87a/89a, LZW,
+global/local palettes, interlace, transparency — the third crawl
+staple), and WAV via the ``wave`` module (sample rate,
 channels, duration, RMS for 16-bit PCM).  Formats needing external
 codec libraries (MP3, video, arithmetic-coded JPEG) raise ``ValueError``
 like any other undecodable blob;
@@ -57,6 +59,7 @@ FEATURE_SCHEMA = "id bigint, modality string, n_bytes bigint, checksum string, f
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _JPEG_MAGIC = b"\xff\xd8"
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 # Decompression-bomb ceiling for the pixel stage: the raw scanline buffer
@@ -78,8 +81,34 @@ def decode_image(content: bytes) -> dict:
     interlaced PNGs decode headers only (``mean_luminance`` None).
     JPEG: sequential and progressive Huffman (SOF0/SOF1/SOF2, any h/v
     chroma sampling, restart markers) via ``ops/jpeg.py``; arithmetic
-    streams decode headers only.  Any other input raises ``ValueError``.
+    streams decode headers only.  GIF (87a/89a, global/local palettes,
+    interlace, transparency) via ``ops/gif.py`` — first frame
+    composited on the logical screen, reported as 8-bit 3-channel.
+    Any other input raises ``ValueError``.
     """
+    if content[:6] in _GIF_MAGICS:
+        from outpost_spark.ops import gif as _gif
+
+        meta = _gif.decode_gif_meta(content)
+        out = {
+            "kind": "gif",
+            "width": meta["width"],
+            "height": meta["height"],
+            "bit_depth": 8,
+            "channels": 3,
+            "mean_luminance": None,
+        }
+        if meta["width"] * meta["height"] * 3 > _MAX_RAW_BYTES:
+            return out  # header-only: bomb guard
+        try:
+            px = _gif.decode_gif(content)
+        except ValueError:
+            return out  # corrupt pixel data: header-only
+        import numpy as np
+
+        lum = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        out["mean_luminance"] = float(lum.mean())
+        return out
     if content[:2] == _JPEG_MAGIC:
         from outpost_spark.ops import jpeg
 
@@ -548,23 +577,28 @@ def _png_pixels(content: bytes):
 
 
 def image_pixels(content: bytes):
-    """Full pixel decode of a PNG or baseline JPEG -> (h, w, c) uint8 —
+    """Full pixel decode of a PNG, JPEG, or GIF -> (h, w, c) uint8 —
     the shared dispatch behind resize_image and dhash_image.  Raises
-    ValueError for anything neither decoder fully decodes."""
+    ValueError for anything no decoder fully decodes."""
     if content[:2] == _JPEG_MAGIC:
         from outpost_spark.ops.jpeg import decode_jpeg
 
         return decode_jpeg(content)
+    if content[:6] in _GIF_MAGICS:
+        from outpost_spark.ops.gif import decode_gif
+
+        return decode_gif(content)
     return _png_pixels(content)
 
 
 def resize_image(content: bytes, scale: float) -> bytes:
-    """Nearest-neighbor resize of a PNG or baseline JPEG, re-encoded in
+    """Nearest-neighbor resize of a PNG, JPEG, or GIF, re-encoded in
     the INPUT's format (PNG in -> 8-bit PNG out; JPEG in -> 4:4:4 q90
-    JPEG out) — decode via the shared bounded pixel pass (PNG palette
-    expanded to RGB, 16-bit downsampled), index-sample, re-encode.
-    Raises ValueError for undecodable inputs and for images past the
-    bomb-guard ceiling."""
+    JPEG out; GIF in -> exact-palette GIF out, always <= 256 colors
+    since nearest-neighbor only samples the input palette) — decode via
+    the shared bounded pixel pass (PNG palette expanded to RGB, 16-bit
+    downsampled), index-sample, re-encode.  Raises ValueError for
+    undecodable inputs and for images past the bomb-guard ceiling."""
     import numpy as np
 
     px = image_pixels(content)
@@ -578,6 +612,10 @@ def resize_image(content: bytes, scale: float) -> bytes:
         from outpost_spark.ops.jpeg import encode_jpeg
 
         return encode_jpeg(out, quality=90)
+    if content[:6] in _GIF_MAGICS:
+        from outpost_spark.ops.gif import encode_gif
+
+        return encode_gif(out)
     return encode_png(out)
 
 
@@ -740,6 +778,16 @@ def planted_jpeg(
     )
 
 
+def planted_gif(seed: int, tweak: int, *, interlace: bool = False) -> bytes:
+    """Deterministic synthetic GIF near-duplicate (same seed/tweak
+    semantics as :func:`planted_jpeg`, via the same cell plant).  GIF
+    is lossless over the <= 14-level palette, so the dHash matches the
+    PNG twin EXACTLY; ``interlace`` writes the four-pass row order."""
+    from outpost_spark.ops.gif import encode_gif
+
+    return encode_gif(_planted_cells(seed, tweak)[..., 0], interlace=interlace)
+
+
 def planted_image_corpus(
     ids_df: DataFrame,
     *,
@@ -758,15 +806,22 @@ def planted_image_corpus(
     (SOF2) for ids = 3 mod 4 — so the perceptual dedup is exercised
     ACROSS formats and scan modes: a near-dup pair only surfaces if the
     sequential AND progressive JPEG decode paths both produce the same
-    fingerprint the PNG path does.  Generated executor-side in
-    mapInPandas — nothing collects, the corpus scales with the id
-    table."""
+    fingerprint the PNG path does.  Groups with gid % 3 == 1 are the
+    GIF twins (round 12): the same cell-plant pixels as PNG for even
+    ids, GIF for odd ids (INTERLACED for ids = 3 mod 4), so the decode /
+    resize / dedup chain witnesses all three crawl formats.  Generated
+    executor-side in mapInPandas — nothing collects, the corpus scales
+    with the id table."""
 
     def member(i: int) -> bytes:
         gid, tweak = i // group, i % group
         if jpeg_groups and gid % 3 == 2:
             if i % 2:
                 return planted_jpeg(gid, tweak, progressive=i % 4 == 3)
+            return encode_png(_planted_cells(gid, tweak))
+        if jpeg_groups and gid % 3 == 1:
+            if i % 2:
+                return planted_gif(gid, tweak, interlace=i % 4 == 3)
             return encode_png(_planted_cells(gid, tweak))
         return planted_png(gid, tweak)
 

@@ -4183,27 +4183,32 @@ def dedup_image_survivors(spark, sf_dir):
            doc_id % 29 <> 0 AS decode_ok,
            CASE WHEN doc_id % 29 = 0 THEN NULL
                 WHEN (doc_id // 4) % 3 = 2 AND doc_id % 2 = 1 THEN 'jpeg'
+                WHEN (doc_id // 4) % 3 = 1 AND doc_id % 2 = 1 THEN 'gif'
                 ELSE 'png' END AS kind,
            CASE WHEN doc_id % 29 = 0 THEN NULL
-                WHEN (doc_id // 4) % 3 = 2 THEN 72 ELSE 18 END AS width,
+                WHEN (doc_id // 4) % 3 = 0 THEN 18 ELSE 72 END AS width,
            CASE WHEN doc_id % 29 = 0 THEN NULL
-                WHEN (doc_id // 4) % 3 = 2 THEN 64 ELSE 16 END AS height,
-           CASE WHEN doc_id % 29 = 0 THEN NULL ELSE 1 END AS channels,
+                WHEN (doc_id // 4) % 3 = 0 THEN 16 ELSE 64 END AS height,
+           CASE WHEN doc_id % 29 = 0 THEN NULL
+                WHEN (doc_id // 4) % 3 = 1 AND doc_id % 2 = 1 THEN 3
+                ELSE 1 END AS channels,
            CASE WHEN doc_id % 29 = 0 THEN NULL ELSE 8 END AS bit_depth
     FROM documents
     """,
 )
 def multimodal_decoded_planted(spark, sf_dir):
-    """REAL image decode, value-oracled end to end (round 11): the
-    planted image corpus (PNG noise groups, mixed PNG/JPEG cell groups,
-    junk members — ops/multimodal.py::planted_image_corpus) runs through
-    the REAL stdlib PNG + baseline-JPEG decoders distributed in
-    mapInPandas, and the oracle derives the expected metadata
-    ANALYTICALLY from the generator's id arithmetic (format, dims,
-    channels, corrupt-member tolerance) — DuckDB cannot decode the
-    bytes, but it can prove the decoder reported exactly the right
-    metadata for every planted member, INCLUDING the JPEG ones.  Pixel
-    values/luminance stay pytest-pinned (tests/test_jpeg.py,
+    """REAL image decode, value-oracled end to end (round 11; GIF
+    groups added round 12): the planted image corpus (PNG noise groups,
+    mixed PNG/JPEG cell groups, mixed PNG/GIF cell groups incl.
+    interlaced GIF, junk members —
+    ops/multimodal.py::planted_image_corpus) runs through the REAL
+    stdlib PNG + JPEG + GIF decoders distributed in mapInPandas, and
+    the oracle derives the expected metadata ANALYTICALLY from the
+    generator's id arithmetic (format, dims, channels, corrupt-member
+    tolerance) — DuckDB cannot decode the bytes, but it can prove the
+    decoder reported exactly the right metadata for every planted
+    member, INCLUDING the JPEG and GIF ones.  Pixel values/luminance
+    stay pytest-pinned (tests/test_jpeg.py, tests/test_gif.py,
     tests/test_image_dedup.py)."""
     from outpost_spark.ops.multimodal import (
         extract_features_decoded,
@@ -4225,26 +4230,27 @@ def multimodal_decoded_planted(spark, sf_dir):
     SELECT doc_id AS id,
            doc_id % 29 <> 0 AS resize_ok,
            CASE WHEN doc_id % 29 = 0 THEN NULL
-                WHEN (doc_id // 4) % 3 = 2 THEN 72 ELSE 18 END AS width,
+                WHEN (doc_id // 4) % 3 = 0 THEN 18 ELSE 72 END AS width,
            CASE WHEN doc_id % 29 = 0 THEN NULL
-                WHEN (doc_id // 4) % 3 = 2 THEN 64 ELSE 16 END AS height,
+                WHEN (doc_id // 4) % 3 = 0 THEN 16 ELSE 64 END AS height,
            CASE WHEN doc_id % 29 = 0 THEN NULL
-                WHEN (doc_id // 4) % 3 = 2 THEN 36 ELSE 9 END AS out_width,
+                WHEN (doc_id // 4) % 3 = 0 THEN 9 ELSE 36 END AS out_width,
            CASE WHEN doc_id % 29 = 0 THEN NULL
-                WHEN (doc_id // 4) % 3 = 2 THEN 32 ELSE 8 END AS out_height
+                WHEN (doc_id // 4) % 3 = 0 THEN 8 ELSE 32 END AS out_height
     FROM documents
     """,
 )
 def multimodal_resize_planted(spark, sf_dir):
-    """REAL image resize, value-oracled end to end (round 11): the
-    planted corpus runs decode -> nearest-neighbor resize (scale 0.5)
-    -> re-encode IN THE INPUT'S FORMAT -> re-decode, distributed in
-    mapInPandas; the reported output dims come from re-decoding the
-    resized bytes, so a dim mismatch anywhere in the decode/encode
-    round-trip (PNG or JPEG) fails the hash.  The oracle derives every
-    expected dim analytically from the generator's id arithmetic; junk
-    members survive as resize_ok=false rows.  Pixel fidelity stays
-    pytest-pinned (tests/test_ops.py, tests/test_jpeg.py)."""
+    """REAL image resize, value-oracled end to end (round 11; GIF
+    round 12): the planted corpus runs decode -> nearest-neighbor
+    resize (scale 0.5) -> re-encode IN THE INPUT'S FORMAT -> re-decode,
+    distributed in mapInPandas; the reported output dims come from
+    re-decoding the resized bytes, so a dim mismatch anywhere in the
+    decode/encode round-trip (PNG, JPEG, or GIF) fails the hash.  The
+    oracle derives every expected dim analytically from the generator's
+    id arithmetic; junk members survive as resize_ok=false rows.  Pixel
+    fidelity stays pytest-pinned (tests/test_ops.py, tests/test_jpeg.py,
+    tests/test_gif.py)."""
     from outpost_spark.ops.multimodal import (
         planted_image_corpus,
         resize_images,

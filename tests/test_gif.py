@@ -1,0 +1,419 @@
+"""GIF codec (ops/gif.py): spec-derived LZW decode/encode, pinned by
+round-trips, feature coverage (interlace, local color tables,
+transparency, offset frames, multi-frame), cross-checks against an
+independent decoder (javax.imageio, when a JDK is present), malformed
+/ bomb rejection, and a mutation fuzz sweep mirroring test_jpeg.py's —
+plus the multimodal integration contract (decode_image / image_pixels /
+resize_image dispatch and the planted-corpus GIF groups)."""
+
+import shutil
+import struct
+import subprocess
+import zlib
+
+import numpy as np
+import pytest
+
+from outpost_spark.ops.gif import (
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    decode_gif_meta,
+    encode_gif,
+)
+
+
+def _cells(seed: int, h: int = 24, w: int = 33, levels: int = 9) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return (rng.randint(0, levels, (h, w)) * (255 // max(levels - 1, 1))).astype(
+        np.uint8
+    )
+
+
+# ── round-trips ──────────────────────────────────────────────────────────
+
+
+@pytest.mark.parametrize("interlace", [False, True], ids=["seq", "interlaced"])
+def test_grey_roundtrip_exact(interlace):
+    px = _cells(0, 37, 53, 14)
+    data = encode_gif(px, interlace=interlace)
+    meta = decode_gif_meta(data)
+    assert (meta["width"], meta["height"]) == (53, 37)
+    assert meta["interlaced"] is interlace and meta["n_frames"] == 1
+    out = decode_gif(data)
+    assert out.shape == (37, 53, 3)
+    assert (out == px[..., None]).all()  # grey -> equal RGB triples
+
+
+def test_rgb_roundtrip_exact():
+    rng = np.random.RandomState(3)
+    px = np.stack([(rng.randint(0, 6, (29, 41)) * 40).astype(np.uint8)
+                   for _ in range(3)], axis=2)
+    assert (decode_gif(encode_gif(px)) == px).all()
+
+
+def test_full_256_color_palette_roundtrip():
+    # exactly 256 distinct grey levels: the widest legal palette
+    px = np.tile(np.arange(256, dtype=np.uint8), (8, 1))
+    out = decode_gif(encode_gif(px))
+    assert (out[..., 0] == px).all()
+
+
+def test_more_than_256_colors_rejected():
+    px = np.zeros((16, 17, 3), dtype=np.uint8)
+    px[..., 0] = np.arange(16 * 17, dtype=np.uint16).reshape(16, 17) % 256
+    px[..., 1] = np.arange(16 * 17, dtype=np.uint16).reshape(16, 17) // 256
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(px)
+
+
+def test_single_pixel_and_two_color_images():
+    assert (decode_gif(encode_gif(np.array([[7]], dtype=np.uint8)))[0, 0]
+            == [7, 7, 7]).all()
+    bw = (np.indices((5, 9)).sum(0) % 2 * 255).astype(np.uint8)
+    assert (decode_gif(encode_gif(bw))[..., 1] == bw).all()
+
+
+def test_lzw_table_growth_and_reset():
+    """A stream long and diverse enough to march the code width to 12
+    bits and trip the 4096-entry CLEAR/reset cycle round-trips exactly."""
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 200, (300, 400)).astype(np.uint8)
+    assert (decode_gif(encode_gif(px))[..., 2] == px).all()
+
+
+def test_lzw_kwkwk_case():
+    """The classic LZW corner: a code referencing the entry being
+    defined (cScSc pattern) — decoder's code == len(table) branch."""
+    # aaaaaa... guarantees the pattern immediately
+    idx = np.zeros(64, dtype=np.uint8)
+    out = _lzw_decode(_lzw_encode(idx, 2), 2, 64)
+    assert bytes(out) == bytes(64)
+
+
+# ── spec features our encoder never emits (hand-built streams) ──────────
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def _hand_gif(
+    *,
+    screen=(6, 4),
+    bg=1,
+    gct=((0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)),
+    frames=(),
+    gce_transparent=None,
+    trailer=True,
+) -> bytes:
+    """Minimal hand-assembled GIF89a with full control over the blocks
+    (frame offsets, local palettes, transparency, multi-frame)."""
+    w, h = screen
+    bits = 1
+    while (1 << bits) < len(gct):
+        bits += 1
+    head = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), bg, 0)
+    pal = bytearray()
+    for r, g, b in gct:
+        pal += bytes((r, g, b))
+    pal += bytes(3 * ((1 << bits) - len(gct)))
+    body = bytearray()
+    for fi, (left, top, fw, fh, indices, interlace, lct) in enumerate(frames):
+        if gce_transparent is not None and fi == 0:
+            body += b"\x21\xf9\x04\x01\x00\x00" + bytes([gce_transparent, 0])
+        ipacked = (0x40 if interlace else 0) | (
+            0x80 | (bits - 1) if lct is not None else 0
+        )
+        body += b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, ipacked)
+        if lct is not None:
+            lpal = bytearray()
+            for r, g, b in lct:
+                lpal += bytes((r, g, b))
+            lpal += bytes(3 * ((1 << bits) - len(lct)))
+            body += lpal
+        mcs = max(bits, 2)
+        body += bytes([mcs]) + _sub_blocks(
+            _lzw_encode(np.asarray(indices, dtype=np.uint8), mcs)
+        )
+    return bytes(head + pal + body + (b"\x3b" if trailer else b""))
+
+
+def test_frame_offset_composites_on_background():
+    # 2x2 frame of color 2 at (1,1) on a 4x3 screen with bg color 1
+    data = _hand_gif(
+        screen=(4, 3), bg=1, frames=[(1, 1, 2, 2, [2, 2, 2, 2], False, None)]
+    )
+    px = decode_gif(data)
+    assert (px[0, 0] == [255, 0, 0]).all()  # background (color 1)
+    assert (px[1, 1] == [0, 255, 0]).all()  # frame (color 2)
+    assert (px[2, 2] == [0, 255, 0]).all()
+    assert (px[0, 3] == [255, 0, 0]).all()
+
+
+def test_transparency_shows_background():
+    data = _hand_gif(
+        screen=(2, 2),
+        bg=3,
+        frames=[(0, 0, 2, 2, [0, 2, 0, 2], False, None)],
+        gce_transparent=0,  # color 0 pixels become background (blue)
+    )
+    px = decode_gif(data)
+    assert (px[0, 0] == [0, 0, 255]).all()  # transparent -> bg
+    assert (px[0, 1] == [0, 255, 0]).all()  # opaque color 2
+
+
+def test_local_color_table_overrides_global():
+    lct = ((9, 9, 9), (10, 20, 30), (40, 50, 60), (70, 80, 90))
+    data = _hand_gif(frames=[(0, 0, 6, 4, [1] * 24, False, lct)])
+    px = decode_gif(data)
+    assert (px[0, 0] == [10, 20, 30]).all()
+
+
+def test_multi_frame_decodes_first_frame_only():
+    f0 = (0, 0, 6, 4, [2] * 24, False, None)
+    f1 = (0, 0, 6, 4, [3] * 24, False, None)
+    data = _hand_gif(frames=[f0, f1])
+    assert decode_gif_meta(data)["n_frames"] == 2
+    assert (decode_gif(data)[0, 0] == [0, 255, 0]).all()  # frame 0's color
+
+
+def test_gif87a_magic_accepted():
+    data = encode_gif(_cells(1))
+    data = b"GIF87a" + data[6:]
+    assert decode_gif_meta(data)["kind"] == "gif"
+    assert decode_gif(data).shape == (24, 33, 3)
+
+
+# ── malformed / hostile input ────────────────────────────────────────────
+
+
+def test_not_a_gif_raises():
+    for junk in (b"", b"GIF", b"GIF90a" + bytes(20), b"\x89PNG\r\n\x1a\n"):
+        with pytest.raises(ValueError):
+            decode_gif_meta(junk + bytes(16))
+        with pytest.raises(ValueError):
+            decode_gif(junk + bytes(16))
+
+
+def test_truncated_pixel_data_raises():
+    data = encode_gif(_cells(2))
+    with pytest.raises(ValueError, match="truncated|unterminated"):
+        decode_gif(data[: len(data) // 2])
+
+
+def test_zero_dims_and_no_image_data_raise():
+    with pytest.raises(ValueError, match="zero-dimension"):
+        decode_gif(b"GIF89a" + struct.pack("<HHBBB", 0, 5, 0, 0, 0) + b"\x3b")
+    with pytest.raises(ValueError, match="no image data"):
+        decode_gif(b"GIF89a" + struct.pack("<HHBBB", 3, 5, 0, 0, 0) + b"\x3b")
+
+
+def test_decompression_bomb_rejected_before_allocation():
+    """A crafted screen descriptor declaring ~4 gigapixels must be
+    rejected up front — no multi-GB ndarray may ever exist."""
+    data = bytearray(encode_gif(_cells(3)))
+    struct.pack_into("<HH", data, 6, 65535, 65535)
+    with pytest.raises(ValueError, match="ceiling"):
+        decode_gif(bytes(data))
+
+
+def test_lzw_output_capped_at_declared_pixels():
+    """An LZW stream expanding far past the frame's declared pixel count
+    stops at exactly that count (the in-stream bomb bound)."""
+    idx = np.zeros(100_000, dtype=np.uint8)
+    lzw = _lzw_encode(idx, 2)
+    out = _lzw_decode(lzw, 2, 50)
+    assert len(out) == 50
+
+
+def test_fuzz_mutations_never_crash_or_overallocate():
+    """240 single-byte mutations + 60 truncations of a valid GIF: every
+    outcome is a clean decode or ValueError — never IndexError /
+    struct.error / MemoryError / hang (the tolerant-stage contract)."""
+    base = encode_gif(_cells(5, 31, 47, 11), interlace=True)
+    rng = np.random.RandomState(42)
+    for trial in range(240):
+        data = bytearray(base)
+        pos = int(rng.randint(0, len(data)))
+        data[pos] = int(rng.randint(0, 256))
+        try:
+            decode_gif(bytes(data))
+        except ValueError:
+            pass
+    for trial in range(60):
+        cut = int(rng.randint(1, len(base)))
+        try:
+            decode_gif(base[:cut])
+        except ValueError:
+            pass
+
+
+def test_unknown_block_rejected_not_skipped_silently():
+    data = encode_gif(_cells(6))
+    # splice an unknown block type where the image descriptor sits
+    pos = data.index(b"\x2c")
+    broken = data[:pos] + b"\x7f" + data[pos + 1 :]
+    with pytest.raises(ValueError, match="unknown GIF block"):
+        decode_gif(broken)
+
+
+# ── independent decoder cross-check (javax.imageio via the JDK) ─────────
+
+
+def _java_decode(tmp_path, data: bytes):
+    src = tmp_path / "X.java"
+    src.write_text(
+        """
+import javax.imageio.ImageIO; import java.awt.image.BufferedImage; import java.io.*;
+public class X { public static void main(String[] a) throws Exception {
+  BufferedImage im = ImageIO.read(new File(a[0]));
+  DataOutputStream o = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(a[1])));
+  System.out.println(im.getWidth()+" "+im.getHeight());
+  for (int y=0;y<im.getHeight();y++) for (int x=0;x<im.getWidth();x++) {
+    int p = im.getRGB(x,y); o.writeByte((p>>16)&255); o.writeByte((p>>8)&255); o.writeByte(p&255);
+  } o.close(); } }
+"""
+    )
+    subprocess.run(["javac", str(src)], check=True, cwd=tmp_path, capture_output=True)
+    (tmp_path / "t.gif").write_bytes(data)
+    r = subprocess.run(
+        ["java", "X", "t.gif", "t.raw"], check=True, cwd=tmp_path,
+        capture_output=True, text=True,
+    )
+    w, h = map(int, r.stdout.split())
+    px = np.frombuffer((tmp_path / "t.raw").read_bytes(), dtype=np.uint8)
+    return px.reshape(h, w, 3)
+
+
+_no_jdk = shutil.which("javac") is None or shutil.which("java") is None
+
+
+@pytest.mark.skipif(_no_jdk, reason="no JDK available for the independent decoder")
+@pytest.mark.parametrize("interlace", [False, True], ids=["seq", "interlaced"])
+def test_encoder_accepted_by_independent_decoder(tmp_path, interlace):
+    """Spec compliance, not self-consistency: javax.imageio decodes our
+    stream to the EXACT pixels (GIF is lossless)."""
+    rng = np.random.RandomState(9)
+    px = np.stack([(rng.randint(0, 6, (29, 41)) * 40).astype(np.uint8)
+                   for _ in range(3)], axis=2)
+    theirs = _java_decode(tmp_path, encode_gif(px, interlace=interlace))
+    assert (theirs == px).all()
+
+
+@pytest.mark.skipif(_no_jdk, reason="no JDK available for the independent encoder")
+def test_decoder_reads_independent_encoder_output(tmp_path):
+    src = tmp_path / "WG.java"
+    src.write_text(
+        """
+import javax.imageio.ImageIO; import java.awt.image.BufferedImage; import java.io.*;
+public class WG { public static void main(String[] a) throws Exception {
+  int w=Integer.parseInt(a[1]), h=Integer.parseInt(a[2]);
+  DataInputStream in = new DataInputStream(new BufferedInputStream(new FileInputStream(a[0])));
+  BufferedImage im = new BufferedImage(w,h,BufferedImage.TYPE_INT_RGB);
+  for (int y=0;y<h;y++) for (int x=0;x<w;x++) {
+    int r=in.readUnsignedByte(), g=in.readUnsignedByte(), b=in.readUnsignedByte();
+    im.setRGB(x,y,(r<<16)|(g<<8)|b); }
+  ImageIO.write(im, "gif", new File(a[3])); } }
+"""
+    )
+    subprocess.run(["javac", str(src)], check=True, cwd=tmp_path, capture_output=True)
+    rng = np.random.RandomState(11)
+    px = np.stack([(rng.randint(0, 5, (23, 31)) * 50).astype(np.uint8)
+                   for _ in range(3)], axis=2)
+    (tmp_path / "s.raw").write_bytes(px.tobytes())
+    subprocess.run(
+        ["java", "WG", "s.raw", "31", "23", "j.gif"],
+        check=True, cwd=tmp_path, capture_output=True,
+    )
+    ours = decode_gif((tmp_path / "j.gif").read_bytes())
+    assert (ours == px).all()
+
+
+# ── the multimodal integration contract ─────────────────────────────────
+
+
+def test_decode_image_reports_gif_meta_and_luminance():
+    from outpost_spark.ops.multimodal import decode_image
+
+    px = _cells(8, 32, 48, 12)
+    meta = decode_image(encode_gif(px))
+    assert meta["kind"] == "gif"
+    assert (meta["width"], meta["height"], meta["channels"], meta["bit_depth"]) == (
+        48, 32, 3, 8,
+    )
+    assert meta["mean_luminance"] == pytest.approx(float(px.mean()), abs=1e-6)
+
+
+def test_dhash_matches_across_png_and_gif_encodes():
+    from outpost_spark.ops.multimodal import (
+        _planted_cells,
+        dhash_image,
+        encode_png,
+        planted_gif,
+    )
+
+    for seed in (1, 4, 7):
+        png = dhash_image(encode_png(_planted_cells(seed, 1)))
+        gif = dhash_image(planted_gif(seed, 1))
+        gif_i = dhash_image(planted_gif(seed, 1, interlace=True))
+        assert png == gif == gif_i, f"seed {seed}: cross-format dhash drift"
+
+
+def test_resize_gif_roundtrips_in_format():
+    from outpost_spark.ops.multimodal import decode_image, image_pixels, resize_image
+
+    src = encode_gif(_cells(10, 64, 72, 14), interlace=True)
+    resized = resize_image(src, 0.5)
+    assert resized[:6] in (b"GIF87a", b"GIF89a")
+    meta = decode_image(resized)
+    assert (meta["width"], meta["height"]) == (36, 32)
+    full = image_pixels(src)
+    ys = (np.arange(32) * 2).clip(0, 63)
+    xs = (np.arange(36) * 2).clip(0, 71)
+    assert (image_pixels(resized) == full[ys][:, xs]).all()  # lossless
+
+
+def test_corpus_contains_gif_members(spark):
+    """The gid % 3 == 1 groups split GIF members between sequential
+    (id = 1 mod 4) and INTERLACED (id = 3 mod 4), with PNG twins on the
+    even ids — pinned so a generator change can't silently drop the GIF
+    slice (the same pin test_image_dedup.py holds for the JPEG slice)."""
+    from pyspark.sql import functions as F
+
+    from outpost_spark.ops.multimodal import planted_image_corpus
+
+    ids = spark.range(4, 8).select(F.col("id").alias("doc_id"))  # gid 1
+    rows = {
+        r["id"]: bytes(r["content"])
+        for r in planted_image_corpus(ids, id_col="doc_id").collect()
+    }
+    assert rows[4][:8] == b"\x89PNG\r\n\x1a\n" and rows[6][:8] == rows[4][:8]
+    assert rows[5][:6] in (b"GIF87a", b"GIF89a")
+    assert decode_gif_meta(rows[5])["interlaced"] is False
+    assert decode_gif_meta(rows[7])["interlaced"] is True
+
+
+def test_resize_stage_tolerates_corrupt_gif_members(spark):
+    """A corrupt GIF member inside the Spark resize stage yields a
+    resize_ok=false row, never a task failure (the r11 ADVICE contract
+    now extended to the GIF path)."""
+    from outpost_spark.ops.multimodal import resize_images
+
+    good = encode_gif(_cells(12, 24, 33, 9))
+    bad = bytearray(good)
+    bad[len(bad) // 2] ^= 0xFF  # corrupt mid-stream
+    df = spark.createDataFrame(
+        [(1, bytes(good)), (2, bytes(bad[: len(bad) // 2])), (3, b"junk")],
+        "id long, content binary",
+    )
+    rows = {r["id"]: r for r in resize_images(df, scale=0.5).collect()}
+    assert rows[1]["resize_ok"] is True and rows[1]["out_width"] == 16
+    assert rows[2]["resize_ok"] is False and rows[2]["content"] is None
+    assert rows[3]["resize_ok"] is False
