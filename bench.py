@@ -39,6 +39,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The bench only TIMES catalog queries — it never runs their DuckDB
+# oracles — so point the oracle-fixture dir (which some entries write as
+# a side effect) at a bench-private, pid-suffixed path.  Otherwise a
+# bench run racing a concurrently-running oracle-parity session at a
+# different SF overwrites the fixture mid-comparison (observed r12).
+os.environ.setdefault(
+    "OUTPOST_SPARK_ORACLE_FIXTURES", f"/tmp/outpost_spark_bench_fix_{os.getpid()}"
+)
+
 from outpost_spark import queries_catalog  # noqa: E402
 from outpost_spark.session import get_spark  # noqa: E402
 

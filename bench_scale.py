@@ -1109,6 +1109,170 @@ def alert_stream_batched_case(spark, root: str) -> dict:
     }
 
 
+def alert_hotkey_skew_case(spark, root: str) -> dict:
+    """Hot-destination skew A/B for the batched alert fold (VERDICT r11
+    task #2): ONE destination takes ~50% of every batch's outcomes, the
+    pathological shape where the single-pass whole-key ordered window
+    serializes that key's slice in one task.  The same batches run
+    through two AlertStateTables — single-pass and the two-pass
+    order-bucket carry (order_buckets=32) — and the emitted signal
+    frames are fingerprint-compared per batch, so the row is both a
+    skew measurement AND a at-scale equality witness for the bucketed
+    fold."""
+    import shutil
+
+    from outpost_spark.streaming.alerts import AlertStateMachine, AlertStateTable
+
+    n_rows = int(os.environ.get("SPARK_GRAFT_SCALE_ALERTH_ROWS", 1_200_000))
+    n_batches = int(os.environ.get("SPARK_GRAFT_SCALE_ALERTH_BATCHES", 4))
+    n_dests = int(os.environ.get("SPARK_GRAFT_SCALE_ALERT_DESTS", 50_000))
+    machine = AlertStateMachine(auto_disable_failure_count=20, retry_max_limit=10)
+
+    def batch(b: int):
+        # even ids -> the hot destination (~50% of the batch); odds
+        # spread over n_dests; ~15% successes; seq carries cross-batch
+        # fold order
+        return spark.range(n_rows).select(
+            F.concat(F.lit("tenant_"), F.col("id") % 8).alias("tenant_id"),
+            F.when(F.col("id") % 2 == 0, F.lit("dest_hot"))
+            .otherwise(F.concat(F.lit("dest_"), F.col("id") % n_dests))
+            .alias("destination_id"),
+            F.concat(F.lit(f"att_{b}_"), F.col("id")).alias("attempt_id"),
+            F.when(F.col("id") % 20 < 3, F.lit("success"))
+            .otherwise(F.lit("failed"))
+            .alias("status"),
+            (F.col("id") % 12 + 1).cast("int").alias("attempt_number"),
+            F.lit(True).alias("eligible_for_retry"),
+            (F.lit(b) * n_rows + F.col("id")).alias("seq"),
+        )
+
+    def _fingerprint(df):
+        # decimal sum: overflow-free under ANSI mode at millions of rows
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    results: dict[str, dict] = {}
+    for mode, buckets in (("single_pass", None), ("bucketed", 32)):
+        state = os.path.join(root, f"alert_hot_{mode}")
+        shutil.rmtree(state, ignore_errors=True)
+        table = AlertStateTable(
+            spark, state, machine=machine, order_buckets=buckets
+        )
+        fps, t0 = [], time.perf_counter()
+        for b in range(1, n_batches + 1):
+            sig = table.apply_attempts(batch(b), b, now=float(b))
+            fps.append(_fingerprint(sig))
+        secs = round(time.perf_counter() - t0, 4)
+        results[mode] = {
+            "secs": secs,
+            "fps": fps,
+            "outcomes_per_sec": round(n_rows * n_batches / secs, 1),
+        }
+    equal = results["single_pass"]["fps"] == results["bucketed"]["fps"]
+    return {
+        "secs": results["bucketed"]["secs"],
+        "rows": sum(n for (n, _h) in results["bucketed"]["fps"]),
+        "single_pass_secs": results["single_pass"]["secs"],
+        "single_pass_outcomes_per_sec": results["single_pass"]["outcomes_per_sec"],
+        "outcomes_per_sec": results["bucketed"]["outcomes_per_sec"],
+        "speedup_vs_single_pass": round(
+            results["single_pass"]["secs"] / max(results["bucketed"]["secs"], 1e-9), 3
+        ),
+        "signals_equal": equal,
+        "hot_share": 0.5,
+        "n_destinations": n_dests,
+        "batches": n_batches,
+        "rows_per_batch": n_rows,
+    }
+
+
+def state_recovery_case(spark, root: str) -> dict:
+    """Crash-recovery of the versioned state tables at scale (VERDICT
+    r11 task #6): seed an AlertStateTable with a multi-million-key
+    state, apply a batch, then simulate a mid-write crash by damaging
+    the new state version exactly the way a killed write leaves it
+    (half the part files and the _SUCCESS marker gone) and re-apply the
+    same batch — the foreachBatch re-delivery path.  Records the
+    recovery wall time and whether the re-run reproduced the identical
+    signal frame and state version (signals land under signals/v=N and
+    state under v=N with overwrite semantics, so replays converge)."""
+    import shutil
+
+    from outpost_spark.streaming.alerts import AlertStateMachine, AlertStateTable
+
+    n_keys = int(os.environ.get("SPARK_GRAFT_SCALE_RECOVERY_KEYS", 2_000_000))
+    n_batch = int(os.environ.get("SPARK_GRAFT_SCALE_RECOVERY_ROWS", 1_000_000))
+    path = os.path.join(root, "recovery_state")
+    shutil.rmtree(path, ignore_errors=True)
+    machine = AlertStateMachine(auto_disable_failure_count=20, retry_max_limit=10)
+    table = AlertStateTable(spark, path, machine=machine)
+
+    def batch(n: int, tag: str):
+        return spark.range(n).select(
+            F.concat(F.lit("tenant_"), F.col("id") % 8).alias("tenant_id"),
+            F.concat(F.lit("dest_"), F.col("id") % n_keys).alias("destination_id"),
+            F.concat(F.lit(f"att_{tag}_"), F.col("id")).alias("attempt_id"),
+            F.when(F.col("id") % 20 < 3, F.lit("success"))
+            .otherwise(F.lit("failed"))
+            .alias("status"),
+            (F.col("id") % 12 + 1).cast("int").alias("attempt_number"),
+            F.lit(True).alias("eligible_for_retry"),
+            F.col("id").alias("seq"),
+        )
+
+    def _fingerprint(df):
+        cols = [
+            F.to_json(F.struct(c)) if t.startswith("array") else F.col(c)
+            for c, t in df.dtypes
+        ]
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    t0 = time.perf_counter()
+    table.apply_attempts(batch(n_keys, "seed"), 1, now=1.0)
+    seed_secs = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    table.apply_attempts(batch(n_batch, "b2"), 2, now=2.0)
+    first_secs = round(time.perf_counter() - t0, 4)
+    sig_path = os.path.join(path, "signals/v=2")
+    state_path = os.path.join(path, "v=2")
+    sig1 = _fingerprint(spark.read.parquet(sig_path))
+    st1 = _fingerprint(spark.read.parquet(state_path))
+    state_rows = st1[0]
+
+    # the crash: a killed task set leaves a partial directory — drop
+    # half the part files and the _SUCCESS marker
+    parts = sorted(f for f in os.listdir(state_path) if f.endswith(".parquet"))
+    for f in parts[::2] + ["_SUCCESS"]:
+        fp = os.path.join(state_path, f)
+        if os.path.exists(fp):
+            os.remove(fp)
+
+    t0 = time.perf_counter()
+    table.apply_attempts(batch(n_batch, "b2"), 2, now=2.0)  # re-delivery
+    recovery_secs = round(time.perf_counter() - t0, 4)
+    sig2 = _fingerprint(spark.read.parquet(sig_path))
+    st2 = _fingerprint(spark.read.parquet(state_path))
+    return {
+        "secs": recovery_secs,
+        "rows": state_rows,
+        "seed_secs": seed_secs,
+        "first_apply_secs": first_secs,
+        "signals_match": sig1 == sig2,
+        "state_match": st1 == st2,
+        "signal_rows": sig1[0],
+        "state_keys": n_keys,
+        "batch_rows": n_batch,
+        "damaged_files": len(parts[::2]) + 1,
+    }
+
+
 def routing_stream_case(
     spark, root: str, *, n_batches: int = 6, events_per_batch: int = 100_000
 ):
@@ -1927,6 +2091,30 @@ def main() -> None:
         f"{alb['signals_per_sec']} signals/s "
         f"({alb['rows']} signals over {alb['secs']}s) — "
         f"{round(alb['outcomes_per_sec'] / max(apk['outcomes_per_sec'], 1), 1)}x per-key",
+        file=sys.stderr,
+    )
+
+    ahk = alert_hotkey_skew_case(spark, root)
+    timings["AlertHotKeySkew"] = ahk["secs"]
+    rows_out["AlertHotKeySkew"] = ahk["rows"]
+    timings["AlertHotKeySkew_single_pass"] = ahk["single_pass_secs"]
+    rows_out["AlertHotKeySkew_single_pass"] = ahk["rows"]
+    print(
+        f"AlertHotKeySkew: bucketed {ahk['outcomes_per_sec']} outcomes/s vs "
+        f"single-pass {ahk['single_pass_outcomes_per_sec']} "
+        f"({ahk['speedup_vs_single_pass']}x, one dest at 50% of "
+        f"{ahk['rows_per_batch']} rows/batch, signals_equal={ahk['signals_equal']})",
+        file=sys.stderr,
+    )
+
+    rec = state_recovery_case(spark, root)
+    timings["StateRecovery"] = rec["secs"]
+    rows_out["StateRecovery"] = rec["rows"]
+    print(
+        f"StateRecovery: re-applied a crashed batch against a "
+        f"{rec['rows']}-key state in {rec['secs']}s (first apply "
+        f"{rec['first_apply_secs']}s; signals_match={rec['signals_match']}, "
+        f"state_match={rec['state_match']}, {rec['damaged_files']} damaged files)",
         file=sys.stderr,
     )
 
