@@ -783,6 +783,196 @@ def _block_symbols(zz: np.ndarray, dc_pred: int):
     return int(zz[0]), syms
 
 
+def _ac_first_ops(blocks, ss: int, se: int, al: int) -> list:
+    """AC first scan (Ah=0) op stream per T.81 G.1.2.2: magnitudes point-
+    transformed by ``al``, zero runs with ZRL folding, EOBn run-length
+    coding across blocks (run appended bits, capped at 0x7FFF).  Ops:
+    (0, sym) = Huffman symbol, (1, value, nbits) = raw appended bits."""
+    ops: list = []
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            eobn = eobrun.bit_length() - 1
+            ops.append((0, eobn << 4))
+            if eobn:
+                ops.append((1, eobrun - (1 << eobn), eobn))
+            eobrun = 0
+
+    for blk in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            t = int(blk[k])
+            a = abs(t) >> al
+            if a == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                ops.append((0, 0xF0))  # ZRL
+                r -= 16
+            s = a.bit_length()
+            x = a if t >= 0 else -a
+            v = x if x >= 0 else x + (1 << s) - 1
+            ops.append((0, (r << 4) | s))
+            ops.append((1, v, s))
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return ops
+
+
+def _ac_refine_ops(blocks, ss: int, se: int, al: int) -> list:
+    """AC refinement scan (Ah=al+1) op stream per T.81 G.1.2.3: newly-
+    significant coefficients (shifted magnitude 1) emit run-length
+    symbols with a sign bit; already-significant ones emit buffered
+    correction bits that ride after the next symbol (or after the EOBn
+    that closes their run); ZRLs emit only when a newly-significant
+    coefficient follows in the same block (else the run folds into the
+    EOB run)."""
+    ops: list = []
+    eobrun = 0
+    be: list[int] = []  # correction bits buffered across eobrun blocks
+
+    def flush_eob():
+        nonlocal eobrun, be
+        if eobrun:
+            eobn = eobrun.bit_length() - 1
+            ops.append((0, eobn << 4))
+            if eobn:
+                ops.append((1, eobrun - (1 << eobn), eobn))
+            eobrun = 0
+            for b in be:
+                ops.append((1, b, 1))
+            be = []
+
+    for blk in blocks:
+        vals = [int(blk[k]) for k in range(ss, se + 1)]
+        absv = [abs(t) >> al for t in vals]
+        eobpos = -1  # position of the LAST newly-significant coef
+        for i, a in enumerate(absv):
+            if a == 1:
+                eobpos = i
+        r = 0
+        br: list[int] = []  # this block's pending correction bits
+        for i, (t, a) in enumerate(zip(vals, absv)):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eobpos:
+                flush_eob()
+                ops.append((0, 0xF0))
+                r -= 16
+                for b in br:
+                    ops.append((1, b, 1))
+                br = []
+            if a > 1:  # already significant: one correction bit
+                br.append(a & 1)
+                continue
+            flush_eob()
+            ops.append((0, (r << 4) | 1))
+            ops.append((1, 1 if t >= 0 else 0, 1))  # sign of the new coef
+            for b in br:
+                ops.append((1, b, 1))
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return ops
+
+
+# the IJG standard successive-approximation script: DC at Al=1, the AC
+# bands at Al=2 split low/high, then two AC refinement sweeps and the
+# DC refinement bit
+_SA_AC_SCANS = ((1, 5, 0, 2), (6, 63, 0, 2), (1, 63, 2, 1), (1, 63, 1, 0))
+
+
+def _encode_progressive_sa(out: bytearray, comp_zz, c: int, seg, n_mcus: int) -> bytes:
+    """Emit the successive-approximation progressive scan script
+    (T.81 G.1.2, the script real encoders default to): every scan gets
+    its own per-image optimal Huffman table; the final DC refinement is
+    raw bits.  The full script restores every coefficient bit, so the
+    stream decodes pixel-identically to the sequential encode."""
+    ntab = 1 if c == 1 else 2
+    # scan 1: interleaved DC first, Ah=0 Al=1 (arithmetic point shift)
+    dc_freq = [dict() for _ in range(ntab)]
+    dc_ops = []
+    preds = [0] * c
+    for i in range(n_mcus):
+        for ci in range(c):
+            tab = 0 if ci == 0 else 1
+            dcv = int(comp_zz[ci][i][0]) >> 1
+            diff = dcv - preds[ci]
+            preds[ci] = dcv
+            s = abs(diff).bit_length()
+            v = diff if diff >= 0 else diff + (1 << s) - 1
+            dc_ops.append((tab, s, v))
+            dc_freq[tab][s] = dc_freq[tab].get(s, 0) + 1
+    dc_spec = [_optimal_huffman(f) for f in dc_freq]
+    dc_enc = [
+        {sym: lc for lc, sym in _canonical_codes(b, v).items()} for b, v in dc_spec
+    ]
+    for tab in range(ntab):
+        bits, vals = dc_spec[tab]
+        out += seg(0xC4, bytes([tab]) + bytes(bits) + bytes(vals))
+    sos_comps = bytes([c])
+    for ci in range(c):
+        sos_comps += bytes([ci + 1, ((0 if ci == 0 else 1) << 4) | 0])
+    out += seg(0xDA, sos_comps + bytes([0, 0, 0x01]))  # Ss=0 Se=0 Ah=0 Al=1
+    bw = _BitWriter()
+    for tab, s, v in dc_ops:
+        length, code = dc_enc[tab][s]
+        bw.write(code, length)
+        if s:
+            bw.write(v, s)
+    out += bw.flush()
+
+    # AC band scans then refinement sweeps, one scan per component each
+    for ss, se, ah, al in _SA_AC_SCANS:
+        for ci in range(c):
+            tab = 0 if ci == 0 else 1
+            gen = _ac_refine_ops if ah else _ac_first_ops
+            ops = gen(comp_zz[ci], ss, se, al)
+            freq: dict[int, int] = {}
+            for op in ops:
+                if op[0] == 0:
+                    freq[op[1]] = freq.get(op[1], 0) + 1
+            if not freq:
+                freq = {0x00: 1}
+            bits, vals = _optimal_huffman(freq)
+            enc = {sym: lc for lc, sym in _canonical_codes(bits, vals).items()}
+            out += seg(0xC4, bytes([0x10 | tab]) + bytes(bits) + bytes(vals))
+            out += seg(
+                0xDA, bytes([1, ci + 1, tab]) + bytes([ss, se, (ah << 4) | al])
+            )
+            bw = _BitWriter()
+            for op in ops:
+                if op[0] == 0:
+                    length, code = enc[op[1]]
+                    bw.write(code, length)
+                else:
+                    bw.write(op[1], op[2])
+            out += bw.flush()
+
+    # final scan: interleaved DC refinement — one raw bit per block
+    out += seg(0xDA, sos_comps + bytes([0, 0, 0x10]))  # Ah=1 Al=0
+    bw = _BitWriter()
+    for i in range(n_mcus):
+        for ci in range(c):
+            bw.write(int(comp_zz[ci][i][0]) & 1, 1)
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg(
     arr: np.ndarray,
     quality: int = 85,
@@ -790,6 +980,7 @@ def encode_jpeg(
     subsample: bool = False,
     restart_interval: int = 0,
     progressive: bool = False,
+    successive: bool = False,
 ) -> bytes:
     """(h, w, 1|3) or (h, w) uint8 -> JFIF JPEG bytes.
 
@@ -803,8 +994,14 @@ def encode_jpeg(
     full-band AC scan per component, no successive approximation) —
     pixel-identical to the sequential encode at the same quality, but
     exercising the progressive scan machinery; 4:4:4 only, no restarts.
-    Huffman tables are per-image optimal (length-limited canonical,
-    Annex K.2 procedure); quant is the quality-scaled Annex-K pair.
+    ``successive=True`` (with ``progressive``) emits the full
+    SUCCESSIVE-APPROXIMATION script real encoders default to (T.81
+    G.1.2 / the IJG standard script: DC at Al=1, AC bands 1-5 and 6-63
+    at Al=2, two AC refinement sweeps, final DC refinement bit) — still
+    pixel-identical, since the complete script restores every
+    coefficient bit.  Huffman tables are per-image optimal
+    (length-limited canonical, Annex K.2 procedure); quant is the
+    quality-scaled Annex-K pair.
     """
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
@@ -822,6 +1019,8 @@ def encode_jpeg(
         raise ValueError("empty image")
     if progressive and (subsample or restart_interval):
         raise ValueError("progressive encode supports 4:4:4 without restarts")
+    if successive and not progressive:
+        raise ValueError("successive approximation requires progressive=True")
 
     if c == 3:
         rgb = arr.astype(np.float64)
@@ -885,6 +1084,9 @@ def encode_jpeg(
             )
         out += seg(sof_marker, sof)
         return out
+
+    if progressive and successive:
+        return _encode_progressive_sa(headers(0xC2), comp_zz, c, seg, n_mcus)
 
     if progressive:
         # spectral-selection script: interleaved DC scan (Ss=Se=0), then

@@ -763,18 +763,26 @@ def _planted_cells(seed: int, tweak: int, *, rows: int = 8, cols: int = 9):
 
 
 def planted_jpeg(
-    seed: int, tweak: int, *, quality: int = 90, progressive: bool = False
+    seed: int,
+    tweak: int,
+    *,
+    quality: int = 90,
+    progressive: bool = False,
+    successive: bool = False,
 ) -> bytes:
     """Deterministic synthetic JPEG near-duplicate (same seed/tweak
     semantics as :func:`planted_png`, via the JPEG-robust cell plant);
     ``progressive`` emits the SOF2 spectral-selection encoding of the
-    SAME coefficients, so both variants decode pixel-identically."""
+    SAME coefficients, and ``successive`` upgrades that to the full
+    successive-approximation script (r12) — all variants decode
+    pixel-identically."""
     from outpost_spark.ops.jpeg import encode_jpeg
 
     return encode_jpeg(
         _planted_cells(seed, tweak)[..., 0],
         quality=quality,
         progressive=progressive,
+        successive=successive,
     )
 
 
@@ -817,7 +825,12 @@ def planted_image_corpus(
         gid, tweak = i // group, i % group
         if jpeg_groups and gid % 3 == 2:
             if i % 2:
-                return planted_jpeg(gid, tweak, progressive=i % 4 == 3)
+                # progressive members alternate between the spectral-
+                # selection script (i = 7 mod 8) and the full
+                # successive-approximation script (i = 3 mod 8, r12)
+                return planted_jpeg(
+                    gid, tweak, progressive=i % 4 == 3, successive=i % 8 == 3
+                )
             return encode_png(_planted_cells(gid, tweak))
         if jpeg_groups and gid % 3 == 1:
             if i % 2:

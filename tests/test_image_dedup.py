@@ -331,12 +331,16 @@ def _expected_pairs(ids, group=4, corrupt_every=29):
 
 def test_corpus_contains_progressive_jpeg_members(spark):
     """The mixed-format groups split JPEG members between sequential
-    (id=1 mod 4) and progressive SOF2 (id=3 mod 4), so the value-oracled
-    dedup/decode entries witness BOTH scan modes — pinned here so a
-    generator change can't silently drop the progressive slice."""
+    (id=1 mod 4) and progressive SOF2 (id=3 mod 4) — and the progressive
+    slice further splits between the full successive-approximation
+    script (id=3 mod 8: 6 scans) and spectral selection (id=7 mod 8:
+    2 scans) — pinned here so a generator change can't silently drop
+    either scan mode from the value-oracled dedup/decode entries."""
     from outpost_spark.ops.jpeg import decode_jpeg_meta
 
-    ids = spark.range(8, 12).select(F.col("id").alias("doc_id"))  # gid 2
+    ids = spark.range(8, 12).union(spark.range(20, 24)).select(
+        F.col("id").alias("doc_id")
+    )  # gids 2 and 5, both mixed-JPEG groups
     rows = {
         r["id"]: bytes(r["content"])
         for r in planted_image_corpus(ids, id_col="doc_id").collect()
@@ -344,6 +348,9 @@ def test_corpus_contains_progressive_jpeg_members(spark):
     assert rows[8][:8] == b"\x89PNG\r\n\x1a\n" and rows[10][:8] == rows[8][:8]
     assert decode_jpeg_meta(rows[9])["progressive"] is False
     assert decode_jpeg_meta(rows[11])["progressive"] is True
+    assert decode_jpeg_meta(rows[23])["progressive"] is True
+    assert rows[11].count(b"\xff\xda") == 6  # successive approximation
+    assert rows[23].count(b"\xff\xda") == 2  # spectral selection
 
 
 def test_image_dhash_tolerates_corrupt_members(spark):

@@ -403,6 +403,54 @@ def test_progressive_decodes_real_encoder_output(tmp_path, dims, q):
     assert luma_diff.max() <= 2.0, luma_diff.max()
 
 
+# ── successive-approximation progressive encode (r12) ───────────────────
+
+
+@pytest.mark.parametrize(
+    "dims,q", [((23, 31), 85), ((8, 8), 95), ((41, 67), 70), ((129, 257), 60)]
+)
+def test_successive_approximation_decodes_identically(dims, q):
+    """The SA script (DC Al=1, AC bands at Al=2, two AC refinement
+    sweeps, DC refinement — the script real encoders default to)
+    restores every coefficient bit, so it must decode pixel-identically
+    to the sequential encode; 14 scans for color (1 DC + 4 AC stages x 3
+    comps + 1 DC refine)."""
+    h, w = dims
+    src = _smooth_rgb(h, w, seed=6)
+    seq = encode_jpeg(src, quality=q)
+    sa = encode_jpeg(src, quality=q, progressive=True, successive=True)
+    assert decode_jpeg_meta(sa)["progressive"] is True
+    assert sa.count(b"\xff\xda") == 14
+    assert (decode_jpeg(sa) == decode_jpeg(seq)).all()
+
+
+def test_successive_grayscale_six_scan_script():
+    g = _smooth_rgb(33, 29, seed=5)[..., 0]
+    sa = encode_jpeg(g, quality=88, progressive=True, successive=True)
+    assert sa.count(b"\xff\xda") == 6  # 1 DC + 4 AC + 1 DC refine
+    assert (decode_jpeg(sa) == decode_jpeg(encode_jpeg(g, quality=88))).all()
+
+
+def test_successive_requires_progressive():
+    with pytest.raises(ValueError, match="progressive"):
+        encode_jpeg(np.zeros((8, 8), np.uint8), successive=True)
+
+
+@pytest.mark.skipif(
+    shutil.which("javac") is None or shutil.which("java") is None,
+    reason="no JDK available for the independent decoder",
+)
+def test_independent_decoder_reads_sa_coefficient_exact(tmp_path):
+    """javax.imageio must decode our SA stream BYTE-IDENTICALLY to our
+    sequential stream of the same image — both carry the same
+    coefficients, so any deviation is an SA scan-script bug, with no
+    cross-decoder-rounding tolerance to hide in."""
+    src = _smooth_rgb(41, 67, seed=3)
+    seq = encode_jpeg(src, quality=92)
+    sa = encode_jpeg(src, quality=92, progressive=True, successive=True)
+    assert (_java_decode(tmp_path, sa) == _java_decode(tmp_path, seq)).all()
+
+
 # ── the multimodal integration contract ─────────────────────────────────
 
 
