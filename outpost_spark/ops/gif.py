@@ -190,21 +190,14 @@ def _deinterlace_rows(idx, height: int):
     return out
 
 
-def decode_gif(content: bytes):
-    """Full pixel decode -> (screen_h, screen_w, 3) uint8 RGB: the FIRST
-    frame composited onto the logical screen (background color fills any
-    area the frame doesn't cover; GCE-transparent pixels show the
-    background).  Raises ``ValueError`` for non-GIF/corrupt input and
-    for screens past the decode size ceiling."""
-    import numpy as np
-
+def _parse_header(content: bytes):
+    """Header + logical screen + global color table -> (width, height,
+    gct bytes | None, bg index, offset of the first block)."""
     if len(content) < 13 or content[:6] not in _MAGICS:
         raise ValueError("not a GIF")
     width, height, packed, bg, _aspect = struct.unpack("<HHBBB", content[6:13])
     if width == 0 or height == 0:
         raise ValueError("zero-dimension GIF")
-    if width * height * 3 > _MAX_RAW_BYTES:
-        raise ValueError("image exceeds the decode size ceiling")
     pos = 13
     gct = None
     if packed & 0x80:
@@ -213,21 +206,33 @@ def decode_gif(content: bytes):
         if len(gct) < size:
             raise ValueError("truncated GIF global color table")
         pos += size
+    return int(width), int(height), gct, bg, pos
+
+
+def _frames_from(content: bytes, pos: int, gct: bytes | None):
+    """Yield decoded frames from the block stream: (left, top, idx
+    (fh, fw) uint8, palette (n, 3) uint8, transparent index | None,
+    disposal method).  The GCE preceding a frame applies to that frame
+    only (spec section 23)."""
+    import numpy as np
+
     transparent = None
+    disposal = 0
     n = len(content)
     while pos < n:
         block = content[pos]
         pos += 1
         if block == 0x3B:
-            break
+            return
         if block == 0x21:
             if pos >= n:
                 raise ValueError("truncated GIF extension")
             label = content[pos]
-            if label == 0xF9:  # graphic control: transparency for the frame
+            if label == 0xF9:  # graphic control
                 gce, pos = _collect_subblocks(content, pos + 1)
-                if len(gce) >= 4 and gce[0] & 0x01:
-                    transparent = gce[3]
+                if len(gce) >= 4:
+                    disposal = (gce[0] >> 2) & 0x07
+                    transparent = gce[3] if gce[0] & 0x01 else None
             else:
                 pos = _skip_subblocks(content, pos + 1)
             continue
@@ -265,6 +270,26 @@ def decode_gif(content: bytes):
         palette = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
         if int(idx.max(initial=0)) >= len(palette):
             raise ValueError("GIF color index out of range")
+        yield left, top, idx, palette, transparent, disposal
+        transparent = None
+        disposal = 0
+
+
+def decode_gif(content: bytes):
+    """Full pixel decode -> (screen_h, screen_w, 3) uint8 RGB: the FIRST
+    frame composited onto the logical screen (background color fills any
+    area the frame doesn't cover; GCE-transparent pixels show the
+    background).  Raises ``ValueError`` for non-GIF/corrupt input and
+    for screens past the decode size ceiling."""
+    import numpy as np
+
+    width, height, gct, bg, pos = _parse_header(content)
+    if width * height * 3 > _MAX_RAW_BYTES:
+        raise ValueError("image exceeds the decode size ceiling")
+    for left, top, idx, palette, transparent, _disp in _frames_from(
+        content, pos, gct
+    ):
+        fh, fw = idx.shape
         bg_idx = bg if (gct is not None and bg * 3 < len(gct)) else 0
         screen = np.full((height, width), bg_idx, dtype=np.uint8)
         # clip the frame to the screen (spec says frames fit; tolerate)
@@ -284,6 +309,58 @@ def decode_gif(content: bytes):
             raise ValueError("GIF background index out of range")
         return palette[screen]  # (h, w, 3) — FIRST frame only
     raise ValueError("GIF with no image data")
+
+
+def decode_gif_frames(content: bytes, *, max_frames: int | None = None):
+    """Animated decode -> (width, height, n_frames, frames (n, h, w, 3)
+    uint8): every frame composited per the GIF89a disposal model
+    (0/1 leave, 2 restore-to-background, 3 restore-to-previous),
+    transparency showing the pixels underneath — the accumulation a
+    player renders.  The total composited output is capped by the same
+    decode ceiling as the still path, so a 10,000-frame bomb raises
+    ``ValueError`` instead of allocating.  This is the GIF half of the
+    :func:`ops.multimodal.sample_frames` decoder seam — animated GIFs
+    being the one video-ish format crawl corpora actually carry."""
+    import numpy as np
+
+    width, height, gct, bg, pos = _parse_header(content)
+    if width * height * 3 > _MAX_RAW_BYTES:
+        raise ValueError("image exceeds the decode size ceiling")
+    if gct is not None and bg * 3 < len(gct):
+        bg_rgb = np.frombuffer(gct, dtype=np.uint8)[bg * 3 : bg * 3 + 3]
+    else:
+        bg_rgb = np.zeros(3, dtype=np.uint8)
+    canvas = np.empty((height, width, 3), dtype=np.uint8)
+    canvas[:] = bg_rgb
+    frames_out = []
+    for left, top, idx, palette, transparent, disposal in _frames_from(
+        content, pos, gct
+    ):
+        if (len(frames_out) + 1) * width * height * 3 > _MAX_RAW_BYTES:
+            raise ValueError("animation exceeds the decode size ceiling")
+        fh, fw = idx.shape
+        cw = min(fw, max(width - left, 0))
+        ch = min(fh, max(height - top, 0))
+        if cw == 0 or ch == 0:
+            raise ValueError("GIF frame entirely outside the screen")
+        region = canvas[top : top + ch, left : left + cw]
+        prev = region.copy() if disposal == 3 else None
+        tile = idx[:ch, :cw]
+        rgb = palette[tile]
+        if transparent is not None:
+            region[:] = np.where((tile == transparent)[..., None], region, rgb)
+        else:
+            region[:] = rgb
+        frames_out.append(canvas.copy())
+        if disposal == 2:
+            region[:] = bg_rgb
+        elif disposal == 3:
+            region[:] = prev
+        if max_frames is not None and len(frames_out) >= max_frames:
+            break
+    if not frames_out:
+        raise ValueError("GIF with no image data")
+    return width, height, len(frames_out), np.stack(frames_out)
 
 
 def _lzw_encode(indices, min_code_size: int) -> bytes:
@@ -335,34 +412,53 @@ def _lzw_encode(indices, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def encode_gif(arr, *, interlace: bool = False) -> bytes:
-    """(h, w[, c]) uint8 -> single-frame GIF89a with an exact palette of
-    the input's unique colors.  c in (1, 3); greyscale becomes grey RGB
-    triples.  More than 256 distinct colors raises ``ValueError`` (GIF
-    cannot represent them; quantization is a modeling choice this
-    engine doesn't make silently).  ``interlace`` writes the four-pass
-    row order."""
+def _rgbify(px):
+    """(h, w[, 1|3]) uint8 -> (h, w, 3); greyscale becomes grey triples."""
     import numpy as np
 
-    px = np.asarray(arr, dtype=np.uint8)
+    px = np.asarray(px, dtype=np.uint8)
     if px.ndim == 2:
         px = px[..., None]
-    h, w, c = px.shape
+    c = px.shape[2]
     if c == 1:
-        px = np.repeat(px, 3, axis=2)
-    elif c != 3:
+        return np.repeat(px, 3, axis=2)
+    if c != 3:
         raise ValueError(f"GIF encode supports 1 or 3 channels, got {c}")
-    flat = px.reshape(-1, 3)
+    return px
+
+
+def _exact_palette(flat):
+    """(n, 3) uint8 colors -> (palette (2^bits, 3), bits, inverse map);
+    > 256 distinct colors raises (GIF cannot represent them;
+    quantization is a modeling choice this engine doesn't make
+    silently)."""
+    import numpy as np
+
     colors, inverse = np.unique(flat, axis=0, return_inverse=True)
     if len(colors) > 256:
         raise ValueError(f"{len(colors)} distinct colors exceed GIF's 256")
-    # palette size = 2^(bits) with bits >= 1; LZW min code size >= 2
     bits = 1
     while (1 << bits) < len(colors):
         bits += 1
     pal = np.zeros(((1 << bits), 3), dtype=np.uint8)
     pal[: len(colors)] = colors
-    idx = inverse.astype(np.uint8).reshape(h, w)
+    return pal, bits, inverse
+
+
+def _sub_blocked(lzw: bytes) -> bytes:
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return bytes(blocks)
+
+
+def _frame_payload(idx, w: int, h: int, bits: int, interlace: bool) -> bytes:
+    """Image descriptor + LZW data for one full-screen frame of indices."""
+    import numpy as np
+
     if interlace:
         order = []
         for y0, dy in _INTERLACE:
@@ -370,23 +466,59 @@ def encode_gif(arr, *, interlace: bool = False) -> bytes:
         idx = idx[np.asarray(order)]
     min_code_size = max(bits, 2)
     lzw = _lzw_encode(idx.reshape(-1), min_code_size)
-    head = b"GIF89a" + struct.pack(
-        "<HHBBB", w, h, 0xF0 | ((bits - 1) & 0x07), 0, 0
-    )
     desc = b"\x2c" + struct.pack(
         "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0x00
     )
-    blocks = bytearray()
-    for i in range(0, len(lzw), 255):
-        chunk = lzw[i : i + 255]
-        blocks.append(len(chunk))
-        blocks += chunk
-    blocks.append(0)
+    return desc + bytes([min_code_size]) + _sub_blocked(lzw)
+
+
+def encode_gif(arr, *, interlace: bool = False) -> bytes:
+    """(h, w[, c]) uint8 -> single-frame GIF89a with an exact palette of
+    the input's unique colors.  c in (1, 3); greyscale becomes grey RGB
+    triples.  More than 256 distinct colors raises ``ValueError``.
+    ``interlace`` writes the four-pass row order."""
+    px = _rgbify(arr)
+    h, w = px.shape[:2]
+    pal, bits, inverse = _exact_palette(px.reshape(-1, 3))
+    idx = inverse.astype("uint8").reshape(h, w)
+    head = b"GIF89a" + struct.pack(
+        "<HHBBB", w, h, 0xF0 | ((bits - 1) & 0x07), 0, 0
+    )
     return (
         head
         + pal.tobytes()
-        + desc
-        + bytes([min_code_size])
-        + bytes(blocks)
+        + _frame_payload(idx, w, h, bits, interlace)
         + b"\x3b"
     )
+
+
+def encode_gif_animation(frames, *, delay_cs: int = 4, loop: int = 0) -> bytes:
+    """(n, h, w[, 1|3]) uint8 frames -> animated GIF89a: one global
+    exact palette over ALL frames' colors (> 256 raises), a
+    NETSCAPE2.0 loop extension (``loop=0`` = forever), and one
+    full-screen frame per input with a ``delay_cs``-centisecond GCE
+    (disposal 'none' — each frame fully covers the screen, the shape
+    :func:`decode_gif_frames` round-trips exactly)."""
+    import numpy as np
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim == 3:
+        frames = frames[..., None]
+    if frames.ndim != 4 or frames.shape[0] < 1:
+        raise ValueError("frames must be (n, h, w[, c]) with n >= 1")
+    rgb = np.stack([_rgbify(f) for f in frames])
+    n, h, w = rgb.shape[:3]
+    pal, bits, inverse = _exact_palette(rgb.reshape(-1, 3))
+    idx = inverse.astype(np.uint8).reshape(n, h, w)
+    out = bytearray(
+        b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF0 | ((bits - 1) & 0x07), 0, 0)
+    )
+    out += pal.tobytes()
+    # NETSCAPE2.0 application extension: loop count (0 = forever)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00"
+    gce = b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+    for i in range(n):
+        out += gce
+        out += _frame_payload(idx[i], w, h, bits, False)
+    out += b"\x3b"
+    return bytes(out)

@@ -964,6 +964,19 @@ def decode_rawvideo(content: bytes):
     return w, h, n, frames.reshape(n, h, w, 3)
 
 
+def decode_video(content: bytes):
+    """Default :func:`sample_frames` decoder: RVID raw containers OR
+    animated GIFs (``ops/gif.py::decode_gif_frames`` — the one
+    video-ish format crawl corpora actually carry, r12) ->
+    (width, height, n_frames, frames (n, h, w, 3)).  Anything else
+    raises ``ValueError``."""
+    if content[:6] in _GIF_MAGICS:
+        from outpost_spark.ops.gif import decode_gif_frames
+
+        return decode_gif_frames(content)
+    return decode_rawvideo(content)
+
+
 FRAMES_SCHEMA = (
     "id long, frame_idx int, width int, height int, n_frames int, "
     "decode_ok boolean, frame binary"
@@ -982,17 +995,17 @@ def sample_frames(
 
     ``decoder`` is any ``bytes -> (w, h, n_frames, frames ndarray)``
     callable — inject the real codec (pyav/ffmpeg) in deployments; the
-    default parses the RVID raw container (a REAL bounds-checked parser,
-    per the no-silent-stubs rule — real video codecs don't ship in this
-    environment, so the Spark-side plumbing is what's under test:
-    schema, Arrow batching, per-row fan-out, corrupt-member tolerance).
+    default (:func:`decode_video`) parses RVID raw containers AND real
+    ANIMATED GIFs (full disposal-model compositing via
+    ``ops/gif.py::decode_gif_frames`` — the video-ish format crawl
+    corpora actually carry; MP4/WebM still need an injected codec).
     Undecodable rows emit ONE row with ``decode_ok=false``.
 
     Scale shape: the row explosion happens INSIDE the Arrow stage (the
     fat source blob never duplicates per frame in the plan); output
     carries n/every_k compressed frames per video.
     """
-    dec = decoder or decode_rawvideo
+    dec = decoder or decode_video
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1023,6 +1036,51 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return multimodal_df.select("id", "content").mapInPandas(gen, FRAMES_SCHEMA)
+
+
+def planted_gif_animation(
+    seed: int, n_frames: int, *, width: int = 24, height: int = 16
+) -> bytes:
+    """Deterministic synthetic animated GIF: ``n_frames`` md5-derived
+    few-level greyscale frames keyed by (seed, frame index) — the
+    planted input for the value-oracled frame-sampling entry."""
+    import numpy as np
+
+    from outpost_spark.ops.gif import encode_gif_animation
+
+    frames = []
+    for fi in range(n_frames):
+        rows = []
+        for y in range(height):
+            d = (
+                hashlib.md5(f"vid|{seed}|{fi}|{y}".encode()).digest()
+                + hashlib.md5(f"vid|{seed}|{fi}|{y}|b".encode()).digest()
+            )
+            rows.append([(b % 8) * 32 + 12 for b in d[:width]])
+        frames.append(np.array(rows, dtype=np.uint8))
+    return encode_gif_animation(np.stack(frames))
+
+
+def planted_video_corpus(
+    ids_df: DataFrame, *, id_col: str = "doc_id", corrupt_every: int = 29
+) -> DataFrame:
+    """ids -> (id, content) of planted ANIMATED GIFs with
+    ``n_frames = 2 + id % 6``; every ``corrupt_every``-th id carries
+    junk bytes (the corrupt-member tolerance probe).  Generated
+    executor-side in mapInPandas — nothing collects."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            content = [
+                b"JUNK: not a video"
+                if corrupt_every and i % corrupt_every == 0
+                else planted_gif_animation(i, 2 + i % 6)
+                for i in ids
+            ]
+            yield pd.DataFrame({"id": ids, "content": content})
+
+    return ids_df.select(id_col).mapInPandas(gen, "id long, content binary")
 
 
 # ---- audio: silence trim + resample ----------------------------------------

@@ -4263,6 +4263,43 @@ def multimodal_resize_planted(spark, sf_dir):
     )
 
 
+@_register(
+    "multimodal_gif_frames_planted",
+    """
+    SELECT doc_id AS id, CAST(NULL AS INTEGER) AS frame_idx,
+           CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+           CAST(NULL AS INTEGER) AS n_frames, FALSE AS decode_ok
+    FROM documents WHERE doc_id % 29 = 0
+    UNION ALL
+    SELECT doc_id AS id,
+           CAST(unnest(generate_series(0, CAST(1 + doc_id % 6 AS BIGINT), 2))
+                AS INTEGER) AS frame_idx,
+           24 AS width, 16 AS height,
+           CAST(2 + doc_id % 6 AS INTEGER) AS n_frames, TRUE AS decode_ok
+    FROM documents WHERE doc_id % 29 <> 0
+    """,
+)
+def multimodal_gif_frames_planted(spark, sf_dir):
+    """REAL video-frame sampling, value-oracled end to end (round 12):
+    planted ANIMATED GIFs (n_frames = 2 + id % 6, junk every 29th id)
+    run through sample_frames(every_k=2) with the default decoder —
+    which now composites real GIF animations through the full GIF89a
+    disposal model (ops/gif.py::decode_gif_frames) — distributed in
+    mapInPandas.  The oracle re-derives the sampled (id, frame_idx)
+    explosion, dims, frame counts, and corrupt-member tolerance
+    analytically from the generator's id arithmetic (an unnest over a
+    per-doc generate_series — the frame fan-out itself is what's being
+    value-checked).  Frame pixels stay pytest-pinned
+    (tests/test_gif.py round-trips the animation compositing)."""
+    from outpost_spark.ops.multimodal import planted_video_corpus, sample_frames
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    vids = planted_video_corpus(docs)
+    return sample_frames(vids, every_k=2).select(
+        "id", "frame_idx", "width", "height", "n_frames", "decode_ok"
+    )
+
+
 # ───────────────── tenant/destination store (S8, P10, P2/J2, S1) ─────────────────
 
 _DESTS_SQL = """

@@ -18,8 +18,10 @@ from outpost_spark.ops.gif import (
     _lzw_decode,
     _lzw_encode,
     decode_gif,
+    decode_gif_frames,
     decode_gif_meta,
     encode_gif,
+    encode_gif_animation,
 )
 
 
@@ -111,10 +113,13 @@ def _hand_gif(
     gct=((0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)),
     frames=(),
     gce_transparent=None,
+    frame_gce=None,
     trailer=True,
 ) -> bytes:
     """Minimal hand-assembled GIF89a with full control over the blocks
-    (frame offsets, local palettes, transparency, multi-frame)."""
+    (frame offsets, local palettes, transparency, disposal methods,
+    multi-frame).  ``frame_gce``: per-frame (transparent_idx | None,
+    disposal) pairs; ``gce_transparent`` is the frame-0 shorthand."""
     w, h = screen
     bits = 1
     while (1 << bits) < len(gct):
@@ -126,8 +131,15 @@ def _hand_gif(
     pal += bytes(3 * ((1 << bits) - len(gct)))
     body = bytearray()
     for fi, (left, top, fw, fh, indices, interlace, lct) in enumerate(frames):
-        if gce_transparent is not None and fi == 0:
-            body += b"\x21\xf9\x04\x01\x00\x00" + bytes([gce_transparent, 0])
+        gce = None
+        if frame_gce is not None and fi < len(frame_gce):
+            gce = frame_gce[fi]
+        elif gce_transparent is not None and fi == 0:
+            gce = (gce_transparent, 0)
+        if gce is not None and (gce[0] is not None or gce[1]):
+            tr, disp = gce
+            packed = ((disp & 7) << 2) | (1 if tr is not None else 0)
+            body += b"\x21\xf9\x04" + bytes([packed, 0, 0, tr or 0, 0])
         ipacked = (0x40 if interlace else 0) | (
             0x80 | (bits - 1) if lct is not None else 0
         )
@@ -189,6 +201,124 @@ def test_gif87a_magic_accepted():
     data = b"GIF87a" + data[6:]
     assert decode_gif_meta(data)["kind"] == "gif"
     assert decode_gif(data).shape == (24, 33, 3)
+
+
+# ── animation: decode_gif_frames / encode_gif_animation ─────────────────
+
+
+def test_animation_roundtrip_exact():
+    rng = np.random.RandomState(5)
+    frames = (rng.randint(0, 7, (5, 16, 24)) * 36).astype(np.uint8)
+    data = encode_gif_animation(frames, delay_cs=10)
+    w, h, n, out = decode_gif_frames(data)
+    assert (w, h, n) == (24, 16, 5)
+    assert (out == frames[..., None]).all()
+    assert decode_gif_meta(data)["n_frames"] == 5
+    # the still path renders exactly frame 0
+    assert (decode_gif(data) == out[0]).all()
+    # max_frames caps the composited output
+    assert decode_gif_frames(data, max_frames=2)[2] == 2
+
+
+def test_animation_rgb_and_single_frame():
+    rng = np.random.RandomState(6)
+    fr = np.stack(
+        [np.stack([(rng.randint(0, 4, (9, 13)) * 60).astype(np.uint8)
+                   for _ in range(3)], axis=2) for _ in range(3)]
+    )
+    w, h, n, out = decode_gif_frames(encode_gif_animation(fr))
+    assert n == 3 and (out == fr).all()
+    assert decode_gif_frames(encode_gif(fr[0]))[2] == 1  # stills: one frame
+
+
+def test_disposal_restore_to_background():
+    """Disposal 2: the frame's region reverts to background before the
+    next frame composites — hand-built, since our encoder never emits
+    partial frames."""
+    gct = ((10, 10, 10), (200, 0, 0), (0, 200, 0), (0, 0, 200))
+    f0 = (1, 1, 2, 2, [1, 1, 1, 1], False, None)  # red square at (1,1)
+    f1 = (0, 0, 1, 1, [2], False, None)  # green dot at (0,0)
+    data = _hand_gif(screen=(4, 4), bg=0, gct=gct, frames=[f0, f1],
+                     frame_gce=[(None, 2), (None, 0)])
+    w, h, n, out = decode_gif_frames(data)
+    assert n == 2
+    assert (out[0][1, 1] == [200, 0, 0]).all()
+    # frame 0's region restored to bg before frame 1
+    assert (out[1][1, 1] == [10, 10, 10]).all()
+    assert (out[1][0, 0] == [0, 200, 0]).all()
+
+
+def test_disposal_restore_to_previous():
+    """Disposal 3: the canvas under the frame is restored after it."""
+    gct = ((10, 10, 10), (200, 0, 0), (0, 200, 0), (0, 0, 200))
+    f0 = (0, 0, 2, 2, [1, 1, 1, 1], False, None)  # red 2x2
+    f1 = (0, 0, 1, 1, [2], False, None)  # green dot OVER it, disposal 3
+    f2 = (1, 1, 1, 1, [3], False, None)  # blue dot elsewhere
+    data = _hand_gif(screen=(2, 2), bg=0, gct=gct, frames=[f0, f1, f2],
+                     frame_gce=[(None, 0), (None, 3), (None, 0)])
+    w, h, n, out = decode_gif_frames(data)
+    assert (out[1][0, 0] == [0, 200, 0]).all()  # green visible in frame 1
+    assert (out[2][0, 0] == [200, 0, 0]).all()  # red restored in frame 2
+    assert (out[2][1, 1] == [0, 0, 200]).all()
+
+
+def test_animation_transparency_accumulates():
+    """Transparent pixels show the PREVIOUS frame's pixels (the
+    accumulation a player renders), not the background."""
+    gct = ((10, 10, 10), (200, 0, 0), (0, 200, 0), (0, 0, 200))
+    f0 = (0, 0, 2, 1, [1, 2], False, None)
+    f1 = (0, 0, 2, 1, [0, 3], False, None)  # idx 0 transparent here
+    data = _hand_gif(screen=(2, 1), bg=0, gct=gct, frames=[f0, f1],
+                     frame_gce=[(None, 0), (0, 0)])
+    _w, _h, _n, out = decode_gif_frames(data)
+    assert (out[1][0, 0] == [200, 0, 0]).all()  # red shows through
+    assert (out[1][0, 1] == [0, 0, 200]).all()
+
+
+def test_animation_bomb_guard_counts_all_frames():
+    """A many-frame animation whose TOTAL composited output exceeds the
+    ceiling raises instead of allocating (per-frame dims alone pass)."""
+    frames = np.zeros((4, 16, 24), dtype=np.uint8)
+    data = bytearray(encode_gif_animation(frames))
+    struct.pack_into("<HH", data, 6, 16384, 16384)  # 16k x 16k x 3 x n
+    with pytest.raises(ValueError, match="ceiling"):
+        decode_gif_frames(bytes(data))
+
+
+def test_sample_frames_decodes_planted_animated_gifs(spark):
+    """The Spark frame-sampling stage runs REAL animated GIFs through
+    the default decoder: per-video fan-out matches the plant arithmetic,
+    junk members yield one decode_ok=false row, and a sampled frame's
+    PNG payload decodes back to the source frame's pixels exactly."""
+    from pyspark.sql import functions as F
+
+    from outpost_spark.ops.multimodal import (
+        image_pixels,
+        planted_gif_animation,
+        planted_video_corpus,
+        sample_frames,
+    )
+
+    ids = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    vids = planted_video_corpus(ids)
+    rows = sample_frames(vids, every_k=2).collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    for junk in (0, 29):
+        assert not [r for r in by_id[junk] if r["decode_ok"]]
+    for i in range(1, 29):
+        n = 2 + i % 6
+        want_idx = list(range(0, n, 2))
+        got = sorted(r["frame_idx"] for r in by_id[i])
+        assert got == want_idx, f"id {i}"
+        assert all(r["n_frames"] == n and r["width"] == 24 for r in by_id[i])
+    # pixel fidelity: re-decode one sampled PNG frame
+    r7 = next(r for r in by_id[7] if r["frame_idx"] == 2)
+    from outpost_spark.ops.gif import decode_gif_frames as dgf
+
+    src = dgf(planted_gif_animation(7, 2 + 7 % 6))[3][2]
+    assert (image_pixels(bytes(r7["frame"])) == src).all()
 
 
 # ── malformed / hostile input ────────────────────────────────────────────
