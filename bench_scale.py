@@ -2210,6 +2210,8 @@ def main() -> None:
         "retry_timer_batched": rtb,
         "alert_stream_perkey": apk,
         "alert_stream_batched": alb,
+        "alert_hotkey_skew": ahk,
+        "state_recovery": rec,
         "txn_append": txa,
         "closed_loop_delivery": cl,
         "image_dedup": img,

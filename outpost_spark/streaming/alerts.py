@@ -304,7 +304,17 @@ class AlertStateTable(VersionedStateTable):
         cross-bucket offsets carry over ONE summary row per touched
         bucket (a per-key window over at most N rows).  The first order
         column must be numeric or timestamp.  Signals and state are
-        identical in both modes (pinned by a 90%-hot-key pytest)."""
+        identical in both modes (pinned by a 90%-hot-key pytest and the
+        AlertHotKeySkew scale row's per-batch fingerprint equality).
+
+        MEASURED trade-off (BENCH_SCALE_r12): at one destination taking
+        50% of a 1.2M-row batch the bucketed fold runs 0.46x the
+        single-pass plan — its ~3 extra key-keyed shuffles cost more
+        than the hot key's single-task window sort.  Leave it OFF by
+        default; turn it on as the memory-safety escape hatch when one
+        key's batch slice is large enough that a single window task
+        materializing it risks executor OOM (tens of millions of rows),
+        where bounded per-task memory is worth the shuffle overhead."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
@@ -693,14 +703,19 @@ def alert_foreach_batch(
     machine: AlertStateMachine | None = None,
     order_cols=("seq",),
     now_fn=None,
+    order_buckets: int | None = None,
 ):
     """foreachBatch adapter for :class:`AlertStateTable` —
     ``attempts.writeStream.foreachBatch(alert_foreach_batch(spark, path,
     sink)).start()``; ``sink(signals_df, batch_id)`` receives each
-    batch's emitted ALERT_OUTPUT_SCHEMA frame."""
+    batch's emitted ALERT_OUTPUT_SCHEMA frame.  ``order_buckets``
+    selects the hot-key two-pass fold (see
+    :meth:`AlertStateTable.apply_attempts`)."""
     import time as _time
 
-    table = AlertStateTable(spark, state_path, machine=machine)
+    table = AlertStateTable(
+        spark, state_path, machine=machine, order_buckets=order_buckets
+    )
 
     def fn(batch_df, batch_id: int):
         now = now_fn() if now_fn is not None else _time.time()

@@ -364,23 +364,41 @@ def test_lzw_output_capped_at_declared_pixels():
 
 
 def test_fuzz_mutations_never_crash_or_overallocate():
-    """240 single-byte mutations + 60 truncations of a valid GIF: every
-    outcome is a clean decode or ValueError — never IndexError /
-    struct.error / MemoryError / hang (the tolerant-stage contract)."""
+    """240 single-byte mutations + 60 truncations of a valid GIF, fed to
+    BOTH the still and the animation decoder: every outcome is a clean
+    decode or ValueError — never IndexError / struct.error /
+    MemoryError / hang (the tolerant-stage contract)."""
     base = encode_gif(_cells(5, 31, 47, 11), interlace=True)
     rng = np.random.RandomState(42)
     for trial in range(240):
         data = bytearray(base)
         pos = int(rng.randint(0, len(data)))
         data[pos] = int(rng.randint(0, 256))
-        try:
-            decode_gif(bytes(data))
-        except ValueError:
-            pass
+        for dec in (decode_gif, decode_gif_frames):
+            try:
+                dec(bytes(data))
+            except ValueError:
+                pass
     for trial in range(60):
         cut = int(rng.randint(1, len(base)))
+        for dec in (decode_gif, decode_gif_frames):
+            try:
+                dec(base[:cut])
+            except ValueError:
+                pass
+
+
+def test_fuzz_animation_mutations():
+    """The same sweep over a multi-frame file — GCE/descriptor/LZW bytes
+    of later frames get mutated too."""
+    rng = np.random.RandomState(43)
+    frames = (rng.randint(0, 9, (4, 13, 21)) * 28).astype(np.uint8)
+    base = encode_gif_animation(frames)
+    for trial in range(160):
+        data = bytearray(base)
+        data[int(rng.randint(0, len(data)))] = int(rng.randint(0, 256))
         try:
-            decode_gif(base[:cut])
+            decode_gif_frames(bytes(data))
         except ValueError:
             pass
 
