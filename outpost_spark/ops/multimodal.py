@@ -1038,6 +1038,129 @@ def sample_frames(
     return multimodal_df.select("id", "content").mapInPandas(gen, FRAMES_SCHEMA)
 
 
+# ---- audio: FFT spectral features ------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = (
+    "id long, audio_ok boolean, sample_rate int, duration_s double, "
+    "n_frames int, dominant_freq_hz double, spectral_centroid_hz double, "
+    "rms double"
+)
+
+
+def audio_spectral_features(
+    content: bytes, *, n_fft: int = 512, hop: int = 256
+) -> dict:
+    """Real DSP over a 16-bit PCM WAV: Hann-windowed rFFT frames ->
+    mean power spectrum -> dominant frequency (argmax bin, DC excluded),
+    spectral centroid, RMS.  Multi-channel audio is mixed to mono.
+    numpy only — no codec/DSP library.  ``dominant_freq_hz`` is
+    bin-quantized at rate/n_fft resolution, which makes it EXACTLY
+    derivable for bin-centered planted tones (the value-oracle trick);
+    the centroid is the leakage-weighted average real pipelines gate on.
+    Raises ``ValueError`` for non-WAV input."""
+    import numpy as np
+
+    arr, rate = _wav_samples(content)
+    n = len(arr)
+    out = {
+        "sample_rate": int(rate),
+        "duration_s": (n / rate) if rate else 0.0,
+        "n_frames": 0,
+        "dominant_freq_hz": None,
+        "spectral_centroid_hz": None,
+        "rms": None,
+    }
+    if n == 0:
+        return out
+    mono = arr.astype(np.float64).mean(axis=1) / 32768.0
+    out["rms"] = float(np.sqrt(np.mean(mono * mono)))
+    if n < n_fft:  # zero-pad a single frame
+        mono = np.pad(mono, (0, n_fft - n))
+        n = n_fft
+    n_frames = 1 + (n - n_fft) // hop
+    out["n_frames"] = int(n_frames)
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = mono[idx] * np.hanning(n_fft)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    spec = power.mean(axis=0)
+    k = int(np.argmax(spec[1:])) + 1  # exclude DC
+    out["dominant_freq_hz"] = float(k * (rate / n_fft))
+    freqs = np.arange(len(spec)) * (rate / n_fft)
+    total = float(spec.sum())
+    if total > 0:
+        out["spectral_centroid_hz"] = float((freqs * spec).sum() / total)
+    return out
+
+
+def extract_audio_features(
+    multimodal_df: DataFrame, *, n_fft: int = 512, hop: int = 256
+) -> DataFrame:
+    """(id, content) -> spectral feature rows via Arrow-batched
+    mapInPandas — the audio analog of the image decode stage, with the
+    same corrupt-member tolerance (``audio_ok=false`` rows, never task
+    failures)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nulls = {
+            k: None
+            for k in (
+                "sample_rate duration_s n_frames dominant_freq_hz "
+                "spectral_centroid_hz rms"
+            ).split()
+        }
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["id"], pdf["content"]):
+                try:
+                    feats = audio_spectral_features(
+                        bytes(b), n_fft=n_fft, hop=hop
+                    )
+                    rows.append({"id": i, "audio_ok": True, **feats})
+                except Exception:
+                    rows.append({"id": i, "audio_ok": False, **nulls})
+            yield pd.DataFrame(rows)
+
+    return multimodal_df.select("id", "content").mapInPandas(
+        gen, AUDIO_FEATURES_SCHEMA
+    )
+
+
+def planted_tone_wav(
+    seed: int, *, rate: int = 8000, n_fft: int = 512, n_samples: int = 4000
+) -> bytes:
+    """Deterministic pure sine WAV whose frequency sits EXACTLY on FFT
+    bin ``20 + (seed % 30) * 4`` of an ``n_fft``-point transform at
+    ``rate`` — so ``dominant_freq_hz`` is bin * rate/n_fft, an exact
+    binary float both Spark and DuckDB reproduce digit-for-digit."""
+    import numpy as np
+
+    k = 20 + (seed % 30) * 4
+    f = k * (rate / n_fft)
+    t = np.arange(n_samples) / rate
+    samples = np.round(0.5 * 32767 * np.sin(2 * np.pi * f * t)).astype("<i2")
+    return encode_wav(samples, rate)
+
+
+def planted_audio_corpus(
+    ids_df: DataFrame, *, id_col: str = "doc_id", corrupt_every: int = 29
+) -> DataFrame:
+    """ids -> (id, content) of planted bin-centered tone WAVs; every
+    ``corrupt_every``-th id is junk bytes (the tolerance probe)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            content = [
+                b"JUNK: not audio"
+                if corrupt_every and i % corrupt_every == 0
+                else planted_tone_wav(i)
+                for i in ids
+            ]
+            yield pd.DataFrame({"id": ids, "content": content})
+
+    return ids_df.select(id_col).mapInPandas(gen, "id long, content binary")
+
+
 def planted_gif_animation(
     seed: int, n_frames: int, *, width: int = 24, height: int = 16
 ) -> bytes:

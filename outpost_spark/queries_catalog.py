@@ -4300,6 +4300,45 @@ def multimodal_gif_frames_planted(spark, sf_dir):
     )
 
 
+@_register(
+    "audio_features_planted",
+    """
+    SELECT doc_id AS id,
+           doc_id % 29 <> 0 AS audio_ok,
+           CASE WHEN doc_id % 29 = 0 THEN NULL ELSE 8000 END AS sample_rate,
+           CASE WHEN doc_id % 29 = 0 THEN NULL ELSE 0.5 END AS duration_s,
+           CASE WHEN doc_id % 29 = 0 THEN NULL ELSE 14 END AS n_frames,
+           CASE WHEN doc_id % 29 = 0 THEN NULL
+                ELSE (20 + (doc_id % 30) * 4) * 15.625 END AS dominant_freq_hz
+    FROM documents
+    """,
+)
+def audio_features_planted(spark, sf_dir):
+    """REAL FFT feature extraction, value-oracled end to end (round 12):
+    planted pure-sine WAVs whose frequencies sit EXACTLY on FFT bins
+    (bin 20 + (id % 30) * 4 of a 512-point transform at 8 kHz) run
+    through the Hann-windowed rFFT feature stage
+    (ops/multimodal.py::extract_audio_features) distributed in
+    mapInPandas, and the oracle derives the dominant frequency
+    analytically: bin * 15.625 Hz — an exact binary float both engines
+    reproduce digit-for-digit — plus duration (4000/8000 s), frame
+    count (1 + (4000-512)//256), and junk-member tolerance.  The
+    spectral centroid and RMS carry quantization noise (~1e-6) so they
+    stay pytest-pinned; the FFT argmax itself is what this entry
+    value-checks."""
+    from outpost_spark.ops.multimodal import (
+        extract_audio_features,
+        planted_audio_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    wavs = planted_audio_corpus(docs)
+    return extract_audio_features(wavs).select(
+        "id", "audio_ok", "sample_rate", "duration_s", "n_frames",
+        "dominant_freq_hz",
+    )
+
+
 # ───────────────── tenant/destination store (S8, P10, P2/J2, S1) ─────────────────
 
 _DESTS_SQL = """

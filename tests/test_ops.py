@@ -2309,3 +2309,59 @@ def test_clean_audio_stage(spark):
     meta = decode_audio(bytes(g["content"]))
     assert meta["sample_rate"] == 4000
     assert out[2]["audio_ok"] is False and out[2]["content"] is None
+
+
+def test_audio_spectral_features_math():
+    """The FFT feature pass on known signals: a bin-centered tone's
+    dominant frequency is EXACT (the value-oracle contract), its
+    centroid sits within leakage noise of the tone, a full-scale sine's
+    RMS is A/sqrt(2), stereo mixes to mono, and a two-tone signal's
+    centroid lands between the tones."""
+    import numpy as np
+
+    from outpost_spark.ops.multimodal import (
+        audio_spectral_features,
+        encode_wav,
+        planted_tone_wav,
+    )
+
+    for seed in (0, 7, 23):
+        k = 20 + (seed % 30) * 4
+        f = audio_spectral_features(planted_tone_wav(seed))
+        assert f["dominant_freq_hz"] == k * 15.625  # exact, not approx
+        assert f["n_frames"] == 14 and f["duration_s"] == 0.5
+        assert f["spectral_centroid_hz"] == pytest.approx(k * 15.625, abs=0.01)
+        assert f["rms"] == pytest.approx(0.5 / np.sqrt(2), abs=1e-3)
+    rate = 8000
+    t = np.arange(8000) / rate
+    two = np.round(
+        12000 * np.sin(2 * np.pi * 500 * t) + 12000 * np.sin(2 * np.pi * 1500 * t)
+    ).astype("<i2")
+    f2 = audio_spectral_features(encode_wav(two, rate))
+    assert 600 < f2["spectral_centroid_hz"] < 1400  # between the tones
+    # stereo: same tone in both channels -> same dominant bin
+    tone = np.round(9000 * np.sin(2 * np.pi * 1000 * t)).astype("<i2")
+    stereo = np.stack([tone, tone], axis=1).reshape(-1)
+    fs = audio_spectral_features(encode_wav(stereo, rate, channels=2))
+    assert fs["dominant_freq_hz"] == pytest.approx(1000, abs=15.625)
+    # shorter than one frame: zero-padded single frame
+    short = audio_spectral_features(encode_wav(tone[:100], rate))
+    assert short["n_frames"] == 1
+    with pytest.raises(ValueError):
+        audio_spectral_features(b"JUNK: not audio")
+
+
+def test_extract_audio_features_stage_tolerates_corrupt(spark):
+    from outpost_spark.ops.multimodal import (
+        extract_audio_features,
+        planted_tone_wav,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(planted_tone_wav(5))), (2, bytearray(b"junk"))],
+        "id long, content binary",
+    )
+    out = {r["id"]: r for r in extract_audio_features(df).collect()}
+    assert out[1]["audio_ok"] is True
+    assert out[1]["dominant_freq_hz"] == (20 + 5 * 4) * 15.625
+    assert out[2]["audio_ok"] is False and out[2]["rms"] is None
