@@ -255,6 +255,11 @@ def _frames_from(content: bytes, pos: int, gct: bytes | None):
             raise ValueError("GIF frame with no color table")
         if fw == 0 or fh == 0:
             raise ValueError("zero-dimension GIF frame")
+        # The frame's OWN dims bound the LZW inflate — a tiny logical
+        # screen with a 65535x65535 descriptor must not buy a ~4.3e9-px
+        # decode budget just because the composite later clips it.
+        if fw * fh * 3 > _MAX_RAW_BYTES:
+            raise ValueError("GIF frame exceeds the decode size ceiling")
         if pos >= n:
             raise ValueError("truncated GIF image data")
         min_code_size = content[pos]
@@ -262,7 +267,7 @@ def _frames_from(content: bytes, pos: int, gct: bytes | None):
         raw = _lzw_decode(data, min_code_size, fw * fh)
         if len(raw) < fw * fh:
             raise ValueError("truncated GIF pixel data")
-        idx = np.frombuffer(bytes(raw), dtype=np.uint8, count=fw * fh).reshape(
+        idx = np.frombuffer(raw, dtype=np.uint8, count=fw * fh).reshape(
             fh, fw
         )
         if ipacked & 0x40:
@@ -290,24 +295,28 @@ def decode_gif(content: bytes):
         content, pos, gct
     ):
         fh, fw = idx.shape
-        bg_idx = bg if (gct is not None and bg * 3 < len(gct)) else 0
-        screen = np.full((height, width), bg_idx, dtype=np.uint8)
+        # Composite in RGB: the background color comes from the GLOBAL
+        # table, the frame pixels from the frame's own (maybe local)
+        # palette — the two index spaces never mix.
+        if gct is not None and bg * 3 < len(gct):
+            bg_rgb = np.frombuffer(gct, dtype=np.uint8)[bg * 3 : bg * 3 + 3]
+        else:
+            bg_rgb = np.zeros(3, dtype=np.uint8)
+        screen = np.empty((height, width, 3), dtype=np.uint8)
+        screen[:] = bg_rgb
         # clip the frame to the screen (spec says frames fit; tolerate)
         cw = min(fw, max(width - left, 0))
         ch = min(fh, max(height - top, 0))
         if cw == 0 or ch == 0:
             raise ValueError("GIF frame entirely outside the screen")
         tile = idx[:ch, :cw]
+        rgb = palette[tile]
+        region = screen[top : top + ch, left : left + cw]
         if transparent is not None:
-            region = screen[top : top + ch, left : left + cw]
-            screen[top : top + ch, left : left + cw] = np.where(
-                tile == transparent, region, tile
-            )
+            region[:] = np.where((tile == transparent)[..., None], region, rgb)
         else:
-            screen[top : top + ch, left : left + cw] = tile
-        if int(screen.max(initial=0)) >= len(palette):
-            raise ValueError("GIF background index out of range")
-        return palette[screen]  # (h, w, 3) — FIRST frame only
+            region[:] = rgb
+        return screen  # (h, w, 3) — FIRST frame only
     raise ValueError("GIF with no image data")
 
 

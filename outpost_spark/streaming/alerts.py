@@ -358,9 +358,21 @@ class AlertStateTable(VersionedStateTable):
             )
             b = b.join(rng, on=key, how="left")
             width = (F.col("__mx") - F.col("__mn")) / F.lit(float(order_buckets))
+            # null ord0 (or an all-null key, where __mn/__mx are null
+            # too) must land in bucket 0: the single-pass window sorts
+            # nulls FIRST, and a null __bkt would silently drop the row
+            # at the (key, __bkt) equi-joins below.  The null test must
+            # come before the arithmetic — F.least SKIPS nulls, so
+            # least(floor(null), N-1) would yield N-1, folding null rows
+            # LAST instead of first.
             b = b.withColumn(
                 "__bkt",
-                F.when(F.col("__mx") <= F.col("__mn"), F.lit(0))
+                F.when(
+                    ord0.isNull()
+                    | F.col("__mn").isNull()
+                    | (F.col("__mx") <= F.col("__mn")),
+                    F.lit(0),
+                )
                 .otherwise(
                     F.least(
                         F.floor((ord0 - F.col("__mn")) / width),

@@ -321,6 +321,44 @@ def test_bucketed_fold_matches_single_pass_hot_key(spark, tmp_path, window):
             assert st_b[k]["last_exhausted"] == st_s[k]["last_exhausted"], k
 
 
+def test_bucketed_fold_handles_null_order_column(spark, tmp_path):
+    """Rows with a NULL first order column must not vanish from the
+    bucketed fold: a null __bkt would never match the (key, __bkt)
+    equi-joins, silently dropping those rows from segment and state.
+    They coalesce into bucket 0 — matching the single-pass window's
+    nulls-first sort — so both modes stay signal- and state-identical,
+    including a key whose rows are ALL null-ordered."""
+    m = AlertStateMachine(auto_disable_failure_count=3, retry_max_limit=9)
+    t_single = AlertStateTable(spark, str(tmp_path / "s"), machine=m)
+    t_bucket = AlertStateTable(
+        spark, str(tmp_path / "b"), machine=m, order_buckets=4
+    )
+    rows = [
+        # mixed null / non-null order values on one key
+        row("t1", "d1", "a1", "failed", None),
+        row("t1", "d1", "a2", "failed", 5),
+        row("t1", "d1", "a3", "failed", None),
+        row("t1", "d1", "a4", "success", 9),
+        row("t1", "d1", "a5", "failed", 12),
+        # a key with ONLY null order values (null __mn/__mx too)
+        row("t1", "d2", "b1", "failed", None),
+        row("t1", "d2", "b2", "failed", None),
+        row("t1", "d2", "b3", "failed", None),
+    ]
+    df = _df(spark, rows)
+    got_s = _signals(t_single.apply_attempts(df, 1, now=10.0))
+    got_b = _signals(t_bucket.apply_attempts(df, 1, now=10.0))
+    assert got_b == got_s
+    # d2's three failures cross the 100% threshold in both modes —
+    # proving the null-ordered rows actually participated
+    assert any(k[1] == "d2" and k[5] == 100 for k in got_b)
+    st_s = _state(t_single, 2)
+    st_b = _state(t_bucket, 2)
+    assert set(st_b) == set(st_s)
+    for k in st_s:
+        assert st_b[k]["ids"] == st_s[k]["ids"], k
+
+
 def test_streaming_disable_feedback_stops_routing(spark, tmp_path):
     """ST3 -> routing feedback, end to end on a real stream: fail a
     destination to 100% in one micro-batch and the NEXT batch's events

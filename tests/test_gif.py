@@ -354,6 +354,46 @@ def test_decompression_bomb_rejected_before_allocation():
         decode_gif(bytes(data))
 
 
+def test_oversized_frame_descriptor_rejected():
+    """A tiny logical screen must not launder a ~4-gigapixel FRAME
+    descriptor past the bomb bound: the frame's own fw*fh is checked
+    before any LZW buffer exists (the composite would clip it, but by
+    then a multi-GB bytearray would already have been allocated)."""
+    data = bytearray(
+        _hand_gif(screen=(4, 4), frames=[(0, 0, 4, 4, [1] * 16, False, None)])
+    )
+    # rewrite the image descriptor dims (header 13 + gct 12 + 0x2c + 4)
+    pos = data.index(0x2C, 13)
+    struct.pack_into("<HH", data, pos + 5, 30000, 30000)
+    with pytest.raises(ValueError, match="ceiling"):
+        decode_gif(bytes(data))
+    with pytest.raises(ValueError, match="ceiling"):
+        decode_gif_frames(bytes(data))
+
+
+def test_background_color_from_global_table_under_local_palette():
+    """The uncovered screen renders the GLOBAL table's background color
+    even when the frame carries a LOCAL palette — the bg index must
+    never be mapped through the frame's table."""
+    lct = ((9, 9, 9), (10, 20, 30), (40, 50, 60), (70, 80, 90))
+    data = _hand_gif(
+        screen=(4, 3), bg=1, frames=[(1, 1, 2, 2, [2, 2, 2, 2], False, lct)]
+    )
+    px = decode_gif(data)
+    assert (px[0, 0] == [255, 0, 0]).all()  # GLOBAL color 1, not lct[1]
+    assert (px[1, 1] == [40, 50, 60]).all()  # frame pixel via the LCT
+    # transparency composites the global background under a local table too
+    data = _hand_gif(
+        screen=(2, 2),
+        bg=3,
+        frames=[(0, 0, 2, 2, [0, 2, 0, 2], False, lct)],
+        gce_transparent=0,
+    )
+    px = decode_gif(data)
+    assert (px[0, 0] == [0, 0, 255]).all()  # transparent -> GLOBAL blue
+    assert (px[0, 1] == [40, 50, 60]).all()  # opaque via the LCT
+
+
 def test_lzw_output_capped_at_declared_pixels():
     """An LZW stream expanding far past the frame's declared pixel count
     stops at exactly that count (the in-stream bomb bound)."""
