@@ -1161,6 +1161,211 @@ def planted_audio_corpus(
     return ids_df.select(id_col).mapInPandas(gen, "id long, content binary")
 
 
+def audio_fingerprint(
+    content: bytes, *, n_fft: int = 512, grid_t: int = 8, n_bands: int = 9
+) -> int:
+    """64-bit perceptual audio fingerprint — the audio analog of
+    :func:`dhash_image` (reference behavior: the near-dup chain the
+    image modality already has, L75): mix to mono -> NON-OVERLAPPING
+    Hann-windowed rFFT frames -> per-frame band energies (``n_bands``
+    equal slices of the non-DC spectrum, mean power per band) ->
+    block-mean reduce over time to ``grid_t`` rows -> bit b set iff
+    band[t][x+1] > band[t][x], row-major, two's-complement signed so it
+    flows through Spark long columns and ``bit_count(xor)`` unchanged.
+
+    Properties: VOLUME-INVARIANT (scaling every sample scales every
+    band energy equally, so no sign-of-delta flips), robust to small
+    spectral edits (a local level change flips only the adjacent-band
+    comparisons it touches), and ~32 bits apart for unrelated clips —
+    the same near/far contract the image dHash gives, so the SAME
+    pigeonhole Hamming band join (ops/dedup.py::hamming_banded_pairs)
+    pairs near-duplicate clips with zero false negatives within the
+    distance.  Requires ``grid_t * n_fft`` samples (~0.5 s at 8 kHz
+    with the defaults); shorter clips raise ``ValueError`` like any
+    other unfingerprint-able input."""
+    import numpy as np
+
+    bits = grid_t * (n_bands - 1)
+    if not 1 <= bits <= 64:
+        raise ValueError(
+            f"grid_t * (n_bands - 1) must be in 1..64, got {bits}"
+        )
+    arr, rate = _wav_samples(content)
+    n = len(arr)
+    if n < grid_t * n_fft:
+        raise ValueError(
+            f"clip shorter than the {grid_t}x{n_fft}-sample fingerprint grid"
+        )
+    mono = arr.astype(np.float64).mean(axis=1) / 32768.0
+    n_frames = n // n_fft
+    frames = mono[: n_frames * n_fft].reshape(n_frames, n_fft)
+    power = np.abs(np.fft.rfft(frames * np.hanning(n_fft)[None, :], axis=1)) ** 2
+    power = power[:, 1:]  # drop DC — overall loudness offset, not timbre
+    # band means then time-cell means, via reduceat like the image dHash
+    be = np.linspace(0, power.shape[1], n_bands + 1).astype(int)
+    bands = np.add.reduceat(power, be[:-1], axis=1) / np.diff(be)[None, :]
+    te = np.linspace(0, n_frames, grid_t + 1).astype(int)
+    grid = np.add.reduceat(bands, te[:-1], axis=0) / np.diff(te)[:, None]
+    val = 0
+    for bit in (grid[:, 1:] > grid[:, :-1]).flatten():
+        val = (val << 1) | int(bit)
+    val <<= 64 - bits  # left-align so bits=64 band splits stay meaningful
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+AFP_SCHEMA = "id long, afp long, afp_ok boolean"
+
+
+def audio_fingerprints(
+    multimodal_df: DataFrame,
+    *,
+    n_fft: int = 512,
+    grid_t: int = 8,
+    n_bands: int = 9,
+) -> DataFrame:
+    """(id, content) -> (id, afp, afp_ok) via Arrow-batched mapInPandas:
+    corrupt / non-WAV / too-short members yield ``afp_ok=false`` rows,
+    never task failures — the same tolerance contract as
+    :func:`image_dhash`."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps, oks = [], [], []
+            for i, content in zip(pdf["id"], pdf["content"]):
+                try:
+                    fp = audio_fingerprint(
+                        bytes(content), n_fft=n_fft, grid_t=grid_t,
+                        n_bands=n_bands,
+                    )
+                    ok = True
+                except Exception:
+                    fp, ok = None, False
+                ids.append(i)
+                fps.append(fp)
+                oks.append(ok)
+            yield pd.DataFrame(
+                {"id": ids, "afp": pd.array(fps, dtype="Int64"), "afp_ok": oks}
+            )
+
+    return multimodal_df.select("id", "content").mapInPandas(gen, AFP_SCHEMA)
+
+
+def audio_fp_pairs(
+    multimodal_df: DataFrame, *, max_hamming: int = 4, bands: int | None = None
+) -> DataFrame:
+    """Near-duplicate audio pairs: spectral fingerprints fed to the SAME
+    pigeonhole Hamming band join text simhash and image dHash use —
+    zero false negatives within ``max_hamming``, never a quadratic
+    self-join.  Unfingerprint-able members are excluded, not failed.
+    Output: (id_a, id_b, hamming)."""
+    from outpost_spark.ops.dedup import hamming_banded_pairs
+
+    if bands is None:
+        bands = next(
+            (b for b in range(max_hamming + 1, 65) if 64 % b == 0), 64
+        )
+    fp = audio_fingerprints(multimodal_df).filter(F.col("afp_ok"))
+    return hamming_banded_pairs(
+        fp, "id", "afp", bits=64, max_hamming=max_hamming, bands=bands
+    )
+
+
+def audio_fp_survivors(
+    multimodal_df: DataFrame, *, max_hamming: int = 4, bands: int | None = None
+) -> DataFrame:
+    """Audio dedup END TO END: fingerprint pairs -> connected components
+    -> minimum-id survivor per near-dup cluster — the same chain as
+    :func:`dhash_canonical_survivors`.  Members with no fingerprint pass
+    through untouched.  Output: (id) of the surviving clips."""
+    from outpost_spark.ops.dedup import dedup_keep_canonical
+
+    pairs = audio_fp_pairs(
+        multimodal_df, max_hamming=max_hamming, bands=bands
+    )
+    return dedup_keep_canonical(multimodal_df.select("id"), pairs, "id")
+
+
+def planted_clip_wav(
+    seed: int,
+    tweak: int,
+    *,
+    rate: int = 8000,
+    n_fft: int = 512,
+    grid_t: int = 8,
+    n_bands: int = 9,
+    frames_per_cell: int = 4,
+) -> bytes:
+    """Deterministic synthetic WAV near-duplicate (the audio analog of
+    :func:`planted_png`): per time-cell, ``n_bands`` band-center sines
+    whose amplitudes follow an md5-derived RANK PERMUTATION (all levels
+    distinct, so every sign-of-delta bit is tie-free and deterministic),
+    with sines sitting EXACTLY on FFT bins and cells exactly aligned to
+    non-overlapping frames — a Hann-windowed bin-centered sine leaks
+    into only bins k-1..k+1, so each band's energy is analytically
+    c * A^2 and the fingerprint bits follow the rank grid exactly.
+    ``tweak`` swaps the two cells holding CONSECUTIVE rank values in
+    one row — an audible spectral edit that flips at most ONE
+    fingerprint bit (exactly one when the two values sit in adjacent
+    bands; no other comparison's order can change, since no rank lies
+    strictly between v and v+1) — so same-seed variants sit within
+    Hamming 1 of the canonical member and 2 of each other, while
+    distinct seeds sit ~32 apart."""
+    import numpy as np
+
+    ranks = np.empty((grid_t, n_bands), dtype=np.int64)
+    for t in range(grid_t):
+        d = hashlib.md5(f"aud|{seed}|{t}".encode()).digest()
+        order = sorted(range(n_bands), key=lambda b: (d[b], b))
+        ranks[t][order] = np.arange(n_bands)
+    if tweak % 4:
+        ty = tweak % grid_t
+        v = (tweak * 2) % (n_bands - 1)
+        p = int(np.where(ranks[ty] == v)[0][0])
+        q = int(np.where(ranks[ty] == v + 1)[0][0])
+        ranks[ty, p], ranks[ty, q] = ranks[ty, q], ranks[ty, p]
+    amps = 150.0 * (1 + ranks)  # sum <= n_bands * 150 * n_bands < 32767
+    # band-center bins of the fingerprint's equal non-DC spectrum slices
+    be = np.linspace(0, n_fft // 2, n_bands + 1).astype(int)
+    centers = 1 + (be[:-1] + be[1:]) // 2
+    cell_len = frames_per_cell * n_fft
+    i = np.arange(grid_t * cell_len)
+    cell = i // cell_len
+    samples = np.zeros(len(i))
+    for b in range(n_bands):
+        samples += amps[cell, b] * np.sin(2 * np.pi * centers[b] * i / n_fft)
+    return encode_wav(np.round(samples).astype("<i2"), rate)
+
+
+def planted_audio_dedup_corpus(
+    ids_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    group: int = 4,
+    corrupt_every: int = 29,
+) -> DataFrame:
+    """ids -> (id, content) of planted clips: ids sharing ``id // group``
+    are near-duplicate audio (rank-swap tweaks of the same spectral
+    plant — the twin clips a perceptual dedup must pair), and every
+    ``corrupt_every``-th id carries junk bytes (afp_ok=false tolerance
+    probe).  Generated executor-side in mapInPandas — nothing collects,
+    the corpus scales with the id table."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            content = [
+                b"JUNK: not audio"
+                if corrupt_every and i % corrupt_every == 0
+                else planted_clip_wav(i // group, i % group)
+                for i in ids
+            ]
+            yield pd.DataFrame({"id": ids, "content": content})
+
+    return ids_df.select(id_col).mapInPandas(gen, "id long, content binary")
+
+
 def planted_gif_animation(
     seed: int, n_frames: int, *, width: int = 24, height: int = 16
 ) -> bytes:

@@ -4339,6 +4339,125 @@ def audio_features_planted(spark, sf_dir):
     )
 
 
+# Audio perceptual dedup (round 13): same fixture trick as the image
+# chain — the Spark entry persists its (id, afp, afp_ok) fingerprint
+# frame and DuckDB re-derives pairs with an exhaustive quadratic
+# Hamming join (independently proving the band join has zero false
+# negatives) and survivors with a recursive-CTE transitive closure.
+# Only the WAV/FFT fingerprint itself stays pytest-pinned
+# (tests/test_audio_dedup.py).
+_AUDIO_FP_FIXTURE_DIR = os.path.join(
+    os.environ.get("OUTPOST_SPARK_ORACLE_FIXTURES", "/tmp/outpost_spark_oracle_fix"),
+    "audio_afp",
+)
+
+_AUDIO_PAIRS_SQL = f"""
+    WITH fp AS (
+      SELECT id, afp
+      FROM read_parquet('{_AUDIO_FP_FIXTURE_DIR}/*.parquet')
+      WHERE afp_ok
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.id < b.id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 4
+"""
+
+
+def _write_audio_fp_fixture(spark, sf_dir):
+    """Planted twin-clip corpus -> spectral fingerprints, persisted
+    where the DuckDB oracle reads them; returns the frame read BACK
+    from the fixture so both engines consume byte-identical input."""
+    from outpost_spark.ops.multimodal import (
+        audio_fingerprints,
+        planted_audio_dedup_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    clips = planted_audio_dedup_corpus(docs, id_col="doc_id")
+    audio_fingerprints(clips).write.mode("overwrite").parquet(
+        _AUDIO_FP_FIXTURE_DIR
+    )
+    return spark.read.parquet(_AUDIO_FP_FIXTURE_DIR)
+
+
+@_register("dedup_audio_fingerprint_pairs", _AUDIO_PAIRS_SQL)
+def dedup_audio_fingerprint_pairs(spark, sf_dir):
+    """Perceptual AUDIO dedup (VERDICT r12 task #1): a 64-bit spectral
+    fingerprint — sign-of-delta over Hann-rFFT framed band energies,
+    the audio analog of the image dHash
+    (ops/multimodal.py::audio_fingerprint) — fed through the SAME
+    pigeonhole Hamming band join text simhash and image dHash use
+    (ops/dedup.py::hamming_banded_pairs, bits=64, bands=8 — zero false
+    negatives within the distance, never quadratic).  The corpus is
+    PLANTED twin clips: ids sharing ``id // 4`` are rank-swap spectral
+    tweaks of the same plant (within Hamming 3), distinct seeds sit
+    ~32 bits apart, and every 29th id is junk bytes (afp_ok=false
+    rows, never task failures).  The oracle verifies the band join
+    against an exhaustive quadratic Hamming join over the shared
+    fingerprint fixture; the WAV/FFT fingerprint itself is pinned in
+    tests/test_audio_dedup.py."""
+    from outpost_spark.ops.dedup import hamming_banded_pairs
+
+    fp = _write_audio_fp_fixture(spark, sf_dir).filter(F.col("afp_ok"))
+    return hamming_banded_pairs(
+        fp, "id", "afp", bits=64, max_hamming=4, bands=8
+    )
+
+
+_AUDIO_SURVIVORS_SQL = f"""
+    WITH RECURSIVE fp AS (
+      SELECT id, afp, afp_ok
+      FROM read_parquet('{_AUDIO_FP_FIXTURE_DIR}/*.parquet')
+    ),
+    pairs AS (
+      SELECT a.id AS ia, b.id AS ib
+      FROM fp a JOIN fp b ON a.id < b.id
+      WHERE a.afp_ok AND b.afp_ok
+        AND bit_count(xor(a.afp, b.afp)) <= 4
+    ),
+    edges AS (
+      SELECT ia AS a, ib AS b FROM pairs
+      UNION ALL
+      SELECT ib, ia FROM pairs
+    ),
+    walk(id, m) AS (
+      SELECT id, id FROM fp WHERE afp_ok
+      UNION
+      SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.m
+    )
+    SELECT id FROM (
+      SELECT id, MIN(m) AS root FROM walk GROUP BY id
+    ) WHERE id = root
+    UNION ALL
+    SELECT id FROM fp WHERE NOT afp_ok
+"""
+
+
+@_register("dedup_audio_survivors", _AUDIO_SURVIVORS_SQL)
+def dedup_audio_survivors(spark, sf_dir):
+    """The audio-dedup chain completed: fingerprint pairs -> connected
+    components -> canonical (minimum-id) survivor per near-dup cluster,
+    over the same planted twin-clip corpus as
+    dedup_audio_fingerprint_pairs; junk members carry no fingerprint,
+    join no pairs, and pass through untouched.  The oracle recomputes
+    the survivor set from the shared fingerprint fixture with a
+    recursive-CTE transitive closure (min reachable id per component);
+    the WAV/FFT fingerprint stays pytest-pinned."""
+    from outpost_spark.ops.dedup import dedup_keep_canonical, hamming_banded_pairs
+
+    fp = _write_audio_fp_fixture(spark, sf_dir)
+    pairs = hamming_banded_pairs(
+        fp.filter(F.col("afp_ok")),
+        "id",
+        "afp",
+        bits=64,
+        max_hamming=4,
+        bands=8,
+    )
+    return dedup_keep_canonical(fp.select("id"), pairs, "id")
+
+
 # ───────────────── tenant/destination store (S8, P10, P2/J2, S1) ─────────────────
 
 _DESTS_SQL = """

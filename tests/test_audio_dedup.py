@@ -1,0 +1,190 @@
+"""Perceptual audio dedup (ops/multimodal.py::audio_fingerprint + the
+shared pigeonhole Hamming band join): analytic bit fixtures on the
+planted spectral grid, volume invariance, corrupt-member tolerance, and
+the dedup_audio_* catalog entries pinned against the independently
+computed planted-group answer — the audio analog of
+tests/test_image_dedup.py (VERDICT r12 task #1)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from outpost_spark.ops.multimodal import (
+    _wav_samples,
+    audio_fingerprint,
+    audio_fingerprints,
+    audio_fp_pairs,
+    audio_fp_survivors,
+    encode_wav,
+    planted_audio_dedup_corpus,
+    planted_clip_wav,
+)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+# ── the fingerprint itself ──────────────────────────────────────────────
+
+
+def test_fingerprint_bits_follow_the_planted_rank_grid():
+    """The plant is constructed so band energies are analytically
+    c * A^2 (bin-centered Hann-windowed sines leak into only 3 bins,
+    cells align exactly with non-overlapping frames): the 64 fingerprint
+    bits must equal the rank grid's sign-of-delta EXACTLY — no
+    tolerance, the whole DSP chain is deterministic."""
+    for seed in (0, 5, 17):
+        ranks = np.empty((8, 9), dtype=np.int64)
+        for t in range(8):
+            d = hashlib.md5(f"aud|{seed}|{t}".encode()).digest()
+            order = sorted(range(9), key=lambda b: (d[b], b))
+            ranks[t][order] = np.arange(9)
+        want = 0
+        for bit in (ranks[:, 1:] > ranks[:, :-1]).flatten():
+            want = (want << 1) | int(bit)
+        if want >= 1 << 63:
+            want -= 1 << 64
+        assert audio_fingerprint(planted_clip_wav(seed, 0)) == want
+
+
+def test_twins_near_unrelated_far():
+    for seed in range(8):
+        fps = [audio_fingerprint(planted_clip_wav(seed, t)) for t in range(4)]
+        for a in range(4):
+            for b in range(a + 1, 4):
+                assert _ham(fps[a], fps[b]) <= 2
+    cross = [
+        _ham(
+            audio_fingerprint(planted_clip_wav(a, 0)),
+            audio_fingerprint(planted_clip_wav(b, 0)),
+        )
+        for a in range(8)
+        for b in range(a + 1, 8)
+    ]
+    assert min(cross) > 10  # unrelated clips never pair
+
+
+def test_volume_invariance():
+    """Scaling every sample scales every band energy equally: the
+    sign-of-delta fingerprint must not move — the perceptual property
+    that makes re-mastered / re-normalized copies near-dups."""
+    w = planted_clip_wav(3, 1)
+    arr, rate = _wav_samples(w)
+    for scale in (0.5, 0.25, 0.9):
+        scaled = encode_wav(np.round(arr[:, 0] * scale).astype("<i2"), rate)
+        assert audio_fingerprint(scaled) == audio_fingerprint(w)
+
+
+def test_stereo_mixdown_matches_mono():
+    w = planted_clip_wav(7, 0)
+    arr, rate = _wav_samples(w)
+    stereo = encode_wav(
+        np.repeat(arr[:, 0], 2).astype("<i2"), rate, channels=2
+    )
+    assert audio_fingerprint(stereo) == audio_fingerprint(w)
+
+
+def test_rejects_short_junk_and_bad_grid():
+    with pytest.raises(ValueError, match="shorter"):
+        audio_fingerprint(encode_wav(np.zeros(100, dtype="<i2"), 8000))
+    with pytest.raises(ValueError, match="not a WAV"):
+        audio_fingerprint(b"JUNK: not audio")
+    with pytest.raises(ValueError, match="1..64"):
+        audio_fingerprint(planted_clip_wav(0, 0), grid_t=9, n_bands=9)
+
+
+def test_spectral_edit_flips_at_most_one_bit_vs_canonical():
+    flips = []
+    for seed in range(12):
+        base = audio_fingerprint(planted_clip_wav(seed, 0))
+        for t in range(1, 4):
+            flips.append(_ham(base, audio_fingerprint(planted_clip_wav(seed, t))))
+    assert max(flips) <= 1
+    assert any(f == 1 for f in flips)  # some edits actually flip a bit
+
+
+# ── the Spark stages ────────────────────────────────────────────────────
+
+
+def _expected_pairs(ids, group=4, corrupt_every=29):
+    ok = [i for i in ids if i % corrupt_every != 0]
+    return {
+        (a, b)
+        for a in ok
+        for b in ok
+        if a < b and a // group == b // group
+    }
+
+
+def _expected_survivors(ids, group=4, corrupt_every=29):
+    from collections import defaultdict
+
+    ok = defaultdict(list)
+    survivors = set()
+    for i in ids:
+        if corrupt_every and i % corrupt_every == 0:
+            survivors.add(i)  # no fingerprint: passes through untouched
+        else:
+            ok[i // group].append(i)
+    for members in ok.values():
+        survivors.add(min(members))
+    return survivors
+
+
+def test_audio_fingerprints_tolerate_corrupt_members(spark):
+    ids = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    clips = planted_audio_dedup_corpus(ids, id_col="doc_id")
+    rows = {r["id"]: r for r in audio_fingerprints(clips).collect()}
+    assert len(rows) == 60
+    for i in (0, 29, 58):  # the junk members
+        assert rows[i]["afp_ok"] is False
+        assert rows[i]["afp"] is None
+    assert sum(r["afp_ok"] for r in rows.values()) == 57
+
+
+def test_audio_fp_pairs_finds_exactly_the_planted_groups(spark):
+    ids = spark.range(0, 120).select(F.col("id").alias("doc_id"))
+    clips = planted_audio_dedup_corpus(ids, id_col="doc_id")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in audio_fp_pairs(clips, max_hamming=4).collect()
+    }
+    want = _expected_pairs(range(120))
+    assert got == want
+    assert len(want) > 100  # the plant is non-trivial
+
+
+def test_audio_survivors_collapse_planted_groups(spark):
+    ids = spark.range(0, 120).select(F.col("id").alias("doc_id"))
+    clips = planted_audio_dedup_corpus(ids, id_col="doc_id")
+    got = {r["id"] for r in audio_fp_survivors(clips).collect()}
+    want = _expected_survivors(range(120))
+    assert got == want
+    assert len(got) < 120  # clusters actually collapsed
+
+
+def test_catalog_entries_match_planted_answer(spark):
+    from outpost_spark.queries_catalog import queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    doc_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    got_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in queries()["dedup_audio_fingerprint_pairs"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got_pairs == _expected_pairs(doc_ids)
+    got_surv = {
+        r["id"]
+        for r in queries()["dedup_audio_survivors"](spark, sf_dir).collect()
+    }
+    assert got_surv == _expected_survivors(doc_ids)

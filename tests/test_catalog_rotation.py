@@ -72,6 +72,48 @@ def test_stale_entries_lead_the_emit_order():
         )
 
 
+def _all_correctness():
+    rounds = {}
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            rounds[int(m.group(1))] = data
+    return rounds
+
+
+def test_no_witness_ages_past_three_rounds():
+    """Cadence bound (VERDICT r12 task #8): with ~117 entries and a
+    50-row driver budget the revisit cycle is ~2.4 rounds; the
+    least-recently-witnessed rotation must keep every entry's LATEST
+    green witness within 3 rounds of the newest correctness artifact.
+    Entries with no witness in ANY artifact are new this round — the
+    emit-order test above already pins that they lead the next run."""
+    rounds = _all_correctness()
+    if not rounds:
+        return
+    latest = max(rounds)
+    last_witness = {}
+    for rnd in sorted(rounds):
+        for name, row in rounds[rnd].items():
+            if name in queries_catalog._REGISTRY and queries_catalog._row_witnesses(
+                name, row
+            ):
+                last_witness[name] = rnd
+    overdue = {
+        n: w for n, w in last_witness.items() if latest - w > 3
+    }
+    assert not overdue, (
+        f"entries whose latest witness predates r{latest - 3:02d}: {overdue}"
+    )
+
+
 def test_oracle_sql_keys_subset_of_queries():
     qs = queries_catalog.queries()
     osql = queries_catalog.oracle_sql()
