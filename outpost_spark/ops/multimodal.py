@@ -636,11 +636,20 @@ def dhash_image(content: bytes, *, hash_size: int = 8) -> int:
     decode."""
     import numpy as np
 
+    px = image_pixels(content)
+    return _dhash_pixels(px, hash_size=hash_size)
+
+
+def _dhash_pixels(px, *, hash_size: int = 8) -> int:
+    """The dHash core on decoded pixels ((h, w, c) uint8) — shared by
+    :func:`dhash_image` (decodes bytes first) and the video frame-hash
+    stage (hashes already-decoded animation frames, no re-encode)."""
+    import numpy as np
+
     if not 1 <= hash_size <= 8:
         # bits = hash_size^2 must fit the signed-64 two's-complement
         # fold below and Spark's long column; >8 would silently overflow
         raise ValueError(f"hash_size must be in 1..8, got {hash_size}")
-    px = image_pixels(content)
     h, w, c = px.shape
     if c >= 3:
         lum = px[..., :3].astype(np.float64) @ np.array([0.299, 0.587, 0.114])
@@ -965,15 +974,21 @@ def decode_rawvideo(content: bytes):
 
 
 def decode_video(content: bytes):
-    """Default :func:`sample_frames` decoder: RVID raw containers OR
-    animated GIFs (``ops/gif.py::decode_gif_frames`` — the one
-    video-ish format crawl corpora actually carry, r12) ->
+    """Default :func:`sample_frames` decoder: RVID raw containers,
+    animated GIFs (``ops/gif.py::decode_gif_frames``, r12), or
+    AVI/Motion-JPEG (``ops/avi.py::decode_avi`` — a RIFF chunk walk
+    over the in-tree JPEG decoder, r13) ->
     (width, height, n_frames, frames (n, h, w, 3)).  Anything else
-    raises ``ValueError``."""
+    (MP4/H.264, WebM/VP9 — entropy-coded inter-frame codecs needing a
+    real codec library) raises ``ValueError``."""
     if content[:6] in _GIF_MAGICS:
         from outpost_spark.ops.gif import decode_gif_frames
 
         return decode_gif_frames(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        from outpost_spark.ops.avi import decode_avi
+
+        return decode_avi(content)
     return decode_rawvideo(content)
 
 
@@ -1367,11 +1382,16 @@ def planted_audio_dedup_corpus(
 
 
 def planted_gif_animation(
-    seed: int, n_frames: int, *, width: int = 24, height: int = 16
+    seed: int, n_frames: int, *, width: int = 24, height: int = 16,
+    tweak: int = 0,
 ) -> bytes:
     """Deterministic synthetic animated GIF: ``n_frames`` md5-derived
     few-level greyscale frames keyed by (seed, frame index) — the
-    planted input for the value-oracled frame-sampling entry."""
+    planted input for the value-oracled frame-sampling entry.
+    ``tweak`` perturbs one pixel per frame (the :func:`planted_png`
+    convention), so same-seed animations are NEAR-duplicates whose
+    per-frame dHashes sit within a couple of bits while distinct seeds
+    are ~32 apart — the planted input for the video near-dup entry."""
     import numpy as np
 
     from outpost_spark.ops.gif import encode_gif_animation
@@ -1385,7 +1405,10 @@ def planted_gif_animation(
                 + hashlib.md5(f"vid|{seed}|{fi}|{y}|b".encode()).digest()
             )
             rows.append([(b % 8) * 32 + 12 for b in d[:width]])
-        frames.append(np.array(rows, dtype=np.uint8))
+        px = np.array(rows, dtype=np.uint8)
+        if tweak:
+            px[tweak % height, (tweak * 7) % width] ^= 3
+        frames.append(px)
     return encode_gif_animation(np.stack(frames))
 
 
@@ -1409,6 +1432,232 @@ def planted_video_corpus(
             yield pd.DataFrame({"id": ids, "content": content})
 
     return ids_df.select(id_col).mapInPandas(gen, "id long, content binary")
+
+
+def planted_avi_video(
+    seed: int, n_frames: int, *, quality: int = 90, progressive: bool = False
+) -> bytes:
+    """Deterministic synthetic AVI/MJPEG: ``n_frames`` JPEG-robust
+    cell-planted frames (the :func:`_planted_cells` plant — 8x8
+    constant cells aligned to JPEG blocks, so q90 decode round-trips
+    within ±1) keyed by (seed, frame index)."""
+    import numpy as np
+
+    from outpost_spark.ops.avi import encode_avi_mjpeg
+
+    frames = np.stack(
+        [_planted_cells(seed * 7 + fi, 0)[..., 0] for fi in range(n_frames)]
+    )
+    return encode_avi_mjpeg(frames, fps=5, quality=quality, progressive=progressive)
+
+
+def planted_avi_corpus(
+    ids_df: DataFrame, *, id_col: str = "doc_id", corrupt_every: int = 29
+) -> DataFrame:
+    """ids -> (id, content) of planted AVI/MJPEG videos with
+    ``n_frames = 2 + id % 5``; odd ids carry PROGRESSIVE (SOF2) JPEG
+    frames, so the container path exercises both scan modes; every
+    ``corrupt_every``-th id is junk bytes.  Executor-side generation,
+    nothing collects."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            content = [
+                b"JUNK: not a video"
+                if corrupt_every and i % corrupt_every == 0
+                else planted_avi_video(i, 2 + i % 5, progressive=bool(i % 2))
+                for i in ids
+            ]
+            yield pd.DataFrame({"id": ids, "content": content})
+
+    return ids_df.select(id_col).mapInPandas(gen, "id long, content binary")
+
+
+def planted_video_dedup_corpus(
+    ids_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    group: int = 4,
+    corrupt_every: int = 29,
+) -> DataFrame:
+    """ids -> (id, content) of planted animations: ids sharing
+    ``id // group`` are NEAR-duplicate animated GIFs (one-pixel-per-
+    frame tweaks of the same frame sequence, n_frames = 2 + gid % 5 —
+    the twin videos a sequence-level dedup must pair), every
+    ``corrupt_every``-th id is junk bytes.  Executor-side generation,
+    nothing collects."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            content = [
+                b"JUNK: not a video"
+                if corrupt_every and i % corrupt_every == 0
+                else planted_gif_animation(
+                    i // group, 2 + (i // group) % 5, tweak=i % group
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame({"id": ids, "content": content})
+
+    return ids_df.select(id_col).mapInPandas(gen, "id long, content binary")
+
+
+VIDEO_FRAME_DHASH_SCHEMA = (
+    "id long, frame_idx int, fhash long, n_sampled int, hash_ok boolean"
+)
+
+
+def video_frame_dhash(
+    multimodal_df: DataFrame, *, every_k: int = 2, hash_size: int = 8
+) -> DataFrame:
+    """(id, content) of videos -> one (id, frame_idx, fhash) row per
+    SAMPLED frame (idx % every_k == 0), the dHash computed directly on
+    the decoded ndarray — decode and hash share one Arrow stage, so the
+    raw frames never leave it (no intermediate PNG round-trip).
+    ``n_sampled`` rides every row (the per-video sampled-frame count
+    the pairing threshold needs).  Undecodable members emit ONE
+    ``hash_ok=false`` row, never task failures."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "id", "frame_idx", "fhash", "n_sampled", "hash_ok",
+            )}
+            for vid, b in zip(pdf["id"], pdf["content"]):
+                try:
+                    w, h, n, frames = decode_video(bytes(b))
+                    idxs = list(range(0, n, every_k))
+                    hashes = [
+                        _dhash_pixels(frames[i], hash_size=hash_size)
+                        for i in idxs
+                    ]
+                except (ValueError, KeyError, struct.error):
+                    rows["id"].append(vid)
+                    rows["frame_idx"].append(None)
+                    rows["fhash"].append(None)
+                    rows["n_sampled"].append(None)
+                    rows["hash_ok"].append(False)
+                    continue
+                for i, hv in zip(idxs, hashes):
+                    rows["id"].append(vid)
+                    rows["frame_idx"].append(i)
+                    rows["fhash"].append(hv)
+                    rows["n_sampled"].append(len(idxs))
+                    rows["hash_ok"].append(True)
+            # nullable extension arrays BEFORE DataFrame construction: a
+            # plain dict of int-or-None lists coerces to float64, which
+            # silently rounds 64-bit hashes past 2^53
+            yield pd.DataFrame(
+                {
+                    "id": rows["id"],
+                    "frame_idx": pd.array(rows["frame_idx"], dtype="Int32"),
+                    "fhash": pd.array(rows["fhash"], dtype="Int64"),
+                    "n_sampled": pd.array(rows["n_sampled"], dtype="Int32"),
+                    "hash_ok": rows["hash_ok"],
+                }
+            )
+
+    return multimodal_df.select("id", "content").mapInPandas(
+        gen, VIDEO_FRAME_DHASH_SCHEMA
+    )
+
+
+def video_dhash_pairs(
+    frame_hashes: DataFrame,
+    *,
+    max_hamming: int = 4,
+    bands: int = 8,
+    min_match_fraction: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs from per-frame dHash rows
+    (:func:`video_frame_dhash` output, or the persisted fixture): two
+    videos pair when >= ``min_match_fraction`` of the SHORTER video's
+    sampled frames match the other's frame at the SAME index within
+    ``max_hamming`` bits.  The frame-level match uses the pigeonhole
+    band join keyed by (frame_idx, band, band value) — frame alignment
+    is part of the bucket key, so buckets never mix frame positions and
+    the join stays linear in corpus size; bit_count(xor) verifies
+    exactly (zero false negatives within the distance, the
+    hamming_banded_pairs guarantee).  Output: (id_a, id_b,
+    matched_frames, frames_a, frames_b)."""
+    bits = 64
+    if bands <= max_hamming:
+        raise ValueError(f"bands ({bands}) must exceed max_hamming ({max_hamming})")
+    w = bits // bands
+    mask = (1 << w) - 1
+    fh = frame_hashes.filter(F.col("hash_ok")).select(
+        "id", "frame_idx", "fhash", "n_sampled"
+    )
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                F.shiftrightunsigned(F.col("fhash"), b * w)
+                .bitwiseAND(F.lit(mask))
+                .cast("string"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = fh.select(
+        "id", "frame_idx", "fhash", "n_sampled", F.explode(band_arr).alias("__band")
+    ).localCheckpoint(eager=True)
+    left, right = buckets.alias("l"), buckets.alias("r")
+    matches = (
+        left.join(
+            right,
+            (F.col("l.frame_idx") == F.col("r.frame_idx"))
+            & (F.col("l.__band") == F.col("r.__band"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.frame_idx").alias("frame_idx"),
+            F.col("l.n_sampled").alias("frames_a"),
+            F.col("r.n_sampled").alias("frames_b"),
+            F.bit_count(
+                F.col("l.fhash").bitwiseXOR(F.col("r.fhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b", "frame_idx"])
+    )
+    return (
+        matches.groupBy("id_a", "id_b", "frames_a", "frames_b")
+        .agg(F.count(F.lit(1)).alias("matched_frames"))
+        .filter(
+            F.col("matched_frames")
+            >= F.ceil(
+                F.least("frames_a", "frames_b") * F.lit(float(min_match_fraction))
+            )
+        )
+        .select("id_a", "id_b", "matched_frames", "frames_a", "frames_b")
+    )
+
+
+def video_dhash_survivors(
+    multimodal_df: DataFrame,
+    *,
+    every_k: int = 2,
+    max_hamming: int = 4,
+    min_match_fraction: float = 0.5,
+) -> DataFrame:
+    """Video dedup END TO END: per-frame dHash -> frame-aligned pairs
+    -> connected components -> minimum-id survivor per near-dup
+    cluster; undecodable members pass through untouched.  Output: (id)
+    of the surviving videos."""
+    from outpost_spark.ops.dedup import dedup_keep_canonical
+
+    fh = video_frame_dhash(multimodal_df, every_k=every_k)
+    pairs = video_dhash_pairs(
+        fh, max_hamming=max_hamming, min_match_fraction=min_match_fraction
+    )
+    return dedup_keep_canonical(multimodal_df.select("id"), pairs, "id")
 
 
 # ---- audio: silence trim + resample ----------------------------------------

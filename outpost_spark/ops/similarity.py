@@ -1157,6 +1157,11 @@ def pq_topk(
     additive across subspaces, which is what makes ADC exact w.r.t. the
     quantized vectors; recall vs exact search is bounded by quantization
     error (k and m are the dials).
+
+    Prefer :func:`pq_topk_rerank` as the production default: measured
+    at 1M x 64d (BENCH_SCALE_r12), the exact rerank lifts recall@10
+    from 0.575 to 1.0 for ~10% more query time — use bare ADC only
+    when the original vectors are genuinely unreachable at query time.
     """
     q = [float(x) for x in query_vec]
     m = len(codebooks)

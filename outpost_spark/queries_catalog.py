@@ -2803,6 +2803,74 @@ def embed_pq_topk(spark, sf_dir):
 
 
 @_register(
+    "embed_pq_topk_rerank",
+    """
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sub AS (
+      SELECT vec_id, CAST(j AS INT) AS j, v[j * 8 + 1 : j * 8 + 8] AS sv
+      FROM emb, unnest(range(0, 8)) AS t(j)
+    ),
+    cent AS (
+      SELECT CAST(vec_id AS INT) AS c, j, sv AS cv FROM sub WHERE vec_id < 16
+    ),
+    d2 AS (
+      SELECT s.vec_id, s.j, c.c,
+             list_sum(list_transform(range(1, 9), i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d
+      FROM sub s JOIN cent c ON s.j = c.j
+    ),
+    codes AS (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        FROM d2) t
+      WHERE rn = 1
+    ),
+    q AS (SELECT j, sv AS qv FROM sub WHERE vec_id = 0),
+    lut AS (
+      SELECT c.j, c.c, list_sum(list_transform(range(1, 9), i -> q.qv[i] * c.cv[i])) AS ip
+      FROM cent c JOIN q ON c.j = q.j
+    ),
+    adc AS (
+      SELECT codes.vec_id, round(sum(lut.ip), 6) AS adc_score
+      FROM codes JOIN lut ON codes.j = lut.j AND codes.c = lut.c
+      GROUP BY codes.vec_id
+    ),
+    shortlist AS (
+      SELECT vec_id FROM adc ORDER BY adc_score DESC, vec_id ASC LIMIT 50
+    ),
+    qfull AS (SELECT v AS qv FROM emb WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_sum(list_transform(range(1, 65), i -> e.v[i] * qfull.qv[i])), 6) AS score
+    FROM emb e JOIN shortlist USING (vec_id), qfull
+    ORDER BY score DESC, vec_id ASC LIMIT 10
+    """,
+)
+def embed_pq_topk_rerank(spark, sf_dir):
+    """The PRODUCTION-DEFAULT PQ query (VERDICT r12 task #7): ADC
+    shortlist + exact rerank (Jegou et al. §IV — quantized scores
+    select 50 candidates scanning only the m-byte codes, true inner
+    products order them reading full vectors for just those 50 via a
+    broadcast semi-join).  BENCH_SCALE measured the trade at 1M x 64d:
+    ADC alone recall@10 0.575, +rerank(200) recall 1.0 for ~10% more
+    query time — near-free exactness, hence the documented default
+    over plain ``embed_pq_topk``.  Same oracle-able degenerate
+    codebooks as the ADC entry (iters=0), with the oracle reproducing
+    training, encoding, LUT, shortlist, AND the exact rerank."""
+    from outpost_spark.ops.similarity import pq_encode, pq_topk_rerank, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, "embedding", m=8, k=16, sample_n=16, iters=0)
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()[0][0]
+    ]
+    return pq_topk_rerank(
+        pq_encode(emb, "embedding", books), emb, q, books, k=10, shortlist=50
+    )
+
+
+@_register(
     "text_gopher_quality",
     r"""
     WITH s AS (SELECT doc_id, text FROM documents),
@@ -4301,6 +4369,44 @@ def multimodal_gif_frames_planted(spark, sf_dir):
 
 
 @_register(
+    "multimodal_avi_frames_planted",
+    """
+    SELECT doc_id AS id, CAST(NULL AS INTEGER) AS frame_idx,
+           CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+           CAST(NULL AS INTEGER) AS n_frames, FALSE AS decode_ok
+    FROM documents WHERE doc_id % 29 = 0
+    UNION ALL
+    SELECT doc_id AS id,
+           CAST(unnest(generate_series(0, CAST(1 + doc_id % 5 AS BIGINT), 2))
+                AS INTEGER) AS frame_idx,
+           72 AS width, 64 AS height,
+           CAST(2 + doc_id % 5 AS INTEGER) AS n_frames, TRUE AS decode_ok
+    FROM documents WHERE doc_id % 29 <> 0
+    """,
+)
+def multimodal_avi_frames_planted(spark, sf_dir):
+    """REAL video-container decode, value-oracled end to end (round
+    13): planted AVI/Motion-JPEG files (n_frames = 2 + id % 5, odd ids
+    carrying PROGRESSIVE SOF2 frames, junk every 29th id) run through
+    sample_frames(every_k=2) with the default decoder — which now
+    walks the RIFF container and decodes each frame chunk with the
+    in-tree JPEG decoder (ops/avi.py::decode_avi) — distributed in
+    mapInPandas.  The oracle re-derives the sampled (id, frame_idx)
+    explosion, dims, frame counts, and corrupt-member tolerance
+    analytically from the generator's id arithmetic, exactly like the
+    GIF sibling entry.  Frame pixels stay pytest-pinned
+    (tests/test_avi.py round-trips the cell plant within JPEG
+    quantization)."""
+    from outpost_spark.ops.multimodal import planted_avi_corpus, sample_frames
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    vids = planted_avi_corpus(docs)
+    return sample_frames(vids, every_k=2).select(
+        "id", "frame_idx", "width", "height", "n_frames", "decode_ok"
+    )
+
+
+@_register(
     "audio_features_planted",
     """
     SELECT doc_id AS id,
@@ -4456,6 +4562,135 @@ def dedup_audio_survivors(spark, sf_dir):
         bands=8,
     )
     return dedup_keep_canonical(fp.select("id"), pairs, "id")
+
+
+# Video near-dup pairing (round 13): per-frame dHash over sampled
+# animation frames, paired frame-aligned — the same fixture trick: the
+# Spark entry persists its per-frame hash frame and DuckDB re-derives
+# the pairing with an exhaustive frame-aligned quadratic Hamming join
+# plus the match-fraction threshold, and survivors with a
+# recursive-CTE closure.
+_VIDEO_FP_FIXTURE_DIR = os.path.join(
+    os.environ.get("OUTPOST_SPARK_ORACLE_FIXTURES", "/tmp/outpost_spark_oracle_fix"),
+    "video_fhash",
+)
+
+_VIDEO_PAIRS_SQL = f"""
+    WITH fh AS (
+      SELECT id, frame_idx, fhash, n_sampled
+      FROM read_parquet('{_VIDEO_FP_FIXTURE_DIR}/*.parquet')
+      WHERE hash_ok
+    ),
+    m AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             a.n_sampled AS frames_a, b.n_sampled AS frames_b,
+             COUNT(*) AS matched_frames
+      FROM fh a JOIN fh b
+        ON a.id < b.id AND a.frame_idx = b.frame_idx
+       AND bit_count(xor(a.fhash, b.fhash)) <= 4
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, matched_frames, frames_a, frames_b
+    FROM m
+    WHERE matched_frames >= CEIL(LEAST(frames_a, frames_b) * 0.5)
+"""
+
+
+def _write_video_fp_fixture(spark, sf_dir):
+    """Planted twin-animation corpus -> per-frame dHash rows, persisted
+    where the DuckDB oracle reads them; returns the frame read BACK
+    from the fixture so both engines consume byte-identical input."""
+    from outpost_spark.ops.multimodal import (
+        planted_video_dedup_corpus,
+        video_frame_dhash,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vids = planted_video_dedup_corpus(docs, id_col="doc_id")
+    video_frame_dhash(vids, every_k=2).write.mode("overwrite").parquet(
+        _VIDEO_FP_FIXTURE_DIR
+    )
+    return spark.read.parquet(_VIDEO_FP_FIXTURE_DIR)
+
+
+@_register("dedup_video_nearpairs", _VIDEO_PAIRS_SQL)
+def dedup_video_nearpairs(spark, sf_dir):
+    """Frame-sequence (video) near-dup pairs (VERDICT r12 task #4):
+    sampled animation frames dHashed in the decode stage
+    (ops/multimodal.py::video_frame_dhash — decode and hash share one
+    Arrow stage, raw frames never leave it), then videos pair when
+    >= 50% of the shorter video's sampled frames match the other's
+    frame AT THE SAME INDEX within Hamming 4.  The frame-level match
+    is the pigeonhole band join keyed by (frame_idx, band, value) —
+    frame alignment is part of the bucket key, so buckets never mix
+    frame positions (zero false negatives within the distance, linear
+    in corpus size).  The corpus is PLANTED twin animations (ids
+    sharing id // 4 are one-pixel-per-frame tweaks of the same
+    sequence; every 29th id junk).  The oracle re-derives the pairing
+    from the persisted per-frame hash fixture with an exhaustive
+    frame-aligned quadratic join + the same threshold; the GIF decode
+    and dHash stay pytest-pinned (tests/test_video_dedup.py)."""
+    from outpost_spark.ops.multimodal import video_dhash_pairs
+
+    fh = _write_video_fp_fixture(spark, sf_dir)
+    return video_dhash_pairs(fh, max_hamming=4, min_match_fraction=0.5)
+
+
+_VIDEO_SURVIVORS_SQL = f"""
+    WITH RECURSIVE fh AS (
+      SELECT id, frame_idx, fhash, n_sampled, hash_ok
+      FROM read_parquet('{_VIDEO_FP_FIXTURE_DIR}/*.parquet')
+    ),
+    ok AS (SELECT * FROM fh WHERE hash_ok),
+    m AS (
+      SELECT a.id AS ia, b.id AS ib,
+             a.n_sampled AS fa, b.n_sampled AS fb,
+             COUNT(*) AS mf
+      FROM ok a JOIN ok b
+        ON a.id < b.id AND a.frame_idx = b.frame_idx
+       AND bit_count(xor(a.fhash, b.fhash)) <= 4
+      GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+      SELECT ia, ib FROM m WHERE mf >= CEIL(LEAST(fa, fb) * 0.5)
+    ),
+    edges AS (
+      SELECT ia AS a, ib AS b FROM pairs
+      UNION ALL
+      SELECT ib, ia FROM pairs
+    ),
+    ids AS (SELECT DISTINCT id FROM fh),
+    okids AS (SELECT DISTINCT id FROM ok),
+    walk(id, m) AS (
+      SELECT id, id FROM okids
+      UNION
+      SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.m
+    )
+    SELECT id FROM (
+      SELECT id, MIN(m) AS root FROM walk GROUP BY id
+    ) WHERE id = root
+    UNION ALL
+    SELECT id FROM ids WHERE id NOT IN (SELECT id FROM okids)
+"""
+
+
+@_register("dedup_video_survivors", _VIDEO_SURVIVORS_SQL)
+def dedup_video_survivors(spark, sf_dir):
+    """The video-dedup chain completed: frame-aligned pairs ->
+    connected components -> canonical (minimum-id) survivor per
+    near-dup cluster, over the same planted twin-animation corpus;
+    undecodable members carry no frame hashes and pass through
+    untouched.  The oracle recomputes the survivor set from the shared
+    per-frame hash fixture (quadratic join + threshold + recursive-CTE
+    closure)."""
+    from outpost_spark.ops.dedup import dedup_keep_canonical
+    from outpost_spark.ops.multimodal import video_dhash_pairs
+
+    fh = _write_video_fp_fixture(spark, sf_dir)
+    pairs = video_dhash_pairs(fh, max_hamming=4, min_match_fraction=0.5)
+    return dedup_keep_canonical(
+        fh.select("id").distinct(), pairs, "id"
+    )
 
 
 # ───────────────── tenant/destination store (S8, P10, P2/J2, S1) ─────────────────

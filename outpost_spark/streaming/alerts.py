@@ -265,6 +265,7 @@ class AlertStateTable(VersionedStateTable):
         keep_versions: int = 3,
         ttl_seconds: float = 24 * 3600.0,
         order_buckets: int | None = None,
+        hot_key_rows: int | None = None,
     ):
         super().__init__(
             spark,
@@ -275,6 +276,7 @@ class AlertStateTable(VersionedStateTable):
         self.machine = machine or AlertStateMachine()
         self.ttl_seconds = ttl_seconds
         self.order_buckets = order_buckets
+        self.hot_key_rows = hot_key_rows
 
     def apply_attempts(
         self,
@@ -283,6 +285,7 @@ class AlertStateTable(VersionedStateTable):
         now: float,
         order_cols=("seq",),
         order_buckets: int | None = None,
+        hot_key_rows: int | None = None,
     ):
         """One micro-batch of attempt rows -> emitted alert-signal frame.
 
@@ -314,12 +317,23 @@ class AlertStateTable(VersionedStateTable):
         default; turn it on as the memory-safety escape hatch when one
         key's batch slice is large enough that a single window task
         materializing it risks executor OOM (tens of millions of rows),
-        where bounded per-task memory is worth the shuffle overhead."""
+        where bounded per-task memory is worth the shuffle overhead.
+
+        ``hot_key_rows=N`` (r13) makes that escape hatch AUTOMATIC: one
+        cheap per-key count routes only keys whose batch slice exceeds
+        N rows through the bucketed fold (``order_buckets`` buckets, or
+        32 when unset) while every other key keeps the single-pass
+        whole-key windows — the bucketed plan's extra shuffles carry
+        only the hot slice, and a batch with no pathological key pays
+        just the count.  All three modes are signal- and
+        state-identical (pinned by the mixed hot/cold pytest)."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         if order_buckets is None:
             order_buckets = self.order_buckets
+        if hot_key_rows is None:
+            hot_key_rows = self.hot_key_rows
         m = self.machine
         key = ["tenant_id", "destination_id"]
         ords = [F.col(c) for c in order_cols] + [F.col("attempt_id")]
@@ -348,143 +362,186 @@ class AlertStateTable(VersionedStateTable):
         )
         b = b.withColumn("is_fail", F.col("status") != F.lit("success"))
         is_succ = F.when(~F.col("is_fail"), 1).otherwise(0)
-        if order_buckets:
-            # pass 1 setup: order-aligned range buckets of the FIRST
-            # order col, per key — monotone in the fold order, so a
-            # bucket boundary never splits an order tie
-            ord0 = F.col(order_cols[0]).cast("double")
-            rng = b.groupBy(*key).agg(
-                F.min(ord0).alias("__mn"), F.max(ord0).alias("__mx")
-            )
-            b = b.join(rng, on=key, how="left")
-            width = (F.col("__mx") - F.col("__mn")) / F.lit(float(order_buckets))
-            # null ord0 (or an all-null key, where __mn/__mx are null
-            # too) must land in bucket 0: the single-pass window sorts
-            # nulls FIRST, and a null __bkt would silently drop the row
-            # at the (key, __bkt) equi-joins below.  The null test must
-            # come before the arithmetic — F.least SKIPS nulls, so
-            # least(floor(null), N-1) would yield N-1, folding null rows
-            # LAST instead of first.
-            b = b.withColumn(
-                "__bkt",
-                F.when(
-                    ord0.isNull()
-                    | F.col("__mn").isNull()
-                    | (F.col("__mx") <= F.col("__mn")),
-                    F.lit(0),
+        carried = F.coalesce(F.size("st_ids"), F.lit(0))
+
+        def _seg_fold(bp, n_buckets):
+            """seg (running success count at each row in the fold order)
+            and S (the key's final segment) for one slice of the batch's
+            keys; ``n_buckets`` selects the two-pass order-bucket carry."""
+            if n_buckets:
+                # pass 1 setup: order-aligned range buckets of the FIRST
+                # order col, per key — monotone in the fold order, so a
+                # bucket boundary never splits an order tie
+                ord0 = F.col(order_cols[0]).cast("double")
+                rng = bp.groupBy(*key).agg(
+                    F.min(ord0).alias("__mn"), F.max(ord0).alias("__mx")
                 )
-                .otherwise(
-                    F.least(
-                        F.floor((ord0 - F.col("__mn")) / width),
-                        F.lit(order_buckets - 1),
+                bp = bp.join(rng, on=key, how="left")
+                width = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_buckets))
+                # null ord0 (or an all-null key, where __mn/__mx are null
+                # too) must land in bucket 0: the single-pass window sorts
+                # nulls FIRST, and a null __bkt would silently drop the row
+                # at the (key, __bkt) equi-joins below.  The null test must
+                # come before the arithmetic — F.least SKIPS nulls, so
+                # least(floor(null), N-1) would yield N-1, folding null rows
+                # LAST instead of first.
+                bp = bp.withColumn(
+                    "__bkt",
+                    F.when(
+                        ord0.isNull()
+                        | F.col("__mn").isNull()
+                        | (F.col("__mx") <= F.col("__mn")),
+                        F.lit(0),
                     )
-                )
-                .cast("int"),
-            ).drop("__mn", "__mx")
-            w_bkt = Window.partitionBy(*key, "__bkt").orderBy(*ords)
-            b = b.withColumn(
-                "__lsucc",
-                F.sum(is_succ).over(
-                    w_bkt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-                ),
-            )
-            # pass 2: carry success offsets over ONE summary row per
-            # touched bucket — the per-key windows below run over at
-            # most ``order_buckets`` rows
-            bsum = b.groupBy(*key, "__bkt").agg(F.sum(is_succ).alias("__bsucc"))
-            w_carry = Window.partitionBy(*key).orderBy("__bkt")
-            bsum = bsum.select(
-                *key,
-                "__bkt",
-                F.coalesce(
-                    F.sum("__bsucc").over(
-                        w_carry.rowsBetween(Window.unboundedPreceding, -1)
+                    .otherwise(
+                        F.least(
+                            F.floor((ord0 - F.col("__mn")) / width),
+                            F.lit(n_buckets - 1),
+                        )
+                    )
+                    .cast("int"),
+                ).drop("__mn", "__mx")
+                w_bkt = Window.partitionBy(*key, "__bkt").orderBy(*ords)
+                bp = bp.withColumn(
+                    "__lsucc",
+                    F.sum(is_succ).over(
+                        w_bkt.rowsBetween(
+                            Window.unboundedPreceding, Window.currentRow
+                        )
                     ),
-                    F.lit(0),
-                ).alias("__psucc"),
-                F.sum("__bsucc").over(Window.partitionBy(*key)).alias("S"),
-            )
-            b = b.join(bsum, on=[*key, "__bkt"], how="left")
-            b = b.withColumn("seg", F.col("__psucc") + F.col("__lsucc"))
-        else:
+                )
+                # pass 2: carry success offsets over ONE summary row per
+                # touched bucket — the per-key windows below run over at
+                # most ``n_buckets`` rows
+                bsum = bp.groupBy(*key, "__bkt").agg(
+                    F.sum(is_succ).alias("__bsucc")
+                )
+                w_carry = Window.partitionBy(*key).orderBy("__bkt")
+                bsum = bsum.select(
+                    *key,
+                    "__bkt",
+                    F.coalesce(
+                        F.sum("__bsucc").over(
+                            w_carry.rowsBetween(Window.unboundedPreceding, -1)
+                        ),
+                        F.lit(0),
+                    ).alias("__psucc"),
+                    F.sum("__bsucc").over(Window.partitionBy(*key)).alias("S"),
+                )
+                bp = bp.join(bsum, on=[*key, "__bkt"], how="left")
+                return bp.withColumn("seg", F.col("__psucc") + F.col("__lsucc"))
             w_key = Window.partitionBy(*key).orderBy(*ords)
-            b = b.withColumn(
+            bp = bp.withColumn(
                 "seg",
                 F.sum(is_succ).over(
                     w_key.rowsBetween(Window.unboundedPreceding, Window.currentRow)
                 ),
             )
             # S = the key's final segment (total successes in the batch)
-            b = b.withColumn("S", F.max("seg").over(Window.partitionBy(*key)))
+            return bp.withColumn("S", F.max("seg").over(Window.partitionBy(*key)))
 
-        fails = b.where("is_fail")
-        # dedup groups are (key, seg, attempt_id) — bounded by the dup
-        # count of one id in one segment, skew-free in both modes
-        w_dup = Window.partitionBy(*key, "seg", "attempt_id").orderBy(*ords)
-        carried = F.coalesce(F.size("st_ids"), F.lit(0))
-        fails = (
-            fails.withColumn(
+        def _cf_fold(fp, n_buckets):
+            """in_state/is_new flags and the consecutive-failure rank /
+            count at each failure row, for one slice of the keys."""
+            # dedup groups are (key, seg, attempt_id) — bounded by the dup
+            # count of one id in one segment, skew-free in every mode
+            w_dup = Window.partitionBy(*key, "seg", "attempt_id").orderBy(*ords)
+            fp = fp.withColumn(
                 "in_state",
                 (F.col("seg") == 0)
                 & F.coalesce(
                     F.array_contains(F.col("st_ids"), F.col("attempt_id")),
                     F.lit(False),
                 ),
-            )
-            .withColumn(
+            ).withColumn(
                 "is_new",
                 (F.row_number().over(w_dup) == 1) & ~F.col("in_state"),
             )
-        )
-        if m.consecutive_failure_enabled:
-            new_int = F.col("is_new").cast("int")
-            if order_buckets:
-                # per-segment running new-failure count, two-pass: fold
-                # within (key, seg, bucket), carry per-bucket totals
-                # with a window over summary rows (<= order_buckets per
-                # (key, seg))
-                segsum = fails.groupBy(*key, "seg", "__bkt").agg(
-                    F.sum(new_int).alias("__bnew")
-                )
-                w_segcarry = Window.partitionBy(*key, "seg").orderBy("__bkt")
-                segsum = segsum.select(
-                    *key,
-                    "seg",
-                    "__bkt",
-                    F.coalesce(
-                        F.sum("__bnew").over(
-                            w_segcarry.rowsBetween(Window.unboundedPreceding, -1)
-                        ),
-                        F.lit(0),
-                    ).alias("__pnew"),
-                )
-                fails = fails.join(segsum, on=[*key, "seg", "__bkt"], how="left")
-                w_seg_b = (
-                    Window.partitionBy(*key, "seg", "__bkt")
-                    .orderBy(*ords)
-                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-                )
-                cf_rank = (
-                    F.when(F.col("seg") == 0, carried).otherwise(F.lit(0))
-                    + F.col("__pnew")
-                    + F.sum(new_int).over(w_seg_b)
-                )
+            if m.consecutive_failure_enabled:
+                new_int = F.col("is_new").cast("int")
+                if n_buckets:
+                    # per-segment running new-failure count, two-pass: fold
+                    # within (key, seg, bucket), carry per-bucket totals
+                    # with a window over summary rows (<= n_buckets per
+                    # (key, seg))
+                    segsum = fp.groupBy(*key, "seg", "__bkt").agg(
+                        F.sum(new_int).alias("__bnew")
+                    )
+                    w_segcarry = Window.partitionBy(*key, "seg").orderBy("__bkt")
+                    segsum = segsum.select(
+                        *key,
+                        "seg",
+                        "__bkt",
+                        F.coalesce(
+                            F.sum("__bnew").over(
+                                w_segcarry.rowsBetween(
+                                    Window.unboundedPreceding, -1
+                                )
+                            ),
+                            F.lit(0),
+                        ).alias("__pnew"),
+                    )
+                    fp = fp.join(segsum, on=[*key, "seg", "__bkt"], how="left")
+                    w_seg_b = (
+                        Window.partitionBy(*key, "seg", "__bkt")
+                        .orderBy(*ords)
+                        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                    )
+                    cf_rank = (
+                        F.when(F.col("seg") == 0, carried).otherwise(F.lit(0))
+                        + F.col("__pnew")
+                        + F.sum(new_int).over(w_seg_b)
+                    )
+                else:
+                    w_seg = (
+                        Window.partitionBy(*key, "seg")
+                        .orderBy(*ords)
+                        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                    )
+                    cf_rank = F.when(F.col("seg") == 0, carried).otherwise(
+                        F.lit(0)
+                    ) + F.sum(new_int).over(w_seg)
+                cf_count = F.least(cf_rank, F.lit(MAX_TRACKED_ATTEMPT_IDS))
             else:
-                w_seg = (
-                    Window.partitionBy(*key, "seg")
-                    .orderBy(*ords)
-                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-                )
-                cf_rank = F.when(F.col("seg") == 0, carried).otherwise(
-                    F.lit(0)
-                ) + F.sum(new_int).over(w_seg)
-            cf_count = F.least(cf_rank, F.lit(MAX_TRACKED_ATTEMPT_IDS))
+                cf_rank = carried
+                cf_count = carried  # the set never mutates when disabled
+            return fp.withColumn("cf_rank", cf_rank).withColumn(
+                "cf_count", cf_count
+            )
+
+        if hot_key_rows is not None:
+            # hybrid: one cheap per-key count routes only pathological
+            # keys through the bucketed fold; the extra shuffles of that
+            # plan carry ONLY the hot slice.  Both slices then union into
+            # the shared signal/state derivation below — the downstream
+            # code is mode-blind because every aggregate there is keyed.
+            nb = order_buckets or 32
+            cnt = b.groupBy(*key).agg(F.count(F.lit(1)).alias("__krows"))
+            b = b.join(cnt, on=key, how="left")
+            hot = F.col("__krows") > F.lit(int(hot_key_rows))
+            b_hot = _seg_fold(b.where(hot), nb)
+            b_cold = _seg_fold(b.where(~hot), None)
+            f_hot = _cf_fold(b_hot.where("is_fail"), nb)
+            f_cold = _cf_fold(b_cold.where("is_fail"), None)
+            sel_b = [*key, "seg", "st_ids", "st_last_ex"]
+            sel_f = [
+                *key,
+                "attempt_id",
+                "attempt_number",
+                "eligible_for_retry",
+                *order_cols,
+                "st_last_ex",
+                "seg",
+                "S",
+                "is_new",
+                "cf_rank",
+                "cf_count",
+            ]
+            b = b_hot.select(*sel_b).unionByName(b_cold.select(*sel_b))
+            fails = f_hot.select(*sel_f).unionByName(f_cold.select(*sel_f))
         else:
-            cf_rank = carried
-            cf_count = carried  # the set never mutates when disabled
-        fails = fails.withColumn("cf_rank", cf_rank).withColumn(
-            "cf_count", cf_count
-        )
+            b = _seg_fold(b, order_buckets)
+            fails = _cf_fold(b.where("is_fail"), order_buckets)
 
         # should_alert as a when-chain in the SAME order as the Python
         # loop: descending failure count, 100% with >=, others exact
@@ -540,7 +597,7 @@ class AlertStateTable(VersionedStateTable):
                 sort_struct = F.struct(
                     *[F.col(c) for c in order_cols], F.col("attempt_id")
                 )
-                if order_buckets:
+                if order_buckets or hot_key_rows is not None:
                     # first-ex-row per key via a partial-aggregable min,
                     # not a whole-key ordered window; rows tying on the
                     # full sort key are exact duplicates (same attempt,

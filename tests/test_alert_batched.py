@@ -321,6 +321,59 @@ def test_bucketed_fold_matches_single_pass_hot_key(spark, tmp_path, window):
             assert st_b[k]["last_exhausted"] == st_s[k]["last_exhausted"], k
 
 
+@pytest.mark.parametrize("window", [0.0, 45.0])
+def test_hybrid_fold_matches_both_pure_modes(spark, tmp_path, window):
+    """hot_key_rows=N (r13): one per-key count routes only keys whose
+    batch slice exceeds N rows through the bucketed fold while cold
+    keys keep the single-pass whole-key windows.  On a mixed batch
+    (one hot destination at ~70% of rows, several cold ones — some
+    under, some just over the threshold) the hybrid must emit the
+    identical signal multiset and carry identical state as BOTH pure
+    modes, across batches with successes, replays, exhaustion, and the
+    suppression window."""
+    rng = random.Random(31 if window else 37)
+    mk = lambda: AlertStateMachine(
+        auto_disable_failure_count=6,
+        retry_max_limit=4,
+        exhausted_window_seconds=window,
+    )
+    t_single = AlertStateTable(spark, str(tmp_path / "s"), machine=mk())
+    t_bucket = AlertStateTable(
+        spark, str(tmp_path / "b"), machine=mk(), order_buckets=8
+    )
+    t_hybrid = AlertStateTable(
+        spark, str(tmp_path / "h"), machine=mk(), order_buckets=8,
+        hot_key_rows=40,
+    )
+    hot = ("t0", "dHOT")
+    cold = [(f"t{i % 3}", f"d{i}") for i in range(4)]
+    now, used = 0.0, []
+    for batch_id in range(1, 5):
+        now += rng.choice([5.0, 30.0, 60.0])
+        rows = []
+        for seq in range(300):
+            t, d = hot if rng.random() < 0.7 else rng.choice(cold)
+            if used and rng.random() < 0.15:
+                aid = rng.choice(used)
+            else:
+                aid = f"a{batch_id}_{seq}"
+                used.append(aid)
+            status = "success" if rng.random() < 0.1 else "failed"
+            rows.append(row(t, d, aid, status, seq, n=rng.randint(1, 6)))
+        df = _df(spark, rows)
+        got_s = _signals(t_single.apply_attempts(df, batch_id, now=now))
+        got_b = _signals(t_bucket.apply_attempts(df, batch_id, now=now))
+        got_h = _signals(t_hybrid.apply_attempts(df, batch_id, now=now))
+        assert got_h == got_s, f"hybrid vs single, batch {batch_id}"
+        assert got_h == got_b, f"hybrid vs bucketed, batch {batch_id}"
+        st_s = _state(t_single, batch_id + 1)
+        st_h = _state(t_hybrid, batch_id + 1)
+        assert set(st_h) == set(st_s)
+        for k in st_s:
+            assert st_h[k]["ids"] == st_s[k]["ids"], k
+            assert st_h[k]["last_exhausted"] == st_s[k]["last_exhausted"], k
+
+
 def test_bucketed_fold_handles_null_order_column(spark, tmp_path):
     """Rows with a NULL first order column must not vanish from the
     bucketed fold: a null __bkt would never match the (key, __bkt)

@@ -1,0 +1,164 @@
+"""Frame-sequence (video) near-dup pairing (VERDICT r12 task #4):
+per-frame dHash over sampled animation frames, paired frame-aligned
+through the pigeonhole band join with frame_idx in the bucket key.
+Planted twin animations pin the pair/survivor sets; hand-built
+sequences pin the alignment and match-fraction semantics; the
+dedup_video_* catalog entries are checked against the independently
+computed planted-group answer."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from outpost_spark.ops.gif import decode_gif_frames, encode_gif_animation
+from outpost_spark.ops.multimodal import (
+    _dhash_pixels,
+    planted_gif_animation,
+    planted_video_dedup_corpus,
+    video_dhash_pairs,
+    video_dhash_survivors,
+    video_frame_dhash,
+)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_twin_animation_frames_hash_near_unrelated_far():
+    def hashes(seed, tweak):
+        _, _, _, frames = decode_gif_frames(
+            planted_gif_animation(seed, 2 + seed % 5, tweak=tweak)
+        )
+        return [_dhash_pixels(f) for f in frames]
+
+    for gid in range(6):
+        base = hashes(gid, 0)
+        for tw in range(1, 4):
+            assert all(_ham(a, b) <= 4 for a, b in zip(base, hashes(gid, tw)))
+    ha, hb = hashes(0, 0), hashes(4, 0)
+    assert all(_ham(a, b) > 8 for a, b in zip(ha, hb))
+
+
+def _expected_pairs(ids, group=4, corrupt_every=29):
+    ok = [i for i in ids if i % corrupt_every != 0]
+    return {
+        (a, b)
+        for a in ok
+        for b in ok
+        if a < b and a // group == b // group
+    }
+
+
+def _expected_survivors(ids, group=4, corrupt_every=29):
+    from collections import defaultdict
+
+    ok = defaultdict(list)
+    survivors = set()
+    for i in ids:
+        if corrupt_every and i % corrupt_every == 0:
+            survivors.add(i)
+        else:
+            ok[i // group].append(i)
+    for members in ok.values():
+        survivors.add(min(members))
+    return survivors
+
+
+def test_video_frame_dhash_tolerates_corrupt_members(spark):
+    ids = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    vids = planted_video_dedup_corpus(ids, id_col="doc_id")
+    fh = video_frame_dhash(vids, every_k=2)
+    rows = fh.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    assert set(by_id) == set(range(60))
+    for i in (0, 29, 58):  # junk members: one hash_ok=false row each
+        assert len(by_id[i]) == 1 and by_id[i][0]["hash_ok"] is False
+    for i in (1, 13, 42):  # sampled count = ceil(n_frames / 2)
+        n = 2 + (i // 4) % 5
+        want = (n + 1) // 2
+        assert len(by_id[i]) == want
+        assert all(r["n_sampled"] == want and r["hash_ok"] for r in by_id[i])
+
+
+def test_video_pairs_find_exactly_the_planted_groups(spark):
+    ids = spark.range(0, 120).select(F.col("id").alias("doc_id"))
+    vids = planted_video_dedup_corpus(ids, id_col="doc_id")
+    fh = video_frame_dhash(vids, every_k=2)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in video_dhash_pairs(fh).collect()
+    }
+    want = _expected_pairs(range(120))
+    assert got == want
+    assert len(want) > 100
+
+
+def test_video_survivors_collapse_planted_groups(spark):
+    ids = spark.range(0, 120).select(F.col("id").alias("doc_id"))
+    vids = planted_video_dedup_corpus(ids, id_col="doc_id")
+    got = {r["id"] for r in video_dhash_survivors(vids).collect()}
+    assert got == _expected_survivors(range(120))
+
+
+def _frames_of(seed: int, n: int):
+    _, _, _, frames = decode_gif_frames(planted_gif_animation(seed, n))
+    return frames
+
+
+def test_misaligned_sequences_do_not_pair(spark):
+    """The match is frame-ALIGNED by design: a video and its
+    one-frame-trimmed copy compare different content at every index,
+    so they do not pair (trim-robust pairing would need an alignment
+    search — out of scope, documented)."""
+    frames = _frames_of(3, 6)
+    a = encode_gif_animation(frames)
+    b = encode_gif_animation(frames[1:])  # trimmed by one frame
+    df = spark.createDataFrame(
+        [(0, bytearray(a)), (1, bytearray(b))], "id long, content binary"
+    )
+    fh = video_frame_dhash(df, every_k=1)
+    assert video_dhash_pairs(fh).count() == 0
+
+
+def test_match_fraction_threshold(spark):
+    """Two sequences sharing exactly half their aligned frames pair at
+    min_match_fraction=0.5 and not at 0.75."""
+    fa = _frames_of(5, 4)
+    fz = _frames_of(11, 4)  # unrelated content
+    mixed = np.stack([fa[0], fz[1], fa[2], fz[3]])
+    a = encode_gif_animation(fa)
+    b = encode_gif_animation(mixed)
+    df = spark.createDataFrame(
+        [(0, bytearray(a)), (1, bytearray(b))], "id long, content binary"
+    )
+    fh = video_frame_dhash(df, every_k=1)
+    half = video_dhash_pairs(fh, min_match_fraction=0.5).collect()
+    assert [(r["id_a"], r["id_b"], r["matched_frames"]) for r in half] == [
+        (0, 1, 2)
+    ]
+    assert video_dhash_pairs(fh, min_match_fraction=0.75).count() == 0
+
+
+def test_catalog_entries_match_planted_answer(spark):
+    from outpost_spark.queries_catalog import queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    doc_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    got_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in queries()["dedup_video_nearpairs"](spark, sf_dir).collect()
+    }
+    assert got_pairs == _expected_pairs(doc_ids)
+    got_surv = {
+        r["id"]
+        for r in queries()["dedup_video_survivors"](spark, sf_dir).collect()
+    }
+    assert got_surv == _expected_survivors(doc_ids)
