@@ -1177,7 +1177,12 @@ def planted_audio_corpus(
 
 
 def audio_fingerprint(
-    content: bytes, *, n_fft: int = 512, grid_t: int = 8, n_bands: int = 9
+    content: bytes,
+    *,
+    n_fft: int = 512,
+    grid_t: int = 8,
+    n_bands: int = 9,
+    fmax_hz: float | None = None,
 ) -> int:
     """64-bit perceptual audio fingerprint — the audio analog of
     :func:`dhash_image` (reference behavior: the near-dup chain the
@@ -1197,7 +1202,15 @@ def audio_fingerprint(
     pairs near-duplicate clips with zero false negatives within the
     distance.  Requires ``grid_t * n_fft`` samples (~0.5 s at 8 kHz
     with the defaults); shorter clips raise ``ValueError`` like any
-    other unfingerprint-able input."""
+    other unfingerprint-able input.
+
+    ``fmax_hz`` anchors the bands to a FIXED frequency range (0,
+    fmax_hz] instead of the clip's own (0, Nyquist] — with it set, a
+    clip and its RESAMPLED copy compute energies over the same Hz
+    bands (time cells are duration-relative already), so cross-rate
+    near-dups land within a few bits the way cross-format image
+    re-encodes do.  Clips whose Nyquist is below ``fmax_hz`` raise
+    (they cannot represent the band range)."""
     import numpy as np
 
     bits = grid_t * (n_bands - 1)
@@ -1216,8 +1229,17 @@ def audio_fingerprint(
     frames = mono[: n_frames * n_fft].reshape(n_frames, n_fft)
     power = np.abs(np.fft.rfft(frames * np.hanning(n_fft)[None, :], axis=1)) ** 2
     power = power[:, 1:]  # drop DC — overall loudness offset, not timbre
+    nbins = power.shape[1]
+    if fmax_hz is not None:
+        if rate / 2 < fmax_hz:
+            raise ValueError(
+                f"clip rate {rate} cannot represent bands up to {fmax_hz} Hz"
+            )
+        # bins 1..nbins cover (0, rate/2]; keep those within fmax_hz
+        nbins = max(int(fmax_hz * n_fft / rate), n_bands)
+        power = power[:, :nbins]
     # band means then time-cell means, via reduceat like the image dHash
-    be = np.linspace(0, power.shape[1], n_bands + 1).astype(int)
+    be = np.linspace(0, nbins, n_bands + 1).astype(int)
     bands = np.add.reduceat(power, be[:-1], axis=1) / np.diff(be)[None, :]
     te = np.linspace(0, n_frames, grid_t + 1).astype(int)
     grid = np.add.reduceat(bands, te[:-1], axis=0) / np.diff(te)[:, None]

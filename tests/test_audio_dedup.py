@@ -87,6 +87,38 @@ def test_stereo_mixdown_matches_mono():
     assert audio_fingerprint(stereo) == audio_fingerprint(w)
 
 
+def test_cross_rate_invariance_with_hz_anchored_bands():
+    """fmax_hz anchors the bands to a fixed Hz range, so a clip and
+    its RESAMPLED copy fingerprint within a few bits — the audio
+    analog of cross-format image re-encodes hashing together.  Linear
+    resampling adds rolloff distortion, so near (<= 4 bits), not
+    equal; unrelated clips stay far."""
+    from outpost_spark.ops.multimodal import resample_wav
+
+    for seed in range(6):
+        w8 = planted_clip_wav(seed, 0)  # 8 kHz plant
+        w16 = resample_wav(w8, target_rate=16000)
+        d = _ham(
+            audio_fingerprint(w8, fmax_hz=3800.0),
+            audio_fingerprint(w16, fmax_hz=3800.0),
+        )
+        assert d <= 4, (seed, d)
+    cross = _ham(
+        audio_fingerprint(planted_clip_wav(0, 0), fmax_hz=3800.0),
+        audio_fingerprint(
+            resample_wav(planted_clip_wav(4, 0), target_rate=16000),
+            fmax_hz=3800.0,
+        ),
+    )
+    assert cross > 10
+    # a clip that cannot represent the band range is rejected
+    with pytest.raises(ValueError, match="cannot represent"):
+        audio_fingerprint(planted_clip_wav(0, 0), fmax_hz=9000.0)
+    # and the default (no fmax) path is unchanged
+    w = planted_clip_wav(3, 1)
+    assert audio_fingerprint(w) == audio_fingerprint(w, fmax_hz=None)
+
+
 def test_rejects_short_junk_and_bad_grid():
     with pytest.raises(ValueError, match="shorter"):
         audio_fingerprint(encode_wav(np.zeros(100, dtype="<i2"), 8000))
