@@ -985,8 +985,9 @@ def simhash_pairs(
     """SimHash near-dup pairs: band-of-bits equi-join + exact Hamming verify.
 
     Pigeonhole guarantee: split the ``bits``-bit fingerprint into
-    ``bands`` (> max_hamming, default max_hamming+1) equal segments — two
-    fingerprints within Hamming distance ``max_hamming`` differ in at
+    ``bands`` (> max_hamming, default max_hamming+1, widths as equal as
+    the remainder allows) segments — two fingerprints within Hamming
+    distance ``max_hamming`` differ in at
     most ``max_hamming`` segments, so they agree EXACTLY on at least one.
     The (band index, band value) equi-join therefore finds every
     qualifying pair with zero false negatives and no quadratic self-join;
@@ -1027,34 +1028,42 @@ def hamming_banded_pairs(
     ``max_hamming`` — shared by :func:`simhash_pairs` (text) and the
     perceptual image dedup (ops/multimodal.py dHash), and usable on any
     integer fingerprint.  Guarantee and scale shape as documented on
-    :func:`simhash_pairs`: ``bands`` (> max_hamming) equal bit segments,
-    a pair within the distance agrees exactly on >= 1 segment, so the
-    (band index, band value) equi-join has zero false negatives;
-    ``bit_count(xor)`` verifies exactly.  Output: (id_a, id_b, hamming),
-    id_a < id_b, distinct."""
+    :func:`simhash_pairs`: ``bands`` (> max_hamming) bit segments — a
+    pair within the distance flips at most ``max_hamming`` segments, so
+    it agrees exactly on >= 1, and the (band index, band value)
+    equi-join has zero false negatives; ``bit_count(xor)`` verifies
+    exactly.  Segments need NOT be equal-width (the pigeonhole argument
+    never uses width), so the default is the MINIMAL ``max_hamming + 1``
+    bands with the remainder bits spread across the first bands — the
+    widest segments the bound allows.  Wider segments matter at corpus
+    scale: bucket count per band is 2^width, so 5x13-bit bands give
+    ~8192-way selectivity where 8x8-bit bands give 256-way — ~32x
+    smaller equi-join buckets AND 38% fewer exploded rows per id.
+    Output: (id_a, id_b, hamming), id_a < id_b, distinct."""
     if bands is None:
         bands = max_hamming + 1
     if bands <= max_hamming:
         raise ValueError(f"bands ({bands}) must exceed max_hamming ({max_hamming})")
-    if bits % bands:
-        raise ValueError(f"bits ({bits}) must divide evenly into {bands} bands")
-    w = bits // bands
-    mask = (1 << w) - 1
+    base, rem = divmod(bits, bands)
+    if base == 0:
+        raise ValueError(f"bands ({bands}) cannot exceed bits ({bits})")
     # shiftrightunsigned + bitwiseAND: band values stay correct when the
     # 64-bit fingerprint's sign bit is set (arithmetic shift + signed %
     # would emit negative keys — consistent but needlessly confusing)
-    band_arr = F.array(
-        *[
+    exprs, pos = [], 0
+    for b in range(bands):
+        w = base + (1 if b < rem else 0)
+        exprs.append(
             F.concat_ws(
                 ":",
                 F.lit(str(b)),
-                F.shiftrightunsigned(F.col(fp_col), b * w)
-                .bitwiseAND(F.lit(mask))
+                F.shiftrightunsigned(F.col(fp_col), pos)
+                .bitwiseAND(F.lit((1 << w) - 1))
                 .cast("string"),
             )
-            for b in range(bands)
-        ]
-    )
+        )
+        pos += w
+    band_arr = F.array(*exprs)
     buckets = fp_df.select(
         F.col(id_col).alias("__id"),
         F.col(fp_col).alias("__sim"),

@@ -878,14 +878,10 @@ def dhash_pairs(
 
     # the fingerprint width follows the grid: hash_size^2 comparison
     # bits (dhash_image validates hash_size <= 8, so bits <= 64 and the
-    # Int64 column / two's-complement fold stay exact); bands must both
-    # divide the width and exceed max_hamming for the pigeonhole bound
+    # Int64 column / two's-complement fold stay exact); the band join
+    # defaults to the minimal max_hamming+1 unequal-width bands — the
+    # widest segments the pigeonhole bound allows (best selectivity)
     bits = hash_size * hash_size
-    if bands is None:
-        bands = next(
-            (b for b in range(max_hamming + 1, bits + 1) if bits % b == 0),
-            bits,
-        )
     fp = image_dhash(multimodal_df, hash_size=hash_size).filter(
         F.col("dhash_ok")
     )
@@ -1299,10 +1295,6 @@ def audio_fp_pairs(
     Output: (id_a, id_b, hamming)."""
     from outpost_spark.ops.dedup import hamming_banded_pairs
 
-    if bands is None:
-        bands = next(
-            (b for b in range(max_hamming + 1, 65) if 64 % b == 0), 64
-        )
     fp = audio_fingerprints(multimodal_df).filter(F.col("afp_ok"))
     return hamming_banded_pairs(
         fp, "id", "afp", bits=64, max_hamming=max_hamming, bands=bands
@@ -1591,7 +1583,7 @@ def video_dhash_pairs(
     frame_hashes: DataFrame,
     *,
     max_hamming: int = 4,
-    bands: int = 8,
+    bands: int | None = None,
     min_match_fraction: float = 0.5,
 ) -> DataFrame:
     """Near-duplicate VIDEO pairs from per-frame dHash rows
@@ -1603,28 +1595,34 @@ def video_dhash_pairs(
     is part of the bucket key, so buckets never mix frame positions and
     the join stays linear in corpus size; bit_count(xor) verifies
     exactly (zero false negatives within the distance, the
-    hamming_banded_pairs guarantee).  Output: (id_a, id_b,
-    matched_frames, frames_a, frames_b)."""
+    hamming_banded_pairs guarantee, same minimal unequal-width band
+    default).  Output: (id_a, id_b, matched_frames, frames_a,
+    frames_b)."""
     bits = 64
+    if bands is None:
+        bands = max_hamming + 1
     if bands <= max_hamming:
         raise ValueError(f"bands ({bands}) must exceed max_hamming ({max_hamming})")
-    w = bits // bands
-    mask = (1 << w) - 1
+    base, rem = divmod(bits, bands)
+    if base == 0:
+        raise ValueError(f"bands ({bands}) cannot exceed bits ({bits})")
     fh = frame_hashes.filter(F.col("hash_ok")).select(
         "id", "frame_idx", "fhash", "n_sampled"
     )
-    band_arr = F.array(
-        *[
+    exprs, pos = [], 0
+    for b in range(bands):
+        w = base + (1 if b < rem else 0)
+        exprs.append(
             F.concat_ws(
                 ":",
                 F.lit(str(b)),
-                F.shiftrightunsigned(F.col("fhash"), b * w)
-                .bitwiseAND(F.lit(mask))
+                F.shiftrightunsigned(F.col("fhash"), pos)
+                .bitwiseAND(F.lit((1 << w) - 1))
                 .cast("string"),
             )
-            for b in range(bands)
-        ]
-    )
+        )
+        pos += w
+    band_arr = F.array(*exprs)
     buckets = fh.select(
         "id", "frame_idx", "fhash", "n_sampled", F.explode(band_arr).alias("__band")
     ).localCheckpoint(eager=True)

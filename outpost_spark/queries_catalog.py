@@ -4176,8 +4176,9 @@ def _write_image_fixture(spark, sf_dir):
 def dedup_image_phash_pairs(spark, sf_dir):
     """Perceptual image dedup (VERDICT r08 task #8): dHash over the
     stdlib PNG decoder + the SAME pigeonhole Hamming band join the text
-    simhash uses (ops/dedup.py::hamming_banded_pairs, bits=64, bands=8
-    — zero false negatives within the distance, never quadratic).  The
+    simhash uses (ops/dedup.py::hamming_banded_pairs, bits=64, five
+    unequal-width bands — zero false negatives within the distance,
+    never quadratic).  The
     corpus is PLANTED — deterministic synthetic PNGs where ids sharing
     ``id // 4`` are near-identical (single-pixel tweaks) and every 29th
     id is junk bytes (dhash_ok=false rows, never task failures).  The
@@ -4187,9 +4188,7 @@ def dedup_image_phash_pairs(spark, sf_dir):
     from outpost_spark.ops.dedup import hamming_banded_pairs
 
     fp = _write_image_fixture(spark, sf_dir).filter(F.col("dhash_ok"))
-    return hamming_banded_pairs(
-        fp, "id", "dhash", bits=64, max_hamming=4, bands=8
-    )
+    return hamming_banded_pairs(fp, "id", "dhash", bits=64, max_hamming=4)
 
 
 _IMAGE_SURVIVORS_SQL = f"""
@@ -4234,12 +4233,7 @@ def dedup_image_survivors(spark, sf_dir):
 
     fp = _write_image_fixture(spark, sf_dir)
     pairs = hamming_banded_pairs(
-        fp.filter(F.col("dhash_ok")),
-        "id",
-        "dhash",
-        bits=64,
-        max_hamming=4,
-        bands=8,
+        fp.filter(F.col("dhash_ok")), "id", "dhash", bits=64, max_hamming=4
     )
     return dedup_keep_canonical(fp.select("id"), pairs, "id")
 
@@ -4494,8 +4488,8 @@ def dedup_audio_fingerprint_pairs(spark, sf_dir):
     the audio analog of the image dHash
     (ops/multimodal.py::audio_fingerprint) — fed through the SAME
     pigeonhole Hamming band join text simhash and image dHash use
-    (ops/dedup.py::hamming_banded_pairs, bits=64, bands=8 — zero false
-    negatives within the distance, never quadratic).  The corpus is
+    (ops/dedup.py::hamming_banded_pairs, bits=64, five unequal-width
+    bands — zero false negatives within the distance, never quadratic).  The corpus is
     PLANTED twin clips: ids sharing ``id // 4`` are rank-swap spectral
     tweaks of the same plant (within Hamming 3), distinct seeds sit
     ~32 bits apart, and every 29th id is junk bytes (afp_ok=false
@@ -4506,9 +4500,7 @@ def dedup_audio_fingerprint_pairs(spark, sf_dir):
     from outpost_spark.ops.dedup import hamming_banded_pairs
 
     fp = _write_audio_fp_fixture(spark, sf_dir).filter(F.col("afp_ok"))
-    return hamming_banded_pairs(
-        fp, "id", "afp", bits=64, max_hamming=4, bands=8
-    )
+    return hamming_banded_pairs(fp, "id", "afp", bits=64, max_hamming=4)
 
 
 _AUDIO_SURVIVORS_SQL = f"""
@@ -4554,12 +4546,7 @@ def dedup_audio_survivors(spark, sf_dir):
 
     fp = _write_audio_fp_fixture(spark, sf_dir)
     pairs = hamming_banded_pairs(
-        fp.filter(F.col("afp_ok")),
-        "id",
-        "afp",
-        bits=64,
-        max_hamming=4,
-        bands=8,
+        fp.filter(F.col("afp_ok")), "id", "afp", bits=64, max_hamming=4
     )
     return dedup_keep_canonical(fp.select("id"), pairs, "id")
 
