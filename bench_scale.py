@@ -2111,18 +2111,31 @@ def main() -> None:
         r10-r12 sequential-per-side protocol's blind spot).  Returns
         {'out': best head output, 'head', 'head_runs', 'runs_per_side'}
         plus 'ref'/'ref_runs'/'ratio' when a ref tree exists and accepts
-        the case ('ref_error' when it doesn't)."""
+        the case ('ref_error' when it doesn't).  The WITHIN-pair order
+        swaps each iteration (head,ref / ref,head / ...) — with a fixed
+        order the second side always runs against the page cache the
+        first side just warmed, a systematic bias the r13 FilterByTopic
+        probe exposed (head runs descending 9.7 -> 7.5 while ref,
+        always second, sat at 4.5)."""
         heads: list[dict] = []
         ref_secs: list[float] = []
         ref_err = None
-        for _ in range(runs):
-            heads.append(_run_case_isolated(name, args))
-            if ref is not None and ref_err is None:
+        for i in range(runs):
+            ref_first = ref is not None and ref_err is None and i % 2 == 1
+            if ref_first:
                 try:
                     ref_secs.append(
                         _run_case_isolated(name, args, root=ref[1])["secs"]
                     )
                 except Exception as e:  # ref tree may lack the case
+                    ref_err = str(e)[:200]
+            heads.append(_run_case_isolated(name, args))
+            if ref is not None and ref_err is None and not ref_first:
+                try:
+                    ref_secs.append(
+                        _run_case_isolated(name, args, root=ref[1])["secs"]
+                    )
+                except Exception as e:
                     ref_err = str(e)[:200]
         best = min(heads, key=lambda o: o["secs"])
         entry: dict = {

@@ -1257,11 +1257,13 @@ def audio_fingerprints(
     n_fft: int = 512,
     grid_t: int = 8,
     n_bands: int = 9,
+    fmax_hz: float | None = None,
 ) -> DataFrame:
     """(id, content) -> (id, afp, afp_ok) via Arrow-batched mapInPandas:
     corrupt / non-WAV / too-short members yield ``afp_ok=false`` rows,
     never task failures — the same tolerance contract as
-    :func:`image_dhash`."""
+    :func:`image_dhash`.  ``fmax_hz`` anchors the bands to a fixed Hz
+    range so mixed-sample-rate corpora fingerprint comparably."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1270,7 +1272,7 @@ def audio_fingerprints(
                 try:
                     fp = audio_fingerprint(
                         bytes(content), n_fft=n_fft, grid_t=grid_t,
-                        n_bands=n_bands,
+                        n_bands=n_bands, fmax_hz=fmax_hz,
                     )
                     ok = True
                 except Exception:
@@ -1286,16 +1288,24 @@ def audio_fingerprints(
 
 
 def audio_fp_pairs(
-    multimodal_df: DataFrame, *, max_hamming: int = 4, bands: int | None = None
+    multimodal_df: DataFrame,
+    *,
+    max_hamming: int = 4,
+    bands: int | None = None,
+    fmax_hz: float | None = None,
 ) -> DataFrame:
     """Near-duplicate audio pairs: spectral fingerprints fed to the SAME
     pigeonhole Hamming band join text simhash and image dHash use —
     zero false negatives within ``max_hamming``, never a quadratic
     self-join.  Unfingerprint-able members are excluded, not failed.
+    ``fmax_hz`` (with a slightly wider ``max_hamming``, ~6) pairs
+    near-dups ACROSS sample rates — a clip and its resampled copy.
     Output: (id_a, id_b, hamming)."""
     from outpost_spark.ops.dedup import hamming_banded_pairs
 
-    fp = audio_fingerprints(multimodal_df).filter(F.col("afp_ok"))
+    fp = audio_fingerprints(multimodal_df, fmax_hz=fmax_hz).filter(
+        F.col("afp_ok")
+    )
     return hamming_banded_pairs(
         fp, "id", "afp", bits=64, max_hamming=max_hamming, bands=bands
     )
@@ -1373,13 +1383,23 @@ def planted_audio_dedup_corpus(
     id_col: str = "doc_id",
     group: int = 4,
     corrupt_every: int = 29,
+    cross_rate: bool = False,
 ) -> DataFrame:
     """ids -> (id, content) of planted clips: ids sharing ``id // group``
     are near-duplicate audio (rank-swap tweaks of the same spectral
     plant — the twin clips a perceptual dedup must pair), and every
     ``corrupt_every``-th id carries junk bytes (afp_ok=false tolerance
-    probe).  Generated executor-side in mapInPandas — nothing collects,
-    the corpus scales with the id table."""
+    probe).  ``cross_rate`` resamples odd ids to 16 kHz, so duplicate
+    groups span SAMPLE RATES — the corpus shape the Hz-anchored
+    fingerprint (``fmax_hz``) exists for.  Generated executor-side in
+    mapInPandas — nothing collects, the corpus scales with the id
+    table."""
+
+    def member(i: int) -> bytes:
+        clip = planted_clip_wav(i // group, i % group)
+        if cross_rate and i % 2:
+            clip = resample_wav(clip, target_rate=16000)
+        return clip
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1387,7 +1407,7 @@ def planted_audio_dedup_corpus(
             content = [
                 b"JUNK: not audio"
                 if corrupt_every and i % corrupt_every == 0
-                else planted_clip_wav(i // group, i % group)
+                else member(i)
                 for i in ids
             ]
             yield pd.DataFrame({"id": ids, "content": content})

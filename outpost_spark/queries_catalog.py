@@ -4551,6 +4551,51 @@ def dedup_audio_survivors(spark, sf_dir):
     return dedup_keep_canonical(fp.select("id"), pairs, "id")
 
 
+_AUDIO_XR_FIXTURE_DIR = os.path.join(
+    os.environ.get("OUTPOST_SPARK_ORACLE_FIXTURES", "/tmp/outpost_spark_oracle_fix"),
+    "audio_afp_xrate",
+)
+
+_AUDIO_XR_PAIRS_SQL = f"""
+    WITH fp AS (
+      SELECT id, afp
+      FROM read_parquet('{_AUDIO_XR_FIXTURE_DIR}/*.parquet')
+      WHERE afp_ok
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.id < b.id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 6
+"""
+
+
+@_register("dedup_audio_crossrate_pairs", _AUDIO_XR_PAIRS_SQL)
+def dedup_audio_crossrate_pairs(spark, sf_dir):
+    """CROSS-SAMPLE-RATE audio dedup: the corpus mixes 8 kHz plants with
+    their 16 kHz resamples (odd ids), and the fingerprint anchors its
+    bands to a FIXED Hz range (fmax_hz=3800) so both rates compute
+    energies over the same spectral bands — a clip and its resampled
+    copy land within a few bits (resampling rolloff adds ~2, rank-swap
+    tweaks ~1 more; measured worst 5, cross-group minimum 22, so
+    max_hamming=6 separates cleanly with 7 pigeonhole bands).  The
+    oracle re-derives pairs from the persisted fingerprint fixture with
+    an exhaustive quadratic Hamming join; the Hz-anchored band math is
+    pinned in tests/test_audio_dedup.py."""
+    from outpost_spark.ops.dedup import hamming_banded_pairs
+    from outpost_spark.ops.multimodal import (
+        audio_fingerprints,
+        planted_audio_dedup_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    clips = planted_audio_dedup_corpus(docs, id_col="doc_id", cross_rate=True)
+    audio_fingerprints(clips, fmax_hz=3800.0).write.mode("overwrite").parquet(
+        _AUDIO_XR_FIXTURE_DIR
+    )
+    fp = spark.read.parquet(_AUDIO_XR_FIXTURE_DIR).filter(F.col("afp_ok"))
+    return hamming_banded_pairs(fp, "id", "afp", bits=64, max_hamming=6)
+
+
 # Video near-dup pairing (round 13): per-frame dHash over sampled
 # animation frames, paired frame-aligned — the same fixture trick: the
 # Spark entry persists its per-frame hash frame and DuckDB re-derives

@@ -198,6 +198,40 @@ def test_audio_survivors_collapse_planted_groups(spark):
     assert len(got) < 120  # clusters actually collapsed
 
 
+def test_crossrate_pairs_find_exactly_the_planted_groups(spark):
+    """The cross-rate corpus (odd ids resampled to 16 kHz) pairs
+    exactly the planted groups when fingerprinted with Hz-anchored
+    bands at max_hamming=6 — duplicate detection across sample rates."""
+    ids = spark.range(0, 120).select(F.col("id").alias("doc_id"))
+    clips = planted_audio_dedup_corpus(ids, id_col="doc_id", cross_rate=True)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in audio_fp_pairs(
+            clips, max_hamming=6, fmax_hz=3800.0
+        ).collect()
+    }
+    assert got == _expected_pairs(range(120))
+
+
+def test_crossrate_catalog_entry_matches_planted_answer(spark):
+    from outpost_spark.queries_catalog import queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    doc_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in queries()["dedup_audio_crossrate_pairs"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == _expected_pairs(doc_ids)
+
+
 def test_catalog_entries_match_planted_answer(spark):
     from outpost_spark.queries_catalog import queries
 
