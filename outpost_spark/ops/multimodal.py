@@ -1538,6 +1538,53 @@ def planted_video_dedup_corpus(
     return ids_df.select(id_col).mapInPandas(gen, "id long, content binary")
 
 
+def planted_mixed_video_corpus(
+    ids_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    group: int = 4,
+    corrupt_every: int = 29,
+) -> DataFrame:
+    """ids -> (id, content) of CROSS-CONTAINER twin videos: ids sharing
+    ``id // group`` carry the same JPEG-robust cell-plant frame
+    sequence (n_frames = 2 + gid % 5, per-member cell tweaks), encoded
+    as animated GIF for even ids and AVI/Motion-JPEG for odd ids
+    (progressive JPEG frames for ids = 3 mod 4) — so a sequence-level
+    dedup only pairs the group if the GIF and AVI decode paths produce
+    agreeing per-frame fingerprints, the video analog of the mixed
+    PNG/JPEG/GIF image groups.  Every ``corrupt_every``-th id is junk
+    bytes.  Executor-side generation, nothing collects."""
+    import numpy as np
+
+    def member(i: int) -> bytes:
+        from outpost_spark.ops.avi import encode_avi_mjpeg
+        from outpost_spark.ops.gif import encode_gif_animation
+
+        gid, tweak = i // group, i % group
+        n = 2 + gid % 5
+        frames = np.stack(
+            [_planted_cells(gid * 7 + fi, tweak)[..., 0] for fi in range(n)]
+        )
+        if i % 2:
+            return encode_avi_mjpeg(
+                frames, quality=90, progressive=i % 4 == 3
+            )
+        return encode_gif_animation(frames)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            content = [
+                b"JUNK: not a video"
+                if corrupt_every and i % corrupt_every == 0
+                else member(i)
+                for i in ids
+            ]
+            yield pd.DataFrame({"id": ids, "content": content})
+
+    return ids_df.select(id_col).mapInPandas(gen, "id long, content binary")
+
+
 VIDEO_FRAME_DHASH_SCHEMA = (
     "id long, frame_idx int, fhash long, n_sampled int, hash_ok boolean"
 )

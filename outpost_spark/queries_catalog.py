@@ -4725,6 +4725,58 @@ def dedup_video_survivors(spark, sf_dir):
     )
 
 
+_VIDEO_XF_FIXTURE_DIR = os.path.join(
+    os.environ.get("OUTPOST_SPARK_ORACLE_FIXTURES", "/tmp/outpost_spark_oracle_fix"),
+    "video_fhash_xfmt",
+)
+
+_VIDEO_XF_PAIRS_SQL = f"""
+    WITH fh AS (
+      SELECT id, frame_idx, fhash, n_sampled
+      FROM read_parquet('{_VIDEO_XF_FIXTURE_DIR}/*.parquet')
+      WHERE hash_ok
+    ),
+    m AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             a.n_sampled AS frames_a, b.n_sampled AS frames_b,
+             COUNT(*) AS matched_frames
+      FROM fh a JOIN fh b
+        ON a.id < b.id AND a.frame_idx = b.frame_idx
+       AND bit_count(xor(a.fhash, b.fhash)) <= 4
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, matched_frames, frames_a, frames_b
+    FROM m
+    WHERE matched_frames >= CEIL(LEAST(frames_a, frames_b) * 0.5)
+"""
+
+
+@_register("dedup_video_crossformat_pairs", _VIDEO_XF_PAIRS_SQL)
+def dedup_video_crossformat_pairs(spark, sf_dir):
+    """CROSS-CONTAINER video dedup: the corpus carries the same
+    cell-plant frame sequences encoded as animated GIF (even ids) and
+    AVI/Motion-JPEG (odd ids; progressive JPEG frames for ids = 3 mod
+    4), so a pair only surfaces when the GIF disposal-model decode and
+    the RIFF-walk MJPEG decode produce agreeing per-frame dHashes
+    (measured worst twin frame distance 4, cross-group minimum 22) —
+    the video analog of the mixed PNG/JPEG/GIF image groups.  Same
+    frame-aligned band join and fixture oracle as
+    dedup_video_nearpairs."""
+    from outpost_spark.ops.multimodal import (
+        planted_mixed_video_corpus,
+        video_dhash_pairs,
+        video_frame_dhash,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vids = planted_mixed_video_corpus(docs, id_col="doc_id")
+    video_frame_dhash(vids, every_k=2).write.mode("overwrite").parquet(
+        _VIDEO_XF_FIXTURE_DIR
+    )
+    fh = spark.read.parquet(_VIDEO_XF_FIXTURE_DIR)
+    return video_dhash_pairs(fh, max_hamming=4, min_match_fraction=0.5)
+
+
 # ───────────────── tenant/destination store (S8, P10, P2/J2, S1) ─────────────────
 
 _DESTS_SQL = """

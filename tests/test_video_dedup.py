@@ -142,6 +142,41 @@ def test_match_fraction_threshold(spark):
     assert video_dhash_pairs(fh, min_match_fraction=0.75).count() == 0
 
 
+def test_crossformat_pairs_find_exactly_the_planted_groups(spark):
+    """Mixed-container groups (GIF even ids, AVI/MJPEG odd ids — incl.
+    progressive JPEG frames) pair exactly: cross-container video dedup
+    works only if both decode paths fingerprint agree."""
+    from outpost_spark.ops.multimodal import planted_mixed_video_corpus
+
+    ids = spark.range(0, 120).select(F.col("id").alias("doc_id"))
+    vids = planted_mixed_video_corpus(ids, id_col="doc_id")
+    fh = video_frame_dhash(vids, every_k=2)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in video_dhash_pairs(fh).collect()
+    }
+    assert got == _expected_pairs(range(120))
+
+
+def test_crossformat_catalog_entry_matches_planted_answer(spark):
+    from outpost_spark.queries_catalog import queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    doc_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in queries()["dedup_video_crossformat_pairs"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == _expected_pairs(doc_ids)
+
+
 def test_catalog_entries_match_planted_answer(spark):
     from outpost_spark.queries_catalog import queries
 
