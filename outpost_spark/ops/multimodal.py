@@ -135,6 +135,29 @@ def decode_image(content: bytes) -> dict:
             lum = px[..., 0].astype(np.float64)
         out["mean_luminance"] = float(lum.mean())
         return out
+    from outpost_spark.ops import bmp as _bmp
+
+    if _bmp.is_bmp(content):
+        meta = _bmp.decode_bmp_meta(content)
+        out = {
+            "kind": "bmp",
+            "width": meta["width"],
+            "height": meta["height"],
+            "bit_depth": 8,
+            "channels": 3,
+            "mean_luminance": None,
+        }
+        if meta["width"] * meta["height"] * 3 > _MAX_RAW_BYTES:
+            return out  # header-only: bomb guard
+        try:
+            px = _bmp.decode_bmp(content)
+        except ValueError:
+            return out  # corrupt pixel data: header-only
+        import numpy as np
+
+        lum = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        out["mean_luminance"] = float(lum.mean())
+        return out
     if len(content) < 8 or content[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG or JPEG")
     pos = 8
@@ -577,8 +600,8 @@ def _png_pixels(content: bytes):
 
 
 def image_pixels(content: bytes):
-    """Full pixel decode of a PNG, JPEG, or GIF -> (h, w, c) uint8 —
-    the shared dispatch behind resize_image and dhash_image.  Raises
+    """Full pixel decode of a PNG, JPEG, GIF, or BMP -> (h, w, c) uint8
+    — the shared dispatch behind resize_image and dhash_image.  Raises
     ValueError for anything no decoder fully decodes."""
     if content[:2] == _JPEG_MAGIC:
         from outpost_spark.ops.jpeg import decode_jpeg
@@ -588,6 +611,10 @@ def image_pixels(content: bytes):
         from outpost_spark.ops.gif import decode_gif
 
         return decode_gif(content)
+    from outpost_spark.ops import bmp as _bmp
+
+    if _bmp.is_bmp(content):
+        return _bmp.decode_bmp(content)
     return _png_pixels(content)
 
 
@@ -616,6 +643,10 @@ def resize_image(content: bytes, scale: float) -> bytes:
         from outpost_spark.ops.gif import encode_gif
 
         return encode_gif(out)
+    from outpost_spark.ops import bmp as _bmp
+
+    if _bmp.is_bmp(content):
+        return _bmp.encode_bmp(out)
     return encode_png(out)
 
 
@@ -728,12 +759,10 @@ def dhash_canonical_survivors(
     return dedup_keep_canonical(multimodal_df.select("id"), pairs, "id")
 
 
-def planted_png(seed: int, tweak: int, *, width: int = 18, height: int = 16) -> bytes:
-    """Deterministic synthetic PNG: md5-derived greyscale pixels keyed by
-    ``seed`` (same seed = near-identical image) with a single-pixel
-    ``tweak`` perturbation (the 'near' in near-duplicate).  Distinct
-    seeds give statistically independent pixels, so their dHashes sit
-    ~32 bits apart while same-seed variants sit within a couple."""
+def _planted_noise_pixels(seed: int, tweak: int, *, width: int = 18, height: int = 16):
+    """md5-derived greyscale pixels keyed by ``seed`` with a
+    single-pixel ``tweak`` perturbation — shared by the PNG and BMP
+    noise plants so their dHashes match exactly (both lossless)."""
     import numpy as np
 
     rows = []
@@ -745,7 +774,26 @@ def planted_png(seed: int, tweak: int, *, width: int = 18, height: int = 16) -> 
         rows.append(list(raw[:width]))
     px = np.array(rows, dtype=np.uint8).reshape(height, width, 1)
     px[tweak % height, (tweak * 7) % width, 0] ^= 3
-    return encode_png(px)
+    return px
+
+
+def planted_png(seed: int, tweak: int, *, width: int = 18, height: int = 16) -> bytes:
+    """Deterministic synthetic PNG: md5-derived greyscale pixels keyed by
+    ``seed`` (same seed = near-identical image) with a single-pixel
+    ``tweak`` perturbation (the 'near' in near-duplicate).  Distinct
+    seeds give statistically independent pixels, so their dHashes sit
+    ~32 bits apart while same-seed variants sit within a couple."""
+    return encode_png(_planted_noise_pixels(seed, tweak, width=width, height=height))
+
+
+def planted_bmp(seed: int, tweak: int, *, width: int = 18, height: int = 16) -> bytes:
+    """The BMP twin of :func:`planted_png` — same pixels, 24-bit DIB
+    container.  Both encodings are lossless over the grey plant, so the
+    PNG and BMP of one (seed, tweak) dHash IDENTICALLY (equal RGB
+    triples have the grey value as luminance)."""
+    from outpost_spark.ops.bmp import encode_bmp
+
+    return encode_bmp(_planted_noise_pixels(seed, tweak, width=width, height=height))
 
 
 def _planted_cells(seed: int, tweak: int, *, rows: int = 8, cols: int = 9):
@@ -845,6 +893,11 @@ def planted_image_corpus(
             if i % 2:
                 return planted_gif(gid, tweak, interlace=i % 4 == 3)
             return encode_png(_planted_cells(gid, tweak))
+        # noise groups (gid % 3 == 0): PNG/BMP twins (r13) — the same
+        # md5-noise pixels as PNG for even ids, 24-bit BMP for odd,
+        # putting the fourth crawl format on the value-oracled path
+        if jpeg_groups and i % 2:
+            return planted_bmp(gid, tweak)
         return planted_png(gid, tweak)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -4246,6 +4246,7 @@ def dedup_image_survivors(spark, sf_dir):
            CASE WHEN doc_id % 29 = 0 THEN NULL
                 WHEN (doc_id // 4) % 3 = 2 AND doc_id % 2 = 1 THEN 'jpeg'
                 WHEN (doc_id // 4) % 3 = 1 AND doc_id % 2 = 1 THEN 'gif'
+                WHEN (doc_id // 4) % 3 = 0 AND doc_id % 2 = 1 THEN 'bmp'
                 ELSE 'png' END AS kind,
            CASE WHEN doc_id % 29 = 0 THEN NULL
                 WHEN (doc_id // 4) % 3 = 0 THEN 18 ELSE 72 END AS width,
@@ -4253,6 +4254,7 @@ def dedup_image_survivors(spark, sf_dir):
                 WHEN (doc_id // 4) % 3 = 0 THEN 16 ELSE 64 END AS height,
            CASE WHEN doc_id % 29 = 0 THEN NULL
                 WHEN (doc_id // 4) % 3 = 1 AND doc_id % 2 = 1 THEN 3
+                WHEN (doc_id // 4) % 3 = 0 AND doc_id % 2 = 1 THEN 3
                 ELSE 1 END AS channels,
            CASE WHEN doc_id % 29 = 0 THEN NULL ELSE 8 END AS bit_depth
     FROM documents
@@ -4260,8 +4262,9 @@ def dedup_image_survivors(spark, sf_dir):
 )
 def multimodal_decoded_planted(spark, sf_dir):
     """REAL image decode, value-oracled end to end (round 11; GIF
-    groups added round 12): the planted image corpus (PNG noise groups,
-    mixed PNG/JPEG cell groups, mixed PNG/GIF cell groups incl.
+    groups round 12; BMP twins round 13): the planted image corpus
+    (PNG/BMP noise twin groups, mixed PNG/JPEG cell groups incl. both
+    progressive scripts, mixed PNG/GIF cell groups incl.
     interlaced GIF, junk members —
     ops/multimodal.py::planted_image_corpus) runs through the REAL
     stdlib PNG + JPEG + GIF decoders distributed in mapInPandas, and
