@@ -119,6 +119,74 @@ def test_cross_rate_invariance_with_hz_anchored_bands():
     assert audio_fingerprint(w) == audio_fingerprint(w, fmax_hz=None)
 
 
+def _wav_container(tag, bits, payload, ch=1, rate=8000, ext=False):
+    """Hand-build a WAV with an arbitrary fmt tag/depth (the stdlib
+    wave module can't write these variants)."""
+    import struct
+
+    if ext:  # WAVE_FORMAT_EXTENSIBLE: the real tag leads the GUID
+        fmt = (
+            struct.pack("<HHIIHH", 0xFFFE, ch, rate, rate * bits // 8 * ch,
+                        bits // 8 * ch, bits)
+            + struct.pack("<HHI", 22, bits, 3)
+            + struct.pack("<H", tag)
+            + bytes(14)
+        )
+    else:
+        fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * bits // 8 * ch,
+                          bits // 8 * ch, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + (b"\x00" if len(fmt) & 1 else b"")
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    import struct as _s
+
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def test_wav_variants_normalize_to_int16():
+    """Real corpora carry more than 16-bit PCM: unsigned 8-bit, 24/32-bit
+    PCM, IEEE float32/64, and EXTENSIBLE wrappers all decode through the
+    direct RIFF parse and normalize to int16 — a float32 re-encode of a
+    planted clip fingerprints IDENTICALLY (r13)."""
+    from outpost_spark.ops.multimodal import _wav_samples
+
+    s16 = np.round(10000 * np.sin(np.arange(8000) * 0.1)).astype("<i2")
+    f32 = (s16.astype(np.float32) / 32767.0).astype("<f4")
+    arr, rate = _wav_samples(_wav_container(3, 32, f32.tobytes()))
+    assert rate == 8000
+    assert np.abs(arr[:, 0].astype(int) - s16.astype(int)).max() <= 1
+    arr, _ = _wav_samples(
+        _wav_container(3, 64, (s16.astype("<f8") / 32767.0).tobytes())
+    )
+    assert np.abs(arr[:, 0].astype(int) - s16.astype(int)).max() <= 1
+    u8 = ((s16.astype(np.int32) >> 8) + 128).astype(np.uint8)
+    arr, _ = _wav_samples(_wav_container(1, 8, u8.tobytes()))
+    assert (arr[:, 0].astype(int) == (s16.astype(int) & ~0xFF)).all()
+    b32 = (s16.astype("<i4") << 8).tobytes()
+    p24 = b"".join(b32[i : i + 3] for i in range(0, len(b32), 4))
+    arr, _ = _wav_samples(_wav_container(1, 24, p24))
+    assert (arr[:, 0] == s16).all()
+    arr, _ = _wav_samples(
+        _wav_container(1, 32, (s16.astype("<i4") << 16).tobytes())
+    )
+    assert (arr[:, 0] == s16).all()
+    arr, _ = _wav_samples(_wav_container(3, 32, f32.tobytes(), ext=True))
+    assert np.abs(arr[:, 0].astype(int) - s16.astype(int)).max() <= 1
+    # fingerprint invariance across the container depth
+    w = planted_clip_wav(5, 0)
+    a, r = _wav_samples(w)
+    fw = _wav_container(
+        3, 32, (a[:, 0].astype("<f4") / 32767.0).tobytes(), rate=r
+    )
+    assert audio_fingerprint(w) == audio_fingerprint(fw)
+    # mu-law / a-law tags stay honest ValueErrors
+    with pytest.raises(ValueError, match="unsupported format tag"):
+        _wav_samples(_wav_container(7, 8, u8.tobytes()))
+
+
 def test_rejects_short_junk_and_bad_grid():
     with pytest.raises(ValueError, match="shorter"):
         audio_fingerprint(encode_wav(np.zeros(100, dtype="<i2"), 8000))

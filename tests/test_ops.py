@@ -926,8 +926,24 @@ def test_simhash_pairs_banded(docs):
     assert not any({a, b} == {1, 5} for a, b in out)
     with pytest.raises(ValueError):
         simhash_pairs(docs, "doc_id", "text", max_hamming=4, bands=4)
-    with pytest.raises(ValueError):
-        simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=2, bands=5)
+    with pytest.raises(ValueError):  # more bands than bits
+        simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=2, bands=40)
+    # non-dividing band counts are VALID (r13): widths split as equally
+    # as the remainder allows, the pigeonhole bound never needs equal
+    # segments — and the result matches the dividing layout exactly
+    alt = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(
+            docs, "doc_id", "text", bits=32, max_hamming=2, bands=5
+        ).collect()
+    }
+    ref = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(
+            docs, "doc_id", "text", bits=32, max_hamming=2, bands=4
+        ).collect()
+    }
+    assert alt == ref
 
 
 def test_simhash_pairs_64bit_production_path(docs):
