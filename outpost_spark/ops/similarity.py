@@ -1124,6 +1124,67 @@ def pq_encode(
     return src.mapInPandas(gen, out_schema)
 
 
+def pq_topk_ivf(
+    codes_df: DataFrame,
+    query_vec: list,
+    codebooks: list,
+    centroids,
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist: int | None = None,
+    vectors_df: DataFrame | None = None,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    assign_col: str = "ivf_cid",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """IVF + PQ — the composed 100 TB ANN architecture (Jegou et al.
+    §V, IVFADC): probe the query's ``nprobe`` nearest centroid lists
+    and ADC-score ONLY their m-byte codes; with ``shortlist`` and
+    ``vectors_df`` set, exact-rerank the shortlist from the original
+    vectors (the production default, like :func:`pq_topk_rerank`).
+
+    The two scale levers compose: IVF pruning bounds the SCAN
+    (``codes_df`` written ``partitionBy(assign_col)`` turns the literal
+    probe filter into partition pruning — nprobe/nlist of the files),
+    PQ bounds the BYTES (m bytes per scanned row instead of dim*4); the
+    rerank reads full vectors for only ``shortlist`` rows via a
+    broadcast semi-join.  The probe set is computed DRIVER-side from
+    the (tiny, already-driver-resident) centroid list with the same
+    rounded-cosine / lowest-cid ordering the SQL oracle derives — no
+    collect, no extra job."""
+    import math
+
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in q))
+    ranked = []
+    for cid, c in enumerate(centroids):
+        cn = math.sqrt(sum(float(x) * float(x) for x in c))
+        s = (
+            round(
+                sum(a * float(b) for a, b in zip(q, c)) / (qn * cn),
+                score_decimals,
+            )
+            if qn and cn
+            else 0.0
+        )
+        ranked.append((-s, cid))
+    probes = [cid for _s, cid in sorted(ranked)[:nprobe]]
+    pruned = codes_df.filter(
+        F.col(assign_col).isin(probes) if probes else F.lit(False)
+    )
+    if shortlist is not None and vectors_df is not None:
+        return pq_topk_rerank(
+            pruned, vectors_df, q, codebooks, k=k, shortlist=shortlist,
+            id_col=id_col, codes_col=codes_col,
+        )
+    return pq_topk(
+        pruned, q, codebooks, k=k, id_col=id_col, codes_col=codes_col,
+        score_decimals=score_decimals,
+    )
+
+
 def pq_decode_expr(codes: Column, codebooks: list) -> Column:
     """Reconstructed vector from PQ codes — pure Column lookup over the
     literal codebooks (plan-time constants), no Python."""

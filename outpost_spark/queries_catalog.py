@@ -2871,6 +2871,103 @@ def embed_pq_topk_rerank(spark, sf_dir):
 
 
 @_register(
+    "embed_pq_ivf_topk",
+    f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM emb WHERE vec_id < 8),
+    cscored AS (
+      SELECT e.vec_id, s.cid, {{cos}} AS score
+      FROM emb e CROSS JOIN cent s
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+        FROM cscored) t WHERE rn = 1
+    ),
+    probes AS (SELECT cid FROM cscored WHERE vec_id = 0 ORDER BY score DESC, cid ASC LIMIT 2),
+    sub AS (
+      SELECT vec_id, CAST(j AS INT) AS j, v[j * 8 + 1 : j * 8 + 8] AS sv
+      FROM emb, unnest(range(0, 8)) AS t(j)
+    ),
+    pqcent AS (
+      SELECT CAST(vec_id AS INT) AS c, j, sv AS cv FROM sub WHERE vec_id < 16
+    ),
+    d2 AS (
+      SELECT s.vec_id, s.j, c.c,
+             list_sum(list_transform(range(1, 9), i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d
+      FROM sub s JOIN pqcent c ON s.j = c.j
+    ),
+    codes AS (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        FROM d2) t
+      WHERE rn = 1
+    ),
+    q AS (SELECT j, sv AS qv FROM sub WHERE vec_id = 0),
+    lut AS (
+      SELECT c.j, c.c, list_sum(list_transform(range(1, 9), i -> q.qv[i] * c.cv[i])) AS ip
+      FROM pqcent c JOIN q ON c.j = q.j
+    ),
+    adc AS (
+      SELECT codes.vec_id, round(sum(lut.ip), 6) AS adc_score
+      FROM codes
+      JOIN assigned a ON codes.vec_id = a.vec_id
+      JOIN lut ON codes.j = lut.j AND codes.c = lut.c
+      WHERE a.cid IN (SELECT cid FROM probes)
+      GROUP BY codes.vec_id
+    ),
+    shortlist AS (
+      SELECT vec_id FROM adc ORDER BY adc_score DESC, vec_id ASC LIMIT 50
+    ),
+    qfull AS (SELECT v AS qv FROM emb WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_sum(list_transform(range(1, 65), i -> e.v[i] * qfull.qv[i])), 6) AS score
+    FROM emb e JOIN shortlist USING (vec_id), qfull
+    ORDER BY score DESC, vec_id ASC LIMIT 10
+    """.format(cos=_cos_sql("e.v", "s.c")),
+)
+def embed_pq_ivf_topk(spark, sf_dir):
+    """IVF + PQ composed — the actual 100 TB ANN architecture (Jegou et
+    al. §V, IVFADC): the query probes its 2 nearest of 8 IVF lists,
+    ADC-scores ONLY those lists' m-byte codes, then exact-reranks a
+    50-candidate shortlist from the original vectors.  The two scale
+    levers compose: IVF pruning bounds the scan (codes partitioned by
+    list id prune at the file level), PQ bounds the bytes per scanned
+    row, rerank bounds the full-vector reads to the shortlist.  Same
+    oracle-able degenerates as the component entries (seed centroids,
+    iters=0 codebooks); the oracle reproduces assignment, probing,
+    encoding, LUT, probed-list ADC, shortlist, and the exact rerank."""
+    from outpost_spark.ops.similarity import (
+        assign_ivf_sql,
+        norm_expr,
+        pq_encode,
+        pq_topk_ivf,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = _ivf_seeds(spark, sf_dir, 8)
+    books = pq_train(emb, "embedding", m=8, k=16, sample_n=16, iters=0)
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()[0][0]
+    ]
+    assigned = (
+        emb.withColumn("__vd", F.col("embedding").cast("array<double>"))
+        .withColumn("__vn", norm_expr(F.col("__vd")))
+        .withColumn("ivf_cid", assign_ivf_sql("__vd", "__vn", seeds))
+        .select("vec_id", "ivf_cid")
+    )
+    codes = pq_encode(emb, "embedding", books).join(assigned, "vec_id")
+    return pq_topk_ivf(
+        codes, q, books, seeds, k=10, nprobe=2, shortlist=50, vectors_df=emb
+    )
+
+
+@_register(
     "text_gopher_quality",
     r"""
     WITH s AS (SELECT doc_id, text FROM documents),

@@ -1499,6 +1499,31 @@ def test_product_quantization_roundtrip_and_adc_search(spark):
         (r["score"] for r in small), reverse=True
     )
 
+    # IVF + PQ composed (r13, IVFADC): with nprobe = nlist the result
+    # IS the plain rerank (no pruning), and with nprobe=1 only the
+    # query's own list is scanned — every returned id shares the
+    # query's list assignment
+    from outpost_spark.ops.similarity import assign_ivf_expr, pq_topk_ivf
+
+    seeds = [list(base[i]) for i in range(4)]
+    with_cid = codes.join(
+        df.select(
+            "vec_id",
+            assign_ivf_expr(F.col("embedding"), seeds).alias("ivf_cid"),
+        ),
+        "vec_id",
+    ).localCheckpoint(eager=True)
+    everything = pq_topk_ivf(
+        with_cid, q, books, seeds, k=5, nprobe=4, shortlist=n, vectors_df=df
+    ).collect()
+    assert [r["vec_id"] for r in everything] == exact
+    probed = pq_topk_ivf(with_cid, q, books, seeds, k=5, nprobe=1).collect()
+    cid_of = {
+        r["vec_id"]: r["ivf_cid"] for r in with_cid.select("vec_id", "ivf_cid").collect()
+    }
+    assert len(probed) == 5
+    assert {cid_of[r["vec_id"]] for r in probed} == {cid_of[3]}
+
 
 def test_minhash_short_docs_never_band_or_pair(spark):
     """Docs shorter than the shingle carry the all-sentinel signature;
