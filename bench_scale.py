@@ -305,6 +305,37 @@ def image_dedup_case(spark, path: str) -> dict:
     return {"secs": secs, "rows": survivors, "imgs_per_s": round(n / secs)}
 
 
+def generate_video_corpus(spark, path: str, n_vids: int) -> None:
+    """Planted video corpus at scale: cross-container twin groups
+    (animated GIF even ids, AVI/MJPEG odd ids incl. progressive frames,
+    junk members) — the same generator the value-oracled
+    dedup_video_crossformat_pairs entry uses, written once so the dedup
+    case measures DECODE+dedup, not generation."""
+    from outpost_spark.ops.multimodal import planted_mixed_video_corpus
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ids = spark.range(0, n_vids, 1, cpus * 4).select(F.col("id").alias("doc_id"))
+    planted_mixed_video_corpus(ids, id_col="doc_id").write.mode("overwrite").parquet(path)
+
+
+def video_dedup_case(spark, path: str) -> dict:
+    """Frame-sequence video dedup end to end at corpus scale (r13):
+    GIF disposal-model + RIFF/MJPEG decode with per-frame dHash in one
+    Arrow stage, the frame-aligned pigeonhole band join, match-fraction
+    threshold, connected components, canonical-survivor collapse.  Both
+    container codecs' Python loops are the quarantined cost driver —
+    the case records videos/s (and frames/s) so the linear scale-out
+    claim has a measured per-core rate behind it."""
+    from outpost_spark.ops.multimodal import video_dhash_survivors
+
+    vids = spark.read.parquet(path)
+    n = vids.count()
+    t0 = time.perf_counter()
+    survivors = video_dhash_survivors(vids, every_k=2).count()
+    secs = round(time.perf_counter() - t0, 4)
+    return {"secs": secs, "rows": survivors, "vids_per_s": round(n / secs, 1)}
+
+
 def generate_embedding_corpus(spark, path: str, n_vecs: int, dims: int = 64) -> None:
     """Deterministic 1M-scale embedding corpus with planted near-dup
     clusters, pure-Column generation (xxhash64-derived pseudo-randoms).
@@ -1731,6 +1762,7 @@ HEAVY_CASES = frozenset(
         "PqTopk",
         "CurateV6_1M",
         "ImageDedupMixed",
+        "VideoDedupMixed",
     }
 )
 
@@ -1792,6 +1824,14 @@ def run_only_case(case: str, args) -> None:
         if not os.path.exists(os.path.join(ipath, "_SUCCESS")):
             generate_image_corpus(spark, ipath, n_imgs)
         out = image_dedup_case(spark, ipath)
+        print(json.dumps({"case": case, "recall": {}, **out}))
+        return
+    if case == "VideoDedupMixed":
+        n_vids = int(os.environ.get("SPARK_GRAFT_SCALE_VIDEOS", 100_000))
+        vpath = os.path.join(root, f"videos_{n_vids}")
+        if not os.path.exists(os.path.join(vpath, "_SUCCESS")):
+            generate_video_corpus(spark, vpath, n_vids)
+        out = video_dedup_case(spark, vpath)
         print(json.dumps({"case": case, "recall": {}, **out}))
         return
     dpath = os.path.join(root, f"documents_{args.docs}")
@@ -2065,6 +2105,25 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    n_vids = int(os.environ.get("SPARK_GRAFT_SCALE_VIDEOS", 100_000))
+    vpath = os.path.join(root, f"videos_{n_vids}")
+    if not os.path.exists(os.path.join(vpath, "_SUCCESS")):
+        t0 = time.perf_counter()
+        generate_video_corpus(spark, vpath, n_vids)
+        print(f"videos generated in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    vid: dict | None = None
+    if isolate:
+        deferred.append("VideoDedupMixed")
+    else:
+        vid = video_dedup_case(spark, vpath)
+        timings["VideoDedupMixed"] = vid["secs"]
+        rows_out["VideoDedupMixed"] = vid["rows"]
+        print(
+            f"VideoDedupMixed: {vid['secs']}s ({vid['rows']} survivors, "
+            f"{vid['vids_per_s']} vids/s)",
+            file=sys.stderr,
+        )
+
     n_emb = int(os.environ.get("SPARK_GRAFT_SCALE_EMBEDDINGS", 1_000_000))
     epath = os.path.join(root, f"embeddings_{n_emb}")
     if not os.path.exists(os.path.join(epath, "_SUCCESS")):
@@ -2164,6 +2223,8 @@ def main() -> None:
         recall.update(out.get("recall", {}))
         if name == "ImageDedupMixed":
             img = {k: out[k] for k in ("secs", "rows", "imgs_per_s") if k in out}
+        if name == "VideoDedupMixed":
+            vid = {k: out[k] for k in ("secs", "rows", "vids_per_s") if k in out}
         print(
             f"{name}: {secs}s (runs {probe['head_runs']}) "
             f"({rows_out[name]} rows) [isolated]",
@@ -2381,6 +2442,8 @@ def main() -> None:
         "closed_loop_delivery": cl,
         "image_dedup": img,
         "image_rows": n_imgs,
+        "video_dedup": vid,
+        "video_rows": n_vids,
         "ab": {"ref_rev": ref[0] if ref else None, "cases": ab},
         "attribution": attribution,
         "webhook_delivery": wd,
