@@ -347,31 +347,25 @@ def _unpack_subbyte(rows, width: int, bit_depth: int):
 
 
 def decode_audio(content: bytes) -> dict:
-    """Decode a WAV with the stdlib ``wave`` module: rate, channels,
-    duration; RMS amplitude (normalized to [0,1]) for 16-bit PCM.  Any
-    non-WAV input raises ``ValueError``."""
-    import wave
+    """Decode a WAV: rate, channels, duration; RMS amplitude
+    (normalized to [0,1]).  Uses the shared direct RIFF parse (r13), so
+    the metadata stage accepts exactly the variants the sample stages
+    do — unsigned 8-bit, 16/24/32-bit PCM, IEEE float32/64, EXTENSIBLE
+    — with RMS computed over the int16-normalized samples for all of
+    them.  Any non-WAV input raises ``ValueError``."""
+    import numpy as np
 
-    try:
-        with wave.open(io.BytesIO(content), "rb") as w:
-            rate = w.getframerate()
-            channels = w.getnchannels()
-            width = w.getsampwidth()
-            n_frames = w.getnframes()
-            frames = w.readframes(n_frames)
-    except (wave.Error, EOFError) as e:
-        raise ValueError(f"not a WAV: {e}") from e
+    arr, rate, bits = _wav_parse(content)
+    n_frames = len(arr)
     rms = None
-    if width == 2 and frames:
-        import numpy as np
-
-        samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    if n_frames:
+        samples = arr.astype(np.float64) / 32768.0
         rms = float(np.sqrt(np.mean(samples * samples)))
     return {
         "kind": "wav",
         "sample_rate": int(rate),
-        "channels": int(channels),
-        "sample_width": int(width),
+        "channels": int(arr.shape[1]),
+        "sample_width": bits // 8,
         "n_frames": int(n_frames),
         "duration_s": (n_frames / rate) if rate else 0.0,
         "rms": rms,
@@ -1829,6 +1823,13 @@ def _wav_samples(content: bytes):
     int16, so every downstream audio stage (fingerprint, spectral
     features, silence trim, resample) consumes one shape regardless of
     the source depth.  ValueError on anything else."""
+    arr, rate, _bits = _wav_parse(content)
+    return arr, rate
+
+
+def _wav_parse(content: bytes):
+    """(int16 samples [n, ch], rate, source bits) — the parse behind
+    :func:`_wav_samples` and :func:`decode_audio`."""
     import numpy as np
 
     if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
@@ -1880,7 +1881,7 @@ def _wav_samples(content: bytes):
     else:
         raise ValueError(f"not a WAV: unsupported format tag {tag} / {bits}-bit")
     n = len(arr) - len(arr) % ch
-    return arr[:n].reshape(-1, ch), int(rate)
+    return arr[:n].reshape(-1, ch), int(rate), int(bits)
 
 
 def trim_silence_wav(
