@@ -169,8 +169,10 @@ def decode_image(content: bytes) -> dict:
         data = content[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + payload + crc
         if ctype == b"IHDR":
+            if len(data) < 13:
+                raise ValueError("malformed PNG (truncated IHDR)")
             width, height, bit_depth, color_type, _c, _f, interlace = struct.unpack(
-                ">IIBBBBB", data
+                ">IIBBBBB", data[:13]
             )
         elif ctype == b"IDAT":
             idat += data
@@ -205,6 +207,16 @@ def decode_image(content: bytes) -> dict:
     return out
 
 
+def _inflate(idat, cap: int) -> bytes:
+    """Bounded zlib inflate with the multimodal error contract: a
+    corrupt deflate stream raises ValueError (zlib.error is NOT a
+    ValueError — the r13 dispatch fuzz caught it escaping)."""
+    try:
+        return zlib.decompressobj().decompress(bytes(idat), cap)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG stream: {e}") from e
+
+
 def _png_unfilter(idat, width, height, channels):
     """Inflate + unfilter PNG scanlines -> (height, width*channels) uint8
     array; None when the bomb guard declines to allocate.  Shared by
@@ -218,8 +230,7 @@ def _png_unfilter(idat, width, height, channels):
         return None
     # bound the inflate by the exact raw size the declared dims imply, so a
     # bomb whose IDAT expands far beyond its IHDR can't allocate gigabytes
-    dec = zlib.decompressobj()
-    raw = dec.decompress(bytes(idat), expected)
+    raw = _inflate(idat, expected)
     if len(raw) < expected:
         raise ValueError("truncated PNG pixel data")
     return _unfilter_raw(raw, height, stride, channels)
@@ -316,7 +327,7 @@ def _adam7_deinterlace(idat, width: int, height: int, bpp: int):
         total += hp * (wp * bpp + 1)
     if total > _MAX_RAW_BYTES:
         raise ValueError("image exceeds the decode size ceiling")
-    raw = zlib.decompressobj().decompress(bytes(idat), total)
+    raw = _inflate(idat, total)
     if len(raw) < total:
         raise ValueError("truncated PNG pixel data")
     out = np.zeros((height, width, bpp), dtype=np.uint8)
@@ -531,6 +542,8 @@ def _png_pixels(content: bytes):
         data = content[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if ctype == b"IHDR":
+            if len(data) < 13:
+                raise ValueError("malformed PNG (truncated IHDR)")
             color_type = data[9]
             interlace = data[12]
         elif ctype == b"PLTE":
@@ -550,7 +563,7 @@ def _png_pixels(content: bytes):
         stride = (w * bit_depth + 7) // 8
         if h * (stride + 1) > _MAX_RAW_BYTES:
             raise ValueError("image exceeds the decode size ceiling")
-        raw = zlib.decompressobj().decompress(bytes(idat), h * (stride + 1))
+        raw = _inflate(idat, h * (stride + 1))
         if len(raw) < h * (stride + 1):
             raise ValueError("truncated PNG pixel data")
         return _unpack_subbyte(_unfilter_raw(raw, h, stride, 1), w, bit_depth)

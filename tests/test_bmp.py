@@ -120,6 +120,58 @@ def test_fuzz_mutations_never_crash():
             pass
 
 
+def test_dispatch_fuzz_across_all_four_formats():
+    """The shared dispatch (decode_image / image_pixels / resize_image)
+    must hold the ValueError-or-valid contract across format
+    boundaries: junk wearing each format's magic, cross-format
+    prefixes, and mutated valid members of all four formats never
+    raise anything but ValueError from the full-decode paths
+    (decode_image tolerates undecodable PIXELS as header-only
+    metadata, but never crashes)."""
+    from outpost_spark.ops.multimodal import (
+        _planted_cells,
+        encode_png,
+        planted_gif,
+        planted_jpeg,
+    )
+
+    members = [
+        planted_png(1, 0),
+        planted_bmp(1, 0),
+        planted_jpeg(1, 0),
+        planted_gif(1, 0),
+        encode_png(_planted_cells(1, 0)),
+    ]
+    rng = np.random.RandomState(5)
+    crossed = [
+        a[:12] + b[12:] for a in members for b in members if a is not b
+    ]
+    junk = [
+        b"BM" + bytes(60),
+        b"BM" + members[0][2:],
+        b"RIFF1234AVI " + bytes(40),
+        bytes(rng.randint(0, 255, 64, dtype=np.uint8)),
+    ]
+    pool = crossed + junk
+    for _ in range(120):
+        base = members[rng.randint(len(members))]
+        data = bytearray(base)
+        for _ in range(rng.randint(1, 5)):
+            data[rng.randint(len(data))] = rng.randint(256)
+        pool.append(bytes(data))
+    for blob in pool:
+        for fn in (image_pixels, lambda b: resize_image(b, 0.5)):
+            try:
+                fn(blob)
+            except ValueError:
+                pass
+        try:
+            meta = decode_image(blob)
+            assert isinstance(meta, dict) and "kind" in meta
+        except ValueError:
+            pass
+
+
 def test_dispatch_and_cross_format_dhash_identity():
     """A BMP and the PNG of the same pixels decode, resize, and dHash
     identically through the shared image dispatch — the cross-format
