@@ -243,6 +243,8 @@ def decode_jpeg_meta(content: bytes) -> dict:
     no entropy pass.  Raises ValueError for non-JPEG input."""
     for marker, payload, _pos in _parse_segments(content):
         if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2 all share the layout
+            if len(payload) < 6:
+                raise ValueError("truncated JPEG SOF segment")
             precision, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
             return {
                 "kind": "jpeg",
@@ -310,6 +312,8 @@ def _decode_jpeg_stream(content: bytes) -> np.ndarray:
         payload = content[pos + 4 : pos + 2 + length]
         pos += 2 + length
         if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            if len(payload) < 6:
+                raise ValueError("truncated JPEG SOF segment")
             precision, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
             if precision != 8:
                 raise ValueError("only 8-bit JPEG precision supported")
