@@ -135,6 +135,32 @@ def decode_image(content: bytes) -> dict:
             lum = px[..., 0].astype(np.float64)
         out["mean_luminance"] = float(lum.mean())
         return out
+    from outpost_spark.ops import tiff as _tiff
+
+    if _tiff.is_tiff(content):
+        meta = _tiff.decode_tiff_meta(content)
+        out = {
+            "kind": "tiff",
+            "width": meta["width"],
+            "height": meta["height"],
+            "bit_depth": meta["bit_depth"],
+            "channels": meta["channels"],
+            "mean_luminance": None,
+        }
+        if meta["width"] * meta["height"] * max(meta["channels"], 1) > _MAX_RAW_BYTES:
+            return out  # header-only: bomb guard
+        try:
+            px = _tiff.decode_tiff(content)
+        except ValueError:
+            return out  # unsupported layout / corrupt raster: header-only
+        import numpy as np
+
+        if px.shape[2] >= 3:
+            lum = px[..., :3].astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        else:
+            lum = px[..., 0].astype(np.float64)
+        out["mean_luminance"] = float(lum.mean())
+        return out
     from outpost_spark.ops import bmp as _bmp
 
     if _bmp.is_bmp(content):
@@ -622,6 +648,10 @@ def image_pixels(content: bytes):
 
     if _bmp.is_bmp(content):
         return _bmp.decode_bmp(content)
+    from outpost_spark.ops import tiff as _tiff
+
+    if _tiff.is_tiff(content):
+        return _tiff.decode_tiff(content)
     return _png_pixels(content)
 
 
@@ -654,6 +684,10 @@ def resize_image(content: bytes, scale: float) -> bytes:
 
     if _bmp.is_bmp(content):
         return _bmp.encode_bmp(out)
+    from outpost_spark.ops import tiff as _tiff
+
+    if _tiff.is_tiff(content):
+        return _tiff.encode_tiff(out)
     return encode_png(out)
 
 

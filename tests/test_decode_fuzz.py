@@ -32,6 +32,10 @@ def _members():
     return [
         planted_png(1, 0),
         planted_bmp(1, 0),
+        __import__("outpost_spark.ops.tiff", fromlist=["encode_tiff"]).encode_tiff(
+            (np.arange(18 * 16, dtype=np.uint8).reshape(16, 18) * 5) % 241,
+            packbits=True,
+        ),
         planted_jpeg(1, 0),
         planted_jpeg(1, 0, progressive=True, successive=True),
         planted_gif(1, 0),
