@@ -128,6 +128,13 @@ def decode_avi(content: bytes):
         ):
             continue
         for _fc, s2, z2 in _iter_movi(content, start + 4, start + size):
+            if _fc[2:4] == b"db":
+                # ##db chunks carry uncompressed DIB rows; feeding them
+                # to the JPEG decoder yields a misleading error (ADVICE
+                # r13) — reject honestly instead
+                raise ValueError(
+                    "uncompressed AVI frames (##db) not supported"
+                )
             px = decode_jpeg(content[s2 : s2 + z2])
             if px.ndim == 2:
                 px = px[..., None]

@@ -1326,7 +1326,14 @@ def audio_fingerprint(
                 f"clip rate {rate} cannot represent bands up to {fmax_hz} Hz"
             )
         # bins 1..nbins cover (0, rate/2]; keep those within fmax_hz
-        nbins = max(int(fmax_hz * n_fft / rate), n_bands)
+        nbins = int(fmax_hz * n_fft / rate)
+        if nbins < n_bands:
+            # silently widening past fmax_hz would break the fixed-Hz
+            # cross-rate comparability guarantee (ADVICE r13)
+            raise ValueError(
+                f"rate {rate} too high to resolve {n_bands} bands within "
+                f"{fmax_hz} Hz at n_fft={n_fft}"
+            )
         power = power[:, :nbins]
     # band means then time-cell means, via reduceat like the image dHash
     be = np.linspace(0, nbins, n_bands + 1).astype(int)

@@ -133,7 +133,9 @@ def decode_tiff(content: bytes):
     endian, t, width, height, spp, bits, compression, photometric = _parse(
         content
     )
-    if any(b != 8 for b in bits):
+    if not bits or any(b != 8 for b in bits):
+        # an empty BitsPerSample (count=0 tag) must not fall through to
+        # the 8-bit assumption (ADVICE r13)
         raise ValueError(f"unsupported TIFF bit depths {bits}")
     if compression not in (1, 32773):
         raise ValueError(f"unsupported TIFF compression {compression}")

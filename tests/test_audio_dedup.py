@@ -322,3 +322,19 @@ def test_catalog_entries_match_planted_answer(spark):
         for r in queries()["dedup_audio_survivors"](spark, sf_dir).collect()
     }
     assert got_surv == _expected_survivors(doc_ids)
+
+
+def test_rate_too_high_for_band_resolution_raises():
+    """When fmax_hz maps to fewer rFFT bins than n_bands, widening the
+    band range silently would break the fixed-Hz cross-rate guarantee —
+    the fingerprint must refuse instead (ADVICE r13)."""
+    rate = 48000
+    n = 8 * 512
+    samples = np.round(
+        2000 * np.sin(2 * np.pi * 440 * np.arange(n + 64) / rate)
+    ).astype("<i2")
+    w = encode_wav(samples, rate)
+    with pytest.raises(ValueError, match="too high to resolve"):
+        audio_fingerprint(w, fmax_hz=500.0)
+    # plenty of resolution: unaffected
+    audio_fingerprint(w, fmax_hz=9000.0)

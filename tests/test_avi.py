@@ -134,3 +134,15 @@ def test_rec_grouping_lists_descend():
     rebuilt = b"RIFF" + struct.pack("<I", len(body)) + body
     w, h, n, _ = decode_avi(rebuilt)
     assert n == 2
+
+
+def test_uncompressed_db_frames_rejected_honestly():
+    """##db chunks are uncompressed DIB rows — they must raise a clear
+    unsupported-format error, not a misleading JPEG one (ADVICE r13)."""
+    import pytest
+
+    raw = bytearray(encode_avi_mjpeg(_cell_frames(2)))
+    at = raw.index(b"00dc", raw.index(b"movi"))
+    raw[at : at + 4] = b"00db"
+    with pytest.raises(ValueError, match="uncompressed AVI"):
+        decode_avi(bytes(raw))
