@@ -115,6 +115,12 @@ BENCH_QUERIES = [
     "sample_temperature_mix",
     "sample_shard_manifest",
     "text_ngram_repetition",
+    # round-13 surface (VERDICT r13 task #6): the video/audio dedup and
+    # PQ-IVF entries need a per-round sf0.1 trend line, not just scale rows
+    "dedup_video_nearpairs",
+    "dedup_audio_fingerprint_pairs",
+    "embed_pq_ivf_topk",
+    "embed_pq_topk_rerank",
 ]
 
 
@@ -152,7 +158,31 @@ AB_QUERIES = [
     # r07 heavy entries — next round's deltas on these must be attributable
     "lm_bigram_score",
     "pipeline_curate_corpus_v5",
+    # r14 additions (VERDICT r13 tasks #1/#7): the remaining 5s+ entries
+    # and the throughput-critical streaming entry join the pool
+    "pipeline_curate_corpus_v4",
+    "dedup_minhash_lsh_pairs",
+    "embed_semantic_dedup",
+    "routing_match_fanout",
 ]
+
+# VERDICT r13 "What's wrong" #1: the v3 1.498x flag sat on a diff-empty
+# path because min-of-2 with a FIXED side order lacks the resolution to
+# separate a real move from within-session drift on 5-30s queries.  These
+# entries get THREE interleaved pairs with the within-pair side order
+# alternating (head-first on odd pairs, ref-first on even — monotone
+# drift then cancels between sides instead of loading whichever side
+# always ran second), and their ratio is scored from the per-side MEDIAN
+# (the min-of-N estimator is biased when per-run variance trends within
+# a session — the r13 FilterByTopic 1.663-on-identical-code lesson).
+ISOLATED_AB = {
+    "pipeline_curate_corpus_v3",
+    "pipeline_curate_corpus_v4",
+    "pipeline_curate_corpus_v5",
+    "dedup_minhash_lsh_pairs",
+    "embed_semantic_dedup",
+    "dedup_substrings_global",
+}
 
 
 class _Side:
@@ -280,15 +310,21 @@ def run_ab(spark, sf_dir: str) -> dict | None:
     head_reg = head.load()
     ratios: dict[str, float] = {}
     detail: dict[str, dict] = {}
+    from statistics import median
+
     for name in AB_QUERIES:
         if name not in ref_reg or name not in head_reg:
             continue  # new this round: no ref twin
         times = {"ref": [], "head": []}
+        pairs = 3 if name in ISOLATED_AB else 2
         try:
-            for _ in range(2):
-                for side_name, side, reg in (
+            for i in range(pairs):
+                order = (
+                    ("head", head, head_reg), ("ref", ref, ref_reg)
+                ) if i % 2 else (
                     ("ref", ref, ref_reg), ("head", head, head_reg)
-                ):
+                )
+                for side_name, side, reg in order:
                     side.activate()
                     if side_name == "ref":
                         side.register_by_value()
@@ -303,9 +339,19 @@ def run_ab(spark, sf_dir: str) -> dict | None:
         except Exception as e:
             detail[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
             continue
-        r, h = min(times["ref"]), min(times["head"])
+        # isolated (5s+) entries: median-of-3 per side — min-of-N is
+        # biased when per-run time trends within the session; everything
+        # else keeps the historical min-of-2 so ratios stay comparable
+        score = median if name in ISOLATED_AB else min
+        r, h = score(times["ref"]), score(times["head"])
         ratios[name] = round(h / r, 3) if r > 0 else float("nan")
-        detail[name] = {"ref": round(r, 4), "head": round(h, 4)}
+        detail[name] = {
+            "ref": round(r, 4),
+            "head": round(h, 4),
+            "ref_runs": [round(x, 4) for x in times["ref"]],
+            "head_runs": [round(x, 4) for x in times["head"]],
+            "score": "median" if name in ISOLATED_AB else "min",
+        }
     head.activate()  # leave HEAD modules installed
     _sys.path[:] = [p for p in _sys.path if p != root]
     return {"ref_rev": rev, "ratios": ratios, "detail": detail}
