@@ -1820,7 +1820,7 @@ def run_only_case(case: str, args) -> None:
         return
     if case == "ImageDedupMixed":
         n_imgs = int(os.environ.get("SPARK_GRAFT_SCALE_IMAGES", 200_000))
-        ipath = os.path.join(root, f"images_{n_imgs}_v2")  # v2: PNG/BMP noise twins (r13)
+        ipath = os.path.join(root, f"images_{n_imgs}_v3")  # v3: +TIFF noise twins (r14)
         if not os.path.exists(os.path.join(ipath, "_SUCCESS")):
             generate_image_corpus(spark, ipath, n_imgs)
         out = image_dedup_case(spark, ipath)
@@ -2087,7 +2087,7 @@ def main() -> None:
         gc.collect()
 
     n_imgs = int(os.environ.get("SPARK_GRAFT_SCALE_IMAGES", 200_000))
-    ipath = os.path.join(root, f"images_{n_imgs}_v2")  # v2: PNG/BMP noise twins (r13)
+    ipath = os.path.join(root, f"images_{n_imgs}_v3")  # v3: +TIFF noise twins (r14)
     if not os.path.exists(os.path.join(ipath, "_SUCCESS")):
         t0 = time.perf_counter()
         generate_image_corpus(spark, ipath, n_imgs)

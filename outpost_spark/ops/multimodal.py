@@ -837,6 +837,22 @@ def planted_bmp(seed: int, tweak: int, *, width: int = 18, height: int = 16) -> 
     return encode_bmp(_planted_noise_pixels(seed, tweak, width=width, height=height))
 
 
+def planted_tiff(
+    seed: int, tweak: int, *, width: int = 18, height: int = 16,
+    packbits: bool = False,
+) -> bytes:
+    """The TIFF twin of :func:`planted_png` (r14) — the same noise
+    pixels as an RGB baseline TIFF (equal triples, so the luminance —
+    and therefore the dHash — matches the PNG/BMP twins exactly);
+    ``packbits`` exercises the PackBits strip path distributed."""
+    import numpy as np
+
+    from outpost_spark.ops.tiff import encode_tiff
+
+    px = _planted_noise_pixels(seed, tweak, width=width, height=height)
+    return encode_tiff(np.repeat(px, 3, axis=2), packbits=packbits)
+
+
 def _planted_cells(seed: int, tweak: int, *, rows: int = 8, cols: int = 9):
     """JPEG-robust planted pixels: an (8*rows, 8*cols) greyscale image of
     8x8 constant cells whose levels are md5-derived multiples of 16
@@ -934,10 +950,14 @@ def planted_image_corpus(
             if i % 2:
                 return planted_gif(gid, tweak, interlace=i % 4 == 3)
             return encode_png(_planted_cells(gid, tweak))
-        # noise groups (gid % 3 == 0): PNG/BMP twins (r13) — the same
-        # md5-noise pixels as PNG for even ids, 24-bit BMP for odd,
-        # putting the fourth crawl format on the value-oracled path
+        # noise groups (gid % 3 == 0): PNG/BMP/TIFF twins (r13/r14) —
+        # the same md5-noise pixels as PNG for even ids; odd ids split
+        # between 24-bit BMP (i = 1 mod 4) and RGB baseline TIFF
+        # (i = 3 mod 4, PackBits strips for i = 3 mod 8), putting the
+        # fourth AND fifth crawl formats on the value-oracled path
         if jpeg_groups and i % 2:
+            if i % 4 == 3:
+                return planted_tiff(gid, tweak, packbits=i % 8 == 3)
             return planted_bmp(gid, tweak)
         return planted_png(gid, tweak)
 

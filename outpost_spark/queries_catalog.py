@@ -4343,7 +4343,8 @@ def dedup_image_survivors(spark, sf_dir):
            CASE WHEN doc_id % 29 = 0 THEN NULL
                 WHEN (doc_id // 4) % 3 = 2 AND doc_id % 2 = 1 THEN 'jpeg'
                 WHEN (doc_id // 4) % 3 = 1 AND doc_id % 2 = 1 THEN 'gif'
-                WHEN (doc_id // 4) % 3 = 0 AND doc_id % 2 = 1 THEN 'bmp'
+                WHEN (doc_id // 4) % 3 = 0 AND doc_id % 4 = 3 THEN 'tiff'
+                WHEN (doc_id // 4) % 3 = 0 AND doc_id % 4 = 1 THEN 'bmp'
                 ELSE 'png' END AS kind,
            CASE WHEN doc_id % 29 = 0 THEN NULL
                 WHEN (doc_id // 4) % 3 = 0 THEN 18 ELSE 72 END AS width,
@@ -4359,8 +4360,9 @@ def dedup_image_survivors(spark, sf_dir):
 )
 def multimodal_decoded_planted(spark, sf_dir):
     """REAL image decode, value-oracled end to end (round 11; GIF
-    groups round 12; BMP twins round 13): the planted image corpus
-    (PNG/BMP noise twin groups, mixed PNG/JPEG cell groups incl. both
+    groups round 12; BMP twins round 13; TIFF twins round 14): the
+    planted image corpus (PNG/BMP/TIFF noise twin groups incl. PackBits
+    strips, mixed PNG/JPEG cell groups incl. both
     progressive scripts, mixed PNG/GIF cell groups incl.
     interlaced GIF, junk members —
     ops/multimodal.py::planted_image_corpus) runs through the REAL
@@ -4369,7 +4371,7 @@ def multimodal_decoded_planted(spark, sf_dir):
     generator's id arithmetic (format, dims, channels, corrupt-member
     tolerance) — DuckDB cannot decode the bytes, but it can prove the
     decoder reported exactly the right metadata for every planted
-    member, INCLUDING the JPEG and GIF ones.  Pixel values/luminance
+    member, INCLUDING the JPEG, GIF, BMP and TIFF ones.  Pixel values/luminance
     stay pytest-pinned (tests/test_jpeg.py, tests/test_gif.py,
     tests/test_image_dedup.py)."""
     from outpost_spark.ops.multimodal import (

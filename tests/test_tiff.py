@@ -192,3 +192,51 @@ def test_dispatch_integration():
     from outpost_spark.ops.multimodal import encode_png
 
     assert dhash_image(t) == dhash_image(encode_png(g[..., None]))
+
+
+def test_empty_bits_per_sample_rejected():
+    """A crafted BitsPerSample tag with count=0 yields bits=[], which
+    must be rejected, not silently decoded as 8-bit (ADVICE r13)."""
+    import numpy as np
+
+    t = bytearray(encode_tiff(np.zeros((2, 3), dtype=np.uint8)))
+    ifd_off = struct.unpack_from("<I", t, 4)[0]
+    n = struct.unpack_from("<H", t, ifd_off)[0]
+    patched = False
+    for i in range(n):
+        ent = ifd_off + 2 + i * 12
+        if struct.unpack_from("<H", t, ent)[0] == 258:
+            struct.pack_into("<I", t, ent + 4, 0)
+            patched = True
+    assert patched
+    with pytest.raises(ValueError, match="bit depths"):
+        decode_tiff(bytes(t))
+
+
+def test_corpus_contains_tiff_members(spark):
+    """The gid % 3 == 0 noise groups split odd ids between 24-bit BMP
+    (id = 1 mod 4) and RGB TIFF (id = 3 mod 4; PackBits strips for
+    id = 3 mod 8, uncompressed for id = 7 mod 8) — pinned so a
+    generator change can't silently drop the TIFF slice from the
+    value-oracled decode/resize/dedup entries (r14)."""
+    from pyspark.sql import functions as F
+
+    from outpost_spark.ops.multimodal import planted_image_corpus
+
+    ids = spark.range(1, 4).union(spark.range(12, 16)).select(
+        F.col("id").alias("doc_id")
+    )  # gids 0 and 3, both noise groups
+    rows = {
+        r["id"]: bytes(r["content"])
+        for r in planted_image_corpus(ids, id_col="doc_id").collect()
+    }
+    assert rows[1][:2] == b"BM" and rows[13][:2] == b"BM"
+    assert rows[2][:8] == b"\x89PNG\r\n\x1a\n"
+    for i, comp in ((3, 32773), (15, 1)):
+        m = decode_tiff_meta(rows[i])
+        assert (m["compression"], m["channels"]) == (comp, 3), (i, m)
+        assert (m["width"], m["height"]) == (18, 16)
+    # lossless twins: the TIFF member dHashes identically to its PNG twin
+    from outpost_spark.ops.multimodal import dhash_image, planted_png
+
+    assert dhash_image(rows[15]) == dhash_image(planted_png(3, 3))
