@@ -336,6 +336,41 @@ def video_dedup_case(spark, path: str) -> dict:
     return {"secs": secs, "rows": survivors, "vids_per_s": round(n / secs, 1)}
 
 
+def generate_audio_corpus(spark, path: str, n_clips: int) -> None:
+    """Planted audio corpus at scale: mixed-rate near-dup twin groups
+    (8 kHz plants, odd ids resampled to 16 kHz) + junk members — the
+    same generator the value-oracled dedup_audio_crossrate_pairs entry
+    uses, written once so the dedup case measures DECODE+FFT+dedup,
+    not generation."""
+    from outpost_spark.ops.multimodal import planted_audio_dedup_corpus
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ids = spark.range(0, n_clips, 1, cpus * 4).select(F.col("id").alias("doc_id"))
+    planted_audio_dedup_corpus(
+        ids, id_col="doc_id", cross_rate=True
+    ).write.mode("overwrite").parquet(path)
+
+
+def audio_dedup_case(spark, path: str) -> dict:
+    """Perceptual audio dedup end to end at corpus scale (r14): WAV
+    parse + Hann-rFFT spectral fingerprint in one Arrow stage, the
+    Hz-anchored pigeonhole band join pairing clips ACROSS sample rates,
+    connected components, canonical-survivor collapse.  The planted
+    arithmetic predicts the survivor count exactly (junk members + one
+    canonical per group), so the recorded row count doubles as a
+    correctness witness at 100k-clip scale."""
+    from outpost_spark.ops.multimodal import audio_fp_survivors
+
+    clips = spark.read.parquet(path)
+    n = clips.count()
+    t0 = time.perf_counter()
+    survivors = audio_fp_survivors(
+        clips, max_hamming=6, fmax_hz=3800.0
+    ).count()
+    secs = round(time.perf_counter() - t0, 4)
+    return {"secs": secs, "rows": survivors, "clips_per_s": round(n / secs, 1)}
+
+
 def generate_embedding_corpus(spark, path: str, n_vecs: int, dims: int = 64) -> None:
     """Deterministic 1M-scale embedding corpus with planted near-dup
     clusters, pure-Column generation (xxhash64-derived pseudo-randoms).
@@ -1763,6 +1798,7 @@ HEAVY_CASES = frozenset(
         "CurateV6_1M",
         "ImageDedupMixed",
         "VideoDedupMixed",
+        "AudioDedupMixed",
     }
 )
 
@@ -1832,6 +1868,14 @@ def run_only_case(case: str, args) -> None:
         if not os.path.exists(os.path.join(vpath, "_SUCCESS")):
             generate_video_corpus(spark, vpath, n_vids)
         out = video_dedup_case(spark, vpath)
+        print(json.dumps({"case": case, "recall": {}, **out}))
+        return
+    if case == "AudioDedupMixed":
+        n_auds = int(os.environ.get("SPARK_GRAFT_SCALE_AUDIO", 100_000))
+        apath = os.path.join(root, f"audio_{n_auds}")
+        if not os.path.exists(os.path.join(apath, "_SUCCESS")):
+            generate_audio_corpus(spark, apath, n_auds)
+        out = audio_dedup_case(spark, apath)
         print(json.dumps({"case": case, "recall": {}, **out}))
         return
     dpath = os.path.join(root, f"documents_{args.docs}")
@@ -2124,6 +2168,25 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    n_auds = int(os.environ.get("SPARK_GRAFT_SCALE_AUDIO", 100_000))
+    apath = os.path.join(root, f"audio_{n_auds}")
+    if not os.path.exists(os.path.join(apath, "_SUCCESS")):
+        t0 = time.perf_counter()
+        generate_audio_corpus(spark, apath, n_auds)
+        print(f"audio generated in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    aud: dict | None = None
+    if isolate:
+        deferred.append("AudioDedupMixed")
+    else:
+        aud = audio_dedup_case(spark, apath)
+        timings["AudioDedupMixed"] = aud["secs"]
+        rows_out["AudioDedupMixed"] = aud["rows"]
+        print(
+            f"AudioDedupMixed: {aud['secs']}s ({aud['rows']} survivors, "
+            f"{aud['clips_per_s']} clips/s)",
+            file=sys.stderr,
+        )
+
     n_emb = int(os.environ.get("SPARK_GRAFT_SCALE_EMBEDDINGS", 1_000_000))
     epath = os.path.join(root, f"embeddings_{n_emb}")
     if not os.path.exists(os.path.join(epath, "_SUCCESS")):
@@ -2196,19 +2259,32 @@ def main() -> None:
                     )
                 except Exception as e:
                     ref_err = str(e)[:200]
+        from statistics import median
+
         best = min(heads, key=lambda o: o["secs"])
+        head_secs = [o["secs"] for o in heads]
         entry: dict = {
             "out": best,
             "head": best["secs"],
-            "head_runs": [o["secs"] for o in heads],
+            "head_runs": head_secs,
             "runs_per_side": runs,
         }
         if ref_secs:
             r = min(ref_secs)
+            # the RATIO is scored median/median, not min/min: under the
+            # min estimator, r13's FilterByTopic read 1.663 on
+            # byte-identical code because ref's min landed on its first
+            # probe and head's on its last (within-session trend + a
+            # min that rewards whichever side caught the trend's floor);
+            # medians of side-alternating probes cancel the trend.  The
+            # per-run lists stay in the artifact, and ratio_min keeps
+            # the old estimator readable for cross-round comparison.
+            hm, rm = median(head_secs), median(ref_secs)
             entry.update(
                 ref=r,
                 ref_runs=ref_secs,
-                ratio=round(best["secs"] / r, 3) if r else None,
+                ratio=round(hm / rm, 3) if rm else None,
+                ratio_min=round(best["secs"] / r, 3) if r else None,
             )
         elif ref_err is not None:
             entry["ref_error"] = ref_err
@@ -2225,6 +2301,8 @@ def main() -> None:
             img = {k: out[k] for k in ("secs", "rows", "imgs_per_s") if k in out}
         if name == "VideoDedupMixed":
             vid = {k: out[k] for k in ("secs", "rows", "vids_per_s") if k in out}
+        if name == "AudioDedupMixed":
+            aud = {k: out[k] for k in ("secs", "rows", "clips_per_s") if k in out}
         print(
             f"{name}: {secs}s (runs {probe['head_runs']}) "
             f"({rows_out[name]} rows) [isolated]",
@@ -2444,6 +2522,8 @@ def main() -> None:
         "image_rows": n_imgs,
         "video_dedup": vid,
         "video_rows": n_vids,
+        "audio_dedup": aud,
+        "audio_rows": n_auds,
         "ab": {"ref_rev": ref[0] if ref else None, "cases": ab},
         "attribution": attribution,
         "webhook_delivery": wd,

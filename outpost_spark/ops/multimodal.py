@@ -1433,16 +1433,22 @@ def audio_fp_pairs(
 
 
 def audio_fp_survivors(
-    multimodal_df: DataFrame, *, max_hamming: int = 4, bands: int | None = None
+    multimodal_df: DataFrame,
+    *,
+    max_hamming: int = 4,
+    bands: int | None = None,
+    fmax_hz: float | None = None,
 ) -> DataFrame:
     """Audio dedup END TO END: fingerprint pairs -> connected components
     -> minimum-id survivor per near-dup cluster — the same chain as
     :func:`dhash_canonical_survivors`.  Members with no fingerprint pass
-    through untouched.  Output: (id) of the surviving clips."""
+    through untouched.  ``fmax_hz`` (with ``max_hamming`` ~6) collapses
+    near-dups ACROSS sample rates, the mixed-rate corpus shape.
+    Output: (id) of the surviving clips."""
     from outpost_spark.ops.dedup import dedup_keep_canonical
 
     pairs = audio_fp_pairs(
-        multimodal_df, max_hamming=max_hamming, bands=bands
+        multimodal_df, max_hamming=max_hamming, bands=bands, fmax_hz=fmax_hz
     )
     return dedup_keep_canonical(multimodal_df.select("id"), pairs, "id")
 
