@@ -392,6 +392,8 @@ def decode_audio(content: bytes) -> dict:
     them.  Any non-WAV input raises ``ValueError``."""
     import numpy as np
 
+    from outpost_spark.ops.flac import is_flac
+
     arr, rate, bits = _wav_parse(content)
     n_frames = len(arr)
     rms = None
@@ -399,7 +401,7 @@ def decode_audio(content: bytes) -> dict:
         samples = arr.astype(np.float64) / 32768.0
         rms = float(np.sqrt(np.mean(samples * samples)))
     return {
-        "kind": "wav",
+        "kind": "flac" if is_flac(content) else "wav",
         "sample_rate": int(rate),
         "channels": int(arr.shape[1]),
         "sample_width": bits // 8,
@@ -1511,6 +1513,7 @@ def planted_audio_dedup_corpus(
     group: int = 4,
     corrupt_every: int = 29,
     cross_rate: bool = False,
+    cross_format: bool = False,
 ) -> DataFrame:
     """ids -> (id, content) of planted clips: ids sharing ``id // group``
     are near-duplicate audio (rank-swap tweaks of the same spectral
@@ -1518,14 +1521,21 @@ def planted_audio_dedup_corpus(
     ``corrupt_every``-th id carries junk bytes (afp_ok=false tolerance
     probe).  ``cross_rate`` resamples odd ids to 16 kHz, so duplicate
     groups span SAMPLE RATES — the corpus shape the Hz-anchored
-    fingerprint (``fmax_hz``) exists for.  Generated executor-side in
-    mapInPandas — nothing collects, the corpus scales with the id
-    table."""
+    fingerprint (``fmax_hz``) exists for.  ``cross_format`` (r14)
+    re-encodes odd ids as FLAC — lossless, so a clip and its compressed
+    twin fingerprint IDENTICALLY, the audio analog of the PNG/BMP/TIFF
+    image twins.  Generated executor-side in mapInPandas — nothing
+    collects, the corpus scales with the id table."""
 
     def member(i: int) -> bytes:
         clip = planted_clip_wav(i // group, i % group)
         if cross_rate and i % 2:
             clip = resample_wav(clip, target_rate=16000)
+        if cross_format and i % 2:
+            from outpost_spark.ops.flac import encode_flac
+
+            arr, rate = _wav_samples(clip)
+            clip = encode_flac(arr.reshape(-1), rate, channels=arr.shape[1])
         return clip
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1894,6 +1904,17 @@ def encode_wav(samples, rate: int, channels: int = 1) -> bytes:
     return buf.getvalue()
 
 
+def _encode_audio_like(content: bytes, samples, rate: int, channels: int = 1) -> bytes:
+    """Re-encode in the INPUT's container (the resize_images convention:
+    stages re-emit what they consume): FLAC in -> FLAC out, WAV
+    otherwise."""
+    from outpost_spark.ops.flac import encode_flac, is_flac
+
+    if is_flac(content):
+        return encode_flac(samples, rate, channels=channels)
+    return encode_wav(samples, rate, channels=channels)
+
+
 def _wav_samples(content: bytes):
     """(samples int16 ndarray [n_frames, channels], rate) of a WAV —
     a direct RIFF parse covering the containers real corpora actually
@@ -1909,9 +1930,24 @@ def _wav_samples(content: bytes):
 
 def _wav_parse(content: bytes):
     """(int16 samples [n, ch], rate, source bits) — the parse behind
-    :func:`_wav_samples` and :func:`decode_audio`."""
+    :func:`_wav_samples` and :func:`decode_audio`.  Dispatches FLAC
+    (r14, ``ops/flac.py``) so every downstream audio stage — metadata,
+    fingerprint, features, trim, resample — consumes the compressed
+    format real crawl audio actually arrives in; all depths normalize
+    to int16, the WAV convention."""
     import numpy as np
 
+    from outpost_spark.ops import flac as _flac
+
+    if _flac.is_flac(content):
+        arr32, rate, bps = _flac.decode_flac(content)
+        if bps == 16:
+            arr = arr32.astype("<i2")
+        elif bps < 16:  # 8/12-bit: left-justify like unsigned-8 WAV
+            arr = (arr32 << (16 - bps)).astype("<i2")
+        else:  # 20/24/32-bit: keep the top 16
+            arr = (arr32 >> (bps - 16)).astype("<i2")
+        return arr, int(rate), int(bps)
     if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a WAV: missing RIFF/WAVE header")
     end = min(len(content), 8 + struct.unpack_from("<I", content, 4)[0])
@@ -1985,7 +2021,9 @@ def trim_silence_wav(
     lo, hi = first * step, min((last + 1) * step, n)
     if lo >= hi:
         lo = hi = 0
-    trimmed = encode_wav(arr[lo:hi].reshape(-1), rate, channels=arr.shape[1])
+    trimmed = _encode_audio_like(
+        content, arr[lo:hi].reshape(-1), rate, channels=arr.shape[1]
+    )
     return trimmed, lo / rate, (n - hi) / rate
 
 
@@ -1997,7 +2035,9 @@ def resample_wav(content: bytes, *, target_rate: int) -> bytes:
 
     arr, rate = _wav_samples(content)
     if rate == target_rate or len(arr) == 0:
-        return encode_wav(arr.reshape(-1), target_rate, channels=arr.shape[1])
+        return _encode_audio_like(
+            content, arr.reshape(-1), target_rate, channels=arr.shape[1]
+        )
     n_out = max(int(round(len(arr) * target_rate / rate)), 1)
     x_out = np.linspace(0.0, len(arr) - 1, n_out)
     x_in = np.arange(len(arr))
@@ -2006,7 +2046,9 @@ def resample_wav(content: bytes, *, target_rate: int) -> bytes:
         for c in range(arr.shape[1])
     ]
     out = np.stack(chans, axis=1).round().clip(-32768, 32767).astype("<i2")
-    return encode_wav(out.reshape(-1), target_rate, channels=arr.shape[1])
+    return _encode_audio_like(
+        content, out.reshape(-1), target_rate, channels=arr.shape[1]
+    )
 
 
 AUDIO_CLEAN_SCHEMA = (

@@ -4698,6 +4698,53 @@ def dedup_audio_crossrate_pairs(spark, sf_dir):
     return hamming_banded_pairs(fp, "id", "afp", bits=64, max_hamming=6)
 
 
+_AUDIO_XF_FIXTURE_DIR = os.path.join(
+    os.environ.get("OUTPOST_SPARK_ORACLE_FIXTURES", "/tmp/outpost_spark_oracle_fix"),
+    "audio_afp_xformat",
+)
+
+_AUDIO_XF_PAIRS_SQL = f"""
+    WITH fp AS (
+      SELECT id, afp
+      FROM read_parquet('{_AUDIO_XF_FIXTURE_DIR}/*.parquet')
+      WHERE afp_ok
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.id < b.id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 4
+"""
+
+
+@_register("dedup_audio_crossformat_pairs", _AUDIO_XF_PAIRS_SQL)
+def dedup_audio_crossformat_pairs(spark, sf_dir):
+    """CROSS-FORMAT audio dedup (r14): the corpus mixes WAV plants with
+    their FLAC re-encodes (odd ids, ops/flac.py — in-tree Rice/fixed-
+    predictor codec), so a near-dup pair only surfaces if the REAL
+    compressed-audio decode path produces the exact fingerprint the PCM
+    path does (FLAC is lossless, so twins hash identically — the audio
+    analog of the PNG/BMP/TIFF image twins).  The oracle re-derives
+    pairs from the persisted fingerprint fixture with an exhaustive
+    quadratic Hamming join, independently proving the band join has
+    zero false negatives over the mixed-container corpus; the FLAC
+    bitstream decode itself is pinned in tests/test_flac.py."""
+    from outpost_spark.ops.dedup import hamming_banded_pairs
+    from outpost_spark.ops.multimodal import (
+        audio_fingerprints,
+        planted_audio_dedup_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    clips = planted_audio_dedup_corpus(
+        docs, id_col="doc_id", cross_format=True
+    )
+    audio_fingerprints(clips).write.mode("overwrite").parquet(
+        _AUDIO_XF_FIXTURE_DIR
+    )
+    fp = spark.read.parquet(_AUDIO_XF_FIXTURE_DIR).filter(F.col("afp_ok"))
+    return hamming_banded_pairs(fp, "id", "afp", bits=64, max_hamming=4)
+
+
 # Video near-dup pairing (round 13): per-frame dHash over sampled
 # animation frames, paired frame-aligned — the same fixture trick: the
 # Spark entry persists its per-frame hash frame and DuckDB re-derives

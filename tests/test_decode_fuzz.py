@@ -1,6 +1,6 @@
 """Cross-surface decode fuzz: mutated and truncated members of EVERY
 format (PNG, BMP, sequential + successive-approximation-progressive
-JPEG, GIF still + animation, AVI/MJPEG, RVID, WAV) driven through
+JPEG, GIF still + animation, AVI/MJPEG, RVID, WAV, FLAC) driven through
 EVERY decode entry point — the tolerant-stage contract says each call
 either succeeds or raises ValueError, never zlib.error / struct.error
 / IndexError / MemoryError.  This sweep caught three real escapes in
@@ -42,6 +42,9 @@ def _members():
         planted_gif_animation(1, 4),
         planted_avi_video(1, 3),
         planted_clip_wav(1, 0),
+        __import__("outpost_spark.ops.flac", fromlist=["encode_flac"]).encode_flac(
+            (1000 * np.sin(np.arange(6000) / 7)).astype("<i2"), 8000
+        ),
         encode_rawvideo(np.stack([np.zeros((4, 5, 3), np.uint8)] * 2)),
     ]
 
