@@ -1284,6 +1284,85 @@ def _frame_fingerprint(df):
     return (r["n"], r["h"])
 
 
+def embed_gate_pq_case(spark, epath: str) -> dict:
+    """Streaming embed-gate IVFADC prefilter at scale (r14, VERDICT r13
+    task #8): build the full-vector and PQ variants of EmbedDedupIndex
+    over the SAME 1M-vector corpus (holding out a batch-sized singleton
+    range and the odd clustered ids), gate one 20k batch — 10k planted
+    near-dups of indexed partners + 10k held-out fresh singletons —
+    through both, and record per-variant gate seconds plus exact
+    decision equality: the at-scale witness behind the
+    decision-equality pytest (tests/test_streaming_embed_ingest.py)."""
+    import shutil
+    import tempfile
+
+    from outpost_spark.streaming.embed_ingest import EmbedDedupIndex
+
+    emb = spark.read.parquet(epath)
+    n_vecs = emb.count()
+    n_clustered = n_vecs // 10
+    n_cents = max(64, int((2 * n_vecs) ** 0.5) // 2)
+    stride = max(1, (n_vecs - n_clustered) // n_cents)
+    cents = [
+        list(r["v"])
+        for r in emb.filter(
+            (F.col("vec_id") >= n_clustered)
+            & ((F.col("vec_id") - n_clustered) % stride == 0)
+        )
+        .orderBy("vec_id")
+        .limit(n_cents)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    ]
+    b = min(10_000, n_clustered // 2)
+    holdout_lo = n_clustered + 17
+    batch = emb.filter(
+        ((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 2 * b))
+        | (
+            (F.col("vec_id") >= holdout_lo)
+            & (F.col("vec_id") < holdout_lo + b)
+        )
+    ).localCheckpoint(eager=True)
+    indexed = emb.join(batch.select("vec_id"), "vec_id", "left_anti")
+    work = tempfile.mkdtemp(prefix="embed_gate_pq_")
+    out: dict = {}
+    decisions = {}
+    try:
+        for name, kwargs in (
+            ("full", {}),
+            ("pq", {"pq_m": 16, "pq_k": 256}),
+        ):
+            idx = EmbedDedupIndex(
+                os.path.join(work, name), cents, threshold=0.95, nprobe=2,
+                **kwargs,
+            )
+            t0 = time.perf_counter()
+            idx.build(indexed, id_col="vec_id", vec_col="embedding")
+            out[f"build_{name}_secs"] = round(time.perf_counter() - t0, 4)
+            t0 = time.perf_counter()
+            admitted, rejected = idx.gate(
+                batch, id_col="vec_id", vec_col="embedding"
+            )
+            adm = frozenset(r["vec_id"] for r in admitted.collect())
+            rej = frozenset(
+                (r["vec_id"], r["matched_id"], r["cosine"])
+                for r in rejected.collect()
+            )
+            out[f"{name}_gate_secs"] = round(time.perf_counter() - t0, 4)
+            decisions[name] = (adm, rej)
+            out[f"{name}_admitted"] = len(adm)
+            out[f"{name}_rejected"] = len(rej)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    out["decisions_equal"] = decisions["full"] == decisions["pq"]
+    out["batch_rows"] = batch.count()
+    out["secs"] = round(out["full_gate_secs"] + out["pq_gate_secs"], 4)
+    out["rows"] = out["pq_admitted"]
+    if not out["decisions_equal"]:
+        raise AssertionError(f"PQ gate decisions diverged: {out}")
+    return out
+
+
 def retry_recovery_case(spark, root: str) -> dict:
     """Crash-recovery of the SECOND VersionedStateTable user (VERDICT
     r12 task #6): the same damaged-write protocol as
@@ -1878,6 +1957,14 @@ def run_only_case(case: str, args) -> None:
         out = audio_dedup_case(spark, apath)
         print(json.dumps({"case": case, "recall": {}, **out}))
         return
+    if case == "EmbedGatePQ":
+        n_emb = int(os.environ.get("SPARK_GRAFT_SCALE_EMBEDDINGS", 1_000_000))
+        epath = os.path.join(root, f"embeddings_{n_emb}")
+        if not os.path.exists(os.path.join(epath, "_SUCCESS")):
+            generate_embedding_corpus(spark, epath, n_emb)
+        out = embed_gate_pq_case(spark, epath)
+        print(json.dumps({"case": case, "recall": {}, **out}))
+        return
     dpath = os.path.join(root, f"documents_{args.docs}")
     if not os.path.exists(os.path.join(dpath, "_SUCCESS")):
         generate_documents(spark, dpath, args.docs)
@@ -2319,6 +2406,17 @@ def main() -> None:
                 )
     print(f"embedding planted recall: {recall}", file=sys.stderr)
 
+    egp = embed_gate_pq_case(spark, epath)
+    timings["EmbedGatePQ"] = egp["secs"]
+    rows_out["EmbedGatePQ"] = egp["rows"]
+    print(
+        f"EmbedGatePQ: pq gate {egp['pq_gate_secs']}s vs full "
+        f"{egp['full_gate_secs']}s on a {egp['batch_rows']}-row batch "
+        f"({egp['pq_admitted']} admitted / {egp['pq_rejected']} rejected; "
+        f"decisions_equal={egp['decisions_equal']})",
+        file=sys.stderr,
+    )
+
     t0 = time.perf_counter()
     sustained, routed_rows, per_batch = routing_stream_case(spark, root)
     timings["RoutingStreamSustained"] = round(time.perf_counter() - t0, 4)
@@ -2524,6 +2622,7 @@ def main() -> None:
         "video_rows": n_vids,
         "audio_dedup": aud,
         "audio_rows": n_auds,
+        "embed_gate_pq": egp,
         "ab": {"ref_rev": ref[0] if ref else None, "cases": ab},
         "attribution": attribution,
         "webhook_delivery": wd,

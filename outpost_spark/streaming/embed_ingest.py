@@ -61,6 +61,8 @@ from outpost_spark.ops.similarity import (
     _bulk_scored_pairs,
     cosine_expr,
     ivf_assign_bulk,
+    pq_encode,
+    pq_train,
 )
 
 INDEX_PARTITIONS = 64
@@ -68,7 +70,21 @@ INDEX_FORMAT = 1
 
 
 class EmbedDedupIndex:
-    """Parquet-backed IVF dedup index for embedding columns."""
+    """Parquet-backed IVF dedup index for embedding columns.
+
+    ``pq_m`` (r14, VERDICT r13 task #8) adds an IVFADC prefilter — the
+    L40/L41 composition applied to the streaming gate: index rows also
+    carry an m-code product quantization of the vector, and the probe
+    phase first scans ONLY (cid, vec_id, pq) — m ints instead of dim
+    doubles, the ~16x probe-byte cut — keeping a candidate when its
+    ADC cosine (per-query m x k lookup tables over the codebooks,
+    Arrow-batched per probed list) clears ``threshold - pq_slack``
+    OR its code equals the batch vector's code (the exact-replay /
+    zero-vector path, which ADC alone would miss).  Only the surviving
+    shortlist joins back to the full vectors for the EXACT verify, so
+    the gate's decisions are identical to the full-vector gate whenever
+    quantization error on true near-dups stays under ``pq_slack``
+    (pinned by a decision-equality pytest on the planted stream)."""
 
     def __init__(
         self,
@@ -79,6 +95,10 @@ class EmbedDedupIndex:
         nprobe: int = 2,
         score_decimals: int = 6,
         storage: str = "parquet",
+        pq_m: int | None = None,
+        pq_k: int = 16,
+        pq_slack: float = 0.08,
+        pq_codebooks: list | None = None,
     ):
         if storage not in ("parquet", "txn"):
             raise ValueError(f"storage must be 'parquet' or 'txn', got {storage!r}")
@@ -88,6 +108,14 @@ class EmbedDedupIndex:
         self.nprobe = nprobe
         self.score_decimals = score_decimals
         self.storage = storage
+        self.pq_m = pq_m
+        self.pq_k = pq_k
+        self.pq_slack = pq_slack
+        self.pq_codebooks = (
+            [[list(map(float, c)) for c in b] for b in pq_codebooks]
+            if pq_codebooks is not None
+            else None
+        )
 
     def _txn(self, spark: SparkSession, schema=None):
         from outpost_spark.logstore.txntable import TxnTable
@@ -107,19 +135,102 @@ class EmbedDedupIndex:
         )
 
     def _rows(self, vecs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-        """Index rows: (pfx, cid, vec_id, __v) — assignment list only."""
-        return self._assigned(vecs, id_col, vec_col).select(
+        """Index rows: (pfx, cid, vec_id, __v[, pq]) — assignment list
+        only; ``pq`` carries the m-code quantization when enabled."""
+        rows = self._assigned(vecs, id_col, vec_col).select(
             F.pmod(F.col("__cids")[0], F.lit(INDEX_PARTITIONS)).alias("pfx"),
             F.col("__cids")[0].alias("cid"),
             F.col(id_col).alias("vec_id"),
             "__v",
+        )
+        if self.pq_m:
+            codes = self._encode_pq(vecs, id_col, vec_col)
+            rows = rows.join(codes, "vec_id").select(
+                "pfx", "cid", "vec_id", "__v", "pq"
+            )
+        return rows
+
+    def _encode_pq(self, vecs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        if self.pq_codebooks is None:
+            raise ValueError(
+                "PQ index has no codebooks — build() trains them, or pass "
+                "pq_codebooks"
+            )
+        return pq_encode(
+            vecs.select(id_col, vec_col), vec_col, self.pq_codebooks,
+            id_col=id_col, out_col="pq",
+        ).withColumnRenamed(id_col, "vec_id")
+
+    def _adc_shortlist(self, squery: DataFrame, index_codes: DataFrame) -> DataFrame:
+        """(__qid, vec_id) candidate pairs by asymmetric distance: each
+        probed list is one applyInPandas group holding its members\'
+        codes and the queries probing it; per query the m x k
+        inner-product lookup table costs one einsum, each candidate then
+        m table lookups — the Jegou et al. ADC scan, numpy-vectorized,
+        with only codes (never member vectors) entering Python."""
+        import numpy as np
+
+        books = np.asarray(self.pq_codebooks, dtype=np.float64)  # (m,k,dsub)
+        cn2 = (books**2).sum(axis=2)  # centroid norms^2: recon norm is exact
+        m = books.shape[0]
+        thr = self.threshold - self.pq_slack
+
+        union = squery.select(
+            F.col("cid").alias("__cid"),
+            F.lit("s").alias("__role"),
+            F.col("__qid").alias("__id"),
+            F.col("__bv").cast("array<double>").alias("__vv"),
+            F.col("__bpq").alias("__pq"),
+        ).unionByName(
+            index_codes.select(
+                F.col("cid").alias("__cid"),
+                F.lit("t").alias("__role"),
+                F.col("vec_id").alias("__id"),
+                F.lit(None).cast("array<double>").alias("__vv"),
+                F.col("pq").alias("__pq"),
+            )
+        )
+
+        def score_group(pdf):
+            import pandas as pd
+
+            t = pdf[pdf["__role"] == "t"]
+            s = pdf[pdf["__role"] == "s"]
+            if not len(t) or not len(s):
+                return pd.DataFrame({"__qid": [], "vec_id": []}).astype(
+                    {"__qid": "int64", "vec_id": "int64"}
+                )
+            Tc = np.vstack([np.asarray(c) for c in t["__pq"]])  # (L, m)
+            Sc = np.vstack([np.asarray(c) for c in s["__pq"]])  # (Q, m)
+            Sv = np.vstack([np.asarray(v) for v in s["__vv"]])  # (Q, dim)
+            J = np.arange(m)
+            recon_n = np.sqrt(cn2[J[None, :], Tc].sum(axis=1))  # (L,)
+            qn = np.linalg.norm(Sv, axis=1)  # (Q,)
+            luts = np.einsum(
+                "jkd,qjd->qjk", books, Sv.reshape(len(s), m, -1)
+            )  # (Q, m, k)
+            dots = luts[:, J[None, :], Tc].sum(axis=2)  # (Q, L)
+            denom = qn[:, None] * recon_n[None, :]
+            denom[denom == 0] = np.inf  # zero norms: ADC cos 0
+            keep = (dots / denom) >= thr
+            keep |= (Sc[:, None, :] == Tc[None, :, :]).all(axis=2)
+            qi, li = np.nonzero(keep)
+            return pd.DataFrame(
+                {
+                    "__qid": s["__id"].to_numpy()[qi],
+                    "vec_id": t["__id"].to_numpy()[li],
+                }
+            )
+
+        return union.groupBy("__cid").applyInPandas(
+            score_group, "__qid long, vec_id long"
         )
 
     def _meta(self) -> dict:
         digest = hashlib.md5(
             json.dumps(self.centroids).encode()
         ).hexdigest()
-        return {
+        meta = {
             "format": INDEX_FORMAT,
             "centroids_md5": digest,
             "n_centroids": len(self.centroids),
@@ -129,36 +240,72 @@ class EmbedDedupIndex:
             "score_decimals": self.score_decimals,
             "storage": self.storage,
         }
+        if self.pq_m:
+            meta["pq"] = {
+                "m": self.pq_m,
+                "k": self.pq_k,
+                "slack": self.pq_slack,
+                "codebooks_md5": hashlib.md5(
+                    json.dumps(self.pq_codebooks).encode()
+                ).hexdigest(),
+            }
+        return meta
 
-    def _meta_fs(self, spark: SparkSession):
+    def _meta_fs(self, spark: SparkSession, name: str = "_meta.json"):
         jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/_meta.json")
+        p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{name}")
         return p, p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
 
-    def _write_meta(self, spark: SparkSession) -> None:
-        p, fs = self._meta_fs(spark)
+    def _write_json(self, spark: SparkSession, name: str, payload) -> None:
+        p, fs = self._meta_fs(spark, name)
         out = fs.create(p, True)
         try:
-            out.write(bytearray(json.dumps(self._meta()).encode()))
+            out.write(bytearray(json.dumps(payload).encode()))
         finally:
             out.close()
 
-    def _check_meta(self, spark: SparkSession) -> None:
-        """Refuse an index built with different centroids/parameters —
-        its list ids would never collide correctly with this object's,
-        silently voiding the dedup guarantee."""
-        p, fs = self._meta_fs(spark)
+    def _read_json(self, spark: SparkSession, name: str):
+        p, fs = self._meta_fs(spark, name)
         if not fs.exists(p):
-            raise ValueError(
-                f"embed dedup index at {self.path} has no _meta.json — "
-                "rebuild it with build()"
-            )
+            return None
         stream = fs.open(p)
         try:
             ba = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
         finally:
             stream.close()
-        on_disk = json.loads(bytes(ba).decode())
+        return json.loads(bytes(ba).decode())
+
+    def _write_meta(self, spark: SparkSession) -> None:
+        self._write_json(spark, "_meta.json", self._meta())
+        if self.pq_m:
+            # codebooks persist beside the meta (which pins their md5),
+            # so a reopened index object can reload them
+            self._write_json(spark, "_pq.json", self.pq_codebooks)
+
+    def _ensure_pq(self, spark: SparkSession) -> None:
+        """Lazy-load persisted codebooks for an object constructed
+        without them (reopening an existing PQ index)."""
+        if not self.pq_m or self.pq_codebooks is not None:
+            return
+        books = self._read_json(spark, "_pq.json")
+        if books is None:
+            raise ValueError(
+                f"embed dedup index at {self.path} has no _pq.json — "
+                "rebuild it with build(), or pass pq_codebooks"
+            )
+        self.pq_codebooks = [[list(map(float, c)) for c in b] for b in books]
+
+    def _check_meta(self, spark: SparkSession) -> None:
+        """Refuse an index built with different centroids/parameters —
+        its list ids would never collide correctly with this object's,
+        silently voiding the dedup guarantee."""
+        on_disk = self._read_json(spark, "_meta.json")
+        if on_disk is None:
+            raise ValueError(
+                f"embed dedup index at {self.path} has no _meta.json — "
+                "rebuild it with build()"
+            )
+        self._ensure_pq(spark)
         if on_disk != self._meta():
             raise ValueError(
                 f"embed dedup index mismatch at {self.path}: on disk "
@@ -181,6 +328,10 @@ class EmbedDedupIndex:
         return bool(fs.exists(p))
 
     def build(self, vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+        if self.pq_m and self.pq_codebooks is None:
+            self.pq_codebooks = pq_train(
+                vecs, vec_col, m=self.pq_m, k=self.pq_k, id_col=id_col
+            )
         rows = self._rows(vecs, id_col, vec_col)
         if self.storage == "txn":
             t = self._txn(vecs.sparkSession, rows.schema)
@@ -311,20 +462,48 @@ class EmbedDedupIndex:
                 ).filter(F.col("pfx").isin(pfxs))
             else:
                 index = spark.read.parquet(self.path).filter(F.col("pfx").isin(pfxs))
+            qprobes = probes.withColumnRenamed(id_col, "__qid")
+            if self.pq_m:
+                # IVFADC prefilter: scan only (cid, vec_id, pq) — m ints
+                # per candidate instead of dim doubles (column pruning
+                # keeps __v out of this pass) — keep candidates whose
+                # ADC cosine (per-query lookup tables over the codebooks,
+                # Arrow-batched per probed list) clears threshold - slack
+                # OR whose code equals the batch vector's (the
+                # exact-replay and zero-vector path ADC alone would
+                # drop); only the shortlist joins back to the full
+                # vectors for the EXACT verdict below
+                bcodes = (
+                    self._encode_pq(batch1, id_col, vec_col)
+                    .withColumnRenamed("vec_id", "__qid")
+                    .withColumnRenamed("pq", "__bpq")
+                )
+                shortlist = self._adc_shortlist(
+                    qprobes.join(bcodes, "__qid"),
+                    index.select("cid", "vec_id", "pq"),
+                )
+                qvecs = qprobes.select("__qid", "__bv").dropDuplicates(
+                    ["__qid"]
+                )
+                cand = shortlist.join(qvecs, "__qid").join(
+                    index.select("vec_id", "__v"), "vec_id"
+                )
+            else:
+                cand = qprobes.join(index, "cid")
             # self-matches deliberately kept: they reject replayed batches
             cos = F.round(
                 cosine_expr(F.col("__bv"), F.col("__v")), self.score_decimals
             )
             hits = (
-                probes.join(index, "cid")
+                cand
                 .withColumn(
                     "cosine",
                     F.when(F.col("__bv") == F.col("__v"), F.lit(1.0)).otherwise(cos),
                 )
                 .filter(F.col("cosine") >= self.threshold)
                 .select(
-                    probes[id_col].alias(id_col),
-                    index["vec_id"].alias("matched_id"),
+                    F.col("__qid").alias(id_col),
+                    F.col("vec_id").alias("matched_id"),
                     "cosine",
                 )
                 .groupBy(id_col)

@@ -232,3 +232,104 @@ def test_embed_ingest_txn_storage_e2e_and_crash_window_closed(spark, tmpdir):
     assert {(r["vec_id"], r["matched_id"]) for r in rejected3.collect()} == {
         (900, 800)
     }
+
+
+# ── IVFADC prefilter on the gate (r14, VERDICT r13 task #8) ─────────────
+
+
+def _gate_sets(idx, batch):
+    admitted, rejected = idx.gate(batch)
+    adm = frozenset(r["vec_id"] for r in admitted.collect())
+    rej = frozenset(
+        (r["vec_id"], r["matched_id"], r["cosine"]) for r in rejected.collect()
+    )
+    return adm, rej
+
+
+def test_pq_gate_decisions_equal_full_gate(spark, tmpdir):
+    """The ADC prefilter + exact verify must reach EXACTLY the decisions
+    the full-vector gate reaches on the planted stream — near-dups of
+    indexed vectors, intra-batch clusters, fresh vectors, zero vectors,
+    and full replays."""
+    base = _mk(n=14)
+    corpus_rows = [(i, [float(x) for x in base[i]]) for i in range(8)]
+    corpus_rows.append((8, [0.0] * DIMS))  # an indexed zero vector
+    full = EmbedDedupIndex(
+        os.path.join(tmpdir, "full"), _cents(base), threshold=0.95, nprobe=2
+    )
+    pq = EmbedDedupIndex(
+        os.path.join(tmpdir, "pq"), _cents(base), threshold=0.95, nprobe=2,
+        pq_m=4, pq_k=16,
+    )
+    full.build(_vecs(spark, corpus_rows))
+    pq.build(_vecs(spark, corpus_rows))
+
+    batches = [
+        [  # near-dup of indexed, intra-batch pair, fresh, far
+            (100, [float(x) for x in base[5] + 0.01]),
+            (101, [float(x) for x in base[10]]),
+            (102, [float(x) for x in base[10] + 0.01]),
+            (103, [float(x) for x in base[11]]),
+        ],
+        [  # replay of indexed rows incl. the zero vector
+            (0, [float(x) for x in base[0]]),
+            (8, [0.0] * DIMS),
+            (104, [0.0] * DIMS),  # new zero vector: equal to indexed zero
+        ],
+        [(105, [float(x) for x in base[12]])],
+    ]
+    for rows in batches:
+        batch = _vecs(spark, rows)
+        assert _gate_sets(full, batch) == _gate_sets(pq, batch), rows
+
+
+def test_pq_gate_e2e_append_and_replay(spark, tmpdir):
+    """Admitted vectors append WITH their codes; a replayed batch then
+    rejects itself through the prefilter's code-equality path."""
+    base = _mk(seed=5, n=12)
+    idx = EmbedDedupIndex(
+        os.path.join(tmpdir, "idx"), _cents(base), threshold=0.95, nprobe=2,
+        pq_m=4, pq_k=16,
+    )
+    idx.build(_vecs(spark, [(i, [float(x) for x in base[i]]) for i in range(6)]))
+    batch = _vecs(
+        spark,
+        [(200, [float(x) for x in base[7]]), (201, [0.0] * DIMS)],
+    )
+    admitted, _ = idx.gate(batch)
+    assert {r["vec_id"] for r in admitted.collect()} == {200, 201}
+    idx.append(admitted)
+    # the index rows carry codes
+    rows = spark.read.parquet(os.path.join(tmpdir, "idx"))
+    assert "pq" in rows.columns
+    assert rows.filter(F.col("pq").isNull()).count() == 0
+    # replay: both reject (200 at cosine 1.0; 201 via code equality)
+    admitted2, rejected2 = idx.gate(batch)
+    assert admitted2.count() == 0
+    rej = {r["vec_id"]: r["matched_id"] for r in rejected2.collect()}
+    assert rej == {200: 200, 201: 201}
+
+
+def test_pq_index_reopens_from_persisted_codebooks(spark, tmpdir):
+    base = _mk(seed=7)
+    path = os.path.join(tmpdir, "idx")
+    idx = EmbedDedupIndex(path, _cents(base), pq_m=4, pq_k=16)
+    idx.build(_vecs(spark, [(i, [float(x) for x in base[i]]) for i in range(6)]))
+    # a fresh object without codebooks lazy-loads them from _pq.json
+    reopened = EmbedDedupIndex(path, _cents(base), pq_m=4, pq_k=16)
+    batch = _vecs(spark, [(300, [float(x) for x in base[2] + 0.005])])
+    admitted, rejected = reopened.gate(batch)
+    assert admitted.count() == 0
+    assert {r["matched_id"] for r in rejected.collect()} == {2}
+    assert reopened.pq_codebooks == idx.pq_codebooks
+
+
+def test_pq_meta_mismatch_rejected(spark, tmpdir):
+    base = _mk(seed=9)
+    path = os.path.join(tmpdir, "idx")
+    EmbedDedupIndex(path, _cents(base), pq_m=4, pq_k=16).build(
+        _vecs(spark, [(i, [float(x) for x in base[i]]) for i in range(6)])
+    )
+    plain = EmbedDedupIndex(path, _cents(base))  # no pq: different meta
+    with pytest.raises(ValueError, match="mismatch"):
+        plain.gate(_vecs(spark, [(1, [float(x) for x in base[1]])]))
