@@ -2400,8 +2400,8 @@ def main() -> None:
             if "ratio" in probe:
                 print(
                     f"{name} A/B: head {secs}s vs ref {probe['ref']}s "
-                    f"(x{probe['ratio']}, min of {probe['runs_per_side']}/side,"
-                    f" alternating)",
+                    f"(x{probe['ratio']} median-scored, "
+                    f"{probe['runs_per_side']}/side alternating)",
                     file=sys.stderr,
                 )
     print(f"embedding planted recall: {recall}", file=sys.stderr)
