@@ -2302,7 +2302,11 @@ def main() -> None:
     # couldn't distinguish from real moves.
     ab: dict[str, dict] = {}
     ref = _materialize_scale_ref()
-    ab_runs = max(1, int(os.environ.get("SPARK_GRAFT_AB_RUNS", 2)))
+    # 3/side (r14): at 2/side the heavy tier still read 1.39/0.75 on
+    # byte-identical code (BENCH_SCALE_r14 SemanticDedupBulk /
+    # SimHashPairs_64) — the median needs a third probe to reject a
+    # single outlier run
+    ab_runs = max(1, int(os.environ.get("SPARK_GRAFT_AB_RUNS", 3)))
     if ref is None:
         ab_runs = 1  # no A/B side: min-of-N buys nothing, save the time
     # short isolated cases get min-of-3 regardless: their probes cost
