@@ -247,7 +247,11 @@ def _decode_residual(br: _BitReader, blocksize: int, order: int):
     porder = br.read(4)
     nparts = 1 << porder
     base = blocksize >> porder
-    if base << porder != blocksize or base < order or (nparts > 1 and base < 1):
+    # RFC 9639 §9.2.7: (blocksize >> porder) MUST be strictly greater
+    # than the predictor order — base == order would make the first
+    # partition empty, which the spec forbids (ADVICE r14: the old
+    # `base < order` check decoded such streams leniently)
+    if base << porder != blocksize or base <= order:
         raise ValueError("invalid FLAC residual partition order")
     out = np.empty(blocksize - order, dtype=np.int64)
     idx = 0
@@ -304,14 +308,16 @@ def _decode_subframe(br: _BitReader, blocksize: int, bps: int):
         )
     elif 8 <= t <= 12:
         order = t - 8
-        if order > blocksize:
+        # strictly less: order == blocksize would leave a zero-length
+        # residual, which RFC 9639 forbids (ADVICE r14)
+        if order and order >= blocksize:
             raise ValueError("FLAC predictor order exceeds block size")
         warm = [br.read_signed(eff) for _ in range(order)]
         resid = _decode_residual(br, blocksize, order)
         arr = _restore_fixed(order, warm, resid, blocksize)
     elif t >= 32:
         order = (t & 31) + 1
-        if order > blocksize:
+        if order >= blocksize:
             raise ValueError("FLAC predictor order exceeds block size")
         warm = [br.read_signed(eff) for _ in range(order)]
         prec = br.read(4)
@@ -522,7 +528,10 @@ def _encode_frame(fi: int, chans, rate: int, bps: int) -> bytes:
         elif rate % 10 == 0 and rate // 10 < 65536:
             rate_code, rate_extra = 14, (rate // 10, 16)
         else:
-            raise ValueError(f"FLAC cannot code sample rate {rate}")
+            # rates the header codes can't express defer to STREAMINFO
+            # (code 0) — always legal, and encode_flac already bounded
+            # the rate to STREAMINFO's 20-bit field
+            rate_code, rate_extra = 0, None
     hdr = bytearray([0xFF, 0xF8, (bs_code << 4) | rate_code,
                      ((len(chans) - 1) << 4) | (4 << 1)])  # 16-bit code
     hdr += _utf8_encode(fi)
@@ -563,14 +572,20 @@ def encode_flac(samples, rate: int, channels: int = 1, *,
     stream out (STREAMINFO with MD5, fixed-blocking frames)."""
     import numpy as np
 
+    # validate BEFORE touching the samples (ADVICE r14): rate must fit
+    # STREAMINFO's 20-bit field or int.to_bytes overflows far below
+    if not 1 <= int(rate) < 1 << 20:
+        raise ValueError(
+            f"FLAC sample rate must be in [1, 2^20): got {rate}"
+        )
+    if not 1 <= channels <= 8:
+        raise ValueError("FLAC supports 1-8 channels")
     arr = np.asarray(samples, dtype="<i2")
     if arr.ndim != 1:
         arr = arr.reshape(-1)
     n = len(arr) - len(arr) % channels
     arr = arr[:n]
     frames_total = n // channels
-    if not 1 <= channels <= 8:
-        raise ValueError("FLAC supports 1-8 channels")
     deint = arr.reshape(-1, channels)
     md5 = hashlib.md5(arr.tobytes()).digest()
     # a sub-16-sample stream is one small FINAL frame (legal; only the

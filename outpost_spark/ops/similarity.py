@@ -1085,15 +1085,18 @@ def pq_encode(
     from pyspark.sql.types import (
         ArrayType,
         IntegerType,
-        LongType,
         StructField,
         StructType,
     )
 
     books = [[list(map(float, c)) for c in b] for b in codebooks]
+    # the id column passes through untouched — its type is whatever the
+    # caller's is (long ids, string doc ids, ...), so the codes frame
+    # joins back to the source without a lossy cast
+    id_type = df.schema[id_col].dataType
     out_schema = StructType(
         [
-            StructField(id_col, LongType()),
+            StructField(id_col, id_type),
             StructField(out_col, ArrayType(IntegerType(), False), False),
         ]
     )
@@ -1118,7 +1121,7 @@ def pq_encode(
             yield pd.DataFrame({id_col: pdf[id_col], out_col: list(codes)})
 
     src = df.select(
-        F.col(id_col).cast("long").alias(id_col),
+        F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
     return src.mapInPandas(gen, out_schema)

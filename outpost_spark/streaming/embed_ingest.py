@@ -84,7 +84,21 @@ class EmbedDedupIndex:
     shortlist joins back to the full vectors for the EXACT verify, so
     the gate's decisions are identical to the full-vector gate whenever
     quantization error on true near-dups stays under ``pq_slack``
-    (pinned by a decision-equality pytest on the planted stream)."""
+    (pinned by a decision-equality pytest on the planted stream).
+
+    ``pq_slack`` is an APPROXIMATION dial, not a guarantee: a true
+    near-dup whose ADC cosine estimate falls below ``threshold -
+    pq_slack`` never reaches the exact verify and is ADMITTED — the
+    prefilter fails OPEN (may let a duplicate into the corpus) and
+    never CLOSED (never drops a unique vector), pinned by the
+    adversarial slack pytest.  To size it for real data, ``build()``
+    measures |ADC - exact| cosine error over all pairs of a
+    deterministic sample and persists the max/p99 beside the index
+    (``_pq_calibration.json``, readable via :meth:`pq_calibration`);
+    construction rejects ``pq_slack`` outside ``[0, threshold]`` —
+    negative slack would raise the ADC bar ABOVE the exact threshold
+    and silently miss true near-dups even at zero quantization error.
+    """
 
     def __init__(
         self,
@@ -102,6 +116,20 @@ class EmbedDedupIndex:
     ):
         if storage not in ("parquet", "txn"):
             raise ValueError(f"storage must be 'parquet' or 'txn', got {storage!r}")
+        if pq_m is not None:
+            if pq_m < 1:
+                raise ValueError(f"pq_m must be >= 1, got {pq_m}")
+            if not 2 <= pq_k <= 256:
+                raise ValueError(f"pq_k must be in [2, 256], got {pq_k}")
+            if not 0.0 <= pq_slack <= threshold:
+                raise ValueError(
+                    f"pq_slack must be in [0, threshold]: got pq_slack="
+                    f"{pq_slack} with threshold={threshold} — negative "
+                    "slack raises the ADC bar above the exact threshold "
+                    "(guaranteed misses); slack > threshold is a "
+                    "mis-sizing (use build()'s _pq_calibration.json "
+                    "max_abs_cos_err to pick it)"
+                )
         self.path = path
         self.centroids = [[float(x) for x in c] for c in centroids]
         self.threshold = threshold
@@ -123,6 +151,19 @@ class EmbedDedupIndex:
         if schema is not None:
             return TxnTable.get_or_create(spark, self.path, schema)
         return TxnTable(spark, self.path)
+
+    @staticmethod
+    def _check_id_type(df: DataFrame, id_col: str) -> None:
+        """The index pipeline (ivf_assign_bulk, the ADC shortlist) keys
+        on integral vector ids; a string id would silently null out in
+        the assignment cast — fail loudly instead (ADVICE r14)."""
+        t = df.schema[id_col].dataType.typeName()
+        if t not in ("byte", "short", "integer", "long"):
+            raise ValueError(
+                f"EmbedDedupIndex needs an integral id column; "
+                f"{id_col!r} is {t} — map ids to long (e.g. xxhash64) "
+                "before the gate"
+            )
 
     def _assigned(self, vecs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         return ivf_assign_bulk(
@@ -197,8 +238,9 @@ class EmbedDedupIndex:
             t = pdf[pdf["__role"] == "t"]
             s = pdf[pdf["__role"] == "s"]
             if not len(t) or not len(s):
-                return pd.DataFrame({"__qid": [], "vec_id": []}).astype(
-                    {"__qid": "int64", "vec_id": "int64"}
+                # empty frame in the INPUT id dtype, not hardcoded int64
+                return pd.DataFrame(
+                    {"__qid": pdf["__id"][:0], "vec_id": pdf["__id"][:0]}
                 )
             Tc = np.vstack([np.asarray(c) for c in t["__pq"]])  # (L, m)
             Sc = np.vstack([np.asarray(c) for c in s["__pq"]])  # (Q, m)
@@ -222,8 +264,13 @@ class EmbedDedupIndex:
                 }
             )
 
+        # output id type follows the input ids (ADVICE r14: this was
+        # hardcoded to long, breaking any non-bigint id source); the
+        # union already coerced both sides to their common type, so the
+        # pandas dtype inside score_group matches by construction
+        id_t = union.schema["__id"].dataType.simpleString()
         return union.groupBy("__cid").applyInPandas(
-            score_group, "__qid long, vec_id long"
+            score_group, f"__qid {id_t}, vec_id {id_t}"
         )
 
     def _meta(self) -> dict:
@@ -327,7 +374,58 @@ class EmbedDedupIndex:
         fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         return bool(fs.exists(p))
 
+    def _pq_calibrate(self, vecs: DataFrame, id_col: str, vec_col: str,
+                      sample_n: int = 512) -> dict:
+        """Measured quantization error for slack sizing (ADVICE r14: the
+        0.08 default was unvalidated): over all pairs of a deterministic
+        sample (``sample_n`` smallest ids — the pq_train convention),
+        compute |ADC cosine - exact cosine| exactly as the gate computes
+        ADC (reconstruction from own codes, exact reconstruction norm)
+        and report the max / p99.  ``pq_slack`` must exceed the max on
+        the operator's data for the gate's decisions to equal the
+        full-vector gate's."""
+        import numpy as np
+
+        rows = (
+            vecs.orderBy(F.col(id_col).asc())
+            .limit(sample_n)
+            .select(F.col(vec_col).cast("array<double>").alias("v"))
+            .collect()
+        )
+        X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+        if X.ndim != 2 or not len(X):
+            return {"sample_n": 0}
+        books = np.asarray(self.pq_codebooks, dtype=np.float64)
+        m, _k, dsub = books.shape
+        codes = np.empty((len(X), m), dtype=np.int64)
+        for j in range(m):
+            S = X[:, j * dsub : (j + 1) * dsub]
+            d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        R = books[np.arange(m)[None, :], codes].reshape(len(X), -1)
+        xn = np.linalg.norm(X, axis=1)
+        rn = np.linalg.norm(R, axis=1)
+        xn = np.where(xn == 0, np.inf, xn)  # zero vectors: cos 0 both ways
+        rn = np.where(rn == 0, np.inf, rn)
+        exact = (X @ X.T) / np.outer(xn, xn)
+        adc = (X @ R.T) / np.outer(xn, rn)
+        err = np.abs(adc - exact)
+        return {
+            "sample_n": int(len(X)),
+            "max_abs_cos_err": float(err.max()),
+            "p99_abs_cos_err": float(np.quantile(err, 0.99)),
+            "pq_slack": self.pq_slack,
+            "slack_covers_max_err": bool(self.pq_slack >= err.max()),
+        }
+
+    def pq_calibration(self, spark: SparkSession | None = None):
+        """The ``_pq_calibration.json`` written by :meth:`build` (or
+        None for a pre-calibration / non-PQ index)."""
+        spark = spark or SparkSession.getActiveSession()
+        return self._read_json(spark, "_pq_calibration.json")
+
     def build(self, vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+        self._check_id_type(vecs, id_col)
         if self.pq_m and self.pq_codebooks is None:
             self.pq_codebooks = pq_train(
                 vecs, vec_col, m=self.pq_m, k=self.pq_k, id_col=id_col
@@ -348,6 +446,12 @@ class EmbedDedupIndex:
         else:
             rows.write.mode("overwrite").partitionBy("pfx").parquet(self.path)
         self._write_meta(vecs.sparkSession)
+        if self.pq_m:
+            self._write_json(
+                vecs.sparkSession,
+                "_pq_calibration.json",
+                self._pq_calibrate(vecs, id_col, vec_col),
+            )
 
     def append(
         self,
@@ -359,6 +463,7 @@ class EmbedDedupIndex:
     ) -> None:
         """``app_txn`` (txn storage only) makes the append idempotent per
         writer transaction — the streaming gate's replay protection."""
+        self._check_id_type(vecs, id_col)
         spark = vecs.sparkSession
         fresh = not self.exists(spark)
         if not fresh:
@@ -391,6 +496,7 @@ class EmbedDedupIndex:
         equality`` — the equality clause is what rejects replayed ZERO
         vectors, whose cosine to their own index row is 0.
         """
+        self._check_id_type(batch, id_col)
         spark = batch.sparkSession
         batch = batch.localCheckpoint(eager=True)
         assigned = self._assigned(batch, id_col, vec_col).localCheckpoint(eager=True)
@@ -550,7 +656,11 @@ def attach_embed_ingest_stream(
     re-derives the SAME admitted set (the index state is unchanged —
     its append never committed), the corpus append no-ops on its
     recorded transaction, and the index append commits.  The corpus
-    never holds duplicates."""
+    never holds duplicates the gate can SEE: misses bounded by the IVF
+    nprobe recall dial, and — with ``pq_m`` — by quantization error
+    exceeding ``pq_slack`` (the ADC prefilter fails open: such a
+    near-dup is admitted, never the reverse; size the slack from the
+    index's ``_pq_calibration.json``, see the class docstring)."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         admitted, rejected = index.gate(batch, id_col=id_col, vec_col=vec_col)

@@ -510,3 +510,56 @@ def test_unstable_lpc_rejected_bounded():
 
     with pytest.raises(ValueError, match="out of range"):
         _decode_one(_frame([sf], 64, 0, 4), n=64)
+
+
+def test_partition_base_equal_to_order_rejected():
+    """RFC 9639 §9.2.7: (blocksize >> porder) must be STRICTLY greater
+    than the predictor order — base == order leaves the first partition
+    empty, which the spec forbids (ADVICE r14: previously decoded
+    leniently).  blocksize 64, porder 4, fixed order 4 -> base 4 == 4."""
+
+    def sf(b):
+        b.w(0, 1)
+        b.w(8 + 4, 6)  # FIXED order 4
+        b.w(0, 1)
+        for w in (1, 2, 3, 4):
+            b.ws(w, 16)
+        _residual(b, [0] * 60, k=4, porder=4, order=4, blocksize=64)
+
+    with pytest.raises(ValueError, match="partition order"):
+        _decode_one(_frame([sf], 64, 0, 4), n=64)
+
+
+@pytest.mark.parametrize("sf_type", [8 + 4, 32 + 3])  # FIXED 4, LPC 4
+def test_predictor_order_equal_to_blocksize_rejected(sf_type):
+    """order == blocksize would leave a zero-length residual — RFC 9639
+    requires the predictor order to be LESS than the block size
+    (ADVICE r14: the old guard only rejected order > blocksize)."""
+
+    def sf(b):
+        b.w(0, 1)
+        b.w(sf_type, 6)
+        b.w(0, 1)
+
+    with pytest.raises(ValueError, match="predictor order"):
+        _decode_one(_frame([sf], 4, 0, 4), n=4)
+
+
+def test_encode_validates_rate_and_channels_upfront():
+    """STREAMINFO's sample-rate field is 20 bits: out-of-range rates
+    must raise a descriptive ValueError up front, not an OverflowError
+    deep inside header packing (ADVICE r14); channel validation happens
+    before any sample truncation/reshape."""
+    x = np.zeros(100, dtype="<i2")
+    for rate in (0, -1, 1 << 20, 1 << 25):
+        with pytest.raises(ValueError, match="sample rate"):
+            encode_flac(x, rate)
+    for ch in (0, 9):
+        with pytest.raises(ValueError, match="channels"):
+            encode_flac(x, 8000, channels=ch)
+    # the boundary rate itself is legal end-to-end: the frame header
+    # can't code it directly, so frames defer to STREAMINFO (code 0)
+    top = (1 << 20) - 1
+    ramp = (np.arange(200) * 11 % 401 - 200).astype("<i2")
+    arr, rate, _ = decode_flac(encode_flac(ramp, top))
+    assert rate == top and (arr[:, 0] == ramp).all()

@@ -333,3 +333,101 @@ def test_pq_meta_mismatch_rejected(spark, tmpdir):
     plain = EmbedDedupIndex(path, _cents(base))  # no pq: different meta
     with pytest.raises(ValueError, match="mismatch"):
         plain.gate(_vecs(spark, [(1, [float(x) for x in base[1]])]))
+
+
+def test_pq_slack_and_param_validation(tmpdir):
+    """pq_slack outside [0, threshold] is a construction-time error
+    (ADVICE r14): negative slack raises the ADC bar ABOVE the exact
+    threshold (guaranteed misses even at zero quantization error)."""
+    cents = [[1.0] * DIMS]
+    with pytest.raises(ValueError, match="pq_slack"):
+        EmbedDedupIndex(tmpdir, cents, pq_m=1, pq_slack=-0.01)
+    with pytest.raises(ValueError, match="pq_slack"):
+        EmbedDedupIndex(tmpdir, cents, threshold=0.9, pq_m=1, pq_slack=0.95)
+    with pytest.raises(ValueError, match="pq_k"):
+        EmbedDedupIndex(tmpdir, cents, pq_m=1, pq_k=1)
+    with pytest.raises(ValueError, match="pq_m"):
+        EmbedDedupIndex(tmpdir, cents, pq_m=0)
+    # boundary values are legal
+    EmbedDedupIndex(tmpdir, cents, threshold=0.9, pq_m=1, pq_slack=0.9)
+    EmbedDedupIndex(tmpdir, cents, threshold=0.9, pq_m=1, pq_slack=0.0)
+
+
+def test_pq_build_writes_calibration(spark, tmpdir):
+    """build() measures |ADC - exact| cosine error over all sample
+    pairs and persists it beside the index — the number that sizes
+    pq_slack for real data (ADVICE r14: 0.08 was unvalidated)."""
+    base = _mk(seed=13)
+    path = os.path.join(tmpdir, "idx")
+    idx = EmbedDedupIndex(path, _cents(base), pq_m=4, pq_k=16)
+    idx.build(_vecs(spark, [(i, [float(x) for x in base[i]]) for i in range(8)]))
+    cal = idx.pq_calibration(spark)
+    assert cal["sample_n"] == 8
+    assert 0.0 <= cal["p99_abs_cos_err"] <= cal["max_abs_cos_err"] <= 2.0
+    assert cal["pq_slack"] == idx.pq_slack
+    assert cal["slack_covers_max_err"] == (idx.pq_slack >= cal["max_abs_cos_err"])
+    # a reopened object reads the same record; a non-PQ index has none
+    assert EmbedDedupIndex(path, _cents(base), pq_m=4, pq_k=16).pq_calibration(spark) == cal
+    full = EmbedDedupIndex(os.path.join(tmpdir, "full"), _cents(base))
+    full.build(_vecs(spark, [(0, [float(x) for x in base[0]])]))
+    assert full.pq_calibration(spark) is None
+
+
+def test_pq_slack_exceeded_fails_open_admits_duplicate(spark, tmpdir):
+    """Adversarial slack sizing (VERDICT r14 task #7): when quantization
+    error EXCEEDS pq_slack, the prefilter's miss must fail OPEN — the
+    true near-dup is ADMITTED (a duplicate enters the corpus), never
+    the reverse (a unique vector dropped).  Same geometry, slack =
+    threshold -> the shortlist recovers it and the decision equals the
+    full-vector gate's.
+
+    Geometry (m=1, k=2): the indexed vector t = e1 + 0.1*e2 sits next
+    to codeword e2 in L2 (its same-direction codeword is 50*e1, far
+    away), so recon(t) = e2 and ADC cosine(q, recon) ~ 0 for the query
+    q = 30*e1 — while exact cosine(q, t) ~ 0.995 and their codes differ
+    (q encodes to 50*e1)."""
+    e1 = np.zeros(DIMS); e1[0] = 1.0
+    e2 = np.zeros(DIMS); e2[1] = 1.0
+    t = e1 + 0.1 * e2
+    q = 30.0 * e1
+    assert float(q @ t / (np.linalg.norm(q) * np.linalg.norm(t))) > 0.99
+    cents = [[float(x) for x in e1], [float(x) for x in e2]]
+    book = [[[float(x) for x in 50.0 * e1], [float(x) for x in e2]]]
+    corpus = _vecs(spark, [(0, [float(x) for x in t])])
+    batch = _vecs(spark, [(100, [float(x) for x in q])])
+
+    tight = EmbedDedupIndex(
+        os.path.join(tmpdir, "tight"), cents, threshold=0.95, nprobe=1,
+        pq_m=1, pq_k=2, pq_slack=0.05, pq_codebooks=book,
+    )
+    tight.build(corpus)
+    # the calibration record FLAGS the mis-sizing before any gating
+    cal = tight.pq_calibration(spark)
+    assert cal["max_abs_cos_err"] > 0.05 and not cal["slack_covers_max_err"]
+    admitted, rejected = tight.gate(batch)
+    assert {r["vec_id"] for r in admitted.collect()} == {100}  # fails open
+    assert rejected.count() == 0
+
+    wide = EmbedDedupIndex(
+        os.path.join(tmpdir, "wide"), cents, threshold=0.95, nprobe=1,
+        pq_m=1, pq_k=2, pq_slack=0.95, pq_codebooks=book,
+    )
+    wide.build(corpus)
+    admitted2, rejected2 = wide.gate(batch)
+    assert admitted2.count() == 0
+    rej = {(r["vec_id"], r["matched_id"]) for r in rejected2.collect()}
+    assert rej == {(100, 0)}
+
+
+def test_non_integral_id_column_rejected(spark, tmpdir):
+    """String ids would silently null out in the assignment cast —
+    build/append/gate fail loudly instead (ADVICE r14)."""
+    base = _mk(seed=15)
+    idx = EmbedDedupIndex(os.path.join(tmpdir, "idx"), _cents(base))
+    bad = spark.createDataFrame(
+        [("a", [float(x) for x in base[0]])],
+        "vec_id string, embedding array<double>",
+    )
+    for method in (idx.build, idx.append, idx.gate):
+        with pytest.raises(ValueError, match="integral id"):
+            method(bad)
