@@ -402,3 +402,49 @@ def test_apply_outcomes_plan_has_no_cartesian_or_python(spark, table):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_due_slice_boundary_fires_at_exact_now(spark, tmp_path):
+    """The due slice is ``fire_at <= now`` INCLUSIVE (VERDICT r14 #2:
+    pin the wave-edge semantics the closed-loop bench leans on): a
+    timer scheduled with zero backoff at now=T is due in the SAME
+    apply_outcomes call, and one scheduled an epsilon later stays
+    pending until the clock actually reaches it."""
+    from outpost_spark.functions.backoff import ConstantBackoff
+
+    t = RetryStateTable(
+        spark,
+        str(tmp_path / "boundary_state"),
+        backoff=ConstantBackoff(interval=0.0),
+        retry_max_limit=10,
+        max_receive_count=5,
+    )
+    # zero delay: fire_at == now -> fires in the same call (the
+    # closed-loop bench's wave structure depends on this inclusivity)
+    fired = t.apply_outcomes(
+        _df(spark, [outcome("e1", "d1", "failed", 1)]), 1, now=100.0
+    )
+    assert [(r["event_id"], r["attempt_number"]) for r in fired.collect()] == [
+        ("e1", 2)
+    ]
+    assert _pending(t, 2) == {}
+
+    t2 = RetryStateTable(
+        spark,
+        str(tmp_path / "boundary_state_eps"),
+        backoff=ConstantBackoff(interval=0.5),
+        retry_max_limit=10,
+        max_receive_count=5,
+    )
+    assert (
+        t2.apply_outcomes(
+            _df(spark, [outcome("e2", "d1", "failed", 1)]), 1, now=100.0
+        ).count()
+        == 0
+    )
+    # a tick strictly before fire_at leaves it pending...
+    assert t2.apply_outcomes(None, 2, now=100.4999).count() == 0
+    # ...and the tick AT fire_at fires it (<=, not <)
+    fired = t2.apply_outcomes(None, 3, now=100.5)
+    assert [r["event_id"] for r in fired.collect()] == ["e2"]
+    assert _pending(t2, 4) == {}
