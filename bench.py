@@ -164,6 +164,13 @@ AB_QUERIES = [
     "dedup_minhash_lsh_pairs",
     "embed_semantic_dedup",
     "routing_match_fanout",
+    # r15 additions (VERDICT r14 #4): the slow r13/r14 multimodal and
+    # PQ entries — the two slowest sf0.1 queries had raw trend lines
+    # only, so a move on them was never attributable
+    "dedup_audio_fingerprint_pairs",
+    "dedup_video_nearpairs",
+    "dedup_audio_crossformat_pairs",
+    "embed_pq_ivf_topk",
 ]
 
 # VERDICT r13 "What's wrong" #1: the v3 1.498x flag sat on a diff-empty
@@ -182,6 +189,9 @@ ISOLATED_AB = {
     "dedup_minhash_lsh_pairs",
     "embed_semantic_dedup",
     "dedup_substrings_global",
+    # 10s+ multimodal entries: same heavy treatment from day one
+    "dedup_audio_fingerprint_pairs",
+    "dedup_video_nearpairs",
 }
 
 

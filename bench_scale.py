@@ -337,17 +337,21 @@ def video_dedup_case(spark, path: str) -> dict:
 
 
 def generate_audio_corpus(spark, path: str, n_clips: int) -> None:
-    """Planted audio corpus at scale: mixed-rate near-dup twin groups
-    (8 kHz plants, odd ids resampled to 16 kHz) + junk members — the
-    same generator the value-oracled dedup_audio_crossrate_pairs entry
-    uses, written once so the dedup case measures DECODE+FFT+dedup,
-    not generation."""
+    """Planted audio corpus at scale: mixed-rate, mixed-FORMAT near-dup
+    twin groups (8 kHz WAV plants; odd ids resampled to 16 kHz AND
+    re-encoded as FLAC — lossless, so twins still fingerprint
+    identically) + junk members — the same generator the value-oracled
+    dedup_audio_cross{rate,format}_pairs entries use, written once so
+    the dedup case measures DECODE (both codecs) + FFT + dedup, not
+    generation.  cross_format joined in r15 (VERDICT r14 #5) so the
+    100k-clip row exercises the FLAC decoder's real throughput; the
+    planted survivor arithmetic is unchanged (same groups, same junk)."""
     from outpost_spark.ops.multimodal import planted_audio_dedup_corpus
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ids = spark.range(0, n_clips, 1, cpus * 4).select(F.col("id").alias("doc_id"))
     planted_audio_dedup_corpus(
-        ids, id_col="doc_id", cross_rate=True
+        ids, id_col="doc_id", cross_rate=True, cross_format=True
     ).write.mode("overwrite").parquet(path)
 
 
@@ -1983,6 +1987,13 @@ ISOLATED_CASES = frozenset(
         "SmallTenant",
         "FilterByTopic",
         "ParagraphDedup",
+        # r15 (VERDICT r14 #6): 4x same-code probe spread traced to the
+        # main bench JVM (48g + 32 python workers) staying resident
+        # while probe subprocesses ran — solo probes measure 1.1x
+        # spread on both.  Isolated-primary + the spark.stop() before
+        # the probe phase (main()) fix both the primary and the spread.
+        "ChunkDocuments",
+        "ApproxTopTokens",
     }
 )
 
@@ -2042,7 +2053,8 @@ def run_only_case(case: str, args) -> None:
         return
     if case == "AudioDedupMixed":
         n_auds = int(os.environ.get("SPARK_GRAFT_SCALE_AUDIO", 100_000))
-        apath = os.path.join(root, f"audio_{n_auds}")
+        # audio corpus v2: +FLAC cross-format twins (r15)
+        apath = os.path.join(root, f"audio_{n_auds}_v2")
         if not os.path.exists(os.path.join(apath, "_SUCCESS")):
             generate_audio_corpus(spark, apath, n_auds)
         out = audio_dedup_case(spark, apath)
@@ -2441,7 +2453,8 @@ def main() -> None:
         )
 
     n_auds = int(os.environ.get("SPARK_GRAFT_SCALE_AUDIO", 100_000))
-    apath = os.path.join(root, f"audio_{n_auds}")
+    # audio corpus v2: +FLAC cross-format twins (r15)
+    apath = os.path.join(root, f"audio_{n_auds}_v2")
     if not os.path.exists(os.path.join(apath, "_SUCCESS")):
         t0 = time.perf_counter()
         generate_audio_corpus(spark, apath, n_auds)
@@ -2475,125 +2488,6 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"{name}: {timings[name]}s ({rows_out[name]} rows)", file=sys.stderr)
         gc.collect()
-
-    # heavy cases: fresh interpreter + JVM each, AFTER the in-session
-    # sweep, so their numbers carry no session history by construction.
-    # Each also runs against the archived previous-round tree (same
-    # fresh-JVM shape, same corpus) — the ab block that makes any
-    # round-over-round move attributable to code, not session noise.
-    # MIN-OF-N per side (default 2): same-code same-session spreads up
-    # to ~1.3x were observed across rounds; the min of two runs knocks
-    # out the one-off JIT/page-cache outliers that single-shot A/B
-    # couldn't distinguish from real moves.
-    ab: dict[str, dict] = {}
-    ref = _materialize_scale_ref()
-    # 3/side (r14): at 2/side the heavy tier still read 1.39/0.75 on
-    # byte-identical code (BENCH_SCALE_r14 SemanticDedupBulk /
-    # SimHashPairs_64) — the median needs a third probe to reject a
-    # single outlier run
-    ab_runs = max(1, int(os.environ.get("SPARK_GRAFT_AB_RUNS", 3)))
-    if ref is None:
-        ab_runs = 1  # no A/B side: min-of-N buys nothing, save the time
-    # short isolated cases get min-of-3 regardless: their probes cost
-    # seconds, and min-of-2 sequential-per-side lacked the resolution to
-    # separate a real 1.5x from session drift (VERDICT r12 #1)
-    short_runs = max(
-        ab_runs, int(os.environ.get("SPARK_GRAFT_AB_RUNS_ISOLATED", 3))
-    )
-
-    def _ab_probe(name: str, runs: int) -> dict:
-        """Fresh-JVM probes, min-of-``runs`` per side, sides ALTERNATING
-        (head, ref, head, ref, ...) so monotone machine drift — page
-        cache fill, thermal, background load — cancels between the two
-        sides instead of loading whichever side ran entirely last (the
-        r10-r12 sequential-per-side protocol's blind spot).  Returns
-        {'out': best head output, 'head', 'head_runs', 'runs_per_side'}
-        plus 'ref'/'ref_runs'/'ratio' when a ref tree exists and accepts
-        the case ('ref_error' when it doesn't).  The WITHIN-pair order
-        swaps each iteration (head,ref / ref,head / ...) — with a fixed
-        order the second side always runs against the page cache the
-        first side just warmed, a systematic bias the r13 FilterByTopic
-        probe exposed (head runs descending 9.7 -> 7.5 while ref,
-        always second, sat at 4.5)."""
-        heads: list[dict] = []
-        ref_secs: list[float] = []
-        ref_err = None
-        for i in range(runs):
-            ref_first = ref is not None and ref_err is None and i % 2 == 1
-            if ref_first:
-                try:
-                    ref_secs.append(
-                        _run_case_isolated(name, args, root=ref[1])["secs"]
-                    )
-                except Exception as e:  # ref tree may lack the case
-                    ref_err = str(e)[:200]
-            heads.append(_run_case_isolated(name, args))
-            if ref is not None and ref_err is None and not ref_first:
-                try:
-                    ref_secs.append(
-                        _run_case_isolated(name, args, root=ref[1])["secs"]
-                    )
-                except Exception as e:
-                    ref_err = str(e)[:200]
-        from statistics import median
-
-        best = min(heads, key=lambda o: o["secs"])
-        head_secs = [o["secs"] for o in heads]
-        entry: dict = {
-            "out": best,
-            "head": best["secs"],
-            "head_runs": head_secs,
-            "runs_per_side": runs,
-        }
-        if ref_secs:
-            r = min(ref_secs)
-            # the RATIO is scored median/median, not min/min: under the
-            # min estimator, r13's FilterByTopic read 1.663 on
-            # byte-identical code because ref's min landed on its first
-            # probe and head's on its last (within-session trend + a
-            # min that rewards whichever side caught the trend's floor);
-            # medians of side-alternating probes cancel the trend.  The
-            # per-run lists stay in the artifact, and ratio_min keeps
-            # the old estimator readable for cross-round comparison.
-            hm, rm = median(head_secs), median(ref_secs)
-            entry.update(
-                ref=r,
-                ref_runs=ref_secs,
-                ratio=round(hm / rm, 3) if rm else None,
-                ratio_min=round(best["secs"] / r, 3) if r else None,
-            )
-        elif ref_err is not None:
-            entry["ref_error"] = ref_err
-        return entry
-
-    for name in deferred:
-        probe = _ab_probe(name, short_runs if name in ISOLATED_CASES else ab_runs)
-        out = probe.pop("out")
-        secs = probe["head"]
-        timings[name] = secs
-        rows_out[name] = out["rows"]
-        recall.update(out.get("recall", {}))
-        if name == "ImageDedupMixed":
-            img = {k: out[k] for k in ("secs", "rows", "imgs_per_s") if k in out}
-        if name == "VideoDedupMixed":
-            vid = {k: out[k] for k in ("secs", "rows", "vids_per_s") if k in out}
-        if name == "AudioDedupMixed":
-            aud = {k: out[k] for k in ("secs", "rows", "clips_per_s") if k in out}
-        print(
-            f"{name}: {secs}s (runs {probe['head_runs']}) "
-            f"({rows_out[name]} rows) [isolated]",
-            file=sys.stderr,
-        )
-        if ref is not None:
-            ab[name] = probe
-            if "ratio" in probe:
-                print(
-                    f"{name} A/B: head {secs}s vs ref {probe['ref']}s "
-                    f"(x{probe['ratio']} median-scored, "
-                    f"{probe['runs_per_side']}/side alternating)",
-                    file=sys.stderr,
-                )
-    print(f"embedding planted recall: {recall}", file=sys.stderr)
 
     egp = embed_gate_pq_case(spark, epath)
     timings["EmbedGatePQ"] = egp["secs"]
@@ -2725,6 +2619,139 @@ def main() -> None:
             timings[case] = row["secs"]
             rows_out[case] = row["rows"]
 
+
+    # everything above ran in-session; everything below runs in fresh
+    # subprocesses.  Compute the probeable name set, then STOP this
+    # session's 48g JVM + python worker pool before any probe spawns:
+    # r14's ChunkDocuments/ApproxTopTokens probes spread 4x on
+    # identical code purely because this JVM stayed resident and
+    # squeezed the probes' page cache (solo probes: 1.1x spread).
+    probeable_names = (
+        set(bench_requests())
+        | set(doc_cases(spark, dpath))
+        | set(embedding_cases(spark, epath, {}))
+    )
+    spark.stop()
+
+    # heavy cases: fresh interpreter + JVM each, AFTER the in-session
+    # sweep, so their numbers carry no session history by construction.
+    # Each also runs against the archived previous-round tree (same
+    # fresh-JVM shape, same corpus) — the ab block that makes any
+    # round-over-round move attributable to code, not session noise.
+    # MIN-OF-N per side (default 2): same-code same-session spreads up
+    # to ~1.3x were observed across rounds; the min of two runs knocks
+    # out the one-off JIT/page-cache outliers that single-shot A/B
+    # couldn't distinguish from real moves.
+    ab: dict[str, dict] = {}
+    ref = _materialize_scale_ref()
+    # 3/side (r14): at 2/side the heavy tier still read 1.39/0.75 on
+    # byte-identical code (BENCH_SCALE_r14 SemanticDedupBulk /
+    # SimHashPairs_64) — the median needs a third probe to reject a
+    # single outlier run
+    ab_runs = max(1, int(os.environ.get("SPARK_GRAFT_AB_RUNS", 3)))
+    if ref is None:
+        ab_runs = 1  # no A/B side: min-of-N buys nothing, save the time
+    # short isolated cases get min-of-3 regardless: their probes cost
+    # seconds, and min-of-2 sequential-per-side lacked the resolution to
+    # separate a real 1.5x from session drift (VERDICT r12 #1)
+    short_runs = max(
+        ab_runs, int(os.environ.get("SPARK_GRAFT_AB_RUNS_ISOLATED", 3))
+    )
+
+    def _ab_probe(name: str, runs: int) -> dict:
+        """Fresh-JVM probes, min-of-``runs`` per side, sides ALTERNATING
+        (head, ref, head, ref, ...) so monotone machine drift — page
+        cache fill, thermal, background load — cancels between the two
+        sides instead of loading whichever side ran entirely last (the
+        r10-r12 sequential-per-side protocol's blind spot).  Returns
+        {'out': best head output, 'head', 'head_runs', 'runs_per_side'}
+        plus 'ref'/'ref_runs'/'ratio' when a ref tree exists and accepts
+        the case ('ref_error' when it doesn't).  The WITHIN-pair order
+        swaps each iteration (head,ref / ref,head / ...) — with a fixed
+        order the second side always runs against the page cache the
+        first side just warmed, a systematic bias the r13 FilterByTopic
+        probe exposed (head runs descending 9.7 -> 7.5 while ref,
+        always second, sat at 4.5)."""
+        heads: list[dict] = []
+        ref_secs: list[float] = []
+        ref_err = None
+        for i in range(runs):
+            ref_first = ref is not None and ref_err is None and i % 2 == 1
+            if ref_first:
+                try:
+                    ref_secs.append(
+                        _run_case_isolated(name, args, root=ref[1])["secs"]
+                    )
+                except Exception as e:  # ref tree may lack the case
+                    ref_err = str(e)[:200]
+            heads.append(_run_case_isolated(name, args))
+            if ref is not None and ref_err is None and not ref_first:
+                try:
+                    ref_secs.append(
+                        _run_case_isolated(name, args, root=ref[1])["secs"]
+                    )
+                except Exception as e:
+                    ref_err = str(e)[:200]
+        from statistics import median
+
+        best = min(heads, key=lambda o: o["secs"])
+        head_secs = [o["secs"] for o in heads]
+        entry: dict = {
+            "out": best,
+            "head": best["secs"],
+            "head_runs": head_secs,
+            "runs_per_side": runs,
+        }
+        if ref_secs:
+            r = min(ref_secs)
+            # the RATIO is scored median/median, not min/min: under the
+            # min estimator, r13's FilterByTopic read 1.663 on
+            # byte-identical code because ref's min landed on its first
+            # probe and head's on its last (within-session trend + a
+            # min that rewards whichever side caught the trend's floor);
+            # medians of side-alternating probes cancel the trend.  The
+            # per-run lists stay in the artifact, and ratio_min keeps
+            # the old estimator readable for cross-round comparison.
+            hm, rm = median(head_secs), median(ref_secs)
+            entry.update(
+                ref=r,
+                ref_runs=ref_secs,
+                ratio=round(hm / rm, 3) if rm else None,
+                ratio_min=round(best["secs"] / r, 3) if r else None,
+            )
+        elif ref_err is not None:
+            entry["ref_error"] = ref_err
+        return entry
+
+    for name in deferred:
+        probe = _ab_probe(name, short_runs if name in ISOLATED_CASES else ab_runs)
+        out = probe.pop("out")
+        secs = probe["head"]
+        timings[name] = secs
+        rows_out[name] = out["rows"]
+        recall.update(out.get("recall", {}))
+        if name == "ImageDedupMixed":
+            img = {k: out[k] for k in ("secs", "rows", "imgs_per_s") if k in out}
+        if name == "VideoDedupMixed":
+            vid = {k: out[k] for k in ("secs", "rows", "vids_per_s") if k in out}
+        if name == "AudioDedupMixed":
+            aud = {k: out[k] for k in ("secs", "rows", "clips_per_s") if k in out}
+        print(
+            f"{name}: {secs}s (runs {probe['head_runs']}) "
+            f"({rows_out[name]} rows) [isolated]",
+            file=sys.stderr,
+        )
+        if ref is not None:
+            ab[name] = probe
+            if "ratio" in probe:
+                print(
+                    f"{name} A/B: head {secs}s vs ref {probe['ref']}s "
+                    f"(x{probe['ratio']} median-scored, "
+                    f"{probe['runs_per_side']}/side alternating)",
+                    file=sys.stderr,
+                )
+    print(f"embedding planted recall: {recall}", file=sys.stderr)
+
     # ---- attribution: any case that moved >1.5x against the previous
     # round's recorded artifact gets its own min-of-N A/B probe, so the
     # artifact never again carries an unexplained 8x move (r10's
@@ -2735,9 +2762,7 @@ def main() -> None:
     prev = _load_prev_scale_artifact()
     if prev:
         probeable = (
-            set(bench_requests())
-            | set(doc_cases(spark, dpath))
-            | set(embedding_cases(spark, epath, {}))
+            probeable_names
             | {
                 # every remaining artifact case has an --only path
                 # (VERDICT r14 #3) — keep this in sync with
