@@ -815,25 +815,38 @@ def connected_components(
     labels = (
         edges.select("u").distinct().select(F.col("u").alias("node"), F.col("u").alias("component"))
     ).localCheckpoint(eager=True)
+    comp_t = dict(labels.dtypes)["component"]  # ids may be any orderable type
     for _ in range(max_iters):
         prop = (
             edges.join(labels, edges["v"] == labels["node"])
-            .select(F.col("u").alias("node"), F.col("component"))
+            .select(
+                F.col("u").alias("node"),
+                F.col("component"),
+                F.lit(None).cast(comp_t).alias("__old"),
+            )
+        )
+        # carry each node's OLD label through the aggregation (max skips
+        # the neighbor rows' NULLs; every node has exactly one own-row),
+        # so the convergence probe below is a shuffle-free filter over
+        # the just-checkpointed frame instead of a join of two label
+        # frames — one fewer shuffle job per iteration
+        own = labels.select(
+            "node", "component", F.col("component").alias("__old")
         )
         new_labels = (
-            prop.unionByName(labels)
+            prop.unionByName(own)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max("__old").alias("__old"),
+            )
             .localCheckpoint(eager=True)
         )
+        # min-label propagation only ever lowers a label
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("component") < F.col("__old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     return labels
@@ -1336,6 +1349,10 @@ def dedup_substrings(
     characters.  Documents shorter than ``window`` pass through
     untouched.
     """
+    # the rolling-window md5 pass hashes ~|text| windows per document —
+    # CPU-bound codegen that a single-file scan would pin to one core
+    # (same guard as the minhash signature pass; no-op at cluster scale)
+    df = _parallelize_narrow_input(df)
     text = F.col(text_col)
     n_wins = F.greatest(F.length(text) - F.lit(window) + 1, F.lit(0))
     starts = F.when(

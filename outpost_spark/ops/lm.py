@@ -138,6 +138,37 @@ def bigram_lm_score(
     of accumulation order.  Text is dropped before the first shuffle —
     only (id, w1, w2) triples move.
     """
+    scored = _bigram_scores_present(
+        df, text_col, id_col, train_df=train_df, alpha=alpha,
+        broadcast_model=broadcast_model,
+    )
+    # docs with < 2 tokens have no bigram rows: re-attach with NULL score
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("bigint")).alias("n_bigrams"),
+            "lm_score",
+            "lm_ppl",
+        )
+    )
+
+
+def _bigram_scores_present(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    train_df: DataFrame | None,
+    alpha: float,
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Scores for the documents that HAVE bigrams — the shared core of
+    :func:`bigram_lm_score` (which left-joins the short docs back in as
+    NULL rows) and :func:`perplexity_gate` (whose own left join against
+    ``df`` makes that re-attach pass redundant: an absent id IS a NULL
+    score, so materializing the NULL rows first just re-scans ``df``)."""
     src = train_df if train_df is not None else df
     unigrams, bigrams, n_total = train_bigram_counts(src, text_col, id_col)
     if broadcast_model:
@@ -173,22 +204,11 @@ def bigram_lm_score(
     # true perplexity from the already-rounded score, re-rounded at the
     # same scale: both engines exponentiate the identical rounded double
     ppl = F.round(F.exp(-score), _LP_SCALE)
-    scored = per_doc.select(
+    return per_doc.select(
         id_col,
         F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
         score.alias("lm_score"),
         ppl.alias("lm_ppl"),
-    )
-    # docs with < 2 tokens have no bigram rows: re-attach with NULL score
-    return (
-        df.select(id_col)
-        .join(scored, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("bigint")).alias("n_bigrams"),
-            "lm_score",
-            "lm_ppl",
-        )
     )
 
 
@@ -216,7 +236,10 @@ def perplexity_gate(
     :class:`EmptyTrainingSliceError` and crashing the pipeline on a
     corpus the earlier gates emptied (ADVICE r07)."""
     try:
-        scored = bigram_lm_score(
+        # scores for bigram-bearing docs only: the left join below maps an
+        # absent id to a NULL score — identical rows to joining the full
+        # bigram_lm_score output, minus its own re-attach pass over ``df``
+        scored = _bigram_scores_present(
             df, text_col, id_col, train_df=train_df, alpha=alpha
         ).select(id_col, "lm_ppl")
     except EmptyTrainingSliceError:

@@ -912,6 +912,19 @@ def planted_gif(seed: int, tweak: int, *, interlace: bool = False) -> bytes:
     return encode_gif(_planted_cells(seed, tweak)[..., 0], interlace=interlace)
 
 
+def _spread_ids(ids: DataFrame) -> DataFrame:
+    """Round-robin the skinny id projection across the cluster before
+    per-row synthesis: the tables behind the planted entries are
+    single-file scans (one task), which would serialize the expensive
+    Python generation stage onto one core.  Reuses the shingling guard
+    (``inputFiles``-based estimate, no ``.rdd`` plan conversion): the
+    shuffle moves 8 bytes/row and only fires when the scan's parallelism
+    is below the cluster's, so it is a no-op at production scale."""
+    from outpost_spark.ops.dedup import _parallelize_narrow_input
+
+    return _parallelize_narrow_input(ids)
+
+
 def planted_image_corpus(
     ids_df: DataFrame,
     *,
@@ -974,7 +987,9 @@ def planted_image_corpus(
             ]
             yield pd.DataFrame({"id": ids, "content": content})
 
-    return ids_df.select(id_col).mapInPandas(gen, "id long, content binary")
+    return _spread_ids(ids_df.select(id_col)).mapInPandas(
+        gen, "id long, content binary"
+    )
 
 
 def dhash_pairs(
@@ -1285,7 +1300,9 @@ def planted_audio_corpus(
             ]
             yield pd.DataFrame({"id": ids, "content": content})
 
-    return ids_df.select(id_col).mapInPandas(gen, "id long, content binary")
+    return _spread_ids(ids_df.select(id_col)).mapInPandas(
+        gen, "id long, content binary"
+    )
 
 
 def audio_fingerprint(
@@ -1549,7 +1566,9 @@ def planted_audio_dedup_corpus(
             ]
             yield pd.DataFrame({"id": ids, "content": content})
 
-    return ids_df.select(id_col).mapInPandas(gen, "id long, content binary")
+    return _spread_ids(ids_df.select(id_col)).mapInPandas(
+        gen, "id long, content binary"
+    )
 
 
 def planted_gif_animation(
@@ -1602,7 +1621,9 @@ def planted_video_corpus(
             ]
             yield pd.DataFrame({"id": ids, "content": content})
 
-    return ids_df.select(id_col).mapInPandas(gen, "id long, content binary")
+    return _spread_ids(ids_df.select(id_col)).mapInPandas(
+        gen, "id long, content binary"
+    )
 
 
 def planted_avi_video(
@@ -1642,7 +1663,9 @@ def planted_avi_corpus(
             ]
             yield pd.DataFrame({"id": ids, "content": content})
 
-    return ids_df.select(id_col).mapInPandas(gen, "id long, content binary")
+    return _spread_ids(ids_df.select(id_col)).mapInPandas(
+        gen, "id long, content binary"
+    )
 
 
 def planted_video_dedup_corpus(
@@ -1672,7 +1695,9 @@ def planted_video_dedup_corpus(
             ]
             yield pd.DataFrame({"id": ids, "content": content})
 
-    return ids_df.select(id_col).mapInPandas(gen, "id long, content binary")
+    return _spread_ids(ids_df.select(id_col)).mapInPandas(
+        gen, "id long, content binary"
+    )
 
 
 def planted_mixed_video_corpus(
@@ -1719,7 +1744,9 @@ def planted_mixed_video_corpus(
             ]
             yield pd.DataFrame({"id": ids, "content": content})
 
-    return ids_df.select(id_col).mapInPandas(gen, "id long, content binary")
+    return _spread_ids(ids_df.select(id_col)).mapInPandas(
+        gen, "id long, content binary"
+    )
 
 
 VIDEO_FRAME_DHASH_SCHEMA = (

@@ -88,6 +88,12 @@ def curate_corpus(
         .filter(F.col(id_col) == F.col("__cmin"))
         .drop("__cmin")
     )
+    # materialize the exact-deduped corpus ONCE: it feeds the MinHash
+    # gram pass and the survivor anti-join, and each reference would
+    # otherwise replay the whole gate/dedup chain above (the strictly-
+    # smallest text frame of the pipeline — same tradeoff as
+    # minhash_dedup_pairs' checkpointed gram frame)
+    exact = exact.localCheckpoint(eager=True)
     pairs = minhash_dedup_pairs(
         exact, id_col, text_col, threshold=near_dup_threshold, hash_fn=hash_fn
     )
@@ -158,6 +164,13 @@ def curate_corpus_v3(
         .filter(F.col(id_col) == F.col("__cmin"))
         .drop("__cmin")
     )
+    # materialize once: exact feeds the MinHash gram pass AND the
+    # survivor anti-join — each reference would otherwise replay the
+    # full URL/gate/paragraph/substring chain above (v3's most expensive
+    # subtree), and this is the strictly-smallest text frame in the
+    # pipeline (same tradeoff as the checkpointed gram frame inside
+    # minhash_dedup_pairs)
+    exact = exact.localCheckpoint(eager=True)
     pairs = minhash_dedup_pairs(
         exact, id_col, text_col, threshold=near_dup_threshold, hash_fn=hash_fn
     )
@@ -200,13 +213,26 @@ def curate_corpus_v5(
     end-to-end against one DuckDB oracle, v3/v4's lesson applied to the
     round's LM operators.
     """
+    from outpost_spark.ops.dedup import _parallelize_narrow_input
     from outpost_spark.ops.lm import perplexity_gate
     from outpost_spark.ops.text import fix_mojibake
 
+    # the repair + quality stage is CPU-bound codegen over full text; a
+    # single-file corpus scan would pin it (and the checkpoint build
+    # below) to one core — same guard as the minhash signature pass
+    docs = _parallelize_narrow_input(docs.select(id_col, text_col))
     fixed = fix_mojibake(docs, text_col, id_col).select(
         F.col(id_col), F.col("fixed_text").alias(text_col)
     )
     base = fixed.filter(quality_score_expr(F.col(text_col)) >= quality_min)
+    # materialize the quality-passing slice ONCE: the self-scoring gate
+    # reads it four times (unigram + bigram model builds, the scoring
+    # bigram stream, and the gate's own re-attach join), and each read
+    # would otherwise re-run the mojibake replace chain + quality gate
+    # over the full corpus.  The slice is the strictly-smallest text
+    # frame in the pipeline (same tradeoff as minhash_dedup_pairs'
+    # checkpointed gram frame); measured 2x on the sf0.1 entry.
+    base = base.localCheckpoint(eager=True)
     gated = perplexity_gate(
         base, text_col, id_col, max_ppl=max_ppl, alpha=alpha
     )

@@ -114,11 +114,15 @@ def bucket_partition_hint(
 
 
 def _centroid_lit(c) -> Column:
-    # ONE array literal (single py4j call, single Literal node) — building
-    # it as F.array(*[F.lit(x) ...]) costs dim JVM round-trips per
-    # centroid at plan time and dim CreateArray children at codegen time,
-    # which dominated the whole ANN stage for nlist x dim plans
-    return F.lit([float(x) for x in c])
+    # ONE array literal (single py4j call, single Literal node).  The
+    # ndarray form matters twice over: a Python list routes through
+    # pyspark's ``lit`` list branch, which expands to
+    # ``array(*[lit(x) ...])`` — dim py4j round-trips per centroid at
+    # plan time and dim CreateArray children for every optimizer rule to
+    # re-walk — while a 1-D float64 ndarray takes the numpy branch, one
+    # JVM call yielding a single array<double> Literal leaf (identical
+    # values: float64 IS the Python float).
+    return F.lit(np.asarray(c, dtype=np.float64))
 
 
 def _centroid_norm(c) -> float:
@@ -162,55 +166,42 @@ def centroid_scores(
     )
 
 
-def _f_sql(x: float) -> str:
-    """Exact double literal for generated SQL (repr round-trips IEEE754)."""
-    return f"CAST('{float(x)!r}' AS DOUBLE)"
-
-
-def _centroid_score_sql(vec_sql: str, vnorm_sql: str, c, score_decimals: int) -> str:
-    """SQL text for round(cosine(vec, centroid), d) with a constant-folded
-    centroid norm — semantically identical to :func:`_centroid_cos`."""
-    arr = "array(" + ",".join(_f_sql(x) for x in c) + ")"
-    cn = _f_sql(_centroid_norm(c))
-    dot = f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
-    return (
-        f"round(CASE WHEN ({vnorm_sql}) * {cn} > 0 "
-        f"THEN {dot} / (({vnorm_sql}) * {cn}) ELSE 0D END, {score_decimals})"
-    )
-
-
 def assign_ivf_sql(
     vec_sql: str, vnorm_sql: str, centroids, *, score_decimals: int = 6
 ) -> Column:
-    """String-SQL twin of :func:`assign_ivf_expr` for named columns.
+    """Named-column twin of :func:`assign_ivf_expr` (keeps the historical
+    name; the expression and the scores are identical).
 
-    Building the nlist x dim literal plan through the Column API costs
-    thousands of py4j round-trips (one per literal / lambda piece) —
-    ~1 s of driver time for 8x64 centroids, dwarfing the actual
-    execution at small scale.  Generating the expression as ONE string
-    for ONE ``F.expr`` parse eliminates that; the resolved plan (and the
-    scores) are identical.
+    r15: built through the Column API with ONE array-typed Literal per
+    centroid instead of generated string SQL.  The string form parsed
+    fast but materialized every centroid element as its own
+    Cast('…' AS DOUBLE) node — an O(nlist x dim) expression tree that
+    every optimizer rule re-walked, measured as ~4.5 s of driver-side
+    planning per fresh plan on embed_knn_join (24x64 centroids twice)
+    against 0.3 s of execution.  A list-valued ``F.lit`` is a single
+    Literal leaf, so the tree is O(nlist) and planning collapses; py4j
+    round-trips stay O(nlist) (the original motivation for string SQL
+    was the per-ELEMENT ``F.lit`` form, which was O(nlist x dim) trips).
     """
-    structs = ",".join(
-        f"struct({_centroid_score_sql(vec_sql, vnorm_sql, c, score_decimals)} AS score, "
-        f"{-i} AS negcid)"
-        for i, c in enumerate(centroids)
+    return assign_ivf_expr(
+        F.expr(vec_sql),
+        centroids,
+        score_decimals=score_decimals,
+        vnorm=F.expr(vnorm_sql),
     )
-    return F.expr(f"CAST(-(array_max(array({structs})).negcid) AS INT)")
 
 
 def probe_cids_sql(
     vec_sql: str, vnorm_sql: str, centroids, nprobe: int, *, score_decimals: int = 6
 ) -> Column:
-    """String-SQL twin of :func:`probe_cids_expr` (same rationale as
+    """Named-column twin of :func:`probe_cids_expr` (same rationale as
     :func:`assign_ivf_sql`)."""
-    structs = ",".join(
-        f"struct(-{_centroid_score_sql(vec_sql, vnorm_sql, c, score_decimals)} AS negscore, "
-        f"{i} AS cid)"
-        for i, c in enumerate(centroids)
-    )
-    return F.expr(
-        f"transform(slice(sort_array(array({structs})), 1, {nprobe}), s -> s.cid)"
+    return probe_cids_expr(
+        F.expr(vec_sql),
+        centroids,
+        nprobe,
+        score_decimals=score_decimals,
+        vnorm=F.expr(vnorm_sql),
     )
 
 
@@ -251,9 +242,18 @@ def assign_ivf_pandas(df: DataFrame, vec_col: str, centroids, *, out_col: str = 
     return df.withColumn(out_col, _assign(F.col(vec_col)))
 
 
-def probe_cids_expr(vec: Column, centroids, nprobe: int, *, score_decimals: int = 6) -> Column:
-    """The ``nprobe`` nearest centroid ids to ``vec`` (score desc, cid asc)."""
-    vn = norm_expr(vec)
+def probe_cids_expr(
+    vec: Column,
+    centroids,
+    nprobe: int,
+    *,
+    score_decimals: int = 6,
+    vnorm: Column | None = None,
+) -> Column:
+    """The ``nprobe`` nearest centroid ids to ``vec`` (score desc, cid asc).
+    Pass a precomputed ``vnorm`` column to share one norm pass across the
+    assignment and probe expressions."""
+    vn = vnorm if vnorm is not None else norm_expr(vec)
     arr = F.array(
         *[
             F.struct(
