@@ -807,9 +807,17 @@ def connected_components(
     detected with a cheap ``limit(1)`` existence probe, not a full count.
     Deterministic: min over ids, no RNG.
     """
-    fwd = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    # materialize the pair list ONCE before mirroring it (r15, guide §5):
+    # the union below references ``pairs`` twice, and Spark executes the
+    # (expensive — LSH verify join, IVF scoring) upstream subtree once per
+    # reference; the pairs frame itself is tiny by construction (only
+    # near-dup pairs), so checkpointing it costs almost nothing and the
+    # candidate generator runs exactly once per dedup call
+    fwd = pairs.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).localCheckpoint(eager=True)
     edges = fwd.union(
-        pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
     edges = edges.localCheckpoint(eager=True)
     labels = (

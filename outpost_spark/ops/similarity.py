@@ -138,14 +138,6 @@ def _centroid_norm(c) -> float:
     return math.sqrt(acc)
 
 
-def _centroid_cos(vec: Column, vnorm: Column, c) -> Column:
-    """Cosine(vec, centroid) with a shared precomputed ``vnorm`` column and
-    a constant-folded centroid norm — one dot-product HOF per centroid
-    instead of three aggregate passes."""
-    denom = vnorm * F.lit(_centroid_norm(c))
-    return F.when(denom > 0, dot_expr(vec, _centroid_lit(c)) / denom).otherwise(F.lit(0.0))
-
-
 def centroid_scores(
     vec: Column, centroids, *, score_decimals: int = 6, vnorm: Column | None = None
 ) -> Column:
@@ -153,17 +145,36 @@ def centroid_scores(
     centroid.  Rounding before any comparison keeps argmax/top-nprobe
     selection reproducible across engines (same contract as the other
     similarity entries); ``negcid`` makes struct-max tie-break to the
-    LOWEST centroid id."""
+    LOWEST centroid id.
+
+    r15 build-cost fix: ONE ``transform`` over a folded index sequence
+    against a folded literal centroid matrix / norm array, instead of a
+    per-centroid expression list.  The per-centroid form registered a
+    ``zip_with`` + ``aggregate`` lambda pair PER CENTROID through py4j
+    (~0.6-0.9 s of driver time per plan at nlist=24, measured on
+    embed_ann_ivf_topk build 1.5 s Column-API vs 0.7 s string-SQL), while
+    this form registers a constant number of lambdas regardless of nlist.
+    ``array(lit, …)`` of foldable rows constant-folds to a single
+    array<array<double>> Literal, so the executed per-row arithmetic —
+    zip_with multiply, left-to-right aggregate sum, the same rounding —
+    is unchanged and the scores stay bit-identical to the oracle's."""
+    if not len(centroids):
+        # sequence(0, -1) would silently generate a DESCENDING index pair
+        raise ValueError("centroid_scores needs at least one centroid")
     vn = vnorm if vnorm is not None else norm_expr(vec)
-    return F.array(
-        *[
-            F.struct(
-                F.round(_centroid_cos(vec, vn, c), score_decimals).alias("score"),
-                F.lit(-i).alias("negcid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
+    cmat = F.array(*[_centroid_lit(c) for c in centroids])
+    cnorms = F.lit(np.asarray([_centroid_norm(c) for c in centroids], dtype=np.float64))
+
+    def one(i: Column) -> Column:
+        c = F.element_at(cmat, i + 1)
+        denom = vn * F.element_at(cnorms, i + 1)
+        cos = F.when(denom > 0, dot_expr(vec, c) / denom).otherwise(F.lit(0.0))
+        return F.struct(
+            F.round(cos, score_decimals).alias("score"),
+            (-i).cast("int").alias("negcid"),
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(len(centroids) - 1)), one)
 
 
 def assign_ivf_sql(
@@ -253,15 +264,18 @@ def probe_cids_expr(
     """The ``nprobe`` nearest centroid ids to ``vec`` (score desc, cid asc).
     Pass a precomputed ``vnorm`` column to share one norm pass across the
     assignment and probe expressions."""
-    vn = vnorm if vnorm is not None else norm_expr(vec)
-    arr = F.array(
-        *[
-            F.struct(
-                (-F.round(_centroid_cos(vec, vn, c), score_decimals)).alias("negscore"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    scores = centroid_scores(
+        vec, centroids, score_decimals=score_decimals, vnorm=vnorm
+    )
+    # derive (negscore, cid) from the shared scorer: -score and -negcid
+    # are the exact same doubles/ints the per-centroid form built, so the
+    # ascending struct sort selects identically
+    arr = F.transform(
+        scores,
+        lambda s: F.struct(
+            (-s["score"]).alias("negscore"),
+            (-s["negcid"]).cast("int").alias("cid"),
+        ),
     )
     return F.transform(F.slice(F.sort_array(arr), 1, nprobe), lambda s: s["cid"])
 
@@ -463,30 +477,55 @@ def _ivf_scored_candidates(
             F.col(id_col).alias("__tid"),
             vd.alias("__tv"),
         ).withColumn("__tn", norm_expr(F.col("__tv")))
-    else:
-        tgt = (
-            df.select(F.col(id_col).alias("__tid"), vd.alias("__tv"))
-            .withColumn("__tn", norm_expr(F.col("__tv")))
+        src = (
+            df.select(F.col(id_col).alias("__sid"), vd.alias("__sv"))
+            .withColumn("__sn", norm_expr(F.col("__sv")))
             .withColumn(
                 "__cid",
-                assign_ivf_sql(
-                    "__tv", "__tn", centroids, score_decimals=score_decimals
+                F.explode(
+                    probe_cids_sql(
+                        "__sv", "__sn", centroids, nprobe,
+                        score_decimals=score_decimals,
+                    )
                 ),
             )
-            .select("__cid", "__tid", "__tv", "__tn")
         )
-    src = (
-        df.select(F.col(id_col).alias("__sid"), vd.alias("__sv"))
-        .withColumn("__sn", norm_expr(F.col("__sv")))
-        .withColumn(
-            "__cid",
-            F.explode(
+    else:
+        # ONE centroid-scoring pass per vector (r15, guide §1.2/§5): the
+        # argmax assignment IS the first probe id (both select highest
+        # rounded score, ties to the lowest cid), so stamping the
+        # nprobe-nearest list ids once and deriving tgt's assignment as
+        # ``__cids[0]`` halves the O(nlist x dim) interpreted scoring —
+        # previously tgt ran its own argmax pass AND src its own probe
+        # sort over the same rows.  The stamped frame is materialized so
+        # the two join sides (and any expensive upstream generator, e.g.
+        # the perturbed-embeddings union) evaluate once, not twice; it
+        # carries (id, vec, norm, nprobe ints) — the same columns the
+        # join shuffles anyway.
+        stamped = (
+            df.select(F.col(id_col).alias("__id"), vd.alias("__v"))
+            .withColumn("__n", norm_expr(F.col("__v")))
+            .withColumn(
+                "__cids",
                 probe_cids_sql(
-                    "__sv", "__sn", centroids, nprobe, score_decimals=score_decimals
-                )
-            ),
+                    "__v", "__n", centroids, nprobe,
+                    score_decimals=score_decimals,
+                ),
+            )
+            .localCheckpoint(eager=True)
         )
-    )
+        tgt = stamped.select(
+            F.col("__cids")[0].alias("__cid"),
+            F.col("__id").alias("__tid"),
+            F.col("__v").alias("__tv"),
+            F.col("__n").alias("__tn"),
+        )
+        src = stamped.select(
+            F.col("__id").alias("__sid"),
+            F.col("__v").alias("__sv"),
+            F.col("__n").alias("__sn"),
+            F.explode("__cids").alias("__cid"),
+        )
     denom = F.col("__sn") * F.col("__tn")
     return (
         src.hint("shuffle_hash")

@@ -4120,6 +4120,15 @@ def pipeline_curate_corpus_v4(spark, sf_dir):
     gated = docs.withColumn("__q", quality_score_expr(F.col("text"))).filter(
         F.col("__q") >= 0.5
     )
+    # materialize the quality-gated slice ONCE (r15, guide §5): it feeds
+    # the MinHash gram pass, BOTH sides of dedup_keep_best (score join +
+    # anti-join), and — via the survivor frame — the token-budget
+    # sampler, whose bucket-totals collect() executes the whole chain a
+    # second time at plan-build.  Each reference otherwise replays the
+    # full-text scan + quality expression over the corpus.
+    gated = gated.select("doc_id", "text", "n_chars", "__q").localCheckpoint(
+        eager=True
+    )
     pairs = minhash_dedup_pairs(
         gated, "doc_id", "text",
         num_hashes=16, bands=4, rows_per_band=4,
