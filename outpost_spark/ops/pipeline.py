@@ -304,13 +304,24 @@ def curate_corpus_v6(
         split_seed=split_seed,
     )
     train = cleaned.filter(F.col("split") == "train").select(id_col)
+    # materialize the two narrow composition joints (r15, guide §5):
+    # ``enriched`` (id, lang, weight) is read by the temperature mixer's
+    # domain aggregate AND its final rate join, and — through ``mixed`` —
+    # by the token-budget sampler's bucket-totals collect() and its kept
+    # filter; ``kept`` (id, weight) is read by the shard stamp and the
+    # manifest join.  Un-checkpointed, every one of those references
+    # replays the v5 cleaning cascade's post-checkpoint tail (the
+    # perplexity-gate joins + exact-dedup window) — the 124-Exchange
+    # plan this entry used to produce.
     enriched = train.join(
         docs.select(id_col, lang_col, weight_col), id_col
-    )
+    ).localCheckpoint(eager=True)
     mixed = sample_temperature_mix(
         enriched, lang_col, id_col, target_total=mix_target, alpha=mix_alpha
     )
-    kept = sample_by_token_budget(mixed, id_col, weight_col, token_budget)
+    kept = sample_by_token_budget(
+        mixed, id_col, weight_col, token_budget
+    ).localCheckpoint(eager=True)
     sharded = assign_shuffled_shards(
         kept.select(id_col), id_col, n_shards=n_shards
     ).join(kept, id_col)
