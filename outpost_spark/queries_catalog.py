@@ -4135,6 +4135,11 @@ def pipeline_curate_corpus_v4(spark, sf_dir):
         shingle_len=5, verify_ngram=5, threshold=0.7,
     )
     surv = dedup_keep_best(gated, pairs, "doc_id", "__q")
+    # second joint: the survivor id/weight projection is executed by the
+    # budget sampler's bucket-totals collect() AND twice in the final
+    # plan (full-bucket filter + boundary window); one narrow
+    # materialization runs the keep-best anti-join once
+    surv = surv.select("doc_id", "n_chars").localCheckpoint(eager=True)
     kept = sample_by_token_budget(surv, "doc_id", "n_chars", 60000)
     return assign_shuffled_shards(kept.select("doc_id"), "doc_id", n_shards=16)
 
