@@ -171,6 +171,9 @@ AB_QUERIES = [
     "dedup_video_nearpairs",
     "dedup_audio_crossformat_pairs",
     "embed_pq_ivf_topk",
+    # r16 addition (VERDICT r15 #4): the third-slowest r15 query had no
+    # A/B slot, so its 5.3x raw swing on untouched code was unarbitrable
+    "dedup_simhash_pairs",
 ]
 
 # VERDICT r13 "What's wrong" #1: the v3 1.498x flag sat on a diff-empty
@@ -192,6 +195,8 @@ ISOLATED_AB = {
     # 10s+ multimodal entries: same heavy treatment from day one
     "dedup_audio_fingerprint_pairs",
     "dedup_video_nearpairs",
+    # r16 (VERDICT r15 #4): 12 s raw in the r15 run — heavy-entry tier
+    "dedup_simhash_pairs",
 }
 
 
@@ -405,8 +410,18 @@ def main() -> None:
         ab = run_ab(spark, sf_dir)
     except Exception:
         ab = None
+    # VERDICT r15 #3: a smoke run at another SF/cpu count must not clobber
+    # the committed canonical artifact — only the canonical config
+    # (sf0.1 / 32 cpus) writes BENCH_DETAIL.json; any other run writes a
+    # config-suffixed sibling.  SPARK_GRAFT_BENCH_DETAIL overrides both.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    detail_name = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or (
+        "BENCH_DETAIL.json"
+        if (sf == 0.1 and cpus == "32")
+        else f"BENCH_DETAIL.sf{sf}.c{cpus}.json"
+    )
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as fh:
         json.dump(

@@ -2,10 +2,11 @@
 capture their physical plans.
 
 Usage:
-  python bench_probe.py --plans q1 q2 ...       # explain("formatted") -> plans/r15/<q>_<tag>.txt
+  python bench_probe.py --plans q1 q2 ...       # explain("formatted") -> plans/<round>/<q>_<tag>.txt
   python bench_probe.py --time N q1 q2 ...      # N timed runs each (collect(), bench methodology)
   python bench_probe.py --noop N q1 q2 ...      # N timed runs each (noop sink — guide §1.4)
   --tag before|after   suffix for plan files (default "before")
+  --round rNN          plans subdirectory (default "r16")
 
 The timing methodology matches bench.py (same session factory, same
 warm-up, collect() on the same callables) so probe numbers are
@@ -15,6 +16,7 @@ compute from result-collection per guide §1.4.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -31,29 +33,32 @@ from outpost_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    args = sys.argv[1:]
-    mode, runs, tag = "time", 3, "before"
-    names: list[str] = []
-    i = 0
-    while i < len(args):
-        a = args[i]
-        if a == "--plans":
-            mode = "plans"
-        elif a in ("--time", "--noop"):
-            mode = a[2:]
-            i += 1
-            runs = int(args[i])
-        elif a == "--tag":
-            i += 1
-            tag = args[i]
-        else:
-            names.append(a)
-        i += 1
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--plans", action="store_true", help="capture explain('formatted')")
+    ap.add_argument("--time", type=int, metavar="N", help="N timed collect() runs each")
+    ap.add_argument("--noop", type=int, metavar="N", help="N timed noop-sink runs each")
+    ap.add_argument("--tag", default="before", help="plan-file suffix")
+    ap.add_argument("--round", default="r16", dest="round_dir", help="plans/<round>/ dir")
+    ap.add_argument("names", nargs="*", help="catalog entry names (default: all)")
+    ns = ap.parse_args()
+    if ns.plans:
+        mode, runs = "plans", 0
+    elif ns.noop is not None:
+        mode, runs = "noop", ns.noop
+    else:
+        mode, runs = "time", ns.time if ns.time is not None else 3
+    tag, names = ns.tag, list(ns.names)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("outpost-spark-probe")
     spark.sparkContext.setLogLevel("ERROR")
     registry = queries_catalog.queries()
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        ap.error(
+            f"unknown quer{'y' if len(unknown) == 1 else 'ies'} {unknown}; "
+            f"valid entries: {sorted(registry)}"
+        )
     if not names:
         names = list(registry)
 
@@ -63,7 +68,9 @@ def main() -> None:
     spark.range(cpus).repartition(cpus).mapInPandas(lambda it: it, "id long").collect()
 
     if mode == "plans":
-        outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r15")
+        outdir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "plans", ns.round_dir
+        )
         os.makedirs(outdir, exist_ok=True)
         for name in names:
             df = registry[name](spark, sf_dir)

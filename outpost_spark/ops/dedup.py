@@ -88,6 +88,32 @@ def _narrow_from_wide(g: Column, hash_fn: str = "md5") -> Column:
     return F.shiftrightunsigned(g, 28)
 
 
+def wide_gram_hashes(
+    text: Column, shingle_len: int, hash_fn: str = "md5", seed: str | int = "h"
+) -> Column:
+    """``array<long>`` of the text's distinct wide shingle hashes in
+    first-occurrence order:
+    ``array_distinct(transform(shingle_seq(text, k), s ->
+    _hash_expr_wide(s, seed, hash_fn)))`` — the shared digest stage of
+    the MinHash operators (fused self-join, cross-corpus, ingest gate).
+
+    Measured negative, do not redo (r16, guide §1.3): an Arrow/hashlib
+    replacement for the md5 path (one pandas stage, bit-identical
+    output) benched SLOWER than this interpreted HOF chain on the sf0.1
+    corpus — isolated noop timings old 0.86-1.29 s vs Arrow 1.04-1.75 s
+    warm — because ~300-char docs leave too little md5 work per row to
+    amortize the text->Python->array serialization.  (The simhash
+    fingerprint is different: its 32 per-bit aggregate() passes made the
+    Arrow form 3.6x faster — see :func:`_simhash_md5_fingerprint`.)
+    """
+    return F.array_distinct(
+        F.transform(
+            shingle_seq(text, shingle_len),
+            lambda s: _hash_expr_wide(s, seed, hash_fn),
+        )
+    )
+
+
 _BYTE_SUFFIXES = {
     "b": 1,
     "k": 1 << 10,
@@ -519,12 +545,9 @@ def minhash_cross_pairs(
     def prep(df: DataFrame, side: str):
         hashed = _parallelize_narrow_input(df.select(id_col, text_col)).select(
             F.col(id_col).alias(f"__{side}"),
-            F.array_distinct(
-                F.transform(
-                    shingle_seq(F.col(text_col), shingle_len),
-                    lambda s: _hash_expr_wide(s, "h", hash_fn),
-                )
-            ).alias(f"__{side}_grams"),
+            wide_gram_hashes(F.col(text_col), shingle_len, hash_fn).alias(
+                f"__{side}_grams"
+            ),
         )
         if materialize:
             hashed = hashed.localCheckpoint(eager=True)
@@ -742,15 +765,11 @@ def minhash_dedup_pairs(
         # _hash_expr_wide for the collision math).
         # hash ALL shingles then distinct the LONGS: same set in the same
         # first-occurrence order as distinct-then-hash, without the
-        # string-level distinct pass (strings hash/compare far slower)
+        # string-level distinct pass (strings hash/compare far slower);
+        # md5 runs as one Arrow stage (see wide_gram_hashes)
         hashed = df.select(
             F.col(id_col),
-            F.array_distinct(
-                F.transform(
-                    shingle_seq(F.col(text_col), shingle_len),
-                    lambda s: _hash_expr_wide(s, "h", hash_fn),
-                )
-            ).alias("__grams"),
+            wide_gram_hashes(F.col(text_col), shingle_len, hash_fn).alias("__grams"),
         )
         if materialize:
             hashed = hashed.localCheckpoint(eager=True)
@@ -932,6 +951,51 @@ def tokens_expr(text: Column) -> Column:
     return F.filter(F.split(t, r"\s+"), lambda x: x != "")
 
 
+def _simhash_md5_fingerprint(toks: Column, bits: int) -> Column:
+    """SimHash fingerprint (long) from a token-array column, md5 base
+    hash, as ONE Arrow stage.  Bit-identical to the JVM expression form
+    in :func:`simhash`: bit b set iff sum over tokens of
+    (bit b of int(md5('0|'||tok)[:8],16) ? +1 : -1) > 0; empty/NULL
+    token arrays map to 0 (every bit sum is the 0 initial)."""
+    from pyspark.sql.types import LongType
+
+    def fn(series):
+        import numpy as np
+        import pandas as pd
+        from hashlib import md5
+
+        memo: dict = {}
+
+        def h(tok: str) -> int:
+            v = memo.get(tok)
+            if v is None:
+                v = memo[tok] = int(
+                    md5(b"0|" + tok.encode("utf-8")).hexdigest()[:8], 16
+                )
+            return v
+
+        shifts = np.arange(bits, dtype=np.uint64)
+        out = []
+        for toks_v in series:
+            if toks_v is None or len(toks_v) == 0:
+                out.append(0)
+                continue
+            hs = np.fromiter(
+                (h(t) for t in toks_v), dtype=np.uint64, count=len(toks_v)
+            )
+            ones = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64).sum(
+                axis=0
+            )
+            pos = (2 * ones - len(hs)) > 0  # bit sum over +/-1 votes
+            val = 0
+            for b in np.nonzero(pos)[0]:
+                val += (1 << int(b)) if b < 63 else -(1 << 63)
+            out.append(val)
+        return pd.Series(out, dtype="int64")
+
+    return F.pandas_udf(fn, LongType(), F.PandasUDFType.SCALAR)(toks)
+
+
 def simhash(
     df: DataFrame,
     text_col: str,
@@ -965,10 +1029,16 @@ def simhash(
             f"bits must be in [1, {max_bits}] ({max_bits}-bit {hash_fn} base hash), got {bits}"
         )
     toks = tokens_expr(F.col(text_col))
-    if hash_fn == "xxhash64":
-        tok_hash = lambda t: F.xxhash64(F.lit("0"), t)  # noqa: E731 — full 64-bit
-    else:
-        tok_hash = lambda t: _hash_expr(t, 0, hash_fn)  # noqa: E731
+    if hash_fn == "md5":
+        # r16 (guide §4.2): the md5 fingerprint runs as ONE Arrow stage —
+        # the JVM form paid an interpreted md5-per-token transform PLUS
+        # ``bits`` interpreted aggregate() passes over the hash array per
+        # row.  Tokenization stays in the JVM (lower/trim/split — locale
+        # and regex semantics are the JVM's); Python md5s each token and
+        # folds the bit sums vectorized.  Bit-exact: integer arithmetic
+        # both sides, pinned by tests and the DuckDB oracle.
+        return df.withColumn(out_col, _simhash_md5_fingerprint(toks, bits))
+    tok_hash = lambda t: F.xxhash64(F.lit("0"), t)  # noqa: E731 — full 64-bit
     hashed = df.withColumn("__tokhash", F.transform(toks, tok_hash))
 
     def _bit_sum(b: int):

@@ -65,7 +65,12 @@ class EmptyTrainingSliceError(ValueError):
 
 
 def train_bigram_counts(
-    df: DataFrame, text_col: str, id_col: str, *, materialize: bool = True
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    materialize: bool = True,
+    doc_bigrams_df: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, int]:
     """Token and bigram count tables from a training slice.
 
@@ -80,12 +85,22 @@ def train_bigram_counts(
     re-scan and re-tokenize the training text three more times at
     execution (ADVICE r06).  Together with doc_bigrams' zip_with fix
     the sf0.1 catalog entry went 7.8 -> 2.2 s warm.
+
+    ``doc_bigrams_df`` (optional) supplies a precomputed
+    :func:`doc_bigrams` frame over the SAME ``df`` — the self-scoring
+    path materializes the (id, w1, w2) stream once and shares it between
+    the count build here and the scoring join (r16, guide §2.4: the
+    bigram tokenization was the one full-corpus subtree still executed
+    twice per self-scored entry).
     """
     toks = df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
     unigrams = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
-    bigrams = doc_bigrams(df, text_col, id_col).groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12")
+    db = (
+        doc_bigrams_df
+        if doc_bigrams_df is not None
+        else doc_bigrams(df, text_col, id_col)
     )
+    bigrams = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     if materialize:
         unigrams = unigrams.localCheckpoint(eager=True)
         bigrams = bigrams.localCheckpoint(eager=True)
@@ -140,7 +155,7 @@ def bigram_lm_score(
     """
     scored = _bigram_scores_present(
         df, text_col, id_col, train_df=train_df, alpha=alpha,
-        broadcast_model=broadcast_model,
+        broadcast_model=broadcast_model, materialize_bigrams=True,
     )
     # docs with < 2 tokens have no bigram rows: re-attach with NULL score
     return (
@@ -163,19 +178,35 @@ def _bigram_scores_present(
     train_df: DataFrame | None,
     alpha: float,
     broadcast_model: bool = False,
+    materialize_bigrams: bool = False,
 ) -> DataFrame:
     """Scores for the documents that HAVE bigrams — the shared core of
     :func:`bigram_lm_score` (which left-joins the short docs back in as
     NULL rows) and :func:`perplexity_gate` (whose own left join against
     ``df`` makes that re-attach pass redundant: an absent id IS a NULL
-    score, so materializing the NULL rows first just re-scans ``df``)."""
-    src = train_df if train_df is not None else df
-    unigrams, bigrams, n_total = train_bigram_counts(src, text_col, id_col)
+    score, so materializing the NULL rows first just re-scans ``df``).
+
+    ``materialize_bigrams`` (self-scoring only): localCheckpoint the
+    (id, w1, w2) stream so the tokenize+zip_with+explode subtree runs
+    once instead of once per consumer (r16, guide §2.4/§5).  ON for the
+    standalone scorer, whose ``df`` is a raw parquet lineage (A/B 0.83);
+    OFF for :func:`perplexity_gate`, whose callers (curate v5/v6) feed
+    an already-checkpointed slice — there the saved recompute is cheap
+    and the extra materialization measured SLOWER (v5 A/B 1.38)."""
+    if train_df is None and materialize_bigrams:
+        db = doc_bigrams(df, text_col, id_col).localCheckpoint(eager=True)
+        unigrams, bigrams, n_total = train_bigram_counts(
+            df, text_col, id_col, doc_bigrams_df=db
+        )
+    else:
+        db = doc_bigrams(df, text_col, id_col)
+        unigrams, bigrams, n_total = train_bigram_counts(
+            train_df if train_df is not None else df, text_col, id_col
+        )
     if broadcast_model:
         unigrams, bigrams = F.broadcast(unigrams), F.broadcast(bigrams)
     n_lit = F.lit(float(n_total))
 
-    db = doc_bigrams(df, text_col, id_col)
     joined = (
         db.join(bigrams, ["w1", "w2"], "left")
         .join(unigrams.withColumnRenamed("w", "w1").withColumnRenamed("c1", "c_w1"), "w1", "left")

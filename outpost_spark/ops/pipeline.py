@@ -22,6 +22,17 @@ Scale design (100 TB):
   (bucket, id) pairs only.
 - The final split stamp is a map; the survivor anti-join's right side is
   the (sparse) near-dup loser set.
+
+Eager-execution side effect: every ``curate_corpus*`` builder
+materializes its reuse joints with ``localCheckpoint(eager=True)``
+(the exact-dedup frame in v1/v3, the quality slice in v5, the
+``enriched``/``kept`` joints in v6) — calling a builder therefore runs
+Spark jobs at construction time, before any action on the returned
+frame.  ``localCheckpoint`` stores those joints in executor-local,
+non-replicated storage: on a multi-node cluster an executor loss makes
+them unrecoverable (no lineage to replay) — see SCALE.md for the
+measured localCheckpoint-vs-persist(DISK_ONLY) decision and when to
+prefer a reliable checkpoint dir.
 """
 
 from __future__ import annotations

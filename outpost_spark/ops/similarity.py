@@ -157,7 +157,14 @@ def centroid_scores(
     ``array(lit, …)`` of foldable rows constant-folds to a single
     array<array<double>> Literal, so the executed per-row arithmetic —
     zip_with multiply, left-to-right aggregate sum, the same rounding —
-    is unchanged and the scores stay bit-identical to the oracle's."""
+    is unchanged and the scores stay bit-identical to the oracle's.
+
+    Raises ``ValueError`` on an empty centroid list (and so do every
+    caller: :func:`assign_ivf_expr`, :func:`assign_ivf_sql`,
+    :func:`probe_cids_expr`, :func:`probe_cids_sql`) — validate trained
+    centroids before building expressions; the pre-r15 unrolled form
+    built an empty array that surfaced only as NULL assignments
+    downstream."""
     if not len(centroids):
         # sequence(0, -1) would silently generate a DESCENDING index pair
         raise ValueError("centroid_scores needs at least one centroid")
@@ -222,7 +229,8 @@ def assign_ivf_expr(
     """IVF list assignment as a pure Column expression: argmax cosine over
     ``centroids`` (ties -> lowest cid).  Zero-shuffle and oracle-portable;
     plan size grows with nlist x dim, so use :func:`assign_ivf_pandas` when
-    nlist is large (thousands)."""
+    nlist is large (thousands).  Raises ``ValueError`` if ``centroids``
+    is empty (see :func:`centroid_scores`)."""
     best = F.array_max(
         centroid_scores(vec, centroids, score_decimals=score_decimals, vnorm=vnorm)
     )
@@ -263,7 +271,8 @@ def probe_cids_expr(
 ) -> Column:
     """The ``nprobe`` nearest centroid ids to ``vec`` (score desc, cid asc).
     Pass a precomputed ``vnorm`` column to share one norm pass across the
-    assignment and probe expressions."""
+    assignment and probe expressions.  Raises ``ValueError`` if
+    ``centroids`` is empty (see :func:`centroid_scores`)."""
     scores = centroid_scores(
         vec, centroids, score_decimals=score_decimals, vnorm=vnorm
     )
@@ -556,6 +565,13 @@ def knn_join(
 ) -> DataFrame:
     """Batched k-NN join via IVF: EVERY row -> its top-k neighbors in ONE
     plan — the semantic-dedup / retrieval-eval primitive.
+
+    Eager-execution side effect: when ``assign_col`` is None the stamped
+    (id, vec, norm, probe-ids) frame is ``localCheckpoint(eager=True)``'d
+    at construction time — calling this function runs a Spark job before
+    any action on the returned frame, and the stamped vectors live in
+    executor-local non-replicated storage (see SCALE.md for the
+    at-scale durability tradeoff).
 
     Unlike :func:`cosine_topk_ivf` (one query, driver-collected probe
     set), the probe side here is the full table, so nothing touches the
@@ -1059,6 +1075,7 @@ def pq_train(
     id_col: str = "vec_id",
     sample_n: int = 2048,
     iters: int = 8,
+    sample_rows: list | None = None,
 ) -> list:
     """Train product-quantization codebooks: split the vector into ``m``
     subspaces and k-means each to ``k`` centroids (Jegou et al., "Product
@@ -1072,17 +1089,28 @@ def pq_train(
     distributed).  Seeds are the first k sample rows per subspace; empty
     clusters keep their previous centroid; ties break to the lowest code.
 
+    ``sample_rows`` (optional) supplies the training sample directly —
+    a list of float vectors in ascending-id order, e.g. already fetched
+    by the caller for its own query-vector needs — and skips the
+    driver-side collect entirely (``sample_n`` is then ignored).  The
+    default collect is a full-scan TakeOrdered job; callers that can
+    express the same sample as a pushed-down id filter should prefer
+    fetching it themselves (guide §5: the PQ catalog entries paid one
+    full-scan sort job per plan build for a 16-row constant).
+
     Returns ``codebooks``: list of m lists of k centroid lists.
     """
     import numpy as np
 
-    rows = (
-        df.orderBy(F.col(id_col).asc())
-        .limit(sample_n)
-        .select(F.col(vec_col).cast("array<double>").alias("v"))
-        .collect()
-    )
-    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    if sample_rows is None:
+        rows = (
+            df.orderBy(F.col(id_col).asc())
+            .limit(sample_n)
+            .select(F.col(vec_col).cast("array<double>").alias("v"))
+            .collect()
+        )
+        sample_rows = [r["v"] for r in rows]
+    X = np.asarray([list(map(float, v)) for v in sample_rows], dtype=np.float64)
     if X.ndim != 2 or X.shape[0] == 0:
         raise ValueError("pq_train needs a non-empty vector sample")
     dim = X.shape[1]

@@ -2438,6 +2438,32 @@ def _ivf_seeds(spark, sf_dir: str, n: int) -> list:
     return _IVF_SEED_CACHE[key]
 
 
+def _pq_sample(spark, sf_dir: str, n: int = 16) -> list:
+    """The PQ entries' plan-time constants — the n training vectors
+    (oracle definition: ``vec_id < n``, ascending) — via ONE pushed-down
+    filter collect shared by all three ``embed_pq_*`` entries.  Replaces
+    a full-scan TakeOrdered job (``orderBy(vec_id).limit(n)`` inside
+    ``pq_train``) plus a separate ``vec_id = 0`` query-fetch job per
+    entry: the query vector is ``[0]`` of this same sample (vec_id 0 is
+    the oracle's query in every PQ entry).  Verified equivalent to the
+    old order/limit selection: vec_id is dense from 0 at every SF, and
+    the oracle itself pins the centroid set as ``vec_id < 16``.
+    """
+    key = (sf_dir, n)
+    if key not in _PQ_SAMPLE_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        _PQ_SAMPLE_CACHE[key] = {
+            r["vec_id"]: [float(x) for x in r["v"]]
+            for r in emb.filter(F.col("vec_id") < n)
+            .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+            .collect()
+        }
+    return _PQ_SAMPLE_CACHE[key]
+
+
+_PQ_SAMPLE_CACHE: dict = {}
+
+
 def _cos_sql(a: str, b: str) -> str:
     return f"""
       round(CASE WHEN sqrt(list_sum(list_transform({a}, x -> x * x)))
@@ -2792,13 +2818,12 @@ def embed_pq_topk(spark, sf_dir):
     from outpost_spark.ops.similarity import pq_encode, pq_topk, pq_train
 
     emb = _t(spark, sf_dir, "embeddings")
-    books = pq_train(emb, "embedding", m=8, k=16, sample_n=16, iters=0)
-    q = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0)
-        .select(F.col("embedding").cast("array<double>"))
-        .collect()[0][0]
-    ]
+    sample = _pq_sample(spark, sf_dir, 16)
+    books = pq_train(
+        emb, "embedding", m=8, k=16, iters=0,
+        sample_rows=[sample[i] for i in sorted(sample)],
+    )
+    q = sample[0]
     return pq_topk(pq_encode(emb, "embedding", books), q, books, k=10)
 
 
@@ -2858,13 +2883,12 @@ def embed_pq_topk_rerank(spark, sf_dir):
     from outpost_spark.ops.similarity import pq_encode, pq_topk_rerank, pq_train
 
     emb = _t(spark, sf_dir, "embeddings")
-    books = pq_train(emb, "embedding", m=8, k=16, sample_n=16, iters=0)
-    q = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0)
-        .select(F.col("embedding").cast("array<double>"))
-        .collect()[0][0]
-    ]
+    sample = _pq_sample(spark, sf_dir, 16)
+    books = pq_train(
+        emb, "embedding", m=8, k=16, iters=0,
+        sample_rows=[sample[i] for i in sorted(sample)],
+    )
+    q = sample[0]
     return pq_topk_rerank(
         pq_encode(emb, "embedding", books), emb, q, books, k=10, shortlist=50
     )
@@ -2948,13 +2972,12 @@ def embed_pq_ivf_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     seeds = _ivf_seeds(spark, sf_dir, 8)
-    books = pq_train(emb, "embedding", m=8, k=16, sample_n=16, iters=0)
-    q = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0)
-        .select(F.col("embedding").cast("array<double>"))
-        .collect()[0][0]
-    ]
+    sample = _pq_sample(spark, sf_dir, 16)
+    books = pq_train(
+        emb, "embedding", m=8, k=16, iters=0,
+        sample_rows=[sample[i] for i in sorted(sample)],
+    )
+    q = sample[0]
     assigned = (
         emb.withColumn("__vd", F.col("embedding").cast("array<double>"))
         .withColumn("__vn", norm_expr(F.col("__vd")))
@@ -5031,7 +5054,17 @@ def routing_match_fanout(spark, sf_dir):
         F.lit('{"topic": "error"}').alias("filter"),
         F.lit(None).cast("timestamp").alias("disabled_at"),
     )
-    dests = d_exact.unionByName(d_wild).unionByName(d_filtered)
+    # materialize the synthetic destination corpus ONCE (r16, guide §5):
+    # it is derived from events via two distinct shuffles, and the match
+    # operator evaluates its destinations frame at least twice — the
+    # plan-time filter snapshot (driver collect) and the broadcast build
+    # — so un-checkpointed, the events scan + distinct chain ran per use.
+    # The frame is dimension-sized (distinct (tenant, topic) + tenants).
+    dests = (
+        d_exact.unionByName(d_wild)
+        .unionByName(d_filtered)
+        .localCheckpoint(eager=True)
+    )
     matched = match_events(events, dests, filter_mode="compiled_static")
     return matched.select(
         "event_id",

@@ -29,6 +29,17 @@ def get_spark(app_name: str = "outpost-spark", shuffle_partitions: int | None = 
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst=true (the Spark default, kept as OUR default so
+        # bench runs stay comparable) coalesces only down to the cluster's
+        # default parallelism, never to advisoryPartitionSizeInBytes — at
+        # 100 TB the documented recommendation is false, so post-shuffle
+        # partitions are sized by bytes rather than multiplied by cores
+        # (guide §2.2).  Parameterised, not hard-coded: set
+        # SPARK_GRAFT_PARALLELISM_FIRST=false on real clusters.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_PARALLELISM_FIRST", "true"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -53,6 +53,7 @@ from outpost_spark.ops.dedup import (
     ngram_set,
     shingle_seq,
     signature_from_basehash,
+    wide_gram_hashes,
 )
 # (lsh_candidate_pairs is intentionally not used here: the gate derives
 # intra-batch candidates from the same checkpointed bucket rows that feed
@@ -100,12 +101,7 @@ def _bucketed_rows(
     if verify_ngram == shingle_len:
         hashed = base.select(
             F.col(id_col),
-            F.array_distinct(
-                F.transform(
-                    shingle_seq(F.col(text_col), shingle_len),
-                    lambda s: _hash_expr_wide(s, "h", hash_fn),
-                )
-            ).alias("__grams"),
+            wide_gram_hashes(F.col(text_col), shingle_len, hash_fn).alias("__grams"),
             digest,
         )
         sigs = hashed.withColumn(

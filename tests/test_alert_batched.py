@@ -63,6 +63,7 @@ def table(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_threshold_crossings_across_batches(spark, table):
     # failures 1..4 arrive over two batches; crossings at 2 (50%),
     # 3 (70% — first match in descending order is 90, see below), 4 (100)
@@ -102,6 +103,7 @@ def test_threshold_crossings_across_batches(spark, table):
     assert sorted(st[("t1", "d1")]["ids"]) == ["a1", "a2", "a3", "a4"]
 
 
+@pytest.mark.slow
 def test_success_resets_and_replay_is_idempotent(spark, table):
     table.apply_attempts(
         _df(
@@ -139,6 +141,7 @@ def test_success_resets_and_replay_is_idempotent(spark, table):
     assert st[("t1", "d1")]["ids"] == ["a4"]
 
 
+@pytest.mark.slow
 def test_exhausted_suppression_window(spark, tmp_path):
     m = AlertStateMachine(
         auto_disable_failure_count=100,
@@ -225,6 +228,7 @@ def _spec_apply(machine, state, rows, now):
     return signals
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("window", [0.0, 45.0])
 @pytest.mark.parametrize("order_buckets", [None, 4])
 def test_parity_with_state_machine_randomized(spark, tmp_path, window, order_buckets):
@@ -274,6 +278,7 @@ def test_parity_with_state_machine_randomized(spark, tmp_path, window, order_buc
                 assert st[k]["last_exhausted"] == pytest.approx(last_ex)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("window", [0.0, 45.0])
 def test_bucketed_fold_matches_single_pass_hot_key(spark, tmp_path, window):
     """The L49 hot-key pattern: ~90% of every batch's rows hit ONE
@@ -321,6 +326,7 @@ def test_bucketed_fold_matches_single_pass_hot_key(spark, tmp_path, window):
             assert st_b[k]["last_exhausted"] == st_s[k]["last_exhausted"], k
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("window", [0.0, 45.0])
 def test_hybrid_fold_matches_both_pure_modes(spark, tmp_path, window):
     """hot_key_rows=N (r13): one per-key count routes only keys whose
@@ -374,6 +380,7 @@ def test_hybrid_fold_matches_both_pure_modes(spark, tmp_path, window):
             assert st_h[k]["last_exhausted"] == st_s[k]["last_exhausted"], k
 
 
+@pytest.mark.slow
 def test_bucketed_fold_handles_null_order_column(spark, tmp_path):
     """Rows with a NULL first order column must not vanish from the
     bucketed fold: a null __bkt would never match the (key, __bkt)
@@ -412,6 +419,7 @@ def test_bucketed_fold_handles_null_order_column(spark, tmp_path):
         assert st_b[k]["ids"] == st_s[k]["ids"], k
 
 
+@pytest.mark.slow
 def test_streaming_disable_feedback_stops_routing(spark, tmp_path):
     """ST3 -> routing feedback, end to end on a real stream: fail a
     destination to 100% in one micro-batch and the NEXT batch's events

@@ -22,6 +22,7 @@ with open(FIXTURE) as f:
 ALL_CASES = CORPUS["main"] + CORPUS["not"]
 
 
+@pytest.mark.slow
 def test_corpus_compiled_path_agrees_with_interpreter(spark):
     cases = []
     for i, c in enumerate(ALL_CASES):
@@ -63,6 +64,7 @@ def test_corpus_compiled_path_agrees_with_interpreter(spark):
     assert not mismatches, f"{len(mismatches)} divergences, e.g. {mismatches[:3]}"
 
 
+@pytest.mark.slow
 def test_envelope_compiled_filters(spark):
     rows = [
         ("e1", "user.created", "2024-01-01T00:00:00Z", {"source": "api"},

@@ -92,6 +92,7 @@ def test_trained_generalizes_to_held_out_docs(spark):
     assert acc >= 0.95
 
 
+@pytest.mark.slow
 def test_deterministic_across_partitionings(spark):
     docs = _planted(spark)
     a = sorted(

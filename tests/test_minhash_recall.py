@@ -200,6 +200,7 @@ def _pairs(spark, a, b, hash_fn):
     return {(r["id_a"], r["id_b"]) for r in out.collect()}
 
 
+@pytest.mark.slow
 def test_prefilter_drops_single_band_no_extra_lane_pair(spark):
     for seed in range(8):
         built = _try_build(seed)

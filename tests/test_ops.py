@@ -95,6 +95,57 @@ def test_minhash_xxhash64_path_recall_parity(docs):
     assert "xxhash64" in sig_plan and "md5" not in sig_plan
 
 
+def test_simhash_arrow_fingerprint_matches_jvm_expression(spark):
+    """r16: the md5 simhash fingerprint now runs as one Arrow stage
+    (guide §4.2 — it replaces an interpreted md5-per-token transform
+    plus 32 interpreted aggregate() passes, measured 3.6x on the sf0.1
+    pair entry).  It must be bit-identical to the JVM expression form —
+    including NULL/empty/whitespace-only/unicode inputs — because the
+    DuckDB oracle pins the exact fingerprints."""
+    from pyspark.sql import functions as F
+
+    from outpost_spark.ops.dedup import _hash_expr, simhash, tokens_expr
+
+    texts = [
+        "hello world hello world",
+        "HeLLo WÖRLD ÉÎÑ İstanbul ΣΑΣ ß ΒΟΣ",
+        "", None, "   ", "one",
+        "a b c d e f g h i j k l m n o p",
+        "ТЕКСТ на русском", "tok " * 500,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string"
+    )
+    # the pre-r16 JVM expression form, reconstructed inline
+    toks = tokens_expr(F.col("text"))
+    hashed = df.withColumn(
+        "__tokhash", F.transform(toks, lambda t: _hash_expr(t, 0, "md5"))
+    )
+
+    def _bit_sum(b):
+        return F.aggregate(
+            F.col("__tokhash"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftrightunsigned(h, b) % 2) * 2 - 1,
+        )
+
+    value = None
+    for b in range(32):
+        contrib = (
+            F.when(_bit_sum(b) > 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        value = contrib if value is None else value + contrib
+    old = hashed.withColumn("sh_old", value).select("id", "sh_old")
+    new = simhash(df, "text", bits=32).select(
+        "id", F.col("simhash").alias("sh_new")
+    )
+    rows = old.join(new, "id").collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        assert r["sh_old"] == r["sh_new"], r["id"]
+
+
 def test_dedup_substrings_global(spark):
     """Substring-level dedup: characters covered by a repeated 40-char
     window are cut everywhere except the first global occurrence; docs
@@ -291,6 +342,7 @@ def test_ivf_preassigned_column_path(vectors):
     assert got[0] == 0 and 4 not in got  # other-list vector pruned
 
 
+@pytest.mark.slow
 def test_knn_join_matches_brute_when_probing_everything(vectors):
     """nprobe = nlist degenerates IVF to exact: the batched join must
     reproduce the brute-force top-k for EVERY source row."""
@@ -1281,6 +1333,7 @@ def test_semantic_dedup_collapses_planted_clusters(vectors):
     assert loose == {0, 2, 4}
 
 
+@pytest.mark.slow
 def test_knn_join_bulk_matches_brute_when_probing_everything(vectors):
     """The BLAS-backed bulk path degenerates to exact when nprobe = nlist
     — it must reproduce the brute-force top-k (ids, rounded scores,
@@ -1493,6 +1546,19 @@ def test_product_quantization_roundtrip_and_adc_search(spark):
     ]
     full = pq_topk_rerank(codes, df, q, books, k=5, shortlist=n).collect()
     assert [r["vec_id"] for r in full] == exact
+
+    # r16: a caller-supplied sample (the PQ catalog entries' pushed-down
+    # vec_id<16 fetch, guide §5) must train identical codebooks to the
+    # default driver-collect path over the same rows
+    sample = [
+        list(r["v"])
+        for r in df.orderBy("vec_id")
+        .limit(256)
+        .select(F.col("embedding").alias("v"))
+        .collect()
+    ]
+    books_direct = pq_train(df, "embedding", m=8, k=16, iters=6, sample_rows=sample)
+    assert books_direct == books
     small = pq_topk_rerank(codes, df, q, books, k=5, shortlist=40).collect()
     assert len(small) == 5
     assert [r["score"] for r in small] == sorted(

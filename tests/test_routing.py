@@ -223,6 +223,7 @@ def test_explicit_destination_point_check(spark):
     assert got["x5"] == []
 
 
+@pytest.mark.slow
 def test_compiled_filter_mode_matches_udf_mode(dfs):
     """P8 fast path: plan-time-compiled filter predicates produce exactly
     the same routing decisions as the UDF interpreter on the full fixture
@@ -233,6 +234,7 @@ def test_compiled_filter_mode_matches_udf_mode(dfs):
     assert via_compiled == via_udf
 
 
+@pytest.mark.slow
 def test_compiled_static_mode_plan_has_no_python(dfs):
     """The compiled_static routing path must keep filter evaluation
     JVM-side: when every filter doc compiles, the physical plan contains no
@@ -287,6 +289,7 @@ def test_compiled_default_matches_docs_outside_plan_snapshot(dfs, monkeypatch):
     assert static <= expected
 
 
+@pytest.mark.slow
 def test_compiled_mode_nested_array_payloads(spark):
     """Events whose payloads hold nested arrays must route identically on
     the compiled and UDF paths (recursivelyMatchValue, match.go:115-185) —

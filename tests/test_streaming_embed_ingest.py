@@ -103,6 +103,7 @@ def test_meta_rejects_different_centroids(spark, tmpdir):
         other.gate(_vecs(spark, [(1, [float(x) for x in base[1]])]))
 
 
+@pytest.mark.slow
 def test_embed_ingest_stream_two_batches_end_to_end(spark, tmpdir):
     """File-source stream through attach_embed_ingest_stream: batch 2's
     near-dup of a batch-1 survivor is rejected by the index batch 1
@@ -152,6 +153,7 @@ def test_embed_ingest_stream_two_batches_end_to_end(spark, tmpdir):
     assert (500, 400) in rejects
 
 
+@pytest.mark.slow
 def test_embed_ingest_txn_storage_e2e_and_crash_window_closed(spark, tmpdir):
     """storage='txn': the same cross-batch gating end-to-end, PLUS the
     crash window the parquet mode documents as accepted — corpus
@@ -246,6 +248,7 @@ def _gate_sets(idx, batch):
     return adm, rej
 
 
+@pytest.mark.slow
 def test_pq_gate_decisions_equal_full_gate(spark, tmpdir):
     """The ADC prefilter + exact verify must reach EXACTLY the decisions
     the full-vector gate reaches on the planted stream — near-dups of

@@ -220,6 +220,7 @@ def test_index_meta_versioning(spark, tmpdir):
     assert re_admitted.count() == 0  # replay still self-rejects
 
 
+@pytest.mark.slow
 def test_index_compaction_through_file_scheme_uri(spark, tmpdir):
     """compact() must work on a URI path (Hadoop FS API surface — the same
     code path a hdfs:// or s3a:// deployment hits), not just bare local
@@ -254,6 +255,7 @@ def test_index_compaction_through_file_scheme_uri(spark, tmpdir):
     assert before == after
 
 
+@pytest.mark.slow
 def test_text_gate_txn_storage_crash_window_closed(spark, tmpdir):
     """storage='txn' twin of the embed gate's crash test: corpus append
     committed, crash before the index append, replay through the real

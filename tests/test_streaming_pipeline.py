@@ -200,6 +200,7 @@ def test_alert_stream_stateful(spark, tmpdir):
     ]
 
 
+@pytest.mark.slow
 def test_retry_stream_timer_fires(spark, tmpdir):
     # NOTE: once a processing-time timeout is registered, the query keeps
     # triggering "cleaning up state" micro-batches until it fires, so

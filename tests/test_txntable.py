@@ -566,6 +566,7 @@ _OPS = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @pytest.mark.parametrize("scheme", ["", "file://"])
 @given(ops=_OPS)
 def test_txntable_random_interleavings_match_model(spark, tmp_path_factory, scheme, ops):
