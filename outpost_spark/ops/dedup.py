@@ -37,7 +37,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1436,13 +1436,26 @@ def dedup_substrings(
     starts = F.when(
         n_wins > 0, F.sequence(F.lit(1), n_wins, F.lit(stride))
     ).otherwise(F.array().cast("array<int>"))
+    # r16 (guide §2.4): the first-occurrence decision is ONE window
+    # min(struct) over the hash — the previous groupBy(hash) + re-join
+    # shape shuffled the window rows TWICE on __h and needed the frame
+    # localCheckpoint'ed (it had two consumers); the window form has one
+    # consumer, one __h exchange, and no materialization, so the md5
+    # pass streams straight into the shuffle.  __h is the raw 16-byte
+    # digest (unhex) rather than the 32-char hex string — same
+    # collision space (full md5), half the exchange bytes (§2.3).
     narrow = df.select(
         F.col(id_col).alias("__id"), F.explode(starts).alias("__pos"), text.alias("__t")
-    ).select("__id", "__pos", F.md5(F.col("__t").substr(F.col("__pos"), F.lit(window))).alias("__h"))
-    narrow = narrow.localCheckpoint(eager=True)  # reused by the agg AND the join
-    firsts = narrow.groupBy("__h").agg(F.min(F.struct("__id", "__pos")).alias("__first"))
+    ).select(
+        "__id",
+        "__pos",
+        F.unhex(
+            F.md5(F.col("__t").substr(F.col("__pos"), F.lit(window)))
+        ).alias("__h"),
+    )
+    wh = Window.partitionBy("__h")
     removed = (
-        narrow.join(firsts, "__h")
+        narrow.withColumn("__first", F.min(F.struct("__id", "__pos")).over(wh))
         .filter(
             (F.col("__first.__id") != F.col("__id"))
             | (F.col("__first.__pos") != F.col("__pos"))
