@@ -319,6 +319,59 @@ def signature_from_basehash(basehash: Column, num_hashes: int) -> Column:
     return F.array(*[_min_hash(j) for j in range(num_hashes)])
 
 
+def signature_from_wide_grams(
+    grams: Column, num_hashes: int, hash_fn: str = "md5"
+) -> Column:
+    """MinHash signature from a wide gram-hash array column as ONE Arrow
+    stage — the vectorized twin of
+    ``signature_from_basehash(transform(grams, _narrow_from_wide))``.
+
+    Bit-exact to the Column form (pinned by
+    ``tests/test_dedup.py::test_signature_from_wide_grams_matches_column_form``):
+    the narrow projection (md5: ``g >> 28``; xxhash64: ``pmod(g, 2^32)``
+    = ``uint64(g) & (2^32-1)``) and the per-lane affine mixes
+    ``(h*a_j + b_j) % PRIME`` run entirely in uint64 without wraparound
+    (h < 2^32, a < 2^30, so h*a + b < 2^63); gram-less / NULL arrays emit
+    the same all-sentinel (2^32) signature ``coalesce`` produces.
+
+    Why a Python stage on the hot path (guide §4.2, the simhash lesson):
+    the Column form is ``num_hashes`` interpreted transform+array_min HOF
+    passes over the gram array per row — measured 5.5-7.4 s noop at
+    sf0.1 (5k docs, ~200 grams/doc) vs 1.2-1.4 s for this stage.  The
+    mixing is one (grams x lanes) numpy broadcast per row, and only the
+    long arrays cross the Arrow boundary (no text).  The md5 DIGEST pass
+    stays in the JVM — its Arrow form measured slower (see
+    :func:`wide_gram_hashes`); this stage postdates it and is pure
+    integer arithmetic, which is exactly what numpy amortizes.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    consts = [_mix_consts(j) for j in range(num_hashes)]
+    is_md5 = hash_fn != "xxhash64"
+
+    def fn(series):
+        import numpy as np
+        import pandas as pd
+
+        a = np.array([c[0] for c in consts], dtype=np.uint64)[None, :]
+        b = np.array([c[1] for c in consts], dtype=np.uint64)[None, :]
+        prime = np.uint64(_MINHASH_PRIME)
+        sent = np.full(num_hashes, 1 << 32, dtype=np.int64)
+        s28 = np.uint64(28)
+        m32 = np.uint64((1 << 32) - 1)
+        out = []
+        for g in series:
+            if g is None or len(g) == 0:
+                out.append(sent)
+                continue
+            u = np.asarray(g, dtype=np.int64).view(np.uint64)
+            h = ((u >> s28) if is_md5 else (u & m32))[:, None]
+            out.append(((h * a + b) % prime).min(axis=0).astype(np.int64))
+        return pd.Series(out)
+
+    return F.pandas_udf(fn, ArrayType(LongType()), F.PandasUDFType.SCALAR)(grams)
+
+
 def minhash_grams_and_signature_numpy(
     df: DataFrame,
     id_col: str,
@@ -550,13 +603,22 @@ def minhash_cross_pairs(
             ),
         )
         if materialize:
+            # Arrow lane stage (see minhash_dedup_pairs) — gated on the
+            # checkpoint for the same ExtractPythonUDFs reason
             hashed = hashed.localCheckpoint(eager=True)
-        basehash = F.transform(
-            F.col(f"__{side}_grams"), lambda g: _narrow_from_wide(g, hash_fn)
-        )
-        sigs = hashed.withColumn(
-            "minhash", signature_from_basehash(basehash, num_hashes)
-        )
+            sigs = hashed.withColumn(
+                "minhash",
+                signature_from_wide_grams(
+                    F.col(f"__{side}_grams"), num_hashes, hash_fn
+                ),
+            )
+        else:
+            basehash = F.transform(
+                F.col(f"__{side}_grams"), lambda g: _narrow_from_wide(g, hash_fn)
+            )
+            sigs = hashed.withColumn(
+                "minhash", signature_from_basehash(basehash, num_hashes)
+            )
         # sentinel-signature (gram-less) docs excluded from banding —
         # they can never verify and would otherwise share one bucket
         buckets = sigs.filter(F.size(f"__{side}_grams") > 0).select(
@@ -775,11 +837,27 @@ def minhash_dedup_pairs(
             hashed = hashed.localCheckpoint(eager=True)
         # no distinct on the narrow projection: array_min per lane is
         # duplicate-insensitive, so the signatures are identical and the
-        # extra O(|grams|) pass is pure cost
-        basehash = F.transform(F.col("__grams"), lambda g: _narrow_from_wide(g, hash_fn))
-        sigs = hashed.withColumn(
-            "minhash", signature_from_basehash(basehash, num_hashes)
-        )
+        # extra O(|grams|) pass is pure cost.  Lanes run as one Arrow
+        # stage over the checkpointed long arrays (r16, guide §4.2 —
+        # bit-exact twin of the interpreted HOF form, ~4x measured).
+        # Arrow only when materialized: un-checkpointed, the bucket
+        # self-join duplicates the UDF-bearing subtree and Spark's
+        # ExtractPythonUDFs misses the deduplicated right copy (the raw
+        # fn(...) lands in a plain Project and fails at run time with
+        # INTERNAL_ERROR "Cannot evaluate expression") — reproduced on
+        # Spark 4.1.2, so the stateless path keeps the Column form.
+        if materialize:
+            sigs = hashed.withColumn(
+                "minhash",
+                signature_from_wide_grams(F.col("__grams"), num_hashes, hash_fn),
+            )
+        else:
+            basehash = F.transform(
+                F.col("__grams"), lambda g: _narrow_from_wide(g, hash_fn)
+            )
+            sigs = hashed.withColumn(
+                "minhash", signature_from_basehash(basehash, num_hashes)
+            )
         # sentinel-signature docs excluded from banding (see the numpy
         # branch note): no result change, kills the empty-doc mega-bucket
         cands = lsh_candidate_pairs(

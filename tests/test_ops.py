@@ -146,6 +146,53 @@ def test_simhash_arrow_fingerprint_matches_jvm_expression(spark):
         assert r["sh_old"] == r["sh_new"], r["id"]
 
 
+def test_signature_from_wide_grams_matches_column_form(spark):
+    """r16: the MinHash lane mixes now run as one Arrow stage over the
+    wide gram-hash arrays (guide §4.2 — replaces num_hashes interpreted
+    transform+array_min HOF passes, measured ~4x on the sf0.1 signature
+    stage).  Must be bit-identical to the Column form for BOTH hash
+    families — including NULL text, empty/short docs, unicode, and a
+    long doc — because the band keys (and through them the oracle-pinned
+    pair set) derive from the exact lane values."""
+    from pyspark.sql import functions as F
+
+    from outpost_spark.ops.dedup import (
+        _narrow_from_wide,
+        signature_from_basehash,
+        signature_from_wide_grams,
+        wide_gram_hashes,
+    )
+
+    texts = [
+        "hello world hello world",
+        "HeLLo WÖRLD ÉÎÑ İstanbul ΣΑΣ ß",
+        "", None, "    ", "abcd",  # shorter than the 5-shingle
+        "abcde",  # exactly one shingle
+        "the quick brown fox jumps over the lazy dog " * 40,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string"
+    )
+    for hash_fn in ("md5", "xxhash64"):
+        grams = df.select(
+            "id", wide_gram_hashes(F.col("text"), 5, hash_fn).alias("__grams")
+        )
+        old_sig = signature_from_basehash(
+            F.transform(F.col("__grams"), lambda g: _narrow_from_wide(g, hash_fn)),
+            16,
+        )
+        rows = (
+            grams.withColumn("old", old_sig)
+            .withColumn(
+                "new", signature_from_wide_grams(F.col("__grams"), 16, hash_fn)
+            )
+            .collect()
+        )
+        assert len(rows) == len(texts)
+        for r in rows:
+            assert list(r["old"]) == list(r["new"]), (hash_fn, r["id"])
+
+
 def test_dedup_substrings_global(spark):
     """Substring-level dedup: characters covered by a repeated 40-char
     window are cut everywhere except the first global occurrence; docs
