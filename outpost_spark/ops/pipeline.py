@@ -57,6 +57,29 @@ DEFAULT_SPLITS = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
 DEFAULT_LANGS = ("en", "de", "fr", "es")
 
 
+def _min_id_losers(df: DataFrame, key: Column, id_col: str) -> DataFrame:
+    """Ids that are NOT the minimum ``id_col`` of their ``key`` group —
+    the drop side of a keep-first dedup, decided over (id, key) pairs
+    ONLY (r16, guide §2.3/§8: the keep-first decision needs no payload,
+    so the window shuffles a narrow projection instead of full rows; the
+    caller re-attaches the decision with a broadcast left-anti join, so
+    document text never enters an exchange).
+
+    The loser set is the duplicate instances only — small at realistic
+    dup rates, hence broadcast-friendly; a pathological corpus that is
+    mostly duplicates would want the anti-join unhinted (ids vs text on
+    the small side), the same documented tradeoff as
+    ``dedup_paragraphs(broadcast_removed=False)``.
+    """
+    w = Window.partitionBy("__k")
+    return (
+        df.select(F.col(id_col), key.alias("__k"))
+        .withColumn("__min", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("__min"))
+        .select(id_col)
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     *,
@@ -90,21 +113,22 @@ def curate_corpus(
         base = cleaned.filter(F.col("text_clean") != "").select(
             F.col(id_col), F.col("text_clean").alias(text_col)
         )
-    # exact canonical: min id per content digest.  The window shuffles the
-    # surviving rows once by digest — text moves exactly once, and only
-    # for documents that passed the gates.
-    w = Window.partitionBy(F.md5(F.col(text_col)))
-    exact = (
-        base.withColumn("__cmin", F.min(id_col).over(w))
-        .filter(F.col(id_col) == F.col("__cmin"))
-        .drop("__cmin")
+    # materialize the gated (and paragraph-cleaned) corpus ONCE: it
+    # feeds the exact-dedup decision, the MinHash gram pass and the
+    # survivor anti-join, and each reference would otherwise replay the
+    # whole gate/dedup chain above (same tradeoff as
+    # minhash_dedup_pairs' checkpointed gram frame).
+    base = base.localCheckpoint(eager=True)
+    # exact canonical: min id per content digest, decided over
+    # (id, 16-byte digest) pairs only and re-attached with a broadcast
+    # anti-join (r16, guide §2.3/§8) — the previous window over
+    # partitionBy(md5(text)) shuffled every surviving document's full
+    # text by digest to make a decision that needs none of it.
+    exact = base.join(
+        F.broadcast(_min_id_losers(base, F.unhex(F.md5(F.col(text_col))), id_col)),
+        id_col,
+        "left_anti",
     )
-    # materialize the exact-deduped corpus ONCE: it feeds the MinHash
-    # gram pass and the survivor anti-join, and each reference would
-    # otherwise replay the whole gate/dedup chain above (the strictly-
-    # smallest text frame of the pipeline — same tradeoff as
-    # minhash_dedup_pairs' checkpointed gram frame)
-    exact = exact.localCheckpoint(eager=True)
     pairs = minhash_dedup_pairs(
         exact, id_col, text_col, threshold=near_dup_threshold, hash_fn=hash_fn
     )
@@ -149,16 +173,28 @@ def curate_corpus_v3(
     """
     base = docs
     if url_col is not None:
-        uw = Window.partitionBy(normalize_url_expr(F.col(url_col)))
-        base = (
-            base.withColumn("__umin", F.min(id_col).over(uw))
-            .filter(F.col(id_col) == F.col("__umin"))
-            .drop("__umin")
+        # URL keep-first over (id, normalized url) pairs + broadcast
+        # anti-join (r16, guide §2.3/§8): the previous window over
+        # partitionBy(normalize_url(url)) shuffled every document's full
+        # text by URL; the narrow pass also lets the scan prune the text
+        # column entirely on the decision side.
+        base = base.join(
+            F.broadcast(
+                _min_id_losers(base, normalize_url_expr(F.col(url_col)), id_col)
+            ),
+            id_col,
+            "left_anti",
         )
     base = base.filter(
         (quality_score_expr(F.col(text_col)) >= quality_min)
         & (language_id_expr(F.col(text_col)).isin(*langs))
     ).select(id_col, text_col)
+    # materialize the gate output ONCE (r16, guide §5): it feeds the
+    # paragraph narrow pass and — through the substring stage's two
+    # sides (window pass + join-back) — the paragraph rebuild twice;
+    # un-checkpointed, the URL dedup + quality/language gates re-ran
+    # three times per v3 evaluation (measured ~1.3 s per pass at sf0.1).
+    base = base.localCheckpoint(eager=True)
     cleaned = dedup_paragraphs(base, text_col, id_col, sep=paragraph_sep)
     base = cleaned.filter(F.col("text_clean") != "").select(
         F.col(id_col), F.col("text_clean").alias(text_col)
@@ -169,19 +205,18 @@ def curate_corpus_v3(
     base = cut.filter(F.col("text_clean") != "").select(
         F.col(id_col), F.col("text_clean").alias(text_col)
     )
-    w = Window.partitionBy(F.md5(F.col(text_col)))
-    exact = (
-        base.withColumn("__cmin", F.min(id_col).over(w))
-        .filter(F.col(id_col) == F.col("__cmin"))
-        .drop("__cmin")
+    # materialize the substring-cut corpus once (replaces the old
+    # post-exact checkpoint): the exact-dedup decision, the MinHash gram
+    # pass and the survivor anti-join all read it — and the exact
+    # canonical decision itself is now narrow (id, 16-byte digest) +
+    # broadcast anti-join instead of a window that shuffled the full
+    # text by digest (r16, guide §2.3/§8).
+    base = base.localCheckpoint(eager=True)
+    exact = base.join(
+        F.broadcast(_min_id_losers(base, F.unhex(F.md5(F.col(text_col))), id_col)),
+        id_col,
+        "left_anti",
     )
-    # materialize once: exact feeds the MinHash gram pass AND the
-    # survivor anti-join — each reference would otherwise replay the
-    # full URL/gate/paragraph/substring chain above (v3's most expensive
-    # subtree), and this is the strictly-smallest text frame in the
-    # pipeline (same tradeoff as the checkpointed gram frame inside
-    # minhash_dedup_pairs)
-    exact = exact.localCheckpoint(eager=True)
     pairs = minhash_dedup_pairs(
         exact, id_col, text_col, threshold=near_dup_threshold, hash_fn=hash_fn
     )
