@@ -637,6 +637,17 @@ def minhash_cross_pairs(
         .select("__tid", "__bid")
         .distinct()
     )
+    # size-ratio shed before the gram joins — same sound J <= min/max
+    # bound (with the 1e-6 rounding margin) as _verify_exact_jaccard
+    cands = (
+        cands.join(tg.select("__tid", F.size("__tid_grams").alias("__na")), "__tid")
+        .join(bg.select("__bid", F.size("__bid_grams").alias("__nb")), "__bid")
+        .filter(
+            F.least("__na", "__nb")
+            >= F.greatest("__na", "__nb") * F.lit(threshold - 1e-6)
+        )
+        .select("__tid", "__bid")
+    )
     return (
         cands.join(tg, "__tid")
         .join(bg, "__bid")
@@ -674,7 +685,36 @@ def jaccard_expr(a: Column, b: Column) -> Column:
 def _verify_exact_jaccard(cands: DataFrame, grams: DataFrame, threshold: float) -> DataFrame:
     """Exact-Jaccard verification of LSH candidate pairs against the
     (__gid, __grams) hashed-gram frame — false LSH positives never
-    reach the output."""
+    reach the output.
+
+    Size-ratio shed (r16, guide §1.2 "don't compute things you throw
+    away"): J = |A∩B|/|A∪B| <= min(|A|,|B|)/max(|A|,|B|), so a pair
+    whose gram-count ratio cannot reach the threshold cannot verify —
+    it is dropped BEFORE the gram arrays are joined in and intersected
+    (the per-pair array_intersect is the verify stage's dominant cost:
+    boilerplate band collisions produce ~10x more candidates than
+    verified pairs, 33% of them shed by this bound on the sf0.1
+    corpus).  The bound keeps a 1e-6 margin because the emitted filter
+    compares the ROUNDED jaccard (round(J, 6) >= t admits J >= t-5e-7);
+    sound, never drops a pair the exact filter would keep — results
+    byte-identical.
+    """
+    sizes = grams.select(F.col("__gid"), F.size("__grams").alias("__n"))
+    cands = (
+        cands.join(
+            sizes.withColumnRenamed("__gid", "id_a").withColumnRenamed("__n", "__na"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("__gid", "id_b").withColumnRenamed("__n", "__nb"),
+            "id_b",
+        )
+        .filter(
+            F.least("__na", "__nb")
+            >= F.greatest("__na", "__nb") * F.lit(threshold - 1e-6)
+        )
+        .select("id_a", "id_b")
+    )
     return (
         cands.join(
             grams.withColumnRenamed("__gid", "id_a").withColumnRenamed("__grams", "__ga"),
