@@ -1479,9 +1479,13 @@ def dedup_paragraphs(
     small side).
     """
     paras = paragraphs_expr(F.col(text_col), sep)
+    # __h is the raw 16-byte digest (unhex) rather than the 32-char hex
+    # string — same collision space (full md5), half the bytes through
+    # the checkpoint and both downstream exchanges (r16, guide §2.3;
+    # same change as dedup_substrings)
     narrow = df.select(
         F.col(id_col).alias("__id"), F.posexplode(paras).alias("__pos", "__p")
-    ).select("__id", "__pos", F.md5(F.col("__p")).alias("__h"))
+    ).select("__id", "__pos", F.unhex(F.md5(F.col("__p"))).alias("__h"))
     narrow = narrow.localCheckpoint(eager=True)  # reused by the agg AND the join
     firsts = narrow.groupBy("__h").agg(F.min(F.struct("__id", "__pos")).alias("__first"))
     removed = (
