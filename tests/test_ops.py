@@ -193,6 +193,52 @@ def test_signature_from_wide_grams_matches_column_form(spark):
             assert list(r["old"]) == list(r["new"]), (hash_fn, r["id"])
 
 
+def test_verify_arrow_intersect_matches_column_form(spark):
+    """r16: the exact-Jaccard verify's intersect count runs as one Arrow
+    stage on hashed-gram (long-array) paths (guide §4.2).  It must emit
+    exactly the Column form's pairs AND jaccard values — empty arrays,
+    disjoint/identical/partial overlaps, and values straddling the
+    threshold — and the plan must carry ONE ArrowEvalPython (the UDF is
+    non-deterministic-fenced so the threshold filter does not duplicate
+    it, guide §4.4)."""
+    from pyspark.sql import functions as F
+
+    from outpost_spark.ops.dedup import _verify_exact_jaccard, jaccard_expr
+
+    grams = spark.createDataFrame(
+        [
+            (1, list(range(100))),
+            (2, list(range(100))),            # identical to 1 -> J=1.0
+            (3, list(range(30, 130))),        # 70/130 overlap with 1 -> ~0.538
+            (4, list(range(1000, 1100))),     # disjoint with 1
+            (5, []),                          # empty
+            (6, []),                          # empty vs empty -> 0.0
+            (7, list(range(85)) + list(range(1000, 1015))),  # 85/115 vs 1 -> ~0.739
+        ],
+        "__gid long, __grams array<bigint>",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (5, 6), (1, 7)], "id_a long, id_b long"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in _verify_exact_jaccard(cands, grams, 0.5).collect()
+    }
+    # reference: the pure-Column form over the same joins
+    ref_joined = (
+        cands.join(grams.withColumnRenamed("__gid", "id_a").withColumnRenamed("__grams", "__ga"), "id_a")
+        .join(grams.withColumnRenamed("__gid", "id_b").withColumnRenamed("__grams", "__gb"), "id_b")
+        .withColumn("jaccard", F.round(jaccard_expr(F.col("__ga"), F.col("__gb")), 6))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    want = {(r.id_a, r.id_b): r.jaccard for r in ref_joined.collect()}
+    assert got == want and (1, 2) in got and (1, 3) in got and (1, 7) in got
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        _verify_exact_jaccard(cands, grams, 0.5)._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("ArrowEvalPython (") == 1, plan
+
+
 def test_dedup_substrings_global(spark):
     """Substring-level dedup: characters covered by a repeated 40-char
     window are cut everywhere except the first global occurrence; docs
